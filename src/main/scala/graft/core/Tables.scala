@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md).
+  *
+  * Mirrors the reference's parquet-directory scans
+  * (reference: src/iceberg/iceberg-initial-load.py:54-55 — plain
+  * `spark.read.format("parquet").load(path)`), expressed Spark-first so
+  * Catalyst gets predicate pushdown + column pruning for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects outright; read nanos as long and truncate to microseconds
+    // (integer `div`, matching DuckDB's ns→µs truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every test table as a temp view so `spark.sql` works over the
+    * same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}

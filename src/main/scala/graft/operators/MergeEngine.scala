@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE semantics as explicit joins — the Spark-native re-expression of the
+  * reference's `MERGE INTO` SQL (reference: src/iceberg/iceberg-cdc-load.py:130-150,
+  * src/delta/delta-cdc-load.py:121-141) and Hudi upsert/delete writers
+  * (reference: src/hudi/hudi-cdc-load.py:115-209).
+  *
+  * Scale posture (100 TB): the target is NEVER broadcast — the join shuffles
+  * both sides hash-partitioned on the merge keys (sort-merge or, when AQE sees
+  * a small CDC batch, broadcast of the SOURCE side only). `WHEN MATCHED UPDATE
+  * SET *` row-replacement is implemented with a source-presence marker rather
+  * than per-column `coalesce`, so a legitimate NULL in the source row still
+  * overwrites the target value (coalesce would silently keep stale data).
+  */
+object MergeEngine {
+  private val marker = "__graft_src_present"
+
+  /** Upsert: every source row replaces the matching target row (matched ⇒
+    * UPDATE SET *), unmatched source rows are inserted (NOT MATCHED ⇒ INSERT *).
+    * Output columns = target columns ++ source-only columns (schema evolution,
+    * mirroring Delta autoMerge — reference: src/delta/delta-initial-load.py:33).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.alias("t")
+    val s = source.withColumn(marker, lit(1)).alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+    val srcPresent = col(s"s.$marker").isNotNull
+    val tCols = target.columns
+    val sCols = source.columns.toSet
+    val merged = tCols.map { c =>
+      if (sCols.contains(c)) when(srcPresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      else col(s"t.$c").as(c)
+    } ++ source.columns.filterNot(tCols.contains).map(c => col(s"s.$c").as(c))
+    joined.select(merged: _*)
+  }
+
+  /** Delete: remove target rows whose key appears in `deletes`
+    * (MERGE ... WHEN MATCHED THEN DELETE ≡ left-anti join on the key). */
+  def delete(target: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(deletes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+}
