@@ -10,7 +10,9 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     graft.queries.CoreQueries.all ++
       graft.queries.MutationQueries.all ++
-      graft.queries.FunctionQueries.all
+      graft.queries.FunctionQueries.all ++
+      graft.queries.StorageQueries.all ++
+      graft.queries.SqlSurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

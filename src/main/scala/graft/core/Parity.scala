@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * floor form.
   */
 object Parity {
+  // NB: floor(x*10^n + 0.5) rounds NEGATIVE half-boundaries toward +infinity
+  // (-2.005 → -2.00), not half-away-from-zero. Cross-engine parity holds
+  // (both sides use the identical form), but don't use this where standard
+  // half-away semantics matter on negative-capable columns.
   def round2(c: Column): Column = floor(c * 100 + 0.5) / 100.0
   def round4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
 

@@ -22,6 +22,12 @@ object MergeEngine {
     * UPDATE SET *), unmatched source rows are inserted (NOT MATCHED ⇒ INSERT *).
     * Output columns = target columns ++ source-only columns (schema evolution,
     * mirroring Delta autoMerge — reference: src/delta/delta-initial-load.py:33).
+    *
+    * CONTRACT: `source` must be key-unique. A duplicate source key would
+    * multiply matching target rows instead of erroring the way the reference
+    * engines' MERGE INTO does (Iceberg/Delta raise on multiple source
+    * matches). Dedupe upstream with [[CdcDedup.latestPerKeyStrict]] (what the
+    * CDC pipeline does) or check explicitly with [[assertKeyUnique]].
     */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val t = target.alias("t")
@@ -42,4 +48,16 @@ object MergeEngine {
     * (MERGE ... WHEN MATCHED THEN DELETE ≡ left-anti join on the key). */
   def delete(target: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
     target.join(deletes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Fail fast when a merge source carries duplicate keys — the condition
+    * under which MERGE INTO is ill-defined (and under which [[upsert]] would
+    * silently multiply rows). Costs one aggregate job over the (small) source
+    * side; null keys group together like the merge's null-safe equality. */
+  def assertKeyUnique(source: DataFrame, keys: Seq[String]): Unit = {
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    require(dup.isEmpty,
+      s"merge source has duplicate key(s) ${keys.mkString(",")}: " +
+        dup.headOption.fold("")(_.toString))
+  }
 }

@@ -114,23 +114,24 @@ object FunctionQueries {
         concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"))
     },
 
-    // math functions (IEEE-exact ops; ln rounded to dodge last-ulp libm skew)
+    // math functions (IEEE-exact ops; sqrt/ln rounded via Parity — plain
+    // round(x,4) is the cross-engine half-boundary hazard Parity documents)
     Q("q22_math_funcs",
-      """SELECT l_orderkey, l_linenumber,
-        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
-        |  CAST(floor(l_quantity) AS BIGINT) AS q_floor,
-        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
-        |  abs(l_tax - CAST(0.04 AS DOUBLE)) AS tax_dev,
-        |  round(ln(l_extendedprice), 4) AS ln_price
-        |FROM lineitem
-        |""".stripMargin) { (s, d) =>
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${Parity.round4Sql("sqrt(l_extendedprice)")} AS sqrt_price,
+         |  CAST(floor(l_quantity) AS BIGINT) AS q_floor,
+         |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
+         |  abs(l_tax - CAST(0.04 AS DOUBLE)) AS tax_dev,
+         |  ${Parity.round4Sql("ln(l_extendedprice)")} AS ln_price
+         |FROM lineitem
+         |""".stripMargin) { (s, d) =>
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        Parity.round4(sqrt(col("l_extendedprice"))).as("sqrt_price"),
         floor(col("l_quantity")).as("q_floor"),
         ceil(col("l_discount") * 100).as("disc_pct"),
         abs(col("l_tax") - 0.04).as("tax_dev"),
-        round(log(col("l_extendedprice")), 4).as("ln_price"))
+        Parity.round4(log(col("l_extendedprice"))).as("ln_price"))
     },
 
     // §2.2 #8 timestamp cast + calendar extraction

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import graft.operators.CdcDedup
+import graft.pipeline.CdcPipeline
+import graft.storage.{CowTable, TableConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layer + CDC-pipeline coverage (SURVEY.md §2.1 #4-#7, §2.3
+  * #18-#21, §7.1 modules 2-6): COW table create/roundtrip, time travel, and
+  * the end-to-end bookmark→dedup→merge pipeline, each checked against a DuckDB
+  * oracle that replays the identical semantics in SQL.
+  *
+  * Tables are written under GRAFT_TABLE_DIR (default target/graft-tables) —
+  * each query rebuilds its table from scratch so results are deterministic
+  * for any run order.
+  */
+object StorageQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  def tableDir(name: String): String =
+    sys.env.getOrElse("GRAFT_TABLE_DIR", "/root/repo/target/graft-tables") +
+      "/" + name
+
+  /** The synthetic CDC envelope used by q27: events after the cutoff become
+    * the change log (DMS-shaped: Op + timestamp + full row image,
+    * reference demo_data/cdc-load schema per SURVEY.md §1.1). */
+  private val cutoff = "2024-01-15 00:00:00"
+  private val auditTs = "2024-06-01 00:00:00"
+
+  private def initialSnapshot(s: SparkSession, d: String): DataFrame =
+    CdcDedup.latestPerKeyStrict(
+      t(s, d, "events").filter(col("ts") < lit(cutoff).cast("timestamp")),
+      Seq("user_id"), "ts", Seq("event_id"))
+      .select("user_id", "event_id", "event_type", "value")
+
+  private def cdcBatch(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").filter(col("ts") >= lit(cutoff).cast("timestamp"))
+      .select(
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I")
+          .otherwise("U").as("Op"),
+        col("ts").as("timestamp"),
+        col("user_id"), col("event_id"), col("event_type"), col("value"))
+
+  val all: Seq[Q] = Seq(
+
+    // §2.1 #4 bulk-insert COW create (hive-style partitionBy) + re-read:
+    // write customer as a partitioned v1 snapshot, read it back through the
+    // manifest — must round-trip exactly (reference:
+    // src/hudi/hudi-initial-load.py:69-104, hive_style_partitioning :75).
+    Q("q25_cow_roundtrip",
+      "SELECT * FROM customer") { (s, d) =>
+      CowTable.replace(s, tableDir("q25"),
+        TableConfig("customer", Seq("c_custkey"),
+          partitionKey = Some("c_mktsegment")),
+        t(s, d, "customer")).read()
+    },
+
+    // Time travel: v1 = full customer snapshot, v2 = merged balances; reading
+    // v1 AFTER v2 committed must return the pre-merge state (the
+    // transactional-format capability the reference gets from Hudi/Iceberg/
+    // Delta COW versioning, SURVEY.md §7.1 module 2).
+    Q("q26_time_travel",
+      "SELECT * FROM customer") { (s, d) =>
+      val c = t(s, d, "customer")
+      val tbl = CowTable.replace(s, tableDir("q26"),
+        TableConfig("customer", Seq("c_custkey")), c)
+      tbl.upsert(
+        c.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") + 42, 2)))
+      tbl.readVersion(1)
+    },
+
+    // §3.2 the end-to-end CDC pipeline: initial load → COW v1, synthetic
+    // DMS-shaped batch → dedup (strict, precombine=event_id) → op routing →
+    // upsert then delete → final snapshot. Oracle replays the identical
+    // semantics in SQL (full-outer merge + anti-join, audit column stamped
+    // with the injected deterministic timestamp).
+    Q("q27_cdc_pipeline",
+      s"""WITH pre AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts < TIMESTAMP '$cutoff'),
+         |init AS (SELECT user_id, event_id, event_type, value FROM pre WHERE rn = 1),
+         |cdc AS (
+         |  SELECT CASE WHEN event_type = 'error' THEN 'D'
+         |              WHEN event_type = 'signup' THEN 'I'
+         |              ELSE 'U' END AS op,
+         |         CAST(ts AS TIMESTAMP) AS ets,
+         |         user_id, event_id, event_type, value
+         |  FROM events WHERE ts >= TIMESTAMP '$cutoff'),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT cdc.*, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ets DESC, event_id DESC) AS rn FROM cdc) x
+         |  WHERE rn = 1),
+         |ups AS (SELECT * FROM dedup WHERE op <> 'D'),
+         |merged AS (
+         |  SELECT
+         |    CASE WHEN s.user_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+         |    CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+         |    CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+         |    CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+         |    s.ets AS "timestamp",
+         |    CASE WHEN s.user_id IS NOT NULL
+         |         THEN TIMESTAMP '$auditTs' END AS last_applied_date
+         |  FROM init t FULL OUTER JOIN ups s ON t.user_id = s.user_id)
+         |SELECT m.* FROM merged m
+         |WHERE NOT EXISTS (SELECT 1 FROM dedup x
+         |  WHERE x.op = 'D' AND x.user_id = m.user_id)
+         |""".stripMargin) { (s, d) =>
+      val tbl = CowTable.replace(s, tableDir("q27"),
+        TableConfig("user_state", Seq("user_id"),
+          precombineKey = Some("event_id")),
+        initialSnapshot(s, d))
+      CdcPipeline.applyBatch(tbl, cdcBatch(s, d),
+        auditTs = lit(auditTs).cast("timestamp"))
+      tbl.read()
+    },
+
+    // §2.2 strict dedup (the precombine tie-break path,
+    // reference concept cdk.json:61-86 precombine_key): exactly one row per
+    // key, (ts desc, event_id desc) — deterministic even under ties.
+    Q("q34_cdc_latest_strict",
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn = 1
+        |""".stripMargin) { (s, d) =>
+      CdcDedup.latestPerKeyStrict(
+        t(s, d, "events")
+          .select("user_id", "event_id", "event_type", "value", "ts"),
+        Seq("user_id"), "ts", Seq("event_id"))
+    },
+
+    // §2.2 #15 single-pass per-Op count metrics (replaces the reference's 4
+    // separate count() actions, src/hudi/hudi-cdc-load.py:97-104).
+    Q("q35_op_counts",
+      s"""SELECT CASE WHEN event_type = 'error' THEN 'D'
+         |            WHEN event_type = 'signup' THEN 'I'
+         |            ELSE 'U' END AS op, count(*) AS n
+         |FROM events WHERE ts >= TIMESTAMP '$cutoff'
+         |GROUP BY 1
+         |""".stripMargin) { (s, d) =>
+      cdcBatch(s, d).groupBy(col("Op").as("op"))
+        .agg(count(lit(1)).as("n"))
+    })
+}

@@ -1,0 +1,298 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.util.Try
+
+import graft.operators.MergeEngine
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, NumericType, StructType}
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+
+/** One data file of a committed snapshot. `path` is relative to the table
+  * root; a commit may reference files written by ANCESTOR commits (copy-on-
+  * write: untouched files are carried over by reference, never rewritten).
+  * `minKey`/`maxKey` are the stringified min/max of the first primary-key
+  * column — the pruning statistics that keep MERGE from rewriting the world
+  * (SURVEY.md §7.4.7: prune target files against source keys BEFORE the join).
+  */
+final case class FileEntry(
+    path: String, rows: Long, minKey: Option[String], maxKey: Option[String])
+
+/** JSON commit manifest — the transactional metadata the reference delegates
+  * to Hudi/Iceberg/Delta (all configured copy-on-write, SURVEY.md §1.1).
+  * O(files) metadata, no per-row state: holds at 100 TB.
+  */
+final case class CommitManifest(
+    version: Int,
+    parent: Int,
+    schemaJson: String,
+    primaryKey: Seq[String],
+    partitionKey: Option[String],
+    keyNumeric: Boolean,
+    rowCount: Long,
+    files: Seq[FileEntry])
+
+/** Minimal copy-on-write transactional table on plain parquet — the engine's
+  * re-expression of the reference's open-table-format layer
+  * (reference: src/hudi/hudi-initial-load.py:69-104 bulk create,
+  * src/delta/delta-initial-load.py:61-78 snapshot write,
+  * src/iceberg/iceberg-initial-load.py:60-94 DDL+insert; all three COW).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_manifests/v00001.json     commit manifests (one per version)
+  *   <root>/_manifests/_current        atomic pointer (rename-swapped)
+  *   <root>/v00001/[pk=val/]part-*.parquet   hive-style partitioned data
+  * }}}
+  *
+  * Guarantees: atomic version advance (tmp-write + ATOMIC_MOVE of the pointer,
+  * single-writer — mirrors the reference's max_concurrent_runs=1,
+  * cdk_stacks/glue_stack.py:156-158), time-travel read of any version, schema
+  * evolution on write (new columns null-filled for old files at read time,
+  * mirroring Delta autoMerge, src/delta/delta-initial-load.py:33), and pruned
+  * merges: only files whose key range overlaps the source batch are rewritten.
+  */
+final class CowTable private[storage] (
+    val spark: SparkSession, rootDir: String, val config: TableConfig) {
+  import CowTable._
+
+  val root: Path = Paths.get(rootDir).toAbsolutePath
+  private def manifestDir: Path = root.resolve("_manifests")
+  private def pointerFile: Path = manifestDir.resolve("_current")
+
+  def currentVersion: Int =
+    if (Files.exists(pointerFile)) Files.readString(pointerFile).trim.toInt
+    else 0
+
+  def manifest(version: Int): CommitManifest = {
+    val p = manifestDir.resolve(f"v$version%05d.json")
+    Serialization.read[CommitManifest](Files.readString(p))
+  }
+
+  /** Current snapshot as a DataFrame (scan of the manifest's file set). */
+  def read(): DataFrame = readVersion(currentVersion)
+
+  /** Time-travel: any committed version remains readable (its files are never
+    * rewritten in place — copy-on-write). */
+  def readVersion(version: Int): DataFrame = {
+    require(version >= 1 && version <= currentVersion,
+      s"version $version out of range 1..$currentVersion")
+    val m = manifest(version)
+    readFiles(m, m.files)
+  }
+
+  /** Bulk insert creating version 1 (reference initial load,
+    * src/hudi/hudi-initial-load.py:69-104). Fails if the table exists. */
+  def create(df: DataFrame): Int = {
+    require(currentVersion == 0, s"table ${config.tableName} already exists")
+    writeVersion(df, df.schema, carryOver = Nil, parent = 0)
+  }
+
+  /** Full-snapshot overwrite (reference Delta path sink mode=overwrite,
+    * src/delta/delta-initial-load.py:61-78). */
+  def overwrite(df: DataFrame): Int =
+    writeVersion(df, df.schema, carryOver = Nil, parent = currentVersion)
+
+  /** MERGE ... WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *
+    * against the current snapshot, as a pruned copy-on-write rewrite:
+    * files whose [minKey, maxKey] cannot contain any source key are carried
+    * over untouched (at 100 TB a 100-row CDC batch rewrites a handful of
+    * files, not the table). Source must be key-unique — enforce upstream with
+    * [[graft.operators.CdcDedup.latestPerKeyStrict]] or pass
+    * `assertUniqueKeys = true` (one cheap extra job over the small source).
+    */
+  def upsert(source: DataFrame, assertUniqueKeys: Boolean = false): Int = {
+    val parent = currentVersion
+    if (parent == 0) return writeVersion(source, source.schema, Nil, 0)
+    if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
+    val m = manifest(parent)
+    sourceKeyRange(source) match {
+      case None => parent // empty batch: no-op, no empty commit
+      case Some((lo, hi)) =>
+        val (touched, untouched) =
+          m.files.partition(overlaps(_, lo, hi, m.keyNumeric))
+        val target = readFiles(m, touched)
+        val merged = MergeEngine.upsert(target, source, config.primaryKey)
+        writeVersion(merged, merged.schema, untouched, parent)
+    }
+  }
+
+  /** MERGE ... WHEN MATCHED THEN DELETE: anti-join rewrite of only the files
+    * whose key range overlaps the delete set
+    * (reference: src/iceberg/iceberg-cdc-load.py:147-150). */
+  def delete(deleteKeys: DataFrame): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    sourceKeyRange(deleteKeys) match {
+      case None => parent
+      case Some((lo, hi)) =>
+        val (touched, untouched) =
+          m.files.partition(overlaps(_, lo, hi, m.keyNumeric))
+        val target = readFiles(m, touched)
+        val remaining = MergeEngine.delete(target, deleteKeys, config.primaryKey)
+        writeVersion(remaining, structFromJson(m.schemaJson), untouched, parent)
+    }
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  /** min/max of the first key column over the source batch — one tiny
+    * aggregate job (the source is the small CDC side). None ⇔ empty source. */
+  private def sourceKeyRange(source: DataFrame): Option[(String, String)] = {
+    val k = config.primaryKey.head
+    val r = source.agg(
+      min(col(k)).cast("string"), max(col(k)).cast("string")).head()
+    if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+  }
+
+  private def overlaps(
+      e: FileEntry, lo: String, hi: String, numeric: Boolean): Boolean =
+    (e.minKey, e.maxKey) match {
+      case (Some(mn), Some(mx)) =>
+        if (numeric)
+          !(BigDecimal(mx) < BigDecimal(lo) || BigDecimal(mn) > BigDecimal(hi))
+        else !(mx < lo || mn > hi)
+      case _ => true // a file without stats must be assumed touched
+    }
+
+  /** Read a set of manifest files, reconciling to `m`'s schema (files written
+    * by older commits may predate added columns — null-fill + cast, the read
+    * side of schema-merge-on-write). Files are grouped by the version segment
+    * they live in so hive-style partition-value inference (basePath) works
+    * per group. */
+  private def readFiles(m: CommitManifest, files: Seq[FileEntry]): DataFrame = {
+    val schema = structFromJson(m.schemaJson)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val groups = files.groupBy(_.path.takeWhile(_ != '/'))
+      groups.toSeq.sortBy(_._1).map { case (verSeg, fs) =>
+        val df = spark.read
+          .option("basePath", root.resolve(verSeg).toString)
+          .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+        conform(df, schema)
+      }.reduce(_.union(_))
+    }
+  }
+
+  /** Project to exactly `schema`'s columns/order/types; absent columns become
+    * typed nulls (inferred hive-partition types are cast back too). */
+  private def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      (if (present(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Write `df` as the data of version parent+1 (hive-style partitionBy when
+    * configured, clustered so each partition value lands in few files —
+    * reference INSERT ... ORDER BY partition_key,
+    * src/iceberg/iceberg-initial-load.py:87-92), collect per-file key stats,
+    * and commit manifest + atomic pointer. */
+  private def writeVersion(
+      df: DataFrame, schema: StructType,
+      carryOver: Seq[FileEntry], parent: Int): Int = {
+    val v = parent + 1
+    val verSeg = f"v$v%05d"
+    val verDir = root.resolve(verSeg)
+    val writer = config.partitionKey match {
+      case Some(k) =>
+        df.repartition(col(k)).write.mode("overwrite").partitionBy(k)
+      case None => df.write.mode("overwrite")
+    }
+    writer.parquet(verDir.toString)
+    val fresh = statFiles(verDir)
+    val entries = fresh ++ carryOver
+    val m = CommitManifest(
+      version = v,
+      parent = parent,
+      schemaJson = schema.json,
+      primaryKey = config.primaryKey,
+      partitionKey = config.partitionKey,
+      keyNumeric = Try(schema(config.primaryKey.head).dataType)
+        .map(_.isInstanceOf[NumericType]).getOrElse(false),
+      rowCount = entries.map(_.rows).sum,
+      files = entries)
+    Files.createDirectories(manifestDir)
+    Files.writeString(manifestDir.resolve(f"v$v%05d.json"), Serialization.write(m))
+    val tmp = manifestDir.resolve(s"_current.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, pointerFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Per-file row count + first-key min/max for the freshly written files.
+    * One columnar pass over just the key column (Catalyst prunes the rest);
+    * parquet-footer statistics are the zero-scan upgrade path. */
+  private def statFiles(verDir: Path): Seq[FileEntry] = {
+    val k = config.primaryKey.head
+    Try {
+      val df = spark.read.option("basePath", verDir.toString)
+        .parquet(verDir.toString)
+      val hasKey = df.columns.contains(k)
+      val aggs =
+        if (hasKey) Seq(count(lit(1)),
+          min(col(k)).cast("string"), max(col(k)).cast("string"))
+        else Seq(count(lit(1)), lit(null).cast("string"), lit(null).cast("string"))
+      df.groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().toSeq
+        .map { r =>
+          FileEntry(relativize(r.getString(0)), r.getLong(1),
+            Option(r.getString(2)), Option(r.getString(3)))
+        }.sortBy(_.path)
+    }.getOrElse(Nil) // empty write ⇒ no readable files ⇒ no entries
+  }
+
+  private def relativize(fileUri: String): String = {
+    val abs =
+      if (fileUri.startsWith("file:"))
+        Paths.get(new java.net.URI(fileUri).getPath)
+      else Paths.get(fileUri)
+    root.relativize(abs.toAbsolutePath).toString
+  }
+}
+
+object CowTable {
+  implicit private[storage] val formats: Formats =
+    Serialization.formats(NoTypeHints)
+
+  private[storage] def structFromJson(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** Open a table directory (existing or about-to-be-created). */
+  def apply(spark: SparkSession, root: String, config: TableConfig): CowTable =
+    new CowTable(spark, root, config)
+
+  /** Idempotent create: skip when the table already exists — the reference's
+    * catalog-probe-then-create (src/hudi/hudi-initial-load.py:114,54). */
+  def createIfNotExists(
+      spark: SparkSession, root: String, config: TableConfig,
+      df: => DataFrame): CowTable = {
+    val t = apply(spark, root, config)
+    if (t.currentVersion == 0) t.create(df)
+    t
+  }
+
+  /** Destroy-and-recreate, for deterministic test/query fixtures. */
+  def replace(
+      spark: SparkSession, root: String, config: TableConfig,
+      df: DataFrame): CowTable = {
+    deleteRecursively(Paths.get(root))
+    val t = apply(spark, root, config)
+    t.create(df)
+    t
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+}
