@@ -108,11 +108,9 @@ final class CowTable private[storage] (
     if (parent == 0) return writeVersion(source, source.schema, Nil, 0)
     if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
     val m = manifest(parent)
-    sourceKeyRange(source) match {
+    pruneFiles(m, source) match {
       case None => parent // empty batch: no-op, no empty commit
-      case Some((lo, hi)) =>
-        val (touched, untouched) =
-          m.files.partition(overlaps(_, lo, hi, m.keyNumeric))
+      case Some((touched, untouched)) =>
         val target = readFiles(m, touched)
         val merged = MergeEngine.upsert(target, source, config.primaryKey)
         writeVersion(merged, merged.schema, untouched, parent)
@@ -126,11 +124,9 @@ final class CowTable private[storage] (
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
     val m = manifest(parent)
-    sourceKeyRange(deleteKeys) match {
+    pruneFiles(m, deleteKeys) match {
       case None => parent
-      case Some((lo, hi)) =>
-        val (touched, untouched) =
-          m.files.partition(overlaps(_, lo, hi, m.keyNumeric))
+      case Some((touched, untouched)) =>
         val target = readFiles(m, touched)
         val remaining = MergeEngine.delete(target, deleteKeys, config.primaryKey)
         writeVersion(remaining, structFromJson(m.schemaJson), untouched, parent)
@@ -139,22 +135,67 @@ final class CowTable private[storage] (
 
   // ---- internals ----------------------------------------------------------
 
-  /** min/max of the first key column over the source batch — one tiny
-    * aggregate job (the source is the small CDC side). None ⇔ empty source. */
-  private def sourceKeyRange(source: DataFrame): Option[(String, String)] = {
+  /** Distinct source keys above which pruning falls back from the exact
+    * key-set check to min/max range overlap (bounds driver memory). */
+  private val pruneKeyLimit = 100000
+
+  /** Partition manifest files into (touched, untouched) for a merge source.
+    *
+    * Exact key-set pruning: collect the batch's distinct keys (CDC batches
+    * are the small side; capped at [[pruneKeyLimit]]) and binary-search each
+    * file's [min,max] for a contained key. This matters at scale: a batch
+    * touching keys {10, 450} must NOT touch every file in the range 10..450 —
+    * range-overlap pruning would rewrite the whole table whenever a batch
+    * mixes one low and one high key (e.g. any insert of a new max key).
+    * Oversized batches fall back to range overlap; a batch containing a NULL
+    * key touches everything (file min/max stats cannot see nulls). Returns
+    * None ⇔ empty source.
+    */
+  private def pruneFiles(m: CommitManifest, source: DataFrame)
+      : Option[(Seq[FileEntry], Seq[FileEntry])] = {
     val k = config.primaryKey.head
-    val r = source.agg(
-      min(col(k)).cast("string"), max(col(k)).cast("string")).head()
-    if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+    if (!source.columns.contains(k)) return Some((m.files, Nil))
+    val keys = source.select(col(k).cast("string")).distinct()
+      .limit(pruneKeyLimit + 1).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    if (keys.isEmpty) None
+    else if (keys.contains(null)) Some((m.files, Nil))
+    else if (keys.length > pruneKeyLimit) {
+      val r = source
+        .agg(min(col(k)).cast("string"), max(col(k)).cast("string")).head()
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      def overlaps(e: FileEntry): Boolean = (e.minKey, e.maxKey) match {
+        case (Some(mn), Some(mx)) =>
+          if (m.keyNumeric)
+            !(BigDecimal(mx) < BigDecimal(lo) || BigDecimal(mn) > BigDecimal(hi))
+          else !(mx < lo || mn > hi)
+        case _ => true
+      }
+      Some(m.files.partition(overlaps))
+    } else if (m.keyNumeric)
+      Some(m.files.partition(containsAny(
+        _, keys.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_))))
+    else
+      Some(m.files.partition(containsAny(
+        _, keys.sorted.toIndexedSeq, identity[String])))
   }
 
-  private def overlaps(
-      e: FileEntry, lo: String, hi: String, numeric: Boolean): Boolean =
+  /** Does [e.minKey, e.maxKey] contain any of `sorted` (ascending)? */
+  private def containsAny[T](
+      e: FileEntry, sorted: IndexedSeq[T], parse: String => T)(
+      implicit ord: Ordering[T]): Boolean =
     (e.minKey, e.maxKey) match {
       case (Some(mn), Some(mx)) =>
-        if (numeric)
-          !(BigDecimal(mx) < BigDecimal(lo) || BigDecimal(mn) > BigDecimal(hi))
-        else !(mx < lo || mn > hi)
+        val lo = parse(mn)
+        val hi = parse(mx)
+        // lower bound: first index with sorted(i) >= lo
+        var l = 0
+        var r = sorted.length
+        while (l < r) {
+          val mid = (l + r) >>> 1
+          if (ord.lt(sorted(mid), lo)) l = mid + 1 else r = mid
+        }
+        l < sorted.length && ord.lteq(sorted(l), hi)
       case _ => true // a file without stats must be assumed touched
     }
 

@@ -1,0 +1,133 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CowTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(
+      partitionKey: Option[String] = None): (CowTable, String) = {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = partitionKey)
+    (CowTable(spark, dir + "/t", cfg), dir)
+  }
+
+  test("create + read round-trips exactly") {
+    val (t, _) = freshTable()
+    val df = (1L to 100L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "v")
+    assert(t.create(df) == 1)
+    assert(t.read().as[(Long, String, Double)].collect().toSet ==
+      df.as[(Long, String, Double)].collect().toSet)
+    assert(t.manifest(1).rowCount == 100)
+  }
+
+  test("hive-style partitioned create: key=value dirs, partition column survives read") {
+    val (t, _) = freshTable(partitionKey = Some("seg"))
+    val df = Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "A", 3.0))
+      .toDF("id", "seg", "v")
+    t.create(df)
+    assert(t.manifest(1).files.exists(_.path.contains("seg=A")))
+    val back = t.read()
+    assert(back.schema("seg").dataType.typeName == "string")
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      df.as[(Long, String, Double)].collect().toSet)
+    // partition pruning reaches the scan: only seg=A files are read
+    val plan = back.filter(col("seg") === "A").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("seg=B"), s"expected seg=B pruned out:\n$plan")
+  }
+
+  test("upsert prunes by file key stats: untouched files carried over, not rewritten") {
+    val (t, _) = freshTable()
+    // 4 files with disjoint key ranges via range partitioning
+    val df = (1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id"))
+    t.create(df)
+    val v1Files = t.manifest(1).files.map(_.path)
+    assert(v1Files.size == 4)
+    // source touches only keys 1..50 → exactly one v1 file overlaps
+    val src = Seq((10L, "upd10"), (450L, "new450")).toDF("id", "name")
+    t.upsert(src)
+    val v2 = t.manifest(2)
+    val carried = v2.files.map(_.path).filter(_.startsWith("v00001/"))
+    assert(carried.size == 3, s"expected 3 carried-over files: ${v2.files}")
+    assert(carried.forall(v1Files.contains))
+    // and the carried files' bytes were genuinely not rewritten (same path ⇒ same file)
+    val out = t.read().as[(Long, String)].collect().toMap
+    assert(out.size == 401 && out(10L) == "upd10" && out(450L) == "new450"
+      && out(399L) == "n399")
+  }
+
+  test("delete prunes too and only rewrites overlapping files") {
+    val (t, _) = freshTable()
+    val df = (1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id"))
+    t.create(df)
+    t.delete(Seq(5L, 7L).toDF("id"))
+    val v2 = t.manifest(2)
+    assert(v2.files.count(_.path.startsWith("v00001/")) == 3)
+    assert(v2.rowCount == 398)
+    assert(t.read().filter(col("id").isin(5L, 7L)).count() == 0)
+  }
+
+  test("time travel: v1 readable and unchanged after later commits") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.upsert(Seq((1L, "a2")).toDF("id", "name"))
+    t.delete(Seq(2L).toDF("id"))
+    assert(t.currentVersion == 3)
+    assert(t.readVersion(1).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(t.readVersion(2).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b")))
+    assert(t.read().as[(Long, String)].collect().toSet == Set((1L, "a2")))
+  }
+
+  test("schema evolution on upsert: new column null-filled for carried-over files") {
+    val (t, _) = freshTable()
+    t.create((1L to 200L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(2, col("id")))
+    t.upsert(Seq((1L, "u1", "2024-06-01")).toDF("id", "name", "audit"))
+    val out = t.read()
+    assert(out.columns.toSeq == Seq("id", "name", "audit"))
+    val rows = out.as[(Long, String, Option[String])].collect()
+    assert(rows.length == 200)
+    assert(rows.count(_._3.isDefined) == 1)
+    // carried-over file (keys 101..200) still readable through evolved schema
+    assert(rows.exists(r => r._1 == 150L && r._3.isEmpty))
+  }
+
+  test("empty upsert/delete batches are no-ops (no empty commit)") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, "a")).toDF("id", "name"))
+    val df = Seq((1L, "a")).toDF("id", "name")
+    assert(t.upsert(df.filter("id < 0")) == 1)
+    assert(t.delete(df.filter("id < 0")) == 1)
+    assert(t.currentVersion == 1)
+  }
+
+  test("createIfNotExists is idempotent; create on existing table throws") {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("id"))
+    val t1 = CowTable.createIfNotExists(spark, dir + "/t", cfg,
+      Seq((1L, "a")).toDF("id", "name"))
+    val t2 = CowTable.createIfNotExists(spark, dir + "/t", cfg,
+      sys.error("must not be evaluated — table exists"))
+    assert(t2.currentVersion == 1)
+    assertThrows[IllegalArgumentException] {
+      t1.create(Seq((2L, "b")).toDF("id", "name"))
+    }
+  }
+
+  test("string keys prune lexicographically") {
+    val (tdir) = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("k"))
+    val t = CowTable(spark, tdir + "/t", cfg)
+    t.create(('a' to 'z').map(c => (s"$c", 1)).toDF("k", "v")
+      .repartitionByRange(2, col("k")))
+    t.upsert(Seq(("a", 99)).toDF("k", "v"))
+    assert(t.manifest(2).files.count(_.path.startsWith("v00001/")) == 1)
+    assert(t.read().count() == 26)
+  }
+}
