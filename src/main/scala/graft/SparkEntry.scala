@@ -12,7 +12,9 @@ object SparkEntry {
       graft.queries.MutationQueries.all ++
       graft.queries.FunctionQueries.all ++
       graft.queries.StorageQueries.all ++
-      graft.queries.SqlSurfaceQueries.all
+      graft.queries.SqlSurfaceQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.EmbeddingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search + array-column handling over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim). The brute-force top-k is fully
+  * oracle-checked — possible because scoring is integer-quantized (see
+  * [[graft.similarity.Similarity]]); the LSH variant is the scale path and
+  * gets a rows-only check plus a recall test in SimilaritySpec.
+  */
+object EmbeddingQueries {
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "embeddings")
+
+  /** DuckDB mirror of Similarity.quant. */
+  private val qvSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force exact cosine top-10 for every 50th vector as query.
+    Q("q30_ann_topk",
+      s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |      FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0),
+         |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |        CAST(list_sum(list_transform(list_zip(q.qv, n.qv),
+         |          z -> z[1]*z[2])) AS BIGINT) AS dot,
+         |        q.n2 AS qn2, n.n2 AS cn2
+         |      FROM q CROSS JOIN n WHERE q.vec_id <> n.vec_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+         |               neighbor_id) AS BIGINT) AS rank
+         |  FROM p) WHERE rank <= 10
+         |""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      Similarity.cosineTopK(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
+    },
+
+    // Array-column statistics: dims, sign counts, element access, exact
+    // quantized L1 — the multimodal/array handling smoke surface.
+    Q("q43_embed_stats",
+      s"""SELECT vec_id, label,
+         |  CAST(len(embedding) AS BIGINT) AS n_dims,
+         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+         |  CAST(embedding[1] AS DOUBLE) AS first_val,
+         |  CAST(embedding[-1] AS DOUBLE) AS last_val,
+         |  CAST(list_sum(list_transform($qvSql, x -> abs(x))) AS BIGINT) AS l1_quantized
+         |FROM embeddings
+         |""".stripMargin) { (s, d) =>
+      emb(s, d).select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        element_at(col("embedding"), -1).cast("double").as("last_val"),
+        aggregate(Similarity.quantVec(col("embedding")), lit(0L),
+          (acc, v) => acc + abs(v)).as("l1_quantized"))
+    },
+
+    // LSH-bucketed approximate top-k — the 100 TB path (candidates from the
+    // query's bucket only). Approximate ⇒ rows-only driver check; recall vs
+    // the exact baseline is asserted in SimilaritySpec.
+    Q.noOracle("q44_ann_lsh") { (s, d) =>
+      val e = emb(s, d)
+      Similarity.annTopK(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
+    })
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import graft.text.{TextDedup, TextFunctions, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators over the `documents` table: exact and
+  * near (MinHash-LSH) dedup, SimHash, winnowing fingerprints, token/quality
+  * statistics, language ID. Every query pairs the Spark-first operator with a
+  * DuckDB oracle replaying the identical algorithm in SQL — possible because
+  * all hashing is md5-derived ([[TextFunctions.md5Hash48]]) and all
+  * arithmetic is engine-portable (affine minhash mod 2^31-1, exact
+  * power-of-two bit math).
+  */
+object TextQueries {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents")
+
+  // ---- shared DuckDB oracle fragments (mirror TextFunctions exactly) ------
+
+  /** whitespace tokens of `text` */
+  private val toksSql = raw"string_split_regex(trim(text), '\s+')"
+  private def hash48Sql(x: String) =
+    s"('0x' || substr(md5($x), 1, 12))::BIGINT"
+
+  /** CTE stack: toks → word 3-gram shingles → distinct → 48-bit hashes →
+    * 64 affine minhashes (mod 2^31-1). */
+  private val sigCte =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |        ELSE list_transform(range(1, len(toks)-1),
+       |               i -> array_to_string(toks[i:i+2], ' ')) END AS sh FROM t),
+       |d AS (SELECT doc_id, list_distinct(sh) AS shd FROM s WHERE len(sh) > 0),
+       |h AS (SELECT doc_id, list_transform(shd, x -> ${hash48Sql("x")}) AS hs FROM d),
+       |g AS (SELECT doc_id, list_transform(range(0,64), i ->
+       |        list_min(list_transform(hs,
+       |          x -> ((2*i+1)*(x % 2147483647) + (i*i+1)) % 2147483647))) AS sig FROM h),
+       |bands AS (SELECT g.doc_id, r.band,
+       |        md5(array_to_string(sig[r.band*4+1 : r.band*4+4], ',')) AS band_key
+       |      FROM g CROSS JOIN (SELECT range AS band FROM range(0,16)) r)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup groups: content-hash groupBy (one uniform shuffle).
+    Q("q28_dedup_exact",
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      TextDedup.exactDupGroups(docs(s, d), "doc_id", "text")
+    },
+
+    // Token/length statistics — the per-document filter signals.
+    Q("q29_text_stats",
+      s"""SELECT doc_id, lang,
+         |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords
+         |FROM documents
+         |""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        TextStats.subwordCount(col("text")).as("n_subwords"))
+    },
+
+    // Stopword-argmax language heuristic (deterministic tie order).
+    Q("q37_lang_id",
+      s"""WITH c AS (SELECT doc_id, lang,
+         |  list_transform($toksSql, x -> lower(x)) AS lt FROM documents),
+         |n AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(lt, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
+         |  CAST(len(list_filter(lt, x -> x IN ('el','la','de','los','que'))) AS BIGINT) AS c_es,
+         |  CAST(len(list_filter(lt, x -> x IN ('le','les','des','et','une'))) AS BIGINT) AS c_fr,
+         |  CAST(len(list_filter(lt, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS c_de
+         |FROM c)
+         |SELECT doc_id, lang,
+         |  CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+         |       WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+         |       WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS lang_pred,
+         |  c_en AS n_stopwords_en
+         |FROM n
+         |""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"), col("lang"),
+        TextStats.languageId(col("text")).as("lang_pred"),
+        TextStats.stopwordHits(
+          transform(TextFunctions.tokens(col("text")), lower(_)),
+          TextStats.stopwords.head._2).as("n_stopwords_en"))
+    },
+
+    // Composite quality score (clamped linear blend, Parity-rounded).
+    Q("q38_quality_score",
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS DOUBLE) AS n_tok,
+         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_dis,
+         |  CAST(len(list_filter(list_transform($toksSql, x -> lower(x)),
+         |       x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS n_stop
+         |FROM documents)
+         |SELECT doc_id,
+         |  floor((least(n_tok / 100.0, 1.0) * 0.5 +
+         |         least(n_dis / n_tok, 1.0) * 0.3 +
+         |         least(n_stop / n_tok * 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000
+         |    AS quality_score
+         |FROM b
+         |""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality_score"))
+    },
+
+    // MinHash-LSH bucket table: 64 affine minhashes, 16 bands × 4 rows.
+    Q("q39_minhash_bands",
+      s"""WITH $sigCte
+         |SELECT doc_id, band, band_key FROM bands
+         |""".stripMargin) { (s, d) =>
+      TextDedup.minhashBands(docs(s, d), "doc_id", "text")
+    },
+
+    // Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
+    Q("q40_neardup_pairs",
+      s"""WITH $sigCte,
+         |cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |      FROM bands l JOIN bands r
+         |        ON l.band = r.band AND l.band_key = r.band_key
+         |       AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.shd, b.shd))) AS DOUBLE) AS jaccard
+         |FROM cands JOIN d a ON a.doc_id = id_a JOIN d b ON b.doc_id = id_b
+         |WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.shd, b.shd))) AS DOUBLE) >= 0.5
+         |""".stripMargin) { (s, d) =>
+      TextDedup.nearDupPairs(docs(s, d), "doc_id", "text")
+    },
+
+    // 48-bit SimHash per document (frequency-weighted ±1 bit votes).
+    Q("q41_simhash",
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform($toksSql, x -> ${hash48Sql("x")}) AS hs FROM documents),
+         |b AS (SELECT doc_id, list_transform(range(0,48), j ->
+         |  list_sum(list_transform(hs, x ->
+         |    CASE WHEN (x // CAST(power(2,j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END))) AS bs
+         |FROM h)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0,48), j ->
+         |  CASE WHEN bs[j+1] > 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM b
+         |""".stripMargin) { (s, d) =>
+      TextDedup.simhashes(docs(s, d), "doc_id", "text")
+    },
+
+    // Winnowing fingerprints (3-gram shingles, window 4).
+    Q("q42_fingerprints",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |        ELSE list_transform(range(1, len(toks)-1),
+         |               i -> array_to_string(toks[i:i+2], ' ')) END AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${hash48Sql("x")}) AS hs FROM s),
+         |w AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN []::BIGINT[]
+         |        ELSE list_distinct(list_transform(range(1, len(hs)-2),
+         |               i -> list_min(hs[i:i+3]))) END AS fps FROM h)
+         |SELECT doc_id, unnest(fps) AS fingerprint FROM w
+         |""".stripMargin) { (s, d) =>
+      TextDedup.fingerprints(docs(s, d), "doc_id", "text")
+    },
+
+    // Exact-dedup projection: keep one row (min doc_id) per distinct text.
+    Q("q45_dedup_keep",
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |""".stripMargin) { (s, d) =>
+      TextDedup.dedupExact(docs(s, d), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+    })
+}

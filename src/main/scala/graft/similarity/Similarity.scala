@@ -1,0 +1,115 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scoring uses integer-quantized cosine: components are quantized to
+  * thousandths with the Parity floor form (`floor(x·1000 + 0.5)` — identical
+  * IEEE ops in any engine), dot products and norms are then EXACT int64
+  * arithmetic (order-independent, no float-summation nondeterminism), and
+  * the final cosine is one double division + sqrt. Quantization error is
+  * ~1e-3 relative — irrelevant for neighbor ranking, decisive for
+  * reproducibility: the same ranking on every engine, every partitioning.
+  *
+  * Shapes:
+  *  - [[cosineTopK]]: brute-force Q×N scan — the exact baseline. The small
+  *    query set is broadcast; no shuffle of the corpus.
+  *  - [[lshBuckets]] / [[annTopK]]: random-hyperplane LSH — corpus hashed
+  *    once into 2^planes buckets, candidates come from the query's bucket
+  *    only (O(N/2^planes) per query), then exact-rescored. The scale path.
+  */
+object Similarity {
+
+  /** floor(x·1000 + 0.5) as int64 — exact, portable quantization. */
+  def quant(c: Column): Column =
+    floor(c.cast("double") * 1000 + lit(0.5)).cast("long")
+
+  def quantVec(v: Column): Column = transform(v, quant(_))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def prepared(
+      vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(idCol), quantVec(col(vecCol)).as("__qv"))
+      .withColumn("__n2", dotQ(col("__qv"), col("__qv")))
+      .filter(col("__n2") > 0) // zero vectors have no cosine direction
+
+  /** Brute-force exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k per query with
+    * deterministic ties (cosine desc, neighbor id asc). */
+  def cosineTopK(
+      vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = prepared(vectors, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        col("__qv").as("__cqv"), col("__n2").as("__cn2"))
+    val q = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"),
+        col("__qv").as("__qqv"), col("__n2").as("__qn2"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotQ(col("__qqv"), col("__cqv")).cast("double") /
+          sqrt(col("__qn2").cast("double") * col("__cn2").cast("double")))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded), embedded as literals. */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** (id, bucket): sign pattern of the vector against `numPlanes` random
+    * hyperplanes, packed into a long — one linear scan, no shuffle. */
+  def lshBuckets(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(numPlanes, dim, seed)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(col(vecCol).cast("array<double>"), typedLit(p), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * exact-rescored with the same quantized cosine. Recall < 1 by design
+    * (single-probe); raise recall with fewer planes or multi-probe. */
+  def annTopK(
+      vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val cb = lshBuckets(vectors, idCol, vecCol, numPlanes, dim, seed)
+    val qb = lshBuckets(queries, idCol, vecCol, numPlanes, dim, seed)
+    val c = prepared(vectors, idCol, vecCol).join(cb, idCol)
+      .select(col(idCol).as("neighbor_id"), col("bucket"),
+        col("__qv").as("__cqv"), col("__n2").as("__cn2"))
+    val q = prepared(queries, idCol, vecCol).join(qb, idCol)
+      .select(col(idCol).as("query_id"), col("bucket"),
+        col("__qv").as("__qqv"), col("__n2").as("__qn2"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotQ(col("__qqv"), col("__cqv")).cast("double") /
+          sqrt(col("__qn2").cast("double") * col("__cn2").cast("double")))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

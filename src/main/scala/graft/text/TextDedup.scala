@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Deduplication operators over document tables — the training-data-pipeline
+  * pillar. All shapes are bucketed: candidate pairs come from LSH band
+  * buckets (`groupBy(band, key)`-equivalent self-join), NEVER an all-pairs
+  * cartesian — the difference between O(n·b) and O(n²) at 100 TB.
+  */
+object TextDedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct text with
+    * the id to keep (min) and the duplicate count. Plain hash-groupBy — one
+    * shuffle on the 32-hex md5, uniform by construction (no skew). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup projection: keep exactly one row (min id) per distinct text. */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactDupGroups(df, idCol, textCol)
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Exploded LSH bucket table (id, band, band_key): `bands` bands of
+    * `numHashes / bands` signature rows each. Shuffle cost: n·bands tiny rows
+    * hashed on (band, key) — scales linearly in corpus size. */
+  def minhashBands(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      hashFn: Column2Column = md5Hash48): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val sig = minhashSigFromHashes(col("__hs"), numHashes)
+    df.select(col(idCol),
+        transform(array_distinct(wordShingles(col(textCol), shingleK)), hashFn)
+          .as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col(idCol), sig.as("__sig"))
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.cast("long").as("band"),
+            bandKey(col("__sig"), b, rows).as("band_key")))).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** Near-duplicate pairs: LSH candidates (same band bucket, id_a < id_b)
+    * verified by exact Jaccard over distinct shingle sets, thresholded.
+    * The verification join touches only candidate pairs — within-bucket
+    * work, not all-pairs. */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      hashFn: Column2Column = md5Hash48): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands, hashFn)
+    val cands = b.as("l")
+      .join(b.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val sh = df.select(col(idCol),
+      array_distinct(wordShingles(col(textCol), shingleK)).as("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** (id, simhash) — 48-bit frequency-weighted SimHash per document. Near
+    * duplicates have small Hamming distance; bucket by bit-slices of the
+    * simhash for the scale path (same banding idea as minhash). */
+  def simhashes(
+      df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column2Column = md5Hash48): DataFrame =
+    df.select(col(idCol), transform(tokens(col(textCol)), hashFn).as("__hs"))
+      .select(col(idCol), simhashFromHashes(col("__hs")).as("simhash"))
+
+  /** (id, fingerprint) exploded winnowing fingerprints — shared fingerprint ⇒
+    * shared word span of length shingleK + w - 1. */
+  def fingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, w: Int = 4,
+      hashFn: Column2Column = md5Hash48): DataFrame =
+    df.select(col(idCol),
+        transform(wordShingles(col(textCol), shingleK), hashFn).as("__hs"))
+      .select(col(idCol),
+        explode(winnowFingerprints(col("__hs"), w)).as("fingerprint"))
+
+  type Column2Column = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+}

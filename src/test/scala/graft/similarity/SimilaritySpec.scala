@@ -1,0 +1,75 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineTopK ranks parallel > oblique > orthogonal, excludes self") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f, 0f)),   // parallel to 1
+      (3L, Seq(1f, 1f, 0f, 0f)),   // 45°
+      (4L, Seq(0f, 0f, 1f, 0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(
+      vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding", 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 4L))
+    assert(math.abs(out(0)._3 - 1.0) < 1e-9)
+    assert(math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-3) // quantized to 1e-3
+    assert(math.abs(out(2)._3) < 1e-9)
+    assert(!out.map(_._2).contains(1L))
+  }
+
+  test("quantized scoring is deterministic across repartitionings") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 60L)
+      .map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" <= 3)
+    val a = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.cosineTopK(vecs.repartition(13), q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("annTopK: results are a subset of same-bucket candidates with decent recall") {
+    val rnd = new scala.util.Random(11)
+    // clustered corpus: 10 clusters × 30 points, queries are cluster members
+    val centers = Seq.fill(10)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 30
+    } yield (ci * 100L + j,
+      c.zipWithIndex.map { case (x, _) => (x + rnd.nextGaussian() * 0.1).toFloat }))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 10,
+      ).as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.annTopK(vecs, queries, "vec_id", "embedding", 10,
+      numPlanes = 4, dim = 16).as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      val got = approx.getOrElse(q, Set.empty)
+      (got & exact(q)).size.toDouble / exact(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.3,
+      s"mean recall ${recalls.sum / recalls.size} too low")
+    // approximate = candidates only from the query's bucket: strictly fewer
+    // scored pairs than brute force (here just sanity: no query exceeds k)
+    assert(approx.values.forall(_.size <= 10))
+  }
+
+  test("zero vectors are excluded (no NaN cosine)") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(!out.exists(r => r._1 == 2L || r._2 == 2L))
+    assert(out.forall(r => !r._3.isNaN))
+  }
+}
