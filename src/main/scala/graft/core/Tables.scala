@@ -19,8 +19,10 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     // rejects outright; read nanos as long and truncate to microseconds
-    // (integer `div`, matching DuckDB's ns→µs truncation).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // (integer `div`, matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    // Set once per session (it survives; avoid a conf write on every call).
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(k).forall(_ != "true")) spark.conf.set(k, "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -112,9 +112,12 @@ object CoreQueries {
     // §2.2 #9/#10 window max over whole key partition
     // (reference: src/hudi/hudi-cdc-load.py:79-84)
     Q("q08_window_max",
-      """SELECT event_id, user_id, ts,
+      // the events CTE truncates ns→µs exactly like our reader (ADVICE: both
+      // engines must see identical timestamp precision by construction)
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id, user_id, ts,
         |  max(ts) OVER (PARTITION BY user_id) AS max_ts
-        |FROM events
+        |FROM ev
         |""".stripMargin) { (s, d) =>
       t(s, d, "events")
         .select("event_id", "user_id", "ts")
@@ -125,10 +128,12 @@ object CoreQueries {
     // §2.2 #9-#11 the CDC dedup core: latest event per key, ties kept
     // (reference: src/hudi/hudi-cdc-load.py:79-91)
     Q("q09_cdc_latest",
-      """SELECT user_id, event_id, event_type, value, ts FROM (
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id, event_type, value, ts FROM (
         |  SELECT user_id, event_id, event_type, value, ts,
         |    max(ts) OVER (PARTITION BY user_id) AS max_ts
-        |  FROM events) x
+        |  FROM ev) x
         |WHERE ts = max_ts
         |""".stripMargin) { (s, d) =>
       graft.operators.CdcDedup.latestPerKey(

@@ -155,7 +155,9 @@ object FunctionQueries {
     // §2.5 #32 timestamp range filter (partition/predicate pushdown shape)
     // (reference: src/sample_redshift_ml_sql_query.txt:97)
     Q("q24_range_filter",
-      """SELECT event_id, user_id, ts, value FROM events
+      """WITH ev AS (SELECT event_id, user_id, value,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id, user_id, ts, value FROM ev
         |WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |""".stripMargin) { (s, d) =>

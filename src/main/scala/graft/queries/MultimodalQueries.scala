@@ -1,0 +1,80 @@
+package graft.queries
+
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.core.{Q, Tables}
+import graft.multimodal.Multimodal
+import graft.storage.{CowTable, TableConfig}
+import graft.streaming.CdcStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming CDC + multimodal binary-column coverage. q46 replays the q27
+  * pipeline through Structured Streaming (file-source checkpoint = bookmark,
+  * Trigger.AvailableNow, two time-ordered micro-batches) and must converge
+  * to the same oracle state. q47 exercises binary payload metadata with a
+  * DuckDB BLOB oracle; q48 (byte-distribution features via the native
+  * ByteHistogram expression) is structural — rows-only check + spec.
+  */
+object MultimodalQueries {
+  import StorageQueries.{tableDir, cdcOracleSql, initialSnapshot, cdcBatch, auditTs}
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents")
+
+  private def listParquet(dir: String): Seq[Path] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+
+  val all: Seq[Q] = Seq(
+
+    // Streaming CDC: same initial snapshot + CDC log as q27, split into two
+    // time-ordered files consumed as separate micro-batches (mtime order,
+    // maxFilesPerTrigger=1) — must converge to the q27 oracle state.
+    Q("q46_stream_cdc", cdcOracleSql) { (s, d) =>
+      val base = tableDir("q46")
+      CowTable.deleteRecursively(Paths.get(base))
+      val tbl = CowTable.replace(s, base + "/table",
+        TableConfig("user_state", Seq("user_id"),
+          precombineKey = Some("event_id")),
+        initialSnapshot(s, d))
+      val cdc = cdcBatch(s, d)
+      val mid = lit("2024-01-22 00:00:00").cast("timestamp")
+      val cdcDir = base + "/cdc"
+      cdc.filter(col("timestamp") < mid)
+        .coalesce(1).write.mode("append").parquet(cdcDir)
+      val batch1Files = listParquet(cdcDir)
+      batch1Files.foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(1000000000000L)))
+      cdc.filter(col("timestamp") >= mid)
+        .coalesce(1).write.mode("append").parquet(cdcDir)
+      listParquet(cdcDir).filterNot(batch1Files.contains).foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(1000000600000L)))
+      CdcStream.runAvailableNow(s, tbl, cdcDir, base + "/ckpt", cdc.schema,
+        auditTs = lit(auditTs).cast("timestamp"))
+      tbl.read()
+    },
+
+    // Binary payload metadata (no decode): byte length + hex magic prefix.
+    Q("q47_binary_meta",
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  substr(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex
+        |FROM documents
+        |""".stripMargin) { (s, d) =>
+      Multimodal.extractMeta(Multimodal.syntheticAssets(docs(s, d)))
+    },
+
+    // Byte-distribution features through the native codegen'd expression —
+    // exploded to scalars; no SQL-engine oracle for per-byte work on BLOBs,
+    // so rows-only check here + value assertions in MultimodalSpec.
+    Q.noOracle("q48_byte_features") { (s, d) =>
+      Multimodal.byteFeatures(Multimodal.syntheticAssets(docs(s, d)))
+        .select(col("asset_id"), col("modality"),
+          posexplode(col("byte_hist")).as(Seq("bucket", "n_bytes_in_bucket")))
+    })
+}

@@ -24,19 +24,19 @@ object StorageQueries {
     sys.env.getOrElse("GRAFT_TABLE_DIR", "/root/repo/target/graft-tables") +
       "/" + name
 
-  /** The synthetic CDC envelope used by q27: events after the cutoff become
-    * the change log (DMS-shaped: Op + timestamp + full row image,
+  /** The synthetic CDC envelope used by q27/q46: events after the cutoff
+    * become the change log (DMS-shaped: Op + timestamp + full row image,
     * reference demo_data/cdc-load schema per SURVEY.md §1.1). */
   private val cutoff = "2024-01-15 00:00:00"
-  private val auditTs = "2024-06-01 00:00:00"
+  private[queries] val auditTs = "2024-06-01 00:00:00"
 
-  private def initialSnapshot(s: SparkSession, d: String): DataFrame =
+  private[queries] def initialSnapshot(s: SparkSession, d: String): DataFrame =
     CdcDedup.latestPerKeyStrict(
       t(s, d, "events").filter(col("ts") < lit(cutoff).cast("timestamp")),
       Seq("user_id"), "ts", Seq("event_id"))
       .select("user_id", "event_id", "event_type", "value")
 
-  private def cdcBatch(s: SparkSession, d: String): DataFrame =
+  private[queries] def cdcBatch(s: SparkSession, d: String): DataFrame =
     t(s, d, "events").filter(col("ts") >= lit(cutoff).cast("timestamp"))
       .select(
         when(col("event_type") === "error", "D")
@@ -44,6 +44,45 @@ object StorageQueries {
           .otherwise("U").as("Op"),
         col("ts").as("timestamp"),
         col("user_id"), col("event_id"), col("event_type"), col("value"))
+
+  /** DuckDB replay of the full CDC pipeline semantics — shared by q27
+    * (batch) and q46 (streaming), which must converge to the same state. */
+  private[queries] val cdcOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
+       |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |pre AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM ev WHERE ts < TIMESTAMP '$cutoff'),
+       |init AS (SELECT user_id, event_id, event_type, value FROM pre WHERE rn = 1),
+       |cdc AS (
+       |  SELECT CASE WHEN event_type = 'error' THEN 'D'
+       |              WHEN event_type = 'signup' THEN 'I'
+       |              ELSE 'U' END AS op,
+       |         ts AS ets,
+       |         user_id, event_id, event_type, value
+       |  FROM ev WHERE ts >= TIMESTAMP '$cutoff'),
+       |dedup AS (
+       |  SELECT * FROM (
+       |    SELECT cdc.*, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ets DESC, event_id DESC) AS rn FROM cdc) x
+       |  WHERE rn = 1),
+       |ups AS (SELECT * FROM dedup WHERE op <> 'D'),
+       |merged AS (
+       |  SELECT
+       |    CASE WHEN s.user_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+       |    CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+       |    CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+       |    CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+       |    s.ets AS "timestamp",
+       |    CASE WHEN s.user_id IS NOT NULL
+       |         THEN TIMESTAMP '$auditTs' END AS last_applied_date
+       |  FROM init t FULL OUTER JOIN ups s ON t.user_id = s.user_id)
+       |SELECT m.* FROM merged m
+       |WHERE NOT EXISTS (SELECT 1 FROM dedup x
+       |  WHERE x.op = 'D' AND x.user_id = m.user_id)
+       |""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -79,40 +118,7 @@ object StorageQueries {
     // upsert then delete → final snapshot. Oracle replays the identical
     // semantics in SQL (full-outer merge + anti-join, audit column stamped
     // with the injected deterministic timestamp).
-    Q("q27_cdc_pipeline",
-      s"""WITH pre AS (
-         |  SELECT user_id, event_id, event_type, value,
-         |    row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ts DESC, event_id DESC) AS rn
-         |  FROM events WHERE ts < TIMESTAMP '$cutoff'),
-         |init AS (SELECT user_id, event_id, event_type, value FROM pre WHERE rn = 1),
-         |cdc AS (
-         |  SELECT CASE WHEN event_type = 'error' THEN 'D'
-         |              WHEN event_type = 'signup' THEN 'I'
-         |              ELSE 'U' END AS op,
-         |         CAST(ts AS TIMESTAMP) AS ets,
-         |         user_id, event_id, event_type, value
-         |  FROM events WHERE ts >= TIMESTAMP '$cutoff'),
-         |dedup AS (
-         |  SELECT * FROM (
-         |    SELECT cdc.*, row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ets DESC, event_id DESC) AS rn FROM cdc) x
-         |  WHERE rn = 1),
-         |ups AS (SELECT * FROM dedup WHERE op <> 'D'),
-         |merged AS (
-         |  SELECT
-         |    CASE WHEN s.user_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
-         |    CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
-         |    CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
-         |    CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
-         |    s.ets AS "timestamp",
-         |    CASE WHEN s.user_id IS NOT NULL
-         |         THEN TIMESTAMP '$auditTs' END AS last_applied_date
-         |  FROM init t FULL OUTER JOIN ups s ON t.user_id = s.user_id)
-         |SELECT m.* FROM merged m
-         |WHERE NOT EXISTS (SELECT 1 FROM dedup x
-         |  WHERE x.op = 'D' AND x.user_id = m.user_id)
-         |""".stripMargin) { (s, d) =>
+    Q("q27_cdc_pipeline", cdcOracleSql) { (s, d) =>
       val tbl = CowTable.replace(s, tableDir("q27"),
         TableConfig("user_state", Seq("user_id"),
           precombineKey = Some("event_id")),
@@ -126,11 +132,13 @@ object StorageQueries {
     // reference concept cdk.json:61-86 precombine_key): exactly one row per
     // key, (ts desc, event_id desc) — deterministic even under ties.
     Q("q34_cdc_latest_strict",
-      """SELECT user_id, event_id, event_type, value, ts FROM (
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id, event_type, value, ts FROM (
         |  SELECT user_id, event_id, event_type, value, ts,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) x
+        |  FROM ev) x
         |WHERE rn = 1
         |""".stripMargin) { (s, d) =>
       CdcDedup.latestPerKeyStrict(

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made the Column↔Expression bridge `private[sql]`
+  * (classic.ExpressionUtils). Custom native expressions still need it to be
+  * exposed as `Column`s — this shim lives in the sql package hierarchy for
+  * access, nothing more. */
+object ColumnBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}
