@@ -29,13 +29,14 @@ object Similarity {
 
   def quantVec(v: Column): Column = transform(v, quant(_))
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors (native codegen'd
+    * expression — the per-pair hot loop of the Q×N scan). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.HashArrayExpressions.dotLong(a, b)
 
   private def prepared(
       vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors
+    graft.core.Spread.up(vectors)
       .select(col(idCol), quantVec(col(vecCol)).as("__qv"))
       .withColumn("__n2", dotQ(col("__qv"), col("__qv")))
       .filter(col("__n2") > 0) // zero vectors have no cosine direction

@@ -35,7 +35,7 @@ object TextDedup {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val sig = minhashSigFromHashes(col("__hs"), numHashes)
-    df.select(col(idCol),
+    graft.core.Spread.up(df).select(col(idCol),
         transform(array_distinct(wordShingles(col(textCol), shingleK)), hashFn)
           .as("__hs"))
       .filter(size(col("__hs")) > 0)
@@ -65,7 +65,7 @@ object TextDedup {
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
-    val sh = df.select(col(idCol),
+    val sh = graft.core.Spread.up(df).select(col(idCol),
       array_distinct(wordShingles(col(textCol), shingleK)).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
@@ -83,7 +83,8 @@ object TextDedup {
   def simhashes(
       df: DataFrame, idCol: String, textCol: String,
       hashFn: Column2Column = md5Hash48): DataFrame =
-    df.select(col(idCol), transform(tokens(col(textCol)), hashFn).as("__hs"))
+    graft.core.Spread.up(df)
+      .select(col(idCol), transform(tokens(col(textCol)), hashFn).as("__hs"))
       .select(col(idCol), simhashFromHashes(col("__hs")).as("simhash"))
 
   /** (id, fingerprint) exploded winnowing fingerprints — shared fingerprint ⇒
@@ -92,7 +93,7 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, w: Int = 4,
       hashFn: Column2Column = md5Hash48): DataFrame =
-    df.select(col(idCol),
+    graft.core.Spread.up(df).select(col(idCol),
         transform(wordShingles(col(textCol), shingleK), hashFn).as("__hs"))
       .select(col(idCol),
         explode(winnowFingerprints(col("__hs"), w)).as("fingerprint"))

@@ -42,11 +42,13 @@ object TextFunctions {
     * sig[i] = min over h of ((2i+1)·(h mod P) + i²+1) mod P.
     * One base hash per shingle (not per (shingle, i)) — the affine family is
     * cheap arithmetic on top, which is what keeps a 64-hash signature
-    * tractable over billions of documents. */
+    * tractable over billions of documents. Native codegen'd expression: the
+    * HOF form (`transform(seq, i => array_min(transform(hashes, ...)))`)
+    * evaluates interpreted AND lets CollapseProject inline the hash array
+    * into the outer lambda, re-hashing every shingle numHashes× — observed
+    * as a ~60× slowdown at sf0.1. */
   def minhashSigFromHashes(hashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(hashes, h =>
-        ((lit(2L) * i + lit(1L)) * (h % MinhashP) + (i * i + lit(1))) % MinhashP)))
+    graft.functions.HashArrayExpressions.affineMinhashSig(hashes, numHashes)
 
   /** LSH band key: md5 over the comma-joined signature slice for band b
     * (rows consecutive). Two docs share a bucket iff a whole band matches. */
@@ -55,39 +57,20 @@ object TextFunctions {
       transform(slice(sig, band * rowsPerBand + 1, lit(rowsPerBand)),
         v => v.cast("string")), ","))
 
-  /** bit j of a 48-bit non-negative hash, via exact double arithmetic
-    * (h < 2^48 < 2^53 so h/2^j is exact; portable to engines without
-    * variable-shift operators). */
-  private def bitOf(h: Column, j: Column): Column =
-    pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
-
   /** 48-bit SimHash over a token-hash array: per bit, sum ±1 over tokens
-    * (frequency-weighted), bit set iff the sum is positive. */
-  def simhashFromHashes(hashes: Column): Column = {
-    val idx = sequence(lit(0), lit(HashBits - 1))
-    val bitSums = transform(idx, j =>
-      aggregate(hashes, lit(0L), (acc, h) => acc + (bitOf(h, j) * 2 - lit(1L))))
-    val powers = transform(idx, j => pow(lit(2.0), j).cast("long"))
-    aggregate(
-      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
-      lit(0L), (a, b) => a + b)
-  }
+    * (frequency-weighted), bit set iff the sum is positive. Native codegen'd
+    * expression (interpreted 48-pass HOF form was the sf0.1 bottleneck). */
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.HashArrayExpressions.simhash48(hashes)
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 scheme shape): min
     * hash of each sliding window of `w` shingle hashes, deduplicated. A
     * document pair sharing any fingerprint shares a length-(k+w-1) word
     * span — the scalable containment/plagiarism probe. */
   def winnowFingerprints(hashes: Column, w: Int): Column =
-    when(size(hashes) < w, array().cast("array<bigint>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(hashes) - (w - 1)),
-          i => array_min(slice(hashes, i, lit(w))))))
+    graft.functions.HashArrayExpressions.winnowMins(hashes, w)
 
   /** Hamming distance between two [[simhashFromHashes]] values. */
-  def hammingDistance(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    aggregate(
-      transform(sequence(lit(0), lit(HashBits - 1)), j => bitOf(x, j)),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
 }
