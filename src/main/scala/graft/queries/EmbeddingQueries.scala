@@ -74,5 +74,35 @@ object EmbeddingQueries {
       val e = emb(s, d)
       Similarity.annTopK(
         e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
+    },
+
+    // Embedding-cosine near-dup pairs: quantized-LSH bucket candidates +
+    // exact quantized rescoring. The bucket assignment itself is integer
+    // arithmetic, so the oracle replays the IDENTICAL bucketing (plane sign
+    // literals below are the same seeded sequence the operator embeds).
+    Q("q49_embed_neardup", {
+      val planeCases = Similarity.planeSigns(6, 64).zipWithIndex.map {
+        case (p, i) =>
+          val arr = p.mkString("[", ",", "]")
+          s"""(CASE WHEN CAST(list_sum(list_transform(
+             |   list_zip(qv, $arr::BIGINT[]), z -> z[1]*z[2])) AS BIGINT) > 0
+             | THEN ${1L << i} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |      FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0),
+         |bk AS (SELECT vec_id, qv, n2, $planeCases AS bucket FROM n)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+         |    z -> z[1]*z[2])) AS DOUBLE) /
+         |  sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+         |    z -> z[1]*z[2])) AS DOUBLE) /
+         |  sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4
+         |""".stripMargin
+    }) { (s, d) =>
+      Similarity.embeddingNearDupPairs(emb(s, d), "vec_id", "embedding", 0.4)
     })
 }

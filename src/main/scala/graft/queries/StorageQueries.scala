@@ -158,5 +158,31 @@ object StorageQueries {
          |""".stripMargin) { (s, d) =>
       cdcBatch(s, d).groupBy(col("Op").as("op"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Skew-safe two-stage distinct count (value-salted) — must equal the
+    // direct COUNT(DISTINCT) exactly; the salting is invisible in the result.
+    Q("q50_salted_distinct",
+      """SELECT user_id, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY user_id
+        |""".stripMargin) { (s, d) =>
+      graft.operators.SkewSafe.saltedDistinctCount(
+        t(s, d, "events"), Seq("user_id"), "value")
+    },
+
+    // Small-file compaction: create as many files, mutate, fold back into
+    // one — content must be byte-identical to the uncompacted state.
+    Q("q51_compact",
+      """SELECT t.* FROM customer t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer d
+        |  WHERE d.c_acctbal < 0 AND d.c_custkey = t.c_custkey)
+        |""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val tbl = CowTable.replace(s, tableDir("q51"),
+        TableConfig("customer", Seq("c_custkey")), c.repartition(8))
+      tbl.delete(c.filter(col("c_acctbal") < 0))
+      tbl.compact(smallBytes = Long.MaxValue, targetPartitions = 1)
+      tbl.read()
     })
 }

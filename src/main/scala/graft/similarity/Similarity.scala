@@ -65,10 +65,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic ±1 random hyperplanes (seeded), embedded as literals. */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic ±1 random hyperplanes (seeded), embedded as literals —
+    * public so an external oracle can replay the identical bucketing. */
+  def planeSigns(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Long]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    planeSigns(numPlanes, dim, seed).map(_.map(_.toDouble))
+
+  /** Quantized-integer LSH bucket: bit i = (qv · plane_i > 0), with the dot
+    * product in exact int64 — bucket assignment is therefore reproducible on
+    * any engine (the double-dot variant in [[lshBuckets]] is Spark-internal
+    * only). */
+  def lshBucketQ(
+      qv: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    planeSigns(numPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dotQ(qv, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs: candidates restricted to one
+    * quantized-LSH bucket (never all-pairs), exact-rescored, thresholded.
+    * Output (id_a, id_b, cosine) with id_a < id_b. */
+  def embeddingNearDupPairs(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 6, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val n = prepared(vectors, idCol, vecCol)
+      .withColumn("bucket", lshBucketQ(col("__qv"), numPlanes, dim, seed))
+    val a = n.select(col(idCol).as("id_a"), col("bucket"),
+      col("__qv").as("__qa"), col("__n2").as("__na"))
+    val b = n.select(col(idCol).as("id_b"), col("bucket"),
+      col("__qv").as("__qb"), col("__n2").as("__nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dotQ(col("__qa"), col("__qb")).cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 
   /** (id, bucket): sign pattern of the vector against `numPlanes` random

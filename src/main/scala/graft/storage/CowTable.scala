@@ -133,6 +133,23 @@ final class CowTable private[storage] (
     }
   }
 
+  /** Small-file compaction: rewrite the current snapshot's files whose size
+    * is below `smallBytes` into `targetPartitions`-sized files, carrying
+    * large files over untouched. The COW answer to CDC-induced file sprawl
+    * (every merge writes a few small files; compaction folds them back —
+    * SURVEY.md §7.5 north-star op). Returns the new version (or the current
+    * one when there is nothing to compact). */
+  def compact(smallBytes: Long = 32L << 20, targetPartitions: Int = 1): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val (small, large) = m.files.partition(e =>
+      java.nio.file.Files.size(root.resolve(e.path)) < smallBytes)
+    if (small.size <= 1) return parent // nothing to fold
+    val compacted = readFiles(m, small).repartition(targetPartitions)
+    writeVersion(compacted, structFromJson(m.schemaJson), large, parent)
+  }
+
   // ---- internals ----------------------------------------------------------
 
   /** Distinct source keys above which pruning falls back from the exact

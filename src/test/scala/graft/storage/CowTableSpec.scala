@@ -130,4 +130,27 @@ class CowTableSpec extends SparkSpec {
     assert(t.manifest(2).files.count(_.path.startsWith("v00001/")) == 1)
     assert(t.read().count() == 26)
   }
+
+  test("compact folds small files into one, content unchanged, old versions intact") {
+    val (t, _) = freshTable()
+    t.create((1L to 200L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(6))
+    t.upsert(Seq((500L, "new")).toDF("id", "name"))
+    val before = t.read().as[(Long, String)].collect().toSet
+    val filesBefore = t.manifest(t.currentVersion).files.size
+    assert(filesBefore > 1)
+    val v = t.compact(smallBytes = Long.MaxValue, targetPartitions = 1)
+    assert(v == t.currentVersion)
+    assert(t.manifest(v).files.size == 1)
+    assert(t.read().as[(Long, String)].collect().toSet == before)
+    // time travel still sees the pre-compaction version
+    assert(t.readVersion(v - 1).count() == 201)
+  }
+
+  test("compact is a no-op when nothing to fold") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, "a")).toDF("id", "name").coalesce(1))
+    assert(t.compact() == 1)
+    assert(t.currentVersion == 1)
+  }
 }
