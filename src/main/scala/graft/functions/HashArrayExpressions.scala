@@ -100,6 +100,35 @@ private[graft] object HashArrayAlgebra {
     acc
   }
 
+  /** Polynomial rolling hash (Rabin–Karp) windows over a string's UTF-8
+    * bytes: hash of every `stride`-th window of `w` bytes, O(n) total via
+    * the rolling update. Base/modulus sized so products stay in int64. */
+  def rollingWindows(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      w: Int, stride: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val M = 1000000007L
+    val B = 131L
+    var pow = 1L // B^(w-1) mod M
+    var i = 0
+    while (i < w - 1) { pow = pow * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * B + (bytes(i) & 0xff)) % M; i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]((n - w) / stride + 1)
+    var start = 0
+    if (start % stride == 0) out += h
+    while (start + w < n) {
+      h = (h - (bytes(start) & 0xff) * pow % M + M) % M
+      h = (h * B + (bytes(start + w) & 0xff)) % M
+      start += 1
+      if (start % stride == 0) out += h
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private[functions] val longArray = ArrayType(LongType, containsNull = false)
 
   private[functions] def checkLongArray(
@@ -183,6 +212,30 @@ case class DotProductLong(left: Expression, right: Expression)
   override def prettyName: String = "dot_long"
 }
 
+/** Rolling-hash (Rabin–Karp) window hashes of a STRING column — the
+  * document-fingerprinting primitive over raw characters (vs the word-level
+  * winnowing path): O(n) per document, codegen'd. */
+case class RollingHashWindows(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  require(window > 0 && stride > 0, "window and stride must be positive")
+  override def dataType: DataType = HashArrayAlgebra.longArray
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs STRING input, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    HashArrayAlgebra.rollingWindows(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      window, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val alg = HashArrayAlgebra.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $alg.rollingWindows($s, $window, $stride);"
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "rolling_hash_windows"
+}
+
 object HashArrayExpressions {
   def affineMinhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.toColumn(
@@ -194,4 +247,7 @@ object HashArrayExpressions {
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.toColumn(
       DotProductLong(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+  def rollingHashWindows(text: Column, window: Int, stride: Int): Column =
+    ColumnBridge.toColumn(
+      RollingHashWindows(ColumnBridge.toExpression(text), window, stride))
 }

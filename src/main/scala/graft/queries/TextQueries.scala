@@ -168,6 +168,13 @@ object TextQueries {
       TextDedup.fingerprints(docs(s, d), "doc_id", "text")
     },
 
+    // Character-level Rabin–Karp rolling-hash fingerprints (native O(n)
+    // expression). No SQL-engine oracle for byte-level rolling state →
+    // rows-only check + reference-implementation assert in TextDedupSpec.
+    Q.noOracle("q52_rolling_fingerprint") { (s, d) =>
+      TextDedup.rollingFingerprints(docs(s, d), "doc_id", "text")
+    },
+
     // Exact-dedup projection: keep one row (min doc_id) per distinct text.
     Q("q45_dedup_keep",
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Event-time streaming aggregation shapes over the events stream (brief:
+  * `readStream` → transforms → `writeStream`, watermarks + windowed aggs,
+  * `mapGroupsWithState` for custom state). The reference emulates streaming
+  * as scheduled micro-batch (SURVEY.md §1.1); these are the genuinely
+  * streaming versions of its metric/feature queries.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts + value sums per event_type, with a
+    * watermark bounding state. Append mode ⇒ only watermark-finalized
+    * windows are emitted — the exactly-once metric feed shape. */
+  def windowedCounts(
+      spark: SparkSession, dir: String, schema: StructType,
+      watermark: String = "2 hours", window: String = "6 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .groupBy(fn.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // alias so `window` the param doesn't shadow functions.window
+  private object fn { def window(c: org.apache.spark.sql.Column, d: String) =
+    org.apache.spark.sql.functions.window(c, d) }
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class UserRunningState(n: Long, total: Double)
+  final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event count
+    * + value total maintained across micro-batches (the KeyValueGroupedDataset
+    * stateful path). NoTimeout here: a timeout-based eviction policy needs a
+    * clock-advancing trigger, which deadlocks AvailableNow drains — bound
+    * state by key cardinality instead (or switch to event-time timeout with
+    * a watermark in a long-running deployment). */
+  def runningUserTotals(
+      spark: SparkSession, dir: String, schema: StructType)
+      : Dataset[UserSnapshot] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[UserEvent],
+         state: GroupState[UserRunningState]) =>
+          val prev =
+            if (state.exists) state.get else UserRunningState(0L, 0.0)
+          var n = prev.n
+          var total = prev.total
+          events.foreach { e => n += 1; total += e.value }
+          state.update(UserRunningState(n, total))
+          UserSnapshot(userId, n, total)
+      }
+  }
+
+  /** Drain everything currently in `dir` into an in-memory table named
+    * `sink` (complete/update mode per aggregation type) and return the
+    * result — the AvailableNow test/drive harness for the two shapes. */
+  def drainToMemory(
+      spark: SparkSession, streaming: DataFrame, sink: String,
+      checkpointDir: String, mode: OutputMode): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+}

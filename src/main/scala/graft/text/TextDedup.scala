@@ -98,5 +98,18 @@ object TextDedup {
       .select(col(idCol),
         explode(winnowFingerprints(col("__hs"), w)).as("fingerprint"))
 
+  /** (id, fingerprint) via character-level Rabin–Karp rolling hash windows
+    * (`window` bytes every `stride`) — the O(n)-per-document fingerprint for
+    * containment detection when word tokenization doesn't apply (code, CJK,
+    * binary-ish text). Native codegen'd expression. */
+  def rollingFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 8): DataFrame =
+    graft.core.Spread.up(df).select(col(idCol),
+      explode(array_distinct(
+        graft.functions.HashArrayExpressions
+          .rollingHashWindows(col(textCol), window, stride)))
+        .as("fingerprint"))
+
   type Column2Column = org.apache.spark.sql.Column => org.apache.spark.sql.Column
 }

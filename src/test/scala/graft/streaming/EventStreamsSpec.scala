@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (Long, String, String, Double)*): DataFrame =
+    rows.toSeq.toDF("user_id", "ts_s", "event_type", "value")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"),
+        $"event_type", $"value")
+
+  test("windowed counts with watermark aggregate by event-time window") {
+    val dir = tmpDir("evt")
+    val df = events(
+      (1L, "2024-01-01 00:10:00", "click", 1.0),
+      (2L, "2024-01-01 01:10:00", "click", 2.0),
+      (1L, "2024-01-01 07:10:00", "purchase", 5.0))
+    df.write.parquet(dir + "/in")
+    // Complete mode: a single AvailableNow drain emits every window (append
+    // would emit only watermark-finalized windows, which needs a LATER batch)
+    val out = EventStreams.drainToMemory(spark,
+      EventStreams.windowedCounts(spark, dir + "/in", df.schema),
+      "win_counts", dir + "/ckpt", OutputMode.Complete())
+    val rows = out
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "click", 2L, 3.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), "purchase", 1L, 5.0)))
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across micro-batches") {
+    val dir = tmpDir("evt")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def drain(): Unit = {
+      // foreachBatch sink: supports checkpoint recovery (memory sink does
+      // not), so the state store genuinely carries across separate runs
+      val q = EventStreams.runningUserTotals(spark, dir + "/in",
+          events().schema)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.UserSnapshot], _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(s => (s.user_id, s.n_events, s.total_value))
+          }: Unit
+        }
+        .option("checkpointLocation", dir + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    events((1L, "2024-01-01 00:00:00", "click", 1.0),
+      (1L, "2024-01-01 01:00:00", "click", 2.0),
+      (2L, "2024-01-01 02:00:00", "click", 10.0))
+      .write.mode("append").parquet(dir + "/in")
+    drain()
+    val s1 = buf.toList.map { case (u, n, t) => u -> ((n, t)) }.toMap
+    assert(s1(1L) == ((2L, 3.0)) && s1(2L) == ((1L, 10.0)), s"got $buf")
+    // second batch arrives: state carries over through the checkpoint
+    buf.clear()
+    events((1L, "2024-01-01 03:00:00", "click", 4.0))
+      .write.mode("append").parquet(dir + "/in")
+    drain()
+    val s2 = buf.toList.map { case (u, n, t) => u -> ((n, t)) }.toMap
+    assert(s2 == Map(1L -> ((3L, 7.0))), s"state did not carry over: $buf")
+  }
+}

@@ -74,6 +74,36 @@ class TextDedupSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  test("rollingFingerprints match a reference Rabin-Karp implementation") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = TextDedup.rollingFingerprints(df, "doc_id", "text",
+      window = 8, stride = 4).select("fingerprint").as[Long].collect().toSet
+    // independent reference implementation
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val M = 1000000007L
+    val B = 131L
+    def h(win: Array[Byte]): Long =
+      win.foldLeft(0L)((acc, b) => (acc * B + (b & 0xff)) % M)
+    val expected = (0 to bytes.length - 8 by 4)
+      .map(i => h(bytes.slice(i, i + 8))).toSet
+    assert(got == expected)
+  }
+
+  test("rollingFingerprints: docs sharing a long span share fingerprints") {
+    val span = "a very long shared passage that exceeds the window size easily"
+    val df = Seq(
+      (1L, "prefix one " + span),
+      (2L, "другой префикс " + span), // different byte offset + multibyte
+      (3L, "nothing in common at all with those other documents here"))
+      .toDF("doc_id", "text")
+    val fp = TextDedup.rollingFingerprints(df, "doc_id", "text",
+      window = 16, stride = 1)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty) // shared span detected at any offset
+    assert((fp(1L) & fp(3L)).isEmpty)
+  }
+
   test("wordShingles guard: short texts yield empty arrays, never errors") {
     val tiny = Seq((1L, "only two"), (2L, "")).toDF("doc_id", "text")
     val sh = tiny.select(TextFunctions.wordShingles($"text", 3).as("s"))
