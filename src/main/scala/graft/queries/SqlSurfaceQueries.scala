@@ -112,5 +112,38 @@ object SqlSurfaceQueries {
       s.catalog.listTables()
         .filter(col("name").isin(Tables.names: _*))
         .select(col("name").as("table_name"))
+    },
+
+    // §2.5 #34 the ML-scoring function-call shape: the reference's churn
+    // model is an external Redshift ML function invoked per row
+    // (src/sample_redshift_ml_sql_query.txt:113-133); here a registered
+    // scalar function (logistic over the engineered features) called from
+    // SQL — the per-row scoring surface without the external service.
+    Q("q53_ml_score",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-31') AS DOUBLE) AS days_silent,
+        |    CAST(count(*) AS DOUBLE) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  floor((1.0 / (1.0 + exp(-(0.25 * days_silent - 0.02 * n_events - 1.5)))) * 10000 + 0.5) / 10000
+        |    AS churn_score
+        |FROM f
+        |""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.udf.register("graft_churn_score",
+        (daysSilent: Double, nEvents: Double) =>
+          1.0 / (1.0 + math.exp(-(0.25 * daysSilent - 0.02 * nEvents - 1.5))))
+      s.sql(
+        """WITH f AS (
+          |  SELECT user_id,
+          |    CAST(datediff(DATE '2024-01-31', to_date(max(ts))) AS DOUBLE) AS days_silent,
+          |    CAST(count(*) AS DOUBLE) AS n_events
+          |  FROM events GROUP BY user_id)
+          |SELECT user_id,
+          |  floor(graft_churn_score(days_silent, n_events) * 10000 + 0.5) / 10000
+          |    AS churn_score
+          |FROM f
+          |""".stripMargin)
     })
 }

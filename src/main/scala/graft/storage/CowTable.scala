@@ -263,7 +263,7 @@ final class CowTable private[storage] (
       case None => df.write.mode("overwrite")
     }
     writer.parquet(verDir.toString)
-    val fresh = statFiles(verDir)
+    val fresh = statFiles(verDir, schema)
     val entries = fresh ++ carryOver
     val m = CommitManifest(
       version = v,
@@ -284,10 +284,68 @@ final class CowTable private[storage] (
     v
   }
 
-  /** Per-file row count + first-key min/max for the freshly written files.
-    * One columnar pass over just the key column (Catalyst prunes the rest);
-    * parquet-footer statistics are the zero-scan upgrade path. */
-  private def statFiles(verDir: Path): Seq[FileEntry] = {
+  /** Per-file row count + first-key min/max for the freshly written files,
+    * read from the parquet FOOTERS — zero data scanned, O(files) metadata
+    * work, which is what keeps commits cheap at 100 TB (the previous
+    * implementation re-scanned the key column of every new file). Falls back
+    * to a columnar key-column scan if footers can't provide the stats
+    * (unsupported physical type, missing column, stats absent). Missing
+    * stats degrade safely: a file without min/max is always treated as
+    * touched by pruning. */
+  private def statFiles(verDir: Path, schema: StructType): Seq[FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(verDir)) return Nil
+    val parquetFiles = Files.walk(verDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    if (parquetFiles.isEmpty) return Nil
+    val numericKey = schema.find(_.name == config.primaryKey.head)
+      .exists(_.dataType.isInstanceOf[NumericType])
+    Try(parquetFiles.map(footerStat(_, numericKey)))
+      .getOrElse(scanStats(verDir))
+  }
+
+  private def footerStat(file: Path, numericKey: Boolean): FileEntry = {
+    import scala.jdk.CollectionConverters._
+    val key = config.primaryKey.head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val chunks = blocks.flatMap(
+        _.getColumns.asScala.find(_.getPath.toDotString == key))
+      val stats = chunks.map(_.getStatistics)
+      val usable = chunks.size == blocks.size && blocks.nonEmpty &&
+        stats.forall(s => s != null && s.hasNonNullValue && !s.isEmpty)
+      val (mn, mx) =
+        if (!usable) (None, None)
+        else {
+          val mins = stats.map(s => statString(s.genericGetMin))
+          val maxs = stats.map(s => statString(s.genericGetMax))
+          if (mins.contains(None) || maxs.contains(None)) (None, None)
+          else if (numericKey)
+            (Some(mins.flatten.map(BigDecimal(_)).min.toString),
+              Some(maxs.flatten.map(BigDecimal(_)).max.toString))
+          else (Some(mins.flatten.min), Some(maxs.flatten.max))
+        }
+      FileEntry(relativize(file.toString), rows, mn, mx)
+    } finally reader.close()
+  }
+
+  /** Footer statistic value → the same string form `CAST(key AS STRING)`
+    * produces (what pruning compares against). None ⇒ unsupported type. */
+  private def statString(v: Any): Option[String] = v match {
+    case l: java.lang.Long => Some(l.toString)
+    case i: java.lang.Integer => Some(i.toString)
+    case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+    case _ => None // double/decimal/timestamp keys: fall back to no stats
+  }
+
+  /** Fallback: one columnar pass over just the key column. */
+  private def scanStats(verDir: Path): Seq[FileEntry] = {
     val k = config.primaryKey.head
     Try {
       val df = spark.read.option("basePath", verDir.toString)
