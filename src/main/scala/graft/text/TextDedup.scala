@@ -58,12 +58,16 @@ object TextDedup {
       threshold: Double = 0.5,
       hashFn: Column2Column = md5Hash48): DataFrame = {
     val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands, hashFn)
-    val cands = b.as("l")
-      .join(b.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+    // bucket → within-bucket pairs via ONE groupBy (a self-join would
+    // recompute the whole signature pipeline for each side). Bucket member
+    // lists are small by LSH construction; a pathological bucket (mass
+    // duplicates) should be exact-deduped first.
+    val cands = b.groupBy("band", "band_key")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
     val sh = graft.core.Spread.up(df).select(col(idCol),
       array_distinct(wordShingles(col(textCol), shingleK)).as("__sh"))
