@@ -76,6 +76,48 @@ object EmbeddingQueries {
         e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
     },
 
+    // IVF approximate top-k: nearest-centroid lists (integer-exact
+    // assignment over deterministic quantized centroids), nProbe=2 —
+    // the oracle replays the identical list assignment and probing.
+    Q("q55_ann_ivf", {
+      val cents = Similarity.ivfCentroids(8, 64)
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        s"(${i}, ${c.mkString("[", ",", "]")}::BIGINT[], ${c.map(x => x * x).sum})"
+      }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |      FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0),
+         |cents AS (SELECT * FROM (VALUES $values) AS t(cid, cv, cn2)),
+         |scored AS (SELECT n.vec_id, n.qv, n.n2, c.cid,
+         |    2*CAST(list_sum(list_transform(list_zip(n.qv, c.cv),
+         |      z -> z[1]*z[2])) AS BIGINT) - c.cn2 AS s
+         |  FROM n CROSS JOIN cents c),
+         |ranked AS (SELECT vec_id, qv, n2, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM scored),
+         |corpus AS (SELECT vec_id, qv, n2, cid FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, qv, n2, cid FROM ranked
+         |  WHERE rn <= 2 AND vec_id % 50 = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS dot, q.n2 AS qn2, c.n2 AS cn2
+         |  FROM probes q JOIN corpus c ON c.cid = q.cid
+         |    AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+         |               neighbor_id) AS BIGINT) AS rank
+         |  FROM p) WHERE rank <= 10
+         |""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      Similarity.ivfTopK(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
+    },
+
     // Embedding-cosine near-dup pairs: quantized-LSH bucket candidates +
     // exact quantized rescoring. The bucket assignment itself is integer
     // arithmetic, so the oracle replays the IDENTICAL bucketing (plane sign

@@ -168,6 +168,31 @@ object TextQueries {
       TextDedup.fingerprints(docs(s, d), "doc_id", "text")
     },
 
+    // SimHash near-dup pairs: bit-slice buckets (pigeonhole candidates) +
+    // exact Hamming verify — all integer math, oracle replays it exactly.
+    Q("q54_simhash_pairs",
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform($toksSql, x -> ${hash48Sql("x")}) AS hs FROM documents),
+         |b AS (SELECT doc_id, list_transform(range(0,48), j ->
+         |  list_sum(list_transform(hs, x ->
+         |    CASE WHEN (x // CAST(power(2,j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END))) AS bs
+         |FROM h),
+         |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,48), j ->
+         |  CASE WHEN bs[j+1] > 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM b),
+         |bands AS (SELECT doc_id, simhash, c.chunk,
+         |    (simhash // CAST(power(2, c.chunk*12) AS BIGINT)) % 4096 AS key
+         |  FROM sh CROSS JOIN (SELECT range AS chunk FROM range(0,4)) c),
+         |cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    l.simhash AS sa, r.simhash AS sb
+         |  FROM bands l JOIN bands r ON l.chunk = r.chunk AND l.key = r.key
+         |    AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+         |""".stripMargin) { (s, d) =>
+      TextDedup.simhashNearDupPairs(docs(s, d), "doc_id", "text")
+    },
+
     // Character-level Rabin–Karp rolling-hash fingerprints (native O(n)
     // expression). No SQL-engine oracle for byte-level rolling state →
     // rows-only check + reference-implementation assert in TextDedupSpec.

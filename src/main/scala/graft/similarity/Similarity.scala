@@ -85,6 +85,61 @@ object Similarity {
       when(dotQ(qv, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Deterministic data-independent IVF coarse centroids: seeded gaussians
+    * quantized to integer thousandths — engine-reproducible, so an external
+    * oracle can replay the exact list assignment. (A data-trained k-means
+    * quantizer slots in here once centroids may be data-dependent.) */
+  def ivfCentroids(
+      nLists: Int, dim: Int, seed: Long = 7L): Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nLists)(Seq.fill(dim)(math.round(rnd.nextGaussian() * 1000)))
+  }
+
+  /** IVF approximate top-k: corpus rows live in their nearest-centroid list
+    * (argmax of 2·(qv·c) − ‖c‖², integer-exact ⇔ nearest in L2); each query
+    * probes its `nProbe` nearest lists; candidates are exact-rescored with
+    * the quantized cosine. O(N/nLists · nProbe) candidates per query. */
+  def ivfTopK(
+      vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(nLists, dim, seed)
+    val cdf = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c, c.map(x => x * x).sum) }
+      .toDF("cid", "cv", "cn2")
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      df.crossJoin(broadcast(cdf))
+        .withColumn("__s",
+          lit(2L) * dotQ(col("__qv"), col("cv")) - col("cn2"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__id")).orderBy(col("__s").desc, col("cid"))))
+        .filter(col("__rn") <= keep)
+        .select(col("__id"), col("cid"), col("__qv"), col("__n2"))
+    val corpus = assign(prepared(vectors, idCol, vecCol)
+      .withColumnRenamed(idCol, "__id"), 1)
+      .select(col("__id").as("neighbor_id"), col("cid"),
+        col("__qv").as("__cqv"), col("__n2").as("__cn2"))
+    val probes = assign(prepared(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "__id"), nProbe)
+      .select(col("__id").as("query_id"), col("cid"),
+        col("__qv").as("__qqv"), col("__n2").as("__qn2"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotQ(col("__qqv"), col("__cqv")).cast("double") /
+          sqrt(col("__qn2").cast("double") * col("__cn2").cast("double")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+    // (each corpus row lives in exactly one list, so a pair joins at most
+    // once even when the query probes several lists — no dedup needed)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates restricted to one
     * quantized-LSH bucket (never all-pairs), exact-rescored, thresholded.
     * Output (id_a, id_b, cosine) with id_a < id_b. */

@@ -150,6 +150,45 @@ final class CowTable private[storage] (
     writeVersion(compacted, structFromJson(m.schemaJson), large, parent)
   }
 
+  /** Change feed: rows in files ADDED between `fromVersion` (exclusive) and
+    * `toVersion` (inclusive) — the incremental-consumption surface (Delta
+    * CDF-lite). COW invariant makes this exact for inserts/updates: every
+    * touched row is rewritten into a new file; deletes are absences (pair
+    * with the manifest diff of removed files when tombstones matter).
+    * O(files) metadata diff, reads only the new files. */
+  def changedFiles(fromVersion: Int, toVersion: Int): Seq[FileEntry] = {
+    require(fromVersion >= 0 && fromVersion <= toVersion
+      && toVersion <= currentVersion, "bad version range")
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else manifest(fromVersion).files.map(_.path).toSet
+    manifest(toVersion).files.filterNot(f => before(f.path))
+  }
+
+  def readChanges(fromVersion: Int, toVersion: Int): DataFrame = {
+    val m = manifest(toVersion)
+    readFiles(m, changedFiles(fromVersion, toVersion))
+  }
+
+  /** Rollback: make `version` current again by committing a NEW version
+    * whose file list is version's (metadata-only — no data is copied or
+    * deleted, and the rolled-back versions stay time-travelable). */
+  def rollbackTo(version: Int): Int = {
+    val parent = currentVersion
+    require(version >= 1 && version <= parent, s"bad rollback target $version")
+    val m = manifest(version)
+    val v = parent + 1
+    val next = m.copy(version = v, parent = parent)
+    Files.createDirectories(manifestDir)
+    Files.writeString(
+      manifestDir.resolve(f"v$v%05d.json"), Serialization.write(next))
+    val tmp = manifestDir.resolve("_current.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, pointerFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
   // ---- internals ----------------------------------------------------------
 
   /** Distinct source keys above which pruning falls back from the exact

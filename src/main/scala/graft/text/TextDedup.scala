@@ -102,6 +102,39 @@ object TextDedup {
       .select(col(idCol),
         explode(winnowFingerprints(col("__hs"), w)).as("fingerprint"))
 
+  /** SimHash near-duplicate pairs: candidates share at least one of `chunks`
+    * bit-slices of the simhash (pigeonhole: any pair within
+    * maxHamming < chunks distance shares a chunk... guaranteed only when
+    * maxHamming < chunks; larger thresholds trade recall), verified by exact
+    * Hamming distance. Same bucketed shape as minhash — never all-pairs. */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4,
+      hashFn: Column2Column = md5Hash48): DataFrame = {
+    val bitsPerChunk = TextFunctions.HashBits / chunks
+    val mask = (1L << bitsPerChunk) - 1
+    val sh = simhashes(df, idCol, textCol)
+    val bands = sh.select(col(idCol), col("simhash"), explode(array(
+      (0 until chunks).map(c => struct(
+        lit(c.toLong).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * bitsPerChunk)
+          .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    bands.groupBy("chunk", "key")
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
+        .as("__m"))
+      .filter(size(col("__m")) > 1)
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** (id, fingerprint) via character-level Rabin–Karp rolling hash windows
     * (`window` bytes every `stride`) — the O(n)-per-document fingerprint for
     * containment detection when word tokenization doesn't apply (code, CJK,

@@ -63,6 +63,32 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.values.forall(_.size <= 10))
   }
 
+  test("ivfTopK: one list per corpus row, decent recall on clustered data") {
+    val rnd = new scala.util.Random(23)
+    val centers = Seq.fill(6)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 25
+    } yield (ci * 100L + j,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5,
+      nLists = 4, nProbe = 2, dim = 16)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // no duplicate (query, neighbor) rows and ranks within k
+    assert(ivf.values.forall(_.size <= 5))
+    val recalls = exact.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.3,
+      s"mean IVF recall ${recalls.sum / recalls.size} too low")
+  }
+
   test("zero vectors are excluded (no NaN cosine)") {
     val vecs = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 1f)))

@@ -147,6 +147,36 @@ class CowTableSpec extends SparkSpec {
     assert(t.readVersion(v - 1).count() == 201)
   }
 
+  test("changeFeed returns exactly the rows of files added in the range") {
+    val (t, _) = freshTable()
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id")))
+    t.upsert(Seq((10L, "upd"), (500L, "new")).toDF("id", "name"))
+    // v1→v2 changes: the rewritten low file + the new-key rows; carried-over
+    // files (keys 101..400) must NOT appear
+    val changed = t.readChanges(1, 2).as[(Long, String)].collect().toMap
+    assert(changed(10L) == "upd" && changed(500L) == "new")
+    assert(!changed.contains(200L))
+    assert(changed.keySet.subsetOf((1L to 100L).toSet + 500L))
+    // full feed from 0 = current snapshot
+    assert(t.readChanges(0, 2).count() == 401)
+  }
+
+  test("rollbackTo restores an old snapshot as a new version, metadata-only") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.delete(Seq(2L).toDF("id"))
+    assert(t.read().count() == 1)
+    val v3 = t.rollbackTo(1)
+    assert(v3 == 3 && t.currentVersion == 3)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the rolled-back state remains time-travelable
+    assert(t.readVersion(2).count() == 1)
+    // and no new data files were written (v3 references v1's files)
+    assert(t.manifest(3).files == t.manifest(1).files)
+  }
+
   test("compact is a no-op when nothing to fold") {
     val (t, _) = freshTable()
     t.create(Seq((1L, "a")).toDF("id", "name").coalesce(1))

@@ -74,6 +74,16 @@ class TextDedupSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  test("simhashNearDupPairs finds planted near-dups via bit-slice buckets") {
+    val pairs = TextDedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L))) // exact dups: hamming 0
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0L)
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc out
+  }
+
   test("rollingFingerprints match a reference Rabin-Karp implementation") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val got = TextDedup.rollingFingerprints(df, "doc_id", "text",
