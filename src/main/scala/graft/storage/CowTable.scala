@@ -299,6 +299,11 @@ final class CowTable private[storage] (
     val writer = config.partitionKey match {
       case Some(k) =>
         df.repartition(col(k)).write.mode("overwrite").partitionBy(k)
+      case None if config.clusterByKey =>
+        // disjoint per-file key ranges ⇒ minimal touch sets for future merges
+        val n = math.max(1, df.rdd.getNumPartitions)
+        df.repartitionByRange(n, config.primaryKey.map(col): _*)
+          .write.mode("overwrite")
       case None => df.write.mode("overwrite")
     }
     writer.parquet(verDir.toString)

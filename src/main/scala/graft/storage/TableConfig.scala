@@ -13,11 +13,18 @@ package graft.storage
   * @param precombineKey tie-break column for same-timestamp CDC rows
   *                      (`precombine_key`); None reproduces the reference's
   *                      keep-all-tied-rows behavior (SURVEY.md §2.2)
+  * @param clusterByKey  range-cluster rows on the primary key at write time,
+  *                      so data files carry DISJOINT key ranges and merge
+  *                      pruning touches the minimum file set (the engine's
+  *                      analog of the reference's INSERT ... ORDER BY
+  *                      clustering, src/iceberg/iceberg-initial-load.py:87-92,
+  *                      applied to every snapshot write)
   */
 final case class TableConfig(
     tableName: String,
     primaryKey: Seq[String],
     partitionKey: Option[String] = None,
-    precombineKey: Option[String] = None) {
+    precombineKey: Option[String] = None,
+    clusterByKey: Boolean = false) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
 }

@@ -147,6 +147,25 @@ class CowTableSpec extends SparkSpec {
     assert(t.readVersion(v - 1).count() == 201)
   }
 
+  test("clusterByKey: shuffled input lands in files with disjoint key ranges") {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("id"), clusterByKey = true)
+    val t = CowTable(spark, dir + "/t", cfg)
+    // deliberately interleaved keys across 4 input partitions
+    val rnd = new scala.util.Random(5)
+    t.create(rnd.shuffle((1L to 400L).toList).map(i => (i, s"n$i"))
+      .toDF("id", "name").repartition(4))
+    val files = t.manifest(1).files
+    assert(files.size == 4)
+    val ranges = files.map(f => (f.minKey.get.toLong, f.maxKey.get.toLong))
+      .sortBy(_._1)
+    // ranges are disjoint and ordered
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
+    // so a point upsert rewrites exactly one file
+    t.upsert(Seq((7L, "upd")).toDF("id", "name"))
+    assert(t.manifest(2).files.count(_.path.startsWith("v00001/")) == 3)
+  }
+
   test("changeFeed returns exactly the rows of files added in the range") {
     val (t, _) = freshTable()
     t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
