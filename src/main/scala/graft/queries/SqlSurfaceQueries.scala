@@ -114,6 +114,39 @@ object SqlSurfaceQueries {
         .select(col("name").as("table_name"))
     },
 
+    // Bucketed co-located join: both sides written bucketBy(custkey) so the
+    // join needs NO shuffle of either side (the bucketing discipline that
+    // turns a 100 TB fact⋈fact join from two full shuffles into a local
+    // zip of buckets). Plan asserted shuffle-free in BucketedJoinSpec;
+    // result must equal the plain join (oracle).
+    Q("q56_bucketed_join",
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("graft_customer_b", "graft_orders_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        CowTable.deleteRecursively(Paths.get(wh, t))
+      }
+      Tables.table(s, d, "customer").write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_b")
+      Tables.table(s, d, "orders").write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_b")
+      s.table("graft_customer_b")
+        .join(s.table("graft_orders_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_spend"))
+    },
+
     // §2.5 #34 the ML-scoring function-call shape: the reference's churn
     // model is an external Redshift ML function invoked per row
     // (src/sample_redshift_ml_sql_query.txt:113-133); here a registered
