@@ -20,8 +20,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression): Int =
+  /** Proper analysis errors for bad calls (wrong arity / non-literal int
+    * args) instead of opaque builder exceptions. */
+  private def require(
+      cond: Boolean, name: String, signature: String): Unit =
+    if (!cond) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map(
+        "message" -> s"invalid arguments: expected $name($signature)"))
+
+  private def arity(
+      es: Seq[Expression], n: Int, name: String, sig: String): Unit =
+    require(es.length == n, name, sig)
+
+  private def intArg(e: Expression, name: String, sig: String): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(e.foldable &&
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType),
+      name, sig)
     e.eval().asInstanceOf[Number].intValue()
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def register(
@@ -31,14 +49,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
 
-    register("byte_histogram",
-      es => ByteHistogram(es.head, intArg(es(1))))
-    register("affine_minhash_sig",
-      es => AffineMinHashSig(es.head, intArg(es(1))))
-    register("simhash48", es => SimHash48(es.head))
-    register("winnow_mins", es => WinnowMins(es.head, intArg(es(1))))
-    register("dot_long", es => DotProductLong(es.head, es(1)))
-    register("rolling_hash_windows",
-      es => RollingHashWindows(es.head, intArg(es(1)), intArg(es(2))))
+    register("byte_histogram", { es =>
+      val sig = "BINARY, INT literal"
+      arity(es, 2, "byte_histogram", sig)
+      ByteHistogram(es.head, intArg(es(1), "byte_histogram", sig))
+    })
+    register("affine_minhash_sig", { es =>
+      val sig = "ARRAY<BIGINT>, INT literal"
+      arity(es, 2, "affine_minhash_sig", sig)
+      AffineMinHashSig(es.head, intArg(es(1), "affine_minhash_sig", sig))
+    })
+    register("simhash48", { es =>
+      arity(es, 1, "simhash48", "ARRAY<BIGINT>")
+      SimHash48(es.head)
+    })
+    register("winnow_mins", { es =>
+      val sig = "ARRAY<BIGINT>, INT literal"
+      arity(es, 2, "winnow_mins", sig)
+      WinnowMins(es.head, intArg(es(1), "winnow_mins", sig))
+    })
+    register("dot_long", { es =>
+      arity(es, 2, "dot_long", "ARRAY<BIGINT>, ARRAY<BIGINT>")
+      DotProductLong(es.head, es(1))
+    })
+    register("rolling_hash_windows", { es =>
+      val sig = "STRING, INT literal, INT literal"
+      arity(es, 3, "rolling_hash_windows", sig)
+      RollingHashWindows(es.head,
+        intArg(es(1), "rolling_hash_windows", sig),
+        intArg(es(2), "rolling_hash_windows", sig))
+    })
   }
 }

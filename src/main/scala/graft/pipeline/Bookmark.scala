@@ -32,11 +32,13 @@ final class Bookmark(statePath: Path) {
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val seen = processed
-      Files.list(d).iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString)
-        .filterNot(seen)
-        .toSeq.sorted
+      scala.util.Using.resource(Files.list(d)) {
+        _.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(_.toAbsolutePath.toString)
+          .filterNot(seen)
+          .toSeq.sorted
+      }
     }
   }
 

@@ -32,7 +32,10 @@ final case class CommitManifest(
     partitionKey: Option[String],
     keyNumeric: Boolean,
     rowCount: Long,
-    files: Seq[FileEntry])
+    files: Seq[FileEntry],
+    /** false ⇔ this commit only reorganized existing rows (compaction,
+      * rollback) — the change feed skips its files (Delta CDF-style). */
+    dataChange: Boolean = true)
 
 /** Minimal copy-on-write transactional table on plain parquet — the engine's
   * re-expression of the reference's open-table-format layer
@@ -104,9 +107,9 @@ final class CowTable private[storage] (
     * `assertUniqueKeys = true` (one cheap extra job over the small source).
     */
   def upsert(source: DataFrame, assertUniqueKeys: Boolean = false): Int = {
+    if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
     val parent = currentVersion
     if (parent == 0) return writeVersion(source, source.schema, Nil, 0)
-    if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
     val m = manifest(parent)
     pruneFiles(m, source) match {
       case None => parent // empty batch: no-op, no empty commit
@@ -147,27 +150,63 @@ final class CowTable private[storage] (
       java.nio.file.Files.size(root.resolve(e.path)) < smallBytes)
     if (small.size <= 1) return parent // nothing to fold
     val compacted = readFiles(m, small).repartition(targetPartitions)
-    writeVersion(compacted, structFromJson(m.schemaJson), large, parent)
+    writeVersion(compacted, structFromJson(m.schemaJson), large, parent,
+      dataChange = false)
   }
 
-  /** Change feed: rows in files ADDED between `fromVersion` (exclusive) and
-    * `toVersion` (inclusive) — the incremental-consumption surface (Delta
-    * CDF-lite). COW invariant makes this exact for inserts/updates: every
-    * touched row is rewritten into a new file; deletes are absences (pair
-    * with the manifest diff of removed files when tombstones matter).
-    * O(files) metadata diff, reads only the new files. */
+  /** Change feed: rows in files added by DATA commits between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — the incremental-consumption
+    * surface (Delta CDF-lite). COW invariant makes this exact for inserts/
+    * updates: every touched row is rewritten into a new file; deletes are
+    * absences (pair with the manifest diff of removed files when tombstones
+    * matter). Rewrite-only commits (compaction, rollback — dataChange=false)
+    * are skipped, so consumers never re-receive compacted rows; files a later
+    * compaction removed stay readable (COW never deletes), so the walk is
+    * exact even with interleaved compactions. O(files·versions) metadata,
+    * reads only the changed files. */
   def changedFiles(fromVersion: Int, toVersion: Int): Seq[FileEntry] = {
     require(fromVersion >= 0 && fromVersion <= toVersion
       && toVersion <= currentVersion, "bad version range")
-    val before =
-      if (fromVersion == 0) Set.empty[String]
+    val out = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    var prev: Set[String] =
+      if (fromVersion == 0) Set.empty
       else manifest(fromVersion).files.map(_.path).toSet
-    manifest(toVersion).files.filterNot(f => before(f.path))
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val m = manifest(v)
+      if (m.dataChange)
+        m.files.filterNot(f => prev(f.path)).foreach(f => out(f.path) = f)
+      prev = m.files.map(_.path).toSet
+    }
+    out.values.toSeq
   }
 
   def readChanges(fromVersion: Int, toVersion: Int): DataFrame = {
     val m = manifest(toVersion)
     readFiles(m, changedFiles(fromVersion, toVersion))
+  }
+
+  /** [[readChanges]] plus a `_commit_version` column stamping each row with
+    * the commit that added its file — what an upsert-applying consumer needs
+    * to order multi-commit feeds (a key updated twice in the range appears
+    * twice; latest version wins). */
+  def readChangesWithVersion(fromVersion: Int, toVersion: Int): DataFrame = {
+    val mTo = manifest(toVersion)
+    val schema = structFromJson(mTo.schemaJson)
+    var prev: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else manifest(fromVersion).files.map(_.path).toSet
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val m = manifest(v)
+      val added =
+        if (m.dataChange) m.files.filterNot(f => prev(f.path)) else Nil
+      prev = m.files.map(_.path).toSet
+      if (added.isEmpty) None
+      else Some(readFiles(mTo, added).withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty)
+      conform(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        schema).withColumn("_commit_version", lit(0))
+    else parts.reduce(_.union(_))
   }
 
   /** Rollback: make `version` current again by committing a NEW version
@@ -178,7 +217,9 @@ final class CowTable private[storage] (
     require(version >= 1 && version <= parent, s"bad rollback target $version")
     val m = manifest(version)
     val v = parent + 1
-    val next = m.copy(version = v, parent = parent)
+    // dataChange=true: a rollback logically changes table content (restored
+    // rows must reach change-feed consumers) even though no data is copied.
+    val next = m.copy(version = v, parent = parent, dataChange = true)
     Files.createDirectories(manifestDir)
     Files.writeString(
       manifestDir.resolve(f"v$v%05d.json"), Serialization.write(next))
@@ -224,16 +265,25 @@ final class CowTable private[storage] (
         case (Some(mn), Some(mx)) =>
           if (m.keyNumeric)
             !(BigDecimal(mx) < BigDecimal(lo) || BigDecimal(mn) > BigDecimal(hi))
-          else !(mx < lo || mn > hi)
+          else {
+            val o = CowTable.utf8Ordering
+            !(o.lt(mx, lo) || o.gt(mn, hi))
+          }
         case _ => true
       }
       Some(m.files.partition(overlaps))
     } else if (m.keyNumeric)
       Some(m.files.partition(containsAny(
         _, keys.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_))))
-    else
+    else {
+      // UTF-8 byte order, NOT JVM UTF-16 order: file min/max stats come from
+      // parquet footers / Spark min-max, both of which order strings by their
+      // UTF-8 bytes — the two orderings diverge for supplementary-plane
+      // characters, and a mismatch silently skips files containing source keys.
+      implicit val ord: Ordering[String] = CowTable.utf8Ordering
       Some(m.files.partition(containsAny(
         _, keys.sorted.toIndexedSeq, identity[String])))
+    }
   }
 
   /** Does [e.minKey, e.maxKey] contain any of `sorted` (ascending)? */
@@ -292,7 +342,8 @@ final class CowTable private[storage] (
     * and commit manifest + atomic pointer. */
   private def writeVersion(
       df: DataFrame, schema: StructType,
-      carryOver: Seq[FileEntry], parent: Int): Int = {
+      carryOver: Seq[FileEntry], parent: Int,
+      dataChange: Boolean = true): Int = {
     val v = parent + 1
     val verSeg = f"v$v%05d"
     val verDir = root.resolve(verSeg)
@@ -318,7 +369,8 @@ final class CowTable private[storage] (
       keyNumeric = Try(schema(config.primaryKey.head).dataType)
         .map(_.isInstanceOf[NumericType]).getOrElse(false),
       rowCount = entries.map(_.rows).sum,
-      files = entries)
+      files = entries,
+      dataChange = dataChange)
     Files.createDirectories(manifestDir)
     Files.writeString(manifestDir.resolve(f"v$v%05d.json"), Serialization.write(m))
     val tmp = manifestDir.resolve(s"_current.tmp")
@@ -339,9 +391,11 @@ final class CowTable private[storage] (
   private def statFiles(verDir: Path, schema: StructType): Seq[FileEntry] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(verDir)) return Nil
-    val parquetFiles = Files.walk(verDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    val parquetFiles = scala.util.Using.resource(Files.walk(verDir)) {
+      _.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+    }
     if (parquetFiles.isEmpty) return Nil
     val numericKey = schema.find(_.name == config.primaryKey.head)
       .exists(_.dataType.isInstanceOf[NumericType])
@@ -373,7 +427,9 @@ final class CowTable private[storage] (
           else if (numericKey)
             (Some(mins.flatten.map(BigDecimal(_)).min.toString),
               Some(maxs.flatten.map(BigDecimal(_)).max.toString))
-          else (Some(mins.flatten.min), Some(maxs.flatten.max))
+          else // UTF-8 byte order across row groups (same order pruning uses)
+            (Some(mins.flatten.min(CowTable.utf8Ordering)),
+              Some(maxs.flatten.max(CowTable.utf8Ordering)))
         }
       FileEntry(relativize(file.toString), rows, mn, mx)
     } finally reader.close()
@@ -452,7 +508,15 @@ object CowTable {
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      scala.util.Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
+        .reverse.foreach(f => Files.deleteIfExists(f))
     }
+
+  /** Strings ordered by their UTF-8 bytes (unsigned) — the order parquet
+    * footer stats and Spark min/max use; JVM String ordering (UTF-16 code
+    * units) diverges for supplementary-plane characters. */
+  val utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 }

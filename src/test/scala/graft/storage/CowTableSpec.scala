@@ -177,8 +177,52 @@ class CowTableSpec extends SparkSpec {
     assert(changed(10L) == "upd" && changed(500L) == "new")
     assert(!changed.contains(200L))
     assert(changed.keySet.subsetOf((1L to 100L).toSet + 500L))
-    // full feed from 0 = current snapshot
-    assert(t.readChanges(0, 2).count() == 401)
+    // full feed from 0 walks every data commit: v1's 400 inserts + v2's
+    // rewritten low file (101 rows) — pre-images included, ordered by the
+    // _commit_version stamp (latest wins for an upsert-applying consumer)
+    assert(t.readChanges(0, 2).count() == 501)
+    val stamped = t.readChangesWithVersion(0, 2)
+      .select("id", "name", "_commit_version")
+      .as[(Long, String, Int)].collect()
+    assert(stamped.length == 501)
+    val key10 = stamped.filter(_._1 == 10L).sortBy(_._3)
+    assert(key10.map(r => (r._2, r._3)).toSeq == Seq(("n10", 1), ("upd", 2)))
+  }
+
+  test("changeFeed skips compaction rewrites but keeps pre-compaction changes") {
+    val (t, _) = freshTable()
+    t.create((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id")))                       // v1
+    t.upsert(Seq((10L, "upd")).toDF("id", "name"))             // v2: data
+    t.compact(smallBytes = Long.MaxValue, targetPartitions = 1) // v3: rewrite
+    // (2,3]: only a compaction happened — feed must be EMPTY (the old
+    // semantics re-emitted all 100 compacted rows as fake changes)
+    assert(t.readChanges(2, 3).count() == 0)
+    // (1,3]: the v2 upsert must survive even though v3 compacted its file
+    // away — the feed reads the removed-but-still-on-disk v2 file
+    val changed = t.readChanges(1, 3).as[(Long, String)].collect().toMap
+    assert(changed(10L) == "upd")
+    assert(!changed.contains(60L) || changed.size <= 30,
+      s"compacted carry-over rows leaked into the feed: ${changed.size} rows")
+  }
+
+  test("string-key pruning orders keys by UTF-8 bytes, not UTF-16") {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("id"))
+    val t = CowTable(spark, dir + "/t", cfg)
+    // U+FFFD (3-byte UTF-8, high UTF-16 code unit) vs U+10400 (4-byte UTF-8,
+    // surrogate pair): UTF-16 orders "�" AFTER the pair, UTF-8 before.
+    val supp = new String(Character.toChars(0x10400))
+    val df = Seq(("�", 1L), (supp, 2L), ("a", 3L)).toDF("id", "v")
+    t.create(df.repartitionByRange(3, col("id")))
+    // upsert each key: the containing file must be rewritten (not skipped)
+    Seq("�", supp, "a").foreach { k =>
+      val before = t.read().as[(String, Long)].collect().toMap
+      t.upsert(Seq((k, 99L)).toDF("id", "v"))
+      val after = t.read().as[(String, Long)].collect().toMap
+      assert(after(k) == 99L, s"upsert of key ${k.codePoints().toArray.toSeq} skipped its file")
+      assert(after.size == before.size)
+    }
   }
 
   test("rollbackTo restores an old snapshot as a new version, metadata-only") {
