@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.SqlSurfaceQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.EmbeddingQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++
+      graft.queries.SourceFormatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -88,9 +88,7 @@ object TextQueries {
       docs(s, d).select(
         col("doc_id"), col("lang"),
         TextStats.languageId(col("text")).as("lang_pred"),
-        TextStats.stopwordHits(
-          transform(TextFunctions.tokens(col("text")), lower(_)),
-          TextStats.stopwords.head._2).as("n_stopwords_en"))
+        TextStats.stopwordHitsFor(col("text"), "en").as("n_stopwords_en"))
     },
 
     // Composite quality score (clamped linear blend, Parity-rounded).
@@ -121,19 +119,22 @@ object TextQueries {
       TextDedup.minhashBands(docs(s, d), "doc_id", "text")
     },
 
-    // Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
+    // Near-dup pairs: LSH candidates verified by exact Jaccard over the
+    // distinct 48-bit shingle-hash sets (the oracle replays the identical
+    // hashing, so the sets — and the Jaccard — match bit-for-bit).
     Q("q40_neardup_pairs",
       s"""WITH $sigCte,
+         |hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
          |cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |      FROM bands l JOIN bands r
          |        ON l.band = r.band AND l.band_key = r.band_key
          |       AND l.doc_id < r.doc_id)
          |SELECT id_a, id_b,
-         |  CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(a.shd, b.shd))) AS DOUBLE) AS jaccard
-         |FROM cands JOIN d a ON a.doc_id = id_a JOIN d b ON b.doc_id = id_b
-         |WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
-         |      CAST(len(list_distinct(list_concat(a.shd, b.shd))) AS DOUBLE) >= 0.5
+         |  CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE) AS jaccard
+         |FROM cands JOIN hd a ON a.doc_id = id_a JOIN hd b ON b.doc_id = id_b
+         |WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE) >= 0.5
          |""".stripMargin) { (s, d) =>
       TextDedup.nearDupPairs(docs(s, d), "doc_id", "text")
     },

@@ -30,14 +30,13 @@ object TextDedup {
     * hashed on (band, key) — scales linearly in corpus size. */
   def minhashBands(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      hashFn: Column2Column = md5Hash48): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val sig = minhashSigFromHashes(col("__hs"), numHashes)
     graft.core.Spread.up(df).select(col(idCol),
-        transform(array_distinct(wordShingles(col(textCol), shingleK)), hashFn)
-          .as("__hs"))
+        graft.functions.TextTokenExpressions
+          .shingleHash48(col(textCol), shingleK, distinct = true).as("__hs"))
       .filter(size(col("__hs")) > 0)
       .select(col(idCol), sig.as("__sig"))
       .select(col(idCol), explode(
@@ -49,15 +48,16 @@ object TextDedup {
   }
 
   /** Near-duplicate pairs: LSH candidates (same band bucket, id_a < id_b)
-    * verified by exact Jaccard over distinct shingle sets, thresholded.
+    * verified by exact Jaccard over distinct shingle-hash sets, thresholded.
     * The verification join touches only candidate pairs — within-bucket
-    * work, not all-pairs. */
+    * work, not all-pairs. (Jaccard over the 48-bit hash sets equals Jaccard
+    * over the shingle-string sets up to within-pair hash collisions, and the
+    * oracle replays the identical hashing, so parity is exact either way.) */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5,
-      hashFn: Column2Column = md5Hash48): DataFrame = {
-    val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands, hashFn)
+      threshold: Double = 0.5): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
     // bucket → within-bucket pairs via ONE groupBy (a self-join would
     // recompute the whole signature pipeline for each side). Bucket member
     // lists are small by LSH construction; a pathological bucket (mass
@@ -70,7 +70,8 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .distinct()
     val sh = graft.core.Spread.up(df).select(col(idCol),
-      array_distinct(wordShingles(col(textCol), shingleK)).as("__sh"))
+      graft.functions.TextTokenExpressions
+        .shingleHash48(col(textCol), shingleK, distinct = true).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
@@ -85,20 +86,21 @@ object TextDedup {
     * duplicates have small Hamming distance; bucket by bit-slices of the
     * simhash for the scale path (same banding idea as minhash). */
   def simhashes(
-      df: DataFrame, idCol: String, textCol: String,
-      hashFn: Column2Column = md5Hash48): DataFrame =
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.core.Spread.up(df)
-      .select(col(idCol), transform(tokens(col(textCol)), hashFn).as("__hs"))
+      .select(col(idCol),
+        graft.functions.TextTokenExpressions.tokenHash48(col(textCol))
+          .as("__hs"))
       .select(col(idCol), simhashFromHashes(col("__hs")).as("simhash"))
 
   /** (id, fingerprint) exploded winnowing fingerprints — shared fingerprint ⇒
     * shared word span of length shingleK + w - 1. */
   def fingerprints(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, w: Int = 4,
-      hashFn: Column2Column = md5Hash48): DataFrame =
+      shingleK: Int = 3, w: Int = 4): DataFrame =
     graft.core.Spread.up(df).select(col(idCol),
-        transform(wordShingles(col(textCol), shingleK), hashFn).as("__hs"))
+        graft.functions.TextTokenExpressions
+          .shingleHash48(col(textCol), shingleK, distinct = false).as("__hs"))
       .select(col(idCol),
         explode(winnowFingerprints(col("__hs"), w)).as("fingerprint"))
 
@@ -109,8 +111,7 @@ object TextDedup {
     * Hamming distance. Same bucketed shape as minhash — never all-pairs. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4,
-      hashFn: Column2Column = md5Hash48): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val bitsPerChunk = TextFunctions.HashBits / chunks
     val mask = (1L << bitsPerChunk) - 1
     val sh = simhashes(df, idCol, textCol)
