@@ -29,7 +29,9 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.allQueries.map(_.name)
+    // optional args = subset of query names (local profiling); default all
+    val names0 = SparkEntry.allQueries.map(_.name)
+    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // warmup: one full pass (also JIT/codegen-warms every operator)
     names.foreach { n =>
