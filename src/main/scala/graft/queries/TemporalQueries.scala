@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import graft.core.{Q, Tables}
+import graft.operators.{AsOfJoin, Sessionize}
+import graft.storage.CowTable
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Temporal / event-time operators over the events log — the
+  * beyond-reference training-data-pipeline surface (SURVEY.md §2.6 fence):
+  * gap sessionization, backward as-of join, and a genuinely streaming
+  * watermarked window aggregation whose drained result is oracle-checked.
+  */
+object TemporalQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    // Gap sessionization (4h gap): lag/running-sum window + session rollup.
+    // Exact int64 microsecond gap test on both sides; DECIMAL value total.
+    Q("q59_sessionize",
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |              value FROM events),
+        |f AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id)) > 14400000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |g AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_id
+        |""".stripMargin) { (s, d) =>
+      Sessionize.sessions(
+        t(s, d, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 14400L, valueCol = col("value"))
+    },
+
+    // Backward as-of join: each purchase attributed to the latest click of
+    // the same user at or before its timestamp (single key-shuffle window
+    // carry — no range-join explosion; see AsOfJoin).
+    Q("q60_asof_join",
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |p AS (SELECT event_id, user_id, ts, value FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       a.click_id, a.click_ts
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id, c.ts AS click_ts
+        |  FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) a ON TRUE
+        |""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      AsOfJoin.backward(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        payload = Seq("event_id" -> "click_id", "ts" -> "click_ts"))
+        .select("event_id", "user_id", "ts", "value", "click_id", "click_ts")
+    },
+
+    // Streaming watermarked tumbling-window aggregation, drained with
+    // AvailableNow into a memory sink. Append mode emits exactly the windows
+    // finalized by the terminal watermark (max event time - 2h), which the
+    // oracle replays: epoch-aligned 6h buckets with window_end <= watermark.
+    Q("q61_stream_window_agg",
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |            FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM ev),
+        |b AS (SELECT make_timestamp(CAST(floor(epoch_us(ts) / 21600000000)
+        |         * 21600000000 AS BIGINT)) AS window_start,
+        |        event_type, count(*) AS n_events,
+        |        CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |          AS sum_value
+        |      FROM ev GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, sum_value
+        |FROM b, wm WHERE window_start + INTERVAL 6 HOUR <= wm.w
+        |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q61")
+      CowTable.deleteRecursively(Paths.get(base))
+      // stage through a µs-timestamp parquet landing dir (the raw fixture is
+      // TIMESTAMP(NANOS), which the batch loader normalizes)
+      val src = base + "/src"
+      t(s, d, "events").select("event_id", "ts", "event_type", "value")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = EventStreams.windowedCounts(
+        s, src, schema, valueCol = col("value").cast("decimal(28,10)"))
+      EventStreams.drainToMemory(
+        s, stream, "q61_sink", base + "/ckpt", OutputMode.Append())
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+    })
+}

@@ -20,12 +20,13 @@ object EventStreams {
     * windows are emitted — the exactly-once metric feed shape. */
   def windowedCounts(
       spark: SparkSession, dir: String, schema: StructType,
-      watermark: String = "2 hours", window: String = "6 hours"): DataFrame =
+      watermark: String = "2 hours", window: String = "6 hours",
+      valueCol: org.apache.spark.sql.Column = col("value")): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
       .withWatermark("ts", watermark)
       .groupBy(fn.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(valueCol).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 

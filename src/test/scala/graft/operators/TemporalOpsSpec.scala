@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, Double)*): DataFrame =
+    rows.toSeq.toDF("user_id", "event_id", "ts_s", "value")
+      .selectExpr("user_id", "event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+        "value")
+
+  // ---- Sessionize ----
+
+  test("sessionize: gap strictly greater than gapSeconds starts a session") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (1L, 2L, "2024-01-01 01:00:00", 1.0), // gap == 3600s: same session
+      (1L, 3L, "2024-01-01 02:00:01", 1.0)) // gap 3601s: new session
+    val out = Sessionize.withSessionId(df, "user_id", "ts", "event_id", 3600L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sessionize: sessions are per-key and 1-based") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 00:00:00", 2.0),
+      (2L, 2L, "2024-01-05 00:00:00", 3.0))
+    val out = Sessionize.sessions(df, "user_id", "ts", "event_id", 60L,
+      col("value")).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("session_id") == 1L))
+  }
+
+  test("sessionize rollup: bounds, counts, exact totals") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 00:00:00", 1.5),
+      (1L, 2L, "2024-01-01 00:10:00", 2.5),
+      (1L, 3L, "2024-01-02 00:00:00", 4.0))
+    val out = Sessionize.sessions(df, "user_id", "ts", "event_id", 3600L,
+      col("value"))
+      .orderBy("session_id")
+      .select("session_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 4.0), (2L, 1L, 4.0)))
+  }
+
+  // ---- AsOfJoin ----
+
+  private def asof(left: DataFrame, right: DataFrame): DataFrame =
+    AsOfJoin.backward(left, right, Seq("user_id"), "ts", "event_id",
+      Seq("event_id" -> "click_id"))
+
+  test("asof: latest right row at or before left ts, inclusive on equal ts") {
+    val clicks = ev(
+      (1L, 10L, "2024-01-01 00:00:00", 0),
+      (1L, 11L, "2024-01-01 02:00:00", 0))
+    val purchases = ev(
+      (1L, 20L, "2024-01-01 01:00:00", 0), // after click 10 only
+      (1L, 21L, "2024-01-01 02:00:00", 0)) // ties click 11: inclusive
+    val out = asof(purchases, clicks)
+      .select("event_id", "click_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(20L -> 10L, 21L -> 11L))
+  }
+
+  test("asof: null payload when no right row precedes") {
+    val clicks = ev((1L, 10L, "2024-01-01 05:00:00", 0))
+    val purchases = ev((1L, 20L, "2024-01-01 01:00:00", 0))
+    val out = asof(purchases, clicks).select("click_id").collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("asof: keys never match across users; equal-ts right ties pick max id") {
+    val clicks = ev(
+      (1L, 10L, "2024-01-01 00:00:00", 0),
+      (1L, 12L, "2024-01-01 00:00:00", 0), // same ts: max event_id wins
+      (2L, 11L, "2024-01-01 00:00:00", 0))
+    val purchases = ev((1L, 20L, "2024-01-01 01:00:00", 0))
+    val out = asof(purchases, clicks)
+      .select("event_id", "click_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(20L -> 12L))
+  }
+
+  test("asof plan: single shuffle on the key, neither side broadcast") {
+    val clicks = ev((1L, 10L, "2024-01-01 00:00:00", 0))
+    val purchases = ev((1L, 20L, "2024-01-01 01:00:00", 0))
+    val plan = asof(purchases, clicks).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // one exchange for the window partitioning (plus nothing else keyed)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 key shuffle, plan:\n$plan")
+  }
+}
