@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.SourceFormatQueries.all ++
-      graft.queries.TemporalQueries.all
+      graft.queries.TemporalQueries.all ++
+      graft.queries.SetAggQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

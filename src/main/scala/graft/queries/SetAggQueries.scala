@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational breadth beyond the reference's own query set (SURVEY.md §2.6
+  * lists these as absent there): multidimensional aggregates (ROLLUP),
+  * set operators (INTERSECT/EXCEPT), and pivot — the standard analytic
+  * surface a lake's SQL consumers expect. All are single-shuffle hash
+  * aggregates / set ops; nothing here changes shape at 100 TB.
+  */
+object SetAggQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ROLLUP over (returnflag, linestatus): subtotal + grand-total rows,
+    // grouping() flags distinguish rollup NULLs from data NULLs.
+    Q("q62_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    },
+
+    // INTERSECT / EXCEPT: customers with vs without orders, as set ops
+    // (the reference expresses the same split only via joins — q12/q13).
+    Q("q63_setops",
+      """SELECT c_custkey, 'active' AS status FROM
+        |  (SELECT c_custkey FROM customer
+        |   INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'inactive' AS status FROM
+        |  (SELECT c_custkey FROM customer
+        |   EXCEPT SELECT o_custkey FROM orders)
+        |""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer").select("c_custkey")
+      val ords = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+      cust.intersect(ords).withColumn("status", lit("active"))
+        .unionAll(cust.except(ords).withColumn("status", lit("inactive")))
+    },
+
+    // Pivot: per-user event counts spread across event-type columns
+    // (groupBy.pivot with an explicit value list — no extra distinct pass;
+    // absent cells filled 0 to match the conditional-count oracle).
+    Q("q64_pivot", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"count(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
+        .mkString(",\n  ")
+      s"SELECT user_id,\n  $cols\nFROM events GROUP BY user_id"
+    }) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    })
+}
