@@ -77,11 +77,22 @@ final class CowTable private[storage] (
   /** Current snapshot as a DataFrame (scan of the manifest's file set). */
   def read(): DataFrame = readVersion(currentVersion)
 
-  /** Time-travel: any committed version remains readable (its files are never
-    * rewritten in place — copy-on-write). */
+  /** Oldest version whose files are guaranteed present (vacuum advances it;
+    * 1 for a never-vacuumed table). */
+  def earliestReadableVersion: Int = {
+    val p = manifestDir.resolve("_vacuumed")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 1
+  }
+
+  /** Time-travel: any committed version >= [[earliestReadableVersion]]
+    * remains readable (its files are never rewritten in place — copy-on-
+    * write; only [[vacuum]] ever deletes them). */
   def readVersion(version: Int): DataFrame = {
     require(version >= 1 && version <= currentVersion,
       s"version $version out of range 1..$currentVersion")
+    require(version >= earliestReadableVersion,
+      s"version $version was vacuumed (earliest readable: " +
+        s"$earliestReadableVersion)")
     val m = manifest(version)
     readFiles(m, m.files)
   }
@@ -167,6 +178,9 @@ final class CowTable private[storage] (
   def changedFiles(fromVersion: Int, toVersion: Int): Seq[FileEntry] = {
     require(fromVersion >= 0 && fromVersion <= toVersion
       && toVersion <= currentVersion, "bad version range")
+    require(fromVersion >= earliestReadableVersion - 1,
+      s"change feed from $fromVersion crosses vacuumed versions (earliest " +
+        s"readable: $earliestReadableVersion)")
     val out = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
     var prev: Set[String] =
       if (fromVersion == 0) Set.empty
@@ -215,6 +229,8 @@ final class CowTable private[storage] (
   def rollbackTo(version: Int): Int = {
     val parent = currentVersion
     require(version >= 1 && version <= parent, s"bad rollback target $version")
+    require(version >= earliestReadableVersion,
+      s"cannot roll back to vacuumed version $version")
     val m = manifest(version)
     val v = parent + 1
     // dataChange=true: a rollback logically changes table content (restored
@@ -228,6 +244,44 @@ final class CowTable private[storage] (
     Files.move(tmp, pointerFile,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** Commit log as a DataFrame (DESCRIBE HISTORY analog): one row per
+    * version with parent, row count, file count, and the dataChange flag.
+    * O(versions) manifest reads — pure metadata, no data scanned. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    (1 to currentVersion).map { v =>
+      val m = manifest(v)
+      (v, m.parent, m.rowCount, m.files.size.toLong, m.dataChange)
+    }.toDF("version", "parent", "row_count", "n_files", "data_change")
+  }
+
+  /** Physically delete data files referenced ONLY by versions older than the
+    * last `retainLast` ones (the VACUUM of Delta/Iceberg `expire_snapshots`).
+    * Copy-on-write shares files across versions, so this is reachability-
+    * based: a file written at v1 but still referenced by the current manifest
+    * is live and survives. Old manifests are kept (O(files) metadata —
+    * [[history]] stays complete); their data may be gone, so time travel
+    * below the advanced [[earliestReadableVersion]] low-water mark is
+    * rejected rather than failing mid-scan. Returns the deleted paths. */
+  def vacuum(retainLast: Int = 2): Seq[String] = {
+    val cur = currentVersion
+    require(cur > 0, s"table ${config.tableName} does not exist")
+    require(retainLast >= 1, "must retain at least the current version")
+    val firstRetained =
+      math.max(earliestReadableVersion, cur - retainLast + 1)
+    val live: Set[String] = (firstRetained to cur)
+      .flatMap(v => manifest(v).files.map(_.path)).toSet
+    val doomed = (1 until firstRetained)
+      .flatMap(v => manifest(v).files.map(_.path))
+      .distinct.filterNot(live)
+    doomed.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    val tmp = manifestDir.resolve("_vacuumed.tmp")
+    Files.writeString(tmp, firstRetained.toString)
+    Files.move(tmp, manifestDir.resolve("_vacuumed"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    doomed
   }
 
   // ---- internals ----------------------------------------------------------

@@ -246,4 +246,52 @@ class CowTableSpec extends SparkSpec {
     assert(t.compact() == 1)
     assert(t.currentVersion == 1)
   }
+
+  test("history lists every commit with counts and dataChange flags") {
+    val (t, _) = freshTable()
+    t.create((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    t.upsert(Seq((11L, "new")).toDF("id", "name"))
+    t.delete(Seq(1L).toDF("id"))
+    val h = t.history().orderBy("version")
+      .select("version", "parent", "row_count", "data_change")
+      .as[(Int, Int, Long, Boolean)].collect().toSeq
+    assert(h.map(x => (x._1, x._2, x._3)) ==
+      Seq((1, 0, 10L), (2, 1, 11L), (3, 2, 10L)))
+    assert(h.forall(_._4))
+  }
+
+  test("vacuum deletes only files unreachable from retained versions") {
+    val (t, _) = freshTable()
+    // 4 disjoint-range files so merges carry most files over
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id")))
+    t.upsert(Seq((10L, "u")).toDF("id", "name")) // v2 rewrites 1 file, carries 3
+    t.delete(Seq(399L).toDF("id")) // v3 rewrites 1 file, carries 3
+    val before = t.read().as[(Long, String)].collect().toMap
+    val deleted = t.vacuum(retainLast = 1)
+    // v1's file for range ~1..100 was replaced at v2 and the ~301..400 file
+    // at v3 — but only versions, not files, age out: every file still
+    // referenced by v3 must survive
+    assert(deleted.nonEmpty)
+    val live = t.manifest(t.currentVersion).files.map(_.path)
+    assert(deleted.toSet.intersect(live.toSet).isEmpty)
+    assert(live.forall(p => java.nio.file.Files.exists(t.root.resolve(p))))
+    assert(t.read().as[(Long, String)].collect().toMap == before)
+    // vacuumed versions are rejected up front, not mid-scan
+    assert(t.earliestReadableVersion == 3)
+    intercept[IllegalArgumentException](t.readVersion(1))
+    intercept[IllegalArgumentException](t.rollbackTo(1))
+    intercept[IllegalArgumentException](t.changedFiles(0, 3))
+    // the retained window keeps full fidelity
+    assert(t.changedFiles(2, 3).nonEmpty)
+  }
+
+  test("vacuum retaining everything deletes nothing") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, "a")).toDF("id", "name"))
+    t.upsert(Seq((2L, "b")).toDF("id", "name"))
+    assert(t.vacuum(retainLast = 10).isEmpty)
+    assert(t.earliestReadableVersion == 1)
+    assert(t.readVersion(1).count() == 1)
+  }
 }
