@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed time-range join: pair left rows with right rows whose timestamp
+  * falls in `[left.ts + lowerSec, left.ts + upperSec]` (inclusive, exact
+  * int64 microsecond arithmetic), optionally also equi-keyed.
+  *
+  * Never a cross join: the time axis is binned at the window span, each
+  * right row lands in exactly ONE bin (so no pair dedup is needed), each
+  * left row probes the two bins its window can overlap, and the join is a
+  * plain equi-join on (keys…, bin) with the exact range predicate applied
+  * inside the matched bucket. Shuffle volume is 2×|left| + |right| rows
+  * hash-partitioned on (keys…, bin) — the canonical interval-join shape
+  * that survives a 100 TB event log (a naive `left.join(right, range
+  * predicate)` plans a broadcast-nested-loop or cartesian and dies).
+  */
+object RangeJoin {
+
+  /** @param payload right columns carried into the output, renamed
+    *                (rightCol -> outName); all left columns are kept. */
+  def bucketed(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long,
+      payload: Seq[(String, String)]): DataFrame = {
+    require(upperSec >= lowerSec, "empty range window")
+    val spanUs = math.max((upperSec - lowerSec) * 1000000L, 1L)
+    val lUs = unix_micros(col(leftTs))
+    val rUs = unix_micros(col(rightTs))
+    val l = left
+      .withColumn("__bin",
+        explode(sequence(
+          floor((lUs + lowerSec * 1000000L) / spanUs),
+          floor((lUs + upperSec * 1000000L) / spanUs))))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        floor(rUs / spanUs).as("__bin"), rUs.as("__r_us")) ++
+        payload.map { case (in, out) => col(in).as(out) }: _*)
+    l.join(r, keyCols :+ "__bin")
+      .filter(col("__r_us").between(
+        unix_micros(col(leftTs)) + lowerSec * 1000000L,
+        unix_micros(col(leftTs)) + upperSec * 1000000L))
+      .drop("__bin", "__r_us")
+  }
+}

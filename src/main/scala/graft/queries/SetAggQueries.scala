@@ -70,5 +70,27 @@ object SetAggQueries {
         .pivot("event_type", types)
         .agg(count(lit(1)))
         .na.fill(0L, types)
+    },
+
+    // Exact linear-interpolation percentiles per group (Spark `percentile`
+    // == SQL-standard PERCENTILE_CONT == DuckDB quantile_cont), Parity-
+    // rounded so the double interpolation compares bit-stably.
+    Q("q67_percentiles",
+      s"""SELECT l_returnflag,
+         |  ${Parity4("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+         |  ${Parity4("quantile_cont(l_extendedprice, 0.95)")} AS p95,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag
+         |""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          graft.core.Parity.round4(
+            expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          graft.core.Parity.round4(
+            expr("percentile(l_extendedprice, 0.95)")).as("p95"),
+          count(lit(1)).as("n"))
     })
+
+  private def Parity4(e: String): String = graft.core.Parity.round4Sql(e)
 }

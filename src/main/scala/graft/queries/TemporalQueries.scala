@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Paths
 
 import graft.core.{Q, Tables}
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import graft.storage.CowTable
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -106,5 +106,74 @@ object TemporalQueries {
         s, stream, "q61_sink", base + "/ckpt", OutputMode.Append())
         .select(col("window_start"), col("event_type"), col("n_events"),
           col("sum_value").cast("double").as("sum_value"))
+    },
+
+    // Native session windows in streaming mode (merge-on-gap, watermarked):
+    // q59's gap semantics via Spark's session_window operator — sessions
+    // break at gap >= 4h (end-exclusive window), end = last event + gap,
+    // and only watermark-finalized sessions are emitted.
+    Q("q65_stream_sessionize",
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM ev),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts)) >= 14400000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f),
+        |sess AS (SELECT user_id, min(ts) AS session_start,
+        |           max(ts) + INTERVAL 4 HOUR AS session_end,
+        |           count(*) AS n_events
+        |         FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM sess, wm WHERE session_end <= wm.w
+        |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q65")
+      CowTable.deleteRecursively(Paths.get(base))
+      val src = base + "/src"
+      t(s, d, "events").select("event_id", "ts", "user_id", "value")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      EventStreams.drainToMemory(
+        s, EventStreams.sessionWindows(s, src, schema),
+        "q65_sink", base + "/ckpt", OutputMode.Append())
+    },
+
+    // Bucketed range join: clicks by the same user in the hour before each
+    // purchase (inclusive window), counted per purchase. The operator bins
+    // the time axis at the window span so it's a plain equi-join on
+    // (user, bin) — no cross/broadcast-nested-loop join (see RangeJoin).
+    Q("q66_range_join",
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  count(c.event_id) AS n_recent_clicks
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+      val pairs = RangeJoin.bucketed(
+        purchases, clicks, keyCols = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        lowerSec = -3600L, upperSec = 0L,
+        payload = Seq("event_id" -> "click_id"))
+      val counts = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_recent_clicks"))
+      purchases.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("n_recent_clicks"), lit(0L)).as("n_recent_clicks"))
     })
 }

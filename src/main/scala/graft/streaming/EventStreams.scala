@@ -34,6 +34,23 @@ object EventStreams {
   private object fn { def window(c: org.apache.spark.sql.Column, d: String) =
     org.apache.spark.sql.functions.window(c, d) }
 
+  /** Native session windows (merge-on-gap) per user with a watermark: the
+    * streaming twin of [[graft.operators.Sessionize]] — sessions close when
+    * the next event is >= gap after the last (window end = last event + gap,
+    * end-exclusive), and append mode emits only sessions the watermark has
+    * finalized. */
+  def sessionWindows(
+      spark: SparkSession, dir: String, schema: StructType,
+      watermark: String = "2 hours", gap: String = "4 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserRunningState(n: Long, total: Double)
   final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)

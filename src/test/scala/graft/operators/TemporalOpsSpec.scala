@@ -83,6 +83,34 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out == Map(20L -> 12L))
   }
 
+  // ---- RangeJoin ----
+
+  test("range join: inclusive bounds, bin-crossing pairs found, no dups") {
+    val purchases = ev(
+      (1L, 20L, "2024-01-01 10:00:00", 0),
+      (1L, 21L, "2024-01-01 23:59:00", 0))
+    val clicks = ev(
+      (1L, 10L, "2024-01-01 09:00:00", 0), // exactly -1h: inclusive
+      (1L, 11L, "2024-01-01 10:00:00", 0), // exactly 0: inclusive
+      (1L, 12L, "2024-01-01 08:59:59", 0), // 1s too early
+      (1L, 13L, "2024-01-01 23:30:00", 0), // crosses a bin boundary pair
+      (2L, 14L, "2024-01-01 09:30:00", 0)) // other user
+    val out = RangeJoin.bucketed(purchases, clicks, Seq("user_id"),
+      "ts", "ts", -3600L, 0L, Seq("event_id" -> "click_id"))
+      .select("event_id", "click_id").as[(Long, Long)].collect().toSeq
+    assert(out.sorted == Seq((20L, 10L), (20L, 11L), (21L, 13L)))
+  }
+
+  test("range join plan: equi-join on (key, bin) — no cartesian/BNL join") {
+    val purchases = ev((1L, 20L, "2024-01-01 10:00:00", 0))
+    val clicks = ev((1L, 10L, "2024-01-01 09:30:00", 0))
+    val plan = RangeJoin.bucketed(purchases, clicks, Seq("user_id"),
+      "ts", "ts", -3600L, 0L, Seq("event_id" -> "click_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("asof plan: single shuffle on the key, neither side broadcast") {
     val clicks = ev((1L, 10L, "2024-01-01 00:00:00", 0))
     val purchases = ev((1L, 20L, "2024-01-01 01:00:00", 0))
