@@ -50,19 +50,27 @@ object CdcPipeline {
     // union mirrors the reference's dataflow (and drops any unknown Op).
     val inserted = deduped.filter(col(opCol) === "I")
     val updatedOrDeleted = deduped.filter(col(opCol).isin("U", "D"))
+    // Cache the deduped batch: three consumers follow (metrics, upsert
+    // source, delete keys) and each would otherwise recompute the window
+    // dedup shuffle — the uncached-lineage recomputation SURVEY.md §4 calls
+    // out in the reference (4 count() jobs, src/hudi/hudi-cdc-load.py:97-104)
+    // and this pipeline must not copy. CDC batches are the small side by
+    // design, so MEMORY_AND_DISK is safe at any scale.
     val finalInput = inserted.unionAll(updatedOrDeleted)
       .withColumn("last_applied_date", to_timestamp(auditTs))
-    // Single-pass per-Op metrics — replaces the reference's 4 separate
-    // count() actions over uncached lineage (src/hudi/hudi-cdc-load.py:97-104).
-    val counts = CdcDedup.opCounts(finalInput, opCol)
-    // Upserts first, then deletes — reference statement order.
-    val upserts = finalInput.filter(col(opCol) =!= "D").drop(opCol)
-    val v1 = table.upsert(upserts,
-      assertUniqueKeys = cfg.precombineKey.isEmpty)
-    val dels = finalInput.filter(col(opCol) === "D")
-      .select(cfg.primaryKey.map(col): _*)
-    val v2 = table.delete(dels)
-    BatchResult(counts, v1, v2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Single-pass per-Op metrics (vs the reference's 4 separate counts).
+      val counts = CdcDedup.opCounts(finalInput, opCol)
+      // Upserts first, then deletes — reference statement order.
+      val upserts = finalInput.filter(col(opCol) =!= "D").drop(opCol)
+      val v1 = table.upsert(upserts,
+        assertUniqueKeys = cfg.precombineKey.isEmpty)
+      val dels = finalInput.filter(col(opCol) === "D")
+        .select(cfg.primaryKey.map(col): _*)
+      val v2 = table.delete(dels)
+      BatchResult(counts, v1, v2)
+    } finally finalInput.unpersist(blocking = false)
   }
 
   /** The recurring job: consume only files the bookmark has not seen, apply,
