@@ -26,4 +26,24 @@ object SkewSafe {
       .groupBy(keyed: _*)
       .agg(sum(col("__partial")).as("n_distinct"))
   }
+
+  /** Skew-safe equi-join: salt the big side's rows across `salts` sub-keys
+    * and replicate the small side once per sub-key, so one hot join key
+    * spreads over `salts` reducers instead of melting one. Result is
+    * row-identical to the plain inner join (each big row joins the full
+    * small-side key group exactly once, under exactly one salt). The manual
+    * form of what AQE's skew-join split does at runtime — for when the skew
+    * is known ahead (e.g. a power-law entity id) or AQE's per-partition
+    * thresholds can't see it. Shuffle cost: big side unchanged, small side
+    * ×salts — keep `salts` modest. */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    val saltedBig = big.withColumn(
+      "__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val saltedSmall = small.withColumn(
+      "__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig.join(saltedSmall, keyCols :+ "__salt").drop("__salt")
+  }
 }

@@ -160,6 +160,23 @@ object StorageQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Skew-safe salted equi-join (big side salted, small side replicated)
+    // — must be row-identical to the plain inner join.
+    Q("q68_salted_join",
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  c.c_name, c.c_mktsegment
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |""".stripMargin) { (s, d) =>
+      graft.operators.SkewSafe.saltedJoin(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        t(s, d, "customer").select(
+          col("c_custkey").as("o_custkey"), col("c_name"),
+          col("c_mktsegment")),
+        keyCols = Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "c_name", "c_mktsegment")
+    },
+
     // Skew-safe two-stage distinct count (value-salted) — must equal the
     // direct COUNT(DISTINCT) exactly; the salting is invisible in the result.
     Q("q50_salted_distinct",

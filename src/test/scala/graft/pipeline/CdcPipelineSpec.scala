@@ -24,6 +24,27 @@ class CdcPipelineSpec extends SparkSpec {
   private def state(t: CowTable): Map[Long, String] =
     t.read().select("id", "name").as[(Long, String)].collect().toMap
 
+  test("CDC merge over a hive-partitioned table, including partition moves") {
+    val pcfg = TableConfig("users", Seq("id"),
+      partitionKey = Some("seg"), precombineKey = Some("seq"))
+    val t = CowTable(spark, tmpDir("cdcp") + "/users", pcfg)
+    t.create(Seq((1L, "A", "alice", 0L), (2L, "B", "bob", 0L))
+      .toDF("id", "seg", "name", "seq"))
+    val b = Seq(
+      ("U", "2024-01-01 10:00:00", 1L, "B", "alice2", 1L), // A -> B move
+      ("I", "2024-01-01 10:00:00", 3L, "A", "carol", 1L),
+      ("D", "2024-01-01 11:00:00", 2L, "B", "bob", 2L))
+      .toDF("Op", "timestamp", "id", "seg", "name", "seq")
+    CdcPipeline.applyBatch(t, b, auditTs = lit("2024-06-01").cast("timestamp"))
+    val out = t.read().select("id", "seg", "name")
+      .as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "B", "alice2"), (3L, "A", "carol")))
+    // the moved row lives under its NEW hive partition dir, exactly once
+    val files = t.manifest(t.currentVersion).files.map(_.path)
+    assert(files.exists(_.contains("seg=B")))
+    assert(t.read().filter(col("id") === 1L).count() == 1)
+  }
+
   test("upsert + delete routing, upserts applied before deletes") {
     val t = newTable()
     val b = batch(
