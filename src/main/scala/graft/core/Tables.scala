@@ -30,7 +30,15 @@ object Tables {
   }
 
   /** Register every test table as a temp view so `spark.sql` works over the
-    * same names the DuckDB oracle uses. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    * same names the DuckDB oracle uses. Memoized per (session, dir): the SQL-
+    * surface queries each call this, and re-deriving 10 parquet schemas per
+    * query is pure overhead in a bench/verify loop. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val key = System.identityHashCode(spark) + "|" + sfDir
+    if (registered != key) {
+      names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+      registered = key
+    }
+  }
+  @volatile private var registered: String = ""
 }

@@ -411,7 +411,11 @@ final class CowTable private[storage] (
           .write.mode("overwrite")
       case None => df.write.mode("overwrite")
     }
-    writer.parquet(verDir.toString)
+    val sized =
+      if (config.maxRecordsPerFile > 0)
+        writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
+      else writer
+    sized.parquet(verDir.toString)
     val fresh = statFiles(verDir, schema)
     val entries = fresh ++ carryOver
     val m = CommitManifest(

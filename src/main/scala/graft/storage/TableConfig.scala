@@ -19,12 +19,18 @@ package graft.storage
   *                      analog of the reference's INSERT ... ORDER BY
   *                      clustering, src/iceberg/iceberg-initial-load.py:87-92,
   *                      applied to every snapshot write)
+  * @param maxRecordsPerFile upper bound on rows per data file (0 = Spark
+  *                      default, unbounded): caps file size so a skewed
+  *                      partition value or a giant merge rewrite can't
+  *                      produce multi-GB files that defeat task-level
+  *                      parallelism on later reads
   */
 final case class TableConfig(
     tableName: String,
     primaryKey: Seq[String],
     partitionKey: Option[String] = None,
     precombineKey: Option[String] = None,
-    clusterByKey: Boolean = false) {
+    clusterByKey: Boolean = false,
+    maxRecordsPerFile: Long = 0L) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
 }

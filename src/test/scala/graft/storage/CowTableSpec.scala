@@ -286,6 +286,16 @@ class CowTableSpec extends SparkSpec {
     assert(t.changedFiles(2, 3).nonEmpty)
   }
 
+  test("maxRecordsPerFile caps data-file size on every write path") {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("id"), maxRecordsPerFile = 25L)
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    assert(t.manifest(1).files.size >= 4)
+    assert(t.manifest(1).files.forall(_.rows <= 25L))
+    assert(t.read().count() == 100)
+  }
+
   test("vacuum retaining everything deletes nothing") {
     val (t, _) = freshTable()
     t.create(Seq((1L, "a")).toDF("id", "name"))
