@@ -19,6 +19,17 @@ object EmbeddingQueries {
   private val qvSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
 
+  /** DuckDB mirror of Similarity.lshBucketQ over a column named `qv`
+    * (same seeded plane-sign literals the operator embeds). */
+  private def planeCasesSql(numPlanes: Int = 6): String =
+    Similarity.planeSigns(numPlanes, 64).zipWithIndex.map {
+      case (p, i) =>
+        val arr = p.mkString("[", ",", "]")
+        s"""(CASE WHEN CAST(list_sum(list_transform(
+           |   list_zip(qv, $arr::BIGINT[]), z -> z[1]*z[2])) AS BIGINT) > 0
+           | THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact cosine top-10 for every 50th vector as query.
@@ -68,9 +79,31 @@ object EmbeddingQueries {
     },
 
     // LSH-bucketed approximate top-k — the 100 TB path (candidates from the
-    // query's bucket only). Approximate ⇒ rows-only driver check; recall vs
-    // the exact baseline is asserted in SimilaritySpec.
-    Q.noOracle("q44_ann_lsh") { (s, d) =>
+    // query's bucket only). The integer-exact bucketing + quantized rescoring
+    // make even this APPROXIMATE operator exactly reproducible, so the oracle
+    // replays the identical buckets and ranking; recall vs the exact baseline
+    // is additionally asserted in SimilaritySpec.
+    Q("q44_ann_lsh",
+      s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |      FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0),
+         |bk AS (SELECT vec_id, qv, n2, ${planeCasesSql()} AS bucket FROM n),
+         |q AS (SELECT * FROM bk WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+         |          z -> z[1]*z[2])) AS BIGINT) AS dot,
+         |        q.n2 AS qn2, c.n2 AS cn2
+         |      FROM q JOIN bk c ON c.bucket = q.bucket
+         |        AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+         |               neighbor_id) AS BIGINT) AS rank
+         |  FROM p) WHERE rank <= 10
+         |""".stripMargin) { (s, d) =>
       val e = emb(s, d)
       Similarity.annTopK(
         e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
@@ -123,13 +156,7 @@ object EmbeddingQueries {
     // arithmetic, so the oracle replays the IDENTICAL bucketing (plane sign
     // literals below are the same seeded sequence the operator embeds).
     Q("q49_embed_neardup", {
-      val planeCases = Similarity.planeSigns(6, 64).zipWithIndex.map {
-        case (p, i) =>
-          val arr = p.mkString("[", ",", "]")
-          s"""(CASE WHEN CAST(list_sum(list_transform(
-             |   list_zip(qv, $arr::BIGINT[]), z -> z[1]*z[2])) AS BIGINT) > 0
-             | THEN ${1L << i} ELSE 0 END)""".stripMargin
-      }.mkString(" + ")
+      val planeCases = planeCasesSql()
       s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |n AS (SELECT vec_id, qv,
          |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2

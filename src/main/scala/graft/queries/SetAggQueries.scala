@@ -72,6 +72,32 @@ object SetAggQueries {
         .na.fill(0L, types)
     },
 
+    // Window ranking family (rank / dense_rank / row_number / ntile) with a
+    // deterministic tie-broken ordering, top-100 per group.
+    Q("q70_rank",
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    row_number() OVER w AS rn, ntile(4) OVER w AS tile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+        |  CAST(rn AS BIGINT) AS rn, CAST(tile AS BIGINT) AS tile
+        |FROM r WHERE rn <= 100
+        |""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          row_number().over(w).cast("long").as("rn"),
+          ntile(4).over(w).cast("long").as("tile"))
+        .filter(col("rn") <= 100)
+    },
+
     // Exact linear-interpolation percentiles per group (Spark `percentile`
     // == SQL-standard PERCENTILE_CONT == DuckDB quantile_cont), Parity-
     // rounded so the double interpolation compares bit-stably.

@@ -139,6 +139,45 @@ object TextQueries {
       TextDedup.nearDupPairs(docs(s, d), "doc_id", "text")
     },
 
+    // Near-dup pairs confirmed by character-level edit distance: the LSH +
+    // Jaccard candidates re-scored with levenshtein and a length-normalized
+    // similarity — the second-stage verifier a dedup pipeline runs before
+    // dropping a document. Pair count is LSH-bounded (never all-pairs), so
+    // the O(len^2) distance only touches candidate pairs.
+    Q("q71_edit_distance",
+      s"""WITH $sigCte,
+         |hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
+         |cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |      FROM bands l JOIN bands r
+         |        ON l.band = r.band AND l.band_key = r.band_key
+         |       AND l.doc_id < r.doc_id),
+         |p AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE) AS jaccard
+         |FROM cands JOIN hd a ON a.doc_id = id_a JOIN hd b ON b.doc_id = id_b
+         |WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE) >= 0.5)
+         |SELECT p.id_a, p.id_b, p.jaccard,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         |  floor((1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    greatest(len(da.text), len(db.text))) * 10000 + 0.5) / 10000
+         |    AS norm_sim
+         |FROM p JOIN documents da ON da.doc_id = p.id_a
+         |       JOIN documents db ON db.doc_id = p.id_b
+         |""".stripMargin) { (s, d) =>
+      val dd = docs(s, d)
+      val pairs = TextDedup.nearDupPairs(dd, "doc_id", "text")
+      val ta = dd.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      val tb = dd.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+      val lev = levenshtein(col("__ta"), col("__tb"))
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          lev.cast("long").as("edit_distance"),
+          graft.core.Parity.round4(lit(1.0) - lev.cast("double") /
+            greatest(length(col("__ta")), length(col("__tb"))))
+            .as("norm_sim"))
+    },
+
     // 48-bit SimHash per document (frequency-weighted ±1 bit votes).
     Q("q41_simhash",
       s"""WITH h AS (SELECT doc_id,

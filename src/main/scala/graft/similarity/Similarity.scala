@@ -179,17 +179,20 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * exact-rescored with the same quantized cosine. Recall < 1 by design
-    * (single-probe); raise recall with fewer planes or multi-probe. */
+    * (single-probe); raise recall with fewer planes or multi-probe.
+    * Bucketing uses the integer-exact [[lshBucketQ]] (native codegen'd dot
+    * product, engine-reproducible — an external oracle can replay it;
+    * [[lshBuckets]] remains as the double-arithmetic HOF form). */
   def annTopK(
       vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val cb = lshBuckets(vectors, idCol, vecCol, numPlanes, dim, seed)
-    val qb = lshBuckets(queries, idCol, vecCol, numPlanes, dim, seed)
-    val c = prepared(vectors, idCol, vecCol).join(cb, idCol)
+    val c = prepared(vectors, idCol, vecCol)
+      .withColumn("bucket", lshBucketQ(col("__qv"), numPlanes, dim, seed))
       .select(col(idCol).as("neighbor_id"), col("bucket"),
         col("__qv").as("__cqv"), col("__n2").as("__cn2"))
-    val q = prepared(queries, idCol, vecCol).join(qb, idCol)
+    val q = prepared(queries, idCol, vecCol)
+      .withColumn("bucket", lshBucketQ(col("__qv"), numPlanes, dim, seed))
       .select(col(idCol).as("query_id"), col("bucket"),
         col("__qv").as("__qqv"), col("__n2").as("__qn2"))
     val scored = c.join(broadcast(q), Seq("bucket"))

@@ -84,18 +84,31 @@ object EventStreams {
 
   /** Drain everything currently in `dir` into an in-memory table named
     * `sink` (complete/update mode per aggregation type) and return the
-    * result — the AvailableNow test/drive harness for the two shapes. */
+    * result — the AvailableNow test/drive harness for the two shapes.
+    *
+    * State partitions are pinned low (`statePartitions`, default 8) for the
+    * stream's lifetime: a streaming aggregation materializes one state-store
+    * provider (with maintenance work) PER shuffle partition, sized for the
+    * key cardinality — a 32-partition default burns 4x the provider/
+    * checkpoint overhead for nothing on keyed state this small, and the
+    * setting is per-query (pinned into the checkpoint), not global. */
   def drainToMemory(
       spark: SparkSession, streaming: DataFrame, sink: String,
-      checkpointDir: String, mode: OutputMode): DataFrame = {
-    val q = streaming.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      checkpointDir: String, mode: OutputMode,
+      statePartitions: Int = 8): DataFrame = {
+    val k = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, statePartitions)
+    try {
+      val q = streaming.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(k, old)
     spark.table(sink)
   }
 }
