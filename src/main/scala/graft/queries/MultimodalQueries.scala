@@ -70,9 +70,23 @@ object MultimodalQueries {
     },
 
     // Byte-distribution features through the native codegen'd expression —
-    // exploded to scalars; no SQL-engine oracle for per-byte work on BLOBs,
-    // so rows-only check here + value assertions in MultimodalSpec.
-    Q.noOracle("q48_byte_features") { (s, d) =>
+    // exploded to scalars. With 16 buckets the bucket of a byte is exactly
+    // its high nibble, so the oracle counts each hex digit at the odd
+    // positions of hex(blob) — an independent SQL replay of per-byte work.
+    Q("q48_byte_features",
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    hex(CAST(text AS BLOB)) AS hx,
+        |    octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents)
+        |SELECT asset_id, modality, CAST(b.bucket AS INT) AS bucket,
+        |  CAST(len(list_filter(range(0, n),
+        |    i -> substr(hx, CAST(2*i+1 AS INT), 1) =
+        |         substr('0123456789ABCDEF', CAST(b.bucket+1 AS INT), 1)))
+        |    AS BIGINT) AS n_bytes_in_bucket
+        |FROM a, (SELECT unnest(range(0, 16)) AS bucket) b
+        |""".stripMargin) { (s, d) =>
       Multimodal.byteFeatures(Multimodal.syntheticAssets(docs(s, d)))
         .select(col("asset_id"), col("modality"),
           posexplode(col("byte_hist")).as(Seq("bucket", "n_bytes_in_bucket")))
