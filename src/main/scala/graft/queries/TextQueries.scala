@@ -234,9 +234,32 @@ object TextQueries {
     },
 
     // Character-level Rabin–Karp rolling-hash fingerprints (native O(n)
-    // expression). No SQL-engine oracle for byte-level rolling state →
-    // rows-only check + reference-implementation assert in TextDedupSpec.
-    Q.noOracle("q52_rolling_fingerprint") { (s, d) =>
+    // expression; window 32 bytes, stride 8). All arithmetic is mod 1e9+7
+    // in int64, so the oracle recomputes each window hash DIRECTLY (sum of
+    // byte*B^k — same residue, no rolling state needed) from hex(blob)
+    // bytes with the power table embedded as literals.
+    Q("q52_rolling_fingerprint", {
+      val M = 1000000007L
+      val B = 131L
+      // POWS[j+1] = B^(31-j) mod M, j = 0..31
+      val pows = Iterator.iterate(1L)(p => p * B % M).take(32)
+        .toSeq.reverse.mkString("[", ",", "]")
+      s"""WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         |             octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         |ba AS (SELECT doc_id, n, list_transform(range(0, n),
+         |         i -> ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::BIGINT)
+         |         AS bs
+         |       FROM b WHERE n >= 32),
+         |h AS (SELECT doc_id, list_distinct(list_transform(
+         |        list_filter(range(0, n - 31), s -> s % 8 = 0),
+         |        s -> CAST(list_sum(list_transform(range(0, 32),
+         |               j -> bs[CAST(s + j + 1 AS INT)] *
+         |                    ($pows::BIGINT[])[CAST(j + 1 AS INT)]))
+         |             % $M AS BIGINT))) AS fps
+         |      FROM ba)
+         |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM h
+         |""".stripMargin
+    }) { (s, d) =>
       TextDedup.rollingFingerprints(docs(s, d), "doc_id", "text")
     },
 
