@@ -77,6 +77,32 @@ final class CowTable private[storage] (
   /** Current snapshot as a DataFrame (scan of the manifest's file set). */
   def read(): DataFrame = readVersion(currentVersion)
 
+  /** Snapshot scan restricted to primary keys in `[lower, upper]` (either
+    * bound optional): files whose manifest [minKey, maxKey] cannot overlap
+    * the range are skipped BEFORE any file is opened — O(files) metadata
+    * data-skipping, the read-side twin of merge pruning. Parquet row-group
+    * stats still prune within the files that remain; the exact filter is
+    * applied on top, so results equal `read().filter(...)` always. */
+  def readRange(lower: Option[Any], upper: Option[Any]): DataFrame = {
+    val m = manifest(currentVersion)
+    val k = config.primaryKey.head
+    def str(v: Any): String = String.valueOf(v)
+    def cmp(a: String, b: String): Int =
+      if (m.keyNumeric) BigDecimal(a).compare(BigDecimal(b))
+      else CowTable.utf8Ordering.compare(a, b)
+    val kept = m.files.filter { e =>
+      (e.minKey, e.maxKey) match {
+        case (Some(mn), Some(mx)) =>
+          lower.forall(lo => cmp(mx, str(lo)) >= 0) &&
+            upper.forall(hi => cmp(mn, str(hi)) <= 0)
+        case _ => true // stats absent: must read
+      }
+    }
+    val df = readFiles(m, kept)
+    val withLo = lower.map(lo => df.filter(col(k) >= lit(lo))).getOrElse(df)
+    upper.map(hi => withLo.filter(col(k) <= lit(hi))).getOrElse(withLo)
+  }
+
   /** Oldest version whose files are guaranteed present (vacuum advances it;
     * 1 for a never-vacuumed table). */
   def earliestReadableVersion: Int = {

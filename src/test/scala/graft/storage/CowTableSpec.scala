@@ -286,6 +286,27 @@ class CowTableSpec extends SparkSpec {
     assert(t.changedFiles(2, 3).nonEmpty)
   }
 
+  test("readRange skips non-overlapping files by manifest stats, exact result") {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("id"), clusterByKey = true)
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    assert(t.manifest(1).files.size == 4)
+    val out = t.readRange(Some(150L), Some(250L))
+    // result identical to a full-scan filter
+    assert(out.as[(Long, String)].collect().toSet ==
+      t.read().filter(col("id").between(150, 250))
+        .as[(Long, String)].collect().toSet)
+    // and the scan only touches overlapping files (disjoint ranges of 100
+    // keys each => at most 3 of 4 files can overlap [150, 250])
+    assert(out.inputFiles.length <= 3,
+      s"expected pruned scan, read: ${out.inputFiles.mkString(", ")}")
+    // unbounded sides work
+    assert(t.readRange(None, Some(100L)).count() == 100)
+    assert(t.readRange(Some(301L), None).count() == 100)
+  }
+
   test("maxRecordsPerFile caps data-file size on every write path") {
     val dir = tmpDir("cow")
     val cfg = TableConfig("t", Seq("id"), maxRecordsPerFile = 25L)
