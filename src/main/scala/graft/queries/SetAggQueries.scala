@@ -116,7 +116,39 @@ object SetAggQueries {
           graft.core.Parity.round4(
             expr("percentile(l_extendedprice, 0.95)")).as("p95"),
           count(lit(1)).as("n"))
+    },
+
+    // KMV distinct sketch (typed Aggregator, O(k) state per group): the
+    // md5-derived hashing makes even the sketch ESTIMATE deterministic, so
+    // the oracle replays the exact k-minima and estimator. Exact distinct
+    // alongside for context.
+    Q("q72_kmv_distinct",
+      s"""WITH h AS (SELECT event_type, ${hash48Sql("props")} AS h
+         |           FROM events WHERE props IS NOT NULL),
+         |s AS (SELECT event_type, list_sort(list_distinct(list(h))) AS hs,
+         |        count(DISTINCT h) AS nd
+         |      FROM h GROUP BY event_type)
+         |SELECT event_type,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+         |            / CAST(hs[64] AS DOUBLE)
+         |  END AS kmv_distinct,
+         |  CAST(nd AS BIGINT) AS n_exact
+         |FROM s
+         |""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .filter(col("props").isNotNull)
+        .withColumn("__h", graft.text.TextFunctions.md5Hash48(col("props")))
+        .groupBy("event_type")
+        .agg(
+          graft.functions.KmvSketch.kmvDistinct(col("__h"), 64)
+            .as("kmv_distinct"),
+          count_distinct(col("__h")).as("n_exact"))
     })
 
   private def Parity4(e: String): String = graft.core.Parity.round4Sql(e)
+
+  /** DuckDB mirror of TextFunctions.md5Hash48. */
+  private def hash48Sql(x: String): String =
+    s"('0x' || substr(md5($x), 1, 12))::BIGINT"
 }
