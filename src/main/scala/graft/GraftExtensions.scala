@@ -38,7 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(e.foldable &&
       Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType),
       name, sig)
-    e.eval().asInstanceOf[Number].intValue()
+    val v = e.eval().asInstanceOf[Number].longValue()
+    // no silent Int truncation — a LongType literal out of Int range would
+    // otherwise run with a wrapped value instead of erroring
+    require(v >= Int.MinValue && v <= Int.MaxValue, name, sig)
+    v.toInt
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

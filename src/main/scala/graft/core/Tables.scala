@@ -34,11 +34,13 @@ object Tables {
     * surface queries each call this, and re-deriving 10 parquet schemas per
     * query is pure overhead in a bench/verify loop. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    val key = System.identityHashCode(spark) + "|" + sfDir
-    if (registered != key) {
+    // weak keys: a stopped session must neither be pinned in memory nor
+    // (via identity-hash collision) suppress registration for its successor
+    if (registered.get(spark) != sfDir) {
       names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
-      registered = key
+      registered.put(spark, sfDir)
     }
   }
-  @volatile private var registered: String = ""
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, String]()
 }

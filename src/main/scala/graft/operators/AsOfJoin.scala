@@ -31,13 +31,21 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, tieCol: String,
       payload: Seq[(String, String)]): DataFrame = {
-    val outCols = payload.map(_._2)
-    val l = payload.foldLeft(left.withColumn("__tag", lit(1))) {
-      case (df, (_, out)) => df.withColumn(out, lit(null))
-    }
+    // The payload is carried as ONE struct per right row, not per-column:
+    // independent last(_, ignoreNulls) per column would resurrect an older
+    // row's value wherever the as-of row's field is genuinely null, and
+    // could tear fields of different right rows into a pair that never
+    // existed. The struct itself is never null on right rows (even if every
+    // field is), so last(ignoreNulls) picks exactly the as-of row.
+    val payStruct = org.apache.spark.sql.types.StructType(
+      right.select(payload.map { case (in, out) =>
+        col(in).as(out) }: _*).schema.fields)
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__asof", lit(null).cast(payStruct))
     val r0 = right.select(
-      (keyCols :+ tsCol :+ tieCol).map(col) ++
-        payload.map { case (in, out) => col(in).as(out) }: _*)
+      (keyCols :+ tsCol :+ tieCol).map(col) :+
+        struct(payload.map { case (in, out) => col(in).as(out) }: _*)
+          .as("__asof"): _*)
     // left columns absent on the right side: null-pad via unionByName
     val u = l.unionByName(
       r0.withColumn("__tag", lit(0)), allowMissingColumns = true)
@@ -45,9 +53,10 @@ object AsOfJoin {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = outCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    val carried = u.withColumn(
+      "__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col("__tag") === 1)) {
+      case (df, (_, out)) => df.withColumn(out, col("__asof").getField(out))
+    }.drop("__tag", "__asof")
   }
 }

@@ -40,8 +40,17 @@ object SkewSafe {
       big: DataFrame, small: DataFrame, keyCols: Seq[String],
       salts: Int = 8): DataFrame = {
     require(salts >= 1, "salts must be positive")
+    // The salt must be DETERMINISTIC per row: monotonically_increasing_id/
+    // rand re-salt rows differently when a lost map task is recomputed, so
+    // reducers that already fetched the old copies see rows twice or never
+    // (the SPARK-23207 failure class — worst exactly in the retry-heavy
+    // regime this operator targets). Hash the full row instead: stable under
+    // recomputation; only EXACT duplicate rows share a salt (they carry
+    // identical join output anyway, and such duplicates concentrate only if
+    // the hot key's rows are byte-identical).
     val saltedBig = big.withColumn(
-      "__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      "__salt", pmod(xxhash64(struct(big.columns.map(col): _*)),
+        lit(salts.toLong)))
     val saltedSmall = small.withColumn(
       "__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(saltedSmall, keyCols :+ "__salt").drop("__salt")

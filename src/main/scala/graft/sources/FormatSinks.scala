@@ -20,14 +20,31 @@ object FormatSinks {
     df.write.mode("overwrite")
       .option("header", "true")
       // quote/escape defaults handle embedded commas/newlines; timestamps
-      // written as ISO-8601 so the read side parses them losslessly
+      // written as ISO-8601 so the read side parses them losslessly.
+      // Whitespace trimming is OFF both sides (write-side default trims!)
+      // and "" is written quoted so it survives as empty, not null — without
+      // these, " padded " and "" silently break the exact round-trip.
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      // nulls get a distinct sentinel: CSV cannot otherwise distinguish a
+      // null cell from an empty string (both read back as null)
+      .option("nullValue", "\\N")
+      .option("emptyValue", "\"\"")
       .csv(dir)
 
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", "\\N")
+      // quoted embedded newlines span physical lines — without multiLine the
+      // line-based reader tears such records. Parallelism note: multiLine
+      // parses each FILE whole, so split-level parallelism comes from the
+      // many part files the writer emits, not intra-file splits.
+      .option("multiLine", "true")
       .schema(schema)
       .csv(dir)
 

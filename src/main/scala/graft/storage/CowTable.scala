@@ -230,6 +230,11 @@ final class CowTable private[storage] (
     * to order multi-commit feeds (a key updated twice in the range appears
     * twice; latest version wins). */
   def readChangesWithVersion(fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion
+      && toVersion <= currentVersion, "bad version range")
+    require(fromVersion >= earliestReadableVersion - 1,
+      s"change feed from $fromVersion crosses vacuumed versions (earliest " +
+        s"readable: $earliestReadableVersion)")
     val mTo = manifest(toVersion)
     val schema = structFromJson(mTo.schemaJson)
     var prev: Set[String] =

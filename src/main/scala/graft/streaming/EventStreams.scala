@@ -91,7 +91,11 @@ object EventStreams {
     * provider (with maintenance work) PER shuffle partition, sized for the
     * key cardinality — a 32-partition default burns 4x the provider/
     * checkpoint overhead for nothing on keyed state this small, and the
-    * setting is per-query (pinned into the checkpoint), not global. */
+    * setting is per-query (pinned into the checkpoint), not global.
+    * NB the pin is applied by temporarily setting the session conf for the
+    * drain's duration (Spark reads it at stream start; there is no
+    * per-query knob) — callers sharing one session across threads should
+    * not plan OTHER queries concurrently with a drain. */
   def drainToMemory(
       spark: SparkSession, streaming: DataFrame, sink: String,
       checkpointDir: String, mode: OutputMode,

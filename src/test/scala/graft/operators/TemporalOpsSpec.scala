@@ -72,6 +72,25 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("asof: payload is atomic — null fields of the as-of row are NOT " +
+    "backfilled from older rows, and fields never tear across rows") {
+    import org.apache.spark.sql.functions.col
+    val quotes = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", Some(5.0), Some(6.0)),
+      (1L, 11L, "2024-01-01 02:00:00", None, Some(7.0)))
+      .toDF("user_id", "event_id", "ts_s", "bid", "ask")
+      .selectExpr("user_id", "event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+        "bid", "ask")
+    val orders = ev((1L, 20L, "2024-01-01 03:00:00", 0))
+    val out = AsOfJoin.backward(orders, quotes, Seq("user_id"), "ts",
+      "event_id", Seq("bid" -> "bid", "ask" -> "ask"))
+      .select("bid", "ask").collect().head
+    // the as-of quote is event 11: bid genuinely null, ask 7.0 — event 10's
+    // bid=5.0 must not leak in
+    assert(out.isNullAt(0), s"expected null bid, got $out")
+    assert(out.getDouble(1) == 7.0)
+  }
+
   test("asof: keys never match across users; equal-ts right ties pick max id") {
     val clicks = ev(
       (1L, 10L, "2024-01-01 00:00:00", 0),

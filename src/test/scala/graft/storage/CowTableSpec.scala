@@ -282,6 +282,8 @@ class CowTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readVersion(1))
     intercept[IllegalArgumentException](t.rollbackTo(1))
     intercept[IllegalArgumentException](t.changedFiles(0, 3))
+    intercept[IllegalArgumentException](t.readChangesWithVersion(0, 3))
+    intercept[IllegalArgumentException](t.readChangesWithVersion(5, 3))
     // the retained window keeps full fidelity
     assert(t.changedFiles(2, 3).nonEmpty)
   }
