@@ -175,5 +175,32 @@ object TemporalQueries {
       purchases.join(counts, Seq("event_id"), "left")
         .select(col("event_id"), col("user_id"), col("ts"),
           coalesce(col("n_recent_clicks"), lit(0L)).as("n_recent_clicks"))
+    },
+
+    // Watermarked stream-stream interval join drained with AvailableNow:
+    // same pairs as q66's batch range join, produced by the streaming
+    // operator with bounded buffered state (inner join => watermarks bound
+    // state, not output, so the result is exactly the batch interval join).
+    Q("q73_stream_join",
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND epoch_us(c.c_ts) >= epoch_us(p.p_ts) - 3600000000
+        |  AND epoch_us(c.c_ts) <= epoch_us(p.p_ts)
+        |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q73")
+      CowTable.deleteRecursively(Paths.get(base))
+      val src = base + "/src"
+      t(s, d, "events").select("event_id", "ts", "user_id", "event_type")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      EventStreams.drainToMemory(
+        s, EventStreams.intervalJoin(s, src, schema),
+        "q73_sink", base + "/ckpt", OutputMode.Append())
     })
 }

@@ -51,6 +51,33 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Watermarked stream-stream INNER interval join: purchases joined to the
+    * same user's clicks within `[purchase_ts - windowSec, purchase_ts]`.
+    * Both sides carry watermarks so the join's buffered state is bounded
+    * (clicks older than the watermark minus the interval are evicted); for
+    * an inner join the emitted pairs are exactly the batch interval-join
+    * result — watermarks bound STATE, not output — which is what makes the
+    * drained result oracle-checkable. */
+  def intervalJoin(
+      spark: SparkSession, dir: String, schema: StructType,
+      watermark: String = "2 hours", windowSec: Long = 3600L): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserRunningState(n: Long, total: Double)
   final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
