@@ -317,9 +317,11 @@ final class CowTable private[storage] (
 
   // ---- internals ----------------------------------------------------------
 
-  /** Distinct source keys above which pruning falls back from the exact
-    * key-set check to min/max range overlap (bounds driver memory). */
-  private val pruneKeyLimit = 100000
+  /** Distinct source keys above which pruning switches from the driver-side
+    * key-set check to the distributed range join (bounds driver memory;
+    * conf-overridable for tests). */
+  private def pruneKeyLimit: Int =
+    spark.conf.get("graft.pruneKeyLimit", "100000").toInt
 
   /** Partition manifest files into (touched, untouched) for a merge source.
     *
@@ -343,20 +345,37 @@ final class CowTable private[storage] (
     if (keys.isEmpty) None
     else if (keys.contains(null)) Some((m.files, Nil))
     else if (keys.length > pruneKeyLimit) {
-      val r = source
-        .agg(min(col(k)).cast("string"), max(col(k)).cast("string")).head()
-      val (lo, hi) = (r.getString(0), r.getString(1))
-      def overlaps(e: FileEntry): Boolean = (e.minKey, e.maxKey) match {
-        case (Some(mn), Some(mx)) =>
-          if (m.keyNumeric)
-            !(BigDecimal(mx) < BigDecimal(lo) || BigDecimal(mn) > BigDecimal(hi))
-          else {
-            val o = CowTable.utf8Ordering
-            !(o.lt(mx, lo) || o.gt(mn, hi))
-          }
-        case _ => true
-      }
-      Some(m.files.partition(overlaps))
+      // Distributed EXACT prune for oversized batches: join the batch's
+      // keys against the broadcast file ranges and collect only the O(files)
+      // set of touched file ids. Range-overlap on the batch's global
+      // [min, max] would rewrite the whole table whenever a batch mixes one
+      // low and one high key (any insert of a new max key does); this stays
+      // exact at any batch size for O(batch) distributed work. String
+      // comparison in Spark is UTF8String byte order — the same order the
+      // file stats are in; numeric keys compare in the key's native type
+      // (stat strings cast back).
+      if (source.filter(col(k).isNull).limit(1).count() > 0)
+        return Some((m.files, Nil)) // stats cannot locate null keys
+      val keyType = source.schema(k).dataType
+      val spark0 = source.sparkSession
+      import spark0.implicits._
+      val statless = m.files.zipWithIndex.collect {
+        case (e, i) if e.minKey.isEmpty || e.maxKey.isEmpty => i
+      }.toSet
+      val ranges = m.files.zipWithIndex.collect {
+        case (e, i) if e.minKey.isDefined && e.maxKey.isDefined =>
+          (i, e.minKey.get, e.maxKey.get)
+      }.toDF("__fid", "__mn", "__mx")
+        .select(col("__fid"),
+          col("__mn").cast(keyType).as("__mn"),
+          col("__mx").cast(keyType).as("__mx"))
+      val touchedIds = source.select(col(k).as("__k")).distinct()
+        .join(broadcast(ranges),
+          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+        .select("__fid").distinct()
+        .collect().map(_.getInt(0)).toSet ++ statless
+      Some(m.files.zipWithIndex.partition { case (_, i) => touchedIds(i) }
+        match { case (t, u) => (t.map(_._1), u.map(_._1)) })
     } else if (m.keyNumeric)
       Some(m.files.partition(containsAny(
         _, keys.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_))))

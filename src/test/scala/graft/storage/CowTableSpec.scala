@@ -309,6 +309,26 @@ class CowTableSpec extends SparkSpec {
     assert(t.readRange(Some(301L), None).count() == 100)
   }
 
+  test("oversized batches prune via the distributed range join, still exact") {
+    val (t, _) = freshTable()
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id")))
+    // force the distributed path: treat any batch over 2 keys as oversized
+    spark.conf.set("graft.pruneKeyLimit", "2")
+    try {
+      // keys 10 and 399: touches exactly the first and last of 4 files —
+      // a global [min,max] overlap would have touched all 4
+      t.upsert(Seq((10L, "u10"), (399L, "u399"), (500L, "new"))
+        .toDF("id", "name"))
+      val v2 = t.manifest(2)
+      val carried = v2.files.map(_.path).count(_.startsWith("v00001/"))
+      assert(carried == 2, s"expected 2 carried files: ${v2.files.map(_.path)}")
+      val out = t.read().as[(Long, String)].collect().toMap
+      assert(out.size == 401 && out(10L) == "u10" && out(399L) == "u399"
+        && out(500L) == "new" && out(200L) == "n200")
+    } finally spark.conf.unset("graft.pruneKeyLimit")
+  }
+
   test("maxRecordsPerFile caps data-file size on every write path") {
     val dir = tmpDir("cow")
     val cfg = TableConfig("t", Seq("id"), maxRecordsPerFile = 25L)
