@@ -263,6 +263,75 @@ object TextQueries {
       TextDedup.rollingFingerprints(docs(s, d), "doc_id", "text")
     },
 
+    // End-to-end corpus build — the canonical LLM-data pipeline composed
+    // from the individually-verified operators: language filter (heuristic
+    // agrees with the labeled lang), quality threshold, near-dup removal
+    // (drop the higher doc_id of each verified pair), and a deterministic
+    // hash-based 80% sample. Every stage is the same code the per-operator
+    // queries check; the oracle composes their SQL replays.
+    Q("q74_corpus_build",
+      s"""WITH $sigCte,
+         |hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
+         |cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |      FROM bands l JOIN bands r
+         |        ON l.band = r.band AND l.band_key = r.band_key
+         |       AND l.doc_id < r.doc_id),
+         |losers AS (SELECT DISTINCT id_b FROM cands
+         |  JOIN hd a ON a.doc_id = id_a JOIN hd b ON b.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE)
+         |        >= 0.5),
+         |lt AS (SELECT doc_id, lang,
+         |  list_transform($toksSql, x -> lower(x)) AS lw FROM documents),
+         |lp AS (SELECT doc_id,
+         |  CASE WHEN len(list_filter(lw, x -> x IN ('the','a','of','and','to')))
+         |         >= len(list_filter(lw, x -> x IN ('el','la','de','los','que')))
+         |        AND len(list_filter(lw, x -> x IN ('the','a','of','and','to')))
+         |         >= len(list_filter(lw, x -> x IN ('le','les','des','et','une')))
+         |        AND len(list_filter(lw, x -> x IN ('the','a','of','and','to')))
+         |         >= len(list_filter(lw, x -> x IN ('der','die','das','und','ist')))
+         |        THEN 'en'
+         |       WHEN len(list_filter(lw, x -> x IN ('el','la','de','los','que')))
+         |         >= len(list_filter(lw, x -> x IN ('le','les','des','et','une')))
+         |        AND len(list_filter(lw, x -> x IN ('el','la','de','los','que')))
+         |         >= len(list_filter(lw, x -> x IN ('der','die','das','und','ist')))
+         |        THEN 'es'
+         |       WHEN len(list_filter(lw, x -> x IN ('le','les','des','et','une')))
+         |         >= len(list_filter(lw, x -> x IN ('der','die','das','und','ist')))
+         |        THEN 'fr' ELSE 'de' END AS lang_pred
+         |  FROM lt),
+         |qs AS (SELECT doc_id,
+         |  floor((least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |         least(CAST(len(list_distinct($toksSql)) AS DOUBLE) /
+         |               CAST(len($toksSql) AS DOUBLE), 1.0) * 0.3 +
+         |         least(CAST(len(list_filter(list_transform($toksSql,
+         |                 x -> lower(x)), x -> x IN ('the','a','of','and','to')))
+         |               AS DOUBLE) /
+         |               CAST(len($toksSql) AS DOUBLE) * 5.0, 1.0) * 0.2)
+         |        * 10000 + 0.5) / 10000 AS quality_score
+         |  FROM documents)
+         |SELECT dc.doc_id, dc.lang, dc.source, qs.quality_score
+         |FROM documents dc
+         |JOIN lp ON lp.doc_id = dc.doc_id
+         |JOIN qs ON qs.doc_id = dc.doc_id
+         |WHERE lp.lang_pred = dc.lang
+         |  AND qs.quality_score >= 0.5
+         |  AND dc.doc_id NOT IN (SELECT id_b FROM losers)
+         |  AND ${hash48Sql("dc.text")} % 10 < 8
+         |""".stripMargin) { (s, d) =>
+      val dd = docs(s, d)
+      val losers = TextDedup.nearDupPairs(dd, "doc_id", "text")
+        .select(col("id_b").as("doc_id")).distinct()
+      dd.select(col("doc_id"), col("lang"), col("source"),
+          TextStats.languageId(col("text")).as("__lang_pred"),
+          TextStats.qualityScore(col("text")).as("quality_score"),
+          TextFunctions.md5Hash48(col("text")).as("__h"))
+        .filter(col("__lang_pred") === col("lang") &&
+          col("quality_score") >= 0.5 && col("__h") % 10 < 8)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "quality_score")
+    },
+
     // Exact-dedup projection: keep one row (min doc_id) per distinct text.
     Q("q45_dedup_keep",
       """SELECT doc_id, lang, source, n_chars FROM documents
