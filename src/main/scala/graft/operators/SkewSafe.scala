@@ -48,9 +48,22 @@ object SkewSafe {
     // recomputation; only EXACT duplicate rows share a salt (they carry
     // identical join output anyway, and such duplicates concentrate only if
     // the hot key's rows are byte-identical).
+    // xxhash64 rejects MAP-typed inputs — hash only the hashable columns
+    // (dropping a map column just coarsens salt spread, never correctness)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = big.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
     val saltedBig = big.withColumn(
-      "__salt", pmod(xxhash64(struct(big.columns.map(col): _*)),
-        lit(salts.toLong)))
+      "__salt",
+      if (hashCols.nonEmpty)
+        pmod(xxhash64(struct(hashCols.toIndexedSeq: _*)), lit(salts.toLong))
+      else lit(0L))
     val saltedSmall = small.withColumn(
       "__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(saltedSmall, keyCols :+ "__salt").drop("__salt")

@@ -28,7 +28,10 @@ object FormatSinks {
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       // nulls get a distinct sentinel: CSV cannot otherwise distinguish a
-      // null cell from an empty string (both read back as null)
+      // null cell from an empty string (both read back as null). Known
+      // limit: a string cell whose VALUE is exactly the two characters \N
+      // round-trips as null (Spark CSV offers no sentinel escaping) — pick
+      // another sentinel via this option if that collides with your data.
       .option("nullValue", "\\N")
       .option("emptyValue", "\"\"")
       .csv(dir)

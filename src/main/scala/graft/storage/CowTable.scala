@@ -86,7 +86,17 @@ final class CowTable private[storage] (
   def readRange(lower: Option[Any], upper: Option[Any]): DataFrame = {
     val m = manifest(currentVersion)
     val k = config.primaryKey.head
-    def str(v: Any): String = String.valueOf(v)
+    // bounds must compare in the stats' value space: temporal keys' stats
+    // are physical integers (micros / days since epoch)
+    def str(v: Any): String = v match {
+      case t: java.sql.Timestamp =>
+        ((t.getTime / 1000L) * 1000000L + t.getNanos / 1000L).toString
+      case d0: java.sql.Date => d0.toLocalDate.toEpochDay.toString
+      case d0: java.time.LocalDate => d0.toEpochDay.toString
+      case i: java.time.Instant =>
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+      case other => String.valueOf(other)
+    }
     def cmp(a: String, b: String): Int =
       if (m.keyNumeric) BigDecimal(a).compare(BigDecimal(b))
       else CowTable.utf8Ordering.compare(a, b)
@@ -201,12 +211,17 @@ final class CowTable private[storage] (
     * compaction removed stay readable (COW never deletes), so the walk is
     * exact even with interleaved compactions. O(files·versions) metadata,
     * reads only the changed files. */
-  def changedFiles(fromVersion: Int, toVersion: Int): Seq[FileEntry] = {
+  /** Shared guard for both change-feed entry points. */
+  private def requireFeedRange(fromVersion: Int, toVersion: Int): Unit = {
     require(fromVersion >= 0 && fromVersion <= toVersion
       && toVersion <= currentVersion, "bad version range")
     require(fromVersion >= earliestReadableVersion - 1,
       s"change feed from $fromVersion crosses vacuumed versions (earliest " +
         s"readable: $earliestReadableVersion)")
+  }
+
+  def changedFiles(fromVersion: Int, toVersion: Int): Seq[FileEntry] = {
+    requireFeedRange(fromVersion, toVersion)
     val out = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
     var prev: Set[String] =
       if (fromVersion == 0) Set.empty
@@ -230,11 +245,7 @@ final class CowTable private[storage] (
     * to order multi-commit feeds (a key updated twice in the range appears
     * twice; latest version wins). */
   def readChangesWithVersion(fromVersion: Int, toVersion: Int): DataFrame = {
-    require(fromVersion >= 0 && fromVersion <= toVersion
-      && toVersion <= currentVersion, "bad version range")
-    require(fromVersion >= earliestReadableVersion - 1,
-      s"change feed from $fromVersion crosses vacuumed versions (earliest " +
-        s"readable: $earliestReadableVersion)")
+    requireFeedRange(fromVersion, toVersion)
     val mTo = manifest(toVersion)
     val schema = structFromJson(mTo.schemaJson)
     var prev: Set[String] =
@@ -323,6 +334,27 @@ final class CowTable private[storage] (
   private def pruneKeyLimit: Int =
     spark.conf.get("graft.pruneKeyLimit", "100000").toInt
 
+  /** Timestamp/date keys prune NUMERICALLY on their physical integers
+    * (micros / days since epoch) — that is the form parquet footer stats
+    * arrive in, and `CAST(ts AS STRING)` datetime text would compare
+    * garbage against it (a silent way to misclassify files as untouched
+    * and duplicate rows on merge). */
+  private def statKeyNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** The key column in the same value space the stats strings use. */
+  private def keyStatColumn(
+      c: org.apache.spark.sql.Column, dt: DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+    case org.apache.spark.sql.types.DateType => unix_date(c)
+    case _ => c
+  }
+
   /** Partition manifest files into (touched, untouched) for a merge source.
     *
     * Exact key-set pruning: collect the batch's distinct keys (CDC batches
@@ -339,7 +371,9 @@ final class CowTable private[storage] (
       : Option[(Seq[FileEntry], Seq[FileEntry])] = {
     val k = config.primaryKey.head
     if (!source.columns.contains(k)) return Some((m.files, Nil))
-    val keys = source.select(col(k).cast("string")).distinct()
+    val keyDt = source.schema(k).dataType
+    val keyStat = keyStatColumn(col(k), keyDt)
+    val keys = source.select(keyStat.cast("string")).distinct()
       .limit(pruneKeyLimit + 1).collect()
       .map(r => if (r.isNullAt(0)) null else r.getString(0))
     if (keys.isEmpty) None
@@ -350,32 +384,38 @@ final class CowTable private[storage] (
       // set of touched file ids. Range-overlap on the batch's global
       // [min, max] would rewrite the whole table whenever a batch mixes one
       // low and one high key (any insert of a new max key does); this stays
-      // exact at any batch size for O(batch) distributed work. String
-      // comparison in Spark is UTF8String byte order — the same order the
-      // file stats are in; numeric keys compare in the key's native type
-      // (stat strings cast back).
-      if (source.filter(col(k).isNull).limit(1).count() > 0)
-        return Some((m.files, Nil)) // stats cannot locate null keys
-      val keyType = source.schema(k).dataType
+      // exact at any batch size for O(batch) distributed work. String keys
+      // compare in Spark's UTF8String byte order — the same order the file
+      // stats are in; numeric/temporal keys compare as DECIMAL(38,10) on
+      // both sides (stat strings never cast to e.g. TimestampType, which
+      // would throw under ANSI and silently null-out — misprune — without).
       val spark0 = source.sparkSession
       import spark0.implicits._
-      val statless = m.files.zipWithIndex.collect {
-        case (e, i) if e.minKey.isEmpty || e.maxKey.isEmpty => i
-      }.toSet
-      val ranges = m.files.zipWithIndex.collect {
-        case (e, i) if e.minKey.isDefined && e.maxKey.isDefined =>
-          (i, e.minKey.get, e.maxKey.get)
-      }.toDF("__fid", "__mn", "__mx")
-        .select(col("__fid"),
-          col("__mn").cast(keyType).as("__mn"),
-          col("__mx").cast(keyType).as("__mx"))
-      val touchedIds = source.select(col(k).as("__k")).distinct()
-        .join(broadcast(ranges),
-          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-        .select("__fid").distinct()
-        .collect().map(_.getInt(0)).toSet ++ statless
-      Some(m.files.zipWithIndex.partition { case (_, i) => touchedIds(i) }
-        match { case (t, u) => (t.map(_._1), u.map(_._1)) })
+      val keyed = source.select(keyStat.as("__k")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (keyed.filter(col("__k").isNull).limit(1).count() > 0)
+          return Some((m.files, Nil)) // stats cannot locate null keys
+        val statless = m.files.zipWithIndex.collect {
+          case (e, i) if e.minKey.isEmpty || e.maxKey.isEmpty => i
+        }.toSet
+        def side(c: org.apache.spark.sql.Column) =
+          if (m.keyNumeric) c.cast("decimal(38,10)") else c.cast("string")
+        val ranges = m.files.zipWithIndex.collect {
+          case (e, i) if e.minKey.isDefined && e.maxKey.isDefined =>
+            (i, e.minKey.get, e.maxKey.get)
+        }.toDF("__fid", "__mn", "__mx")
+          .select(col("__fid"),
+            side(col("__mn")).as("__mn"), side(col("__mx")).as("__mx"))
+        val touchedIds = keyed
+          .select(side(col("__k")).as("__k"))
+          .join(broadcast(ranges),
+            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select("__fid").distinct()
+          .collect().map(_.getInt(0)).toSet ++ statless
+        Some(m.files.zipWithIndex.partition { case (_, i) => touchedIds(i) }
+          match { case (t, u) => (t.map(_._1), u.map(_._1)) })
+      } finally keyed.unpersist(blocking = false)
     } else if (m.keyNumeric)
       Some(m.files.partition(containsAny(
         _, keys.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_))))
@@ -475,7 +515,7 @@ final class CowTable private[storage] (
       primaryKey = config.primaryKey,
       partitionKey = config.partitionKey,
       keyNumeric = Try(schema(config.primaryKey.head).dataType)
-        .map(_.isInstanceOf[NumericType]).getOrElse(false),
+        .map(statKeyNumeric).getOrElse(false),
       rowCount = entries.map(_.rows).sum,
       files = entries,
       dataChange = dataChange)
@@ -506,9 +546,16 @@ final class CowTable private[storage] (
     }
     if (parquetFiles.isEmpty) return Nil
     val numericKey = schema.find(_.name == config.primaryKey.head)
-      .exists(_.dataType.isInstanceOf[NumericType])
-    Try(parquetFiles.map(footerStat(_, numericKey)))
-      .getOrElse(scanStats(verDir))
+      .exists(f => statKeyNumeric(f.dataType))
+    Try(parquetFiles.map(footerStat(_, numericKey))).toOption match {
+      // INT96-era timestamp keys (and other types parquet keeps no stats
+      // for) come back stat-less from every footer — fall back to the
+      // columnar key scan rather than committing a manifest that can never
+      // prune. Legitimately empty writes keep their (stat-less) entries.
+      case Some(es)
+        if es.exists(_.minKey.isDefined) || es.forall(_.rows == 0) => es
+      case _ => scanStats(verDir)
+    }
   }
 
   private def footerStat(file: Path, numericKey: Boolean): FileEntry = {
@@ -560,9 +607,12 @@ final class CowTable private[storage] (
         .parquet(verDir.toString)
       val hasKey = df.columns.contains(k)
       val aggs =
-        if (hasKey) Seq(count(lit(1)),
-          min(col(k)).cast("string"), max(col(k)).cast("string"))
-        else Seq(count(lit(1)), lit(null).cast("string"), lit(null).cast("string"))
+        if (hasKey) {
+          // same value space as footer stats (temporal keys → physical ints)
+          val ks = keyStatColumn(col(k), df.schema(k).dataType)
+          Seq(count(lit(1)), min(ks).cast("string"), max(ks).cast("string"))
+        } else Seq(count(lit(1)),
+          lit(null).cast("string"), lit(null).cast("string"))
       df.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq

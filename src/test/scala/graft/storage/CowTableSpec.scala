@@ -309,6 +309,45 @@ class CowTableSpec extends SparkSpec {
     assert(t.readRange(Some(301L), None).count() == 100)
   }
 
+  test("timestamp-keyed tables prune correctly (footer stats are micros)") {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("ts"))
+    val t = CowTable(spark, dir + "/t", cfg)
+    // 400 unique keys over 8 hours; 4 files of disjoint 2-hour ranges
+    val df = (0L until 400L)
+      .map(i => (java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 50}%02d:${i % 50}%02d:00"), i))
+      .toDF("ts", "v")
+    t.create(df.repartitionByRange(4, col("ts")))
+    assert(t.manifest(1).files.size == 4)
+    assert(t.manifest(1).keyNumeric, "temporal keys must prune numerically")
+    // update one key in hour 0: only that file may be rewritten
+    val src = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 999L))
+      .toDF("ts", "v")
+    t.upsert(src)
+    val carried = t.manifest(2).files.map(_.path)
+      .count(_.startsWith("v00001/"))
+    assert(carried == 3, s"expected 3 carried files: ${t.manifest(2).files}")
+    val out = t.read().as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(out(java.sql.Timestamp.valueOf("2024-01-01 00:05:00")) == 999L)
+    assert(out.size == 400)
+    // the distributed prune path agrees (force it)
+    spark.conf.set("graft.pruneKeyLimit", "0")
+    try {
+      t.upsert(Seq((java.sql.Timestamp.valueOf("2024-01-01 03:04:00"), 888L))
+        .toDF("ts", "v"))
+      assert(t.manifest(3).files.map(_.path).count(f =>
+        f.startsWith("v00001/") || f.startsWith("v00002/")) == 3)
+      assert(t.read().count() == 400)
+    } finally spark.conf.unset("graft.pruneKeyLimit")
+    // readRange with timestamp bounds uses the same micros space
+    val hour0 = t.readRange(
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:59:59")))
+    assert(hour0.count() == 50)
+    assert(hour0.inputFiles.length <= 2, "expected manifest-level skip")
+  }
+
   test("oversized batches prune via the distributed range join, still exact") {
     val (t, _) = freshTable()
     t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
