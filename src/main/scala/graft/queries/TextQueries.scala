@@ -24,6 +24,32 @@ object TextQueries {
   private def hash48Sql(x: String) =
     s"('0x' || substr(md5($x), 1, 12))::BIGINT"
 
+  /** Stopword list literals (mirror TextStats.stopwords) — single source
+    * for every oracle that scores or classifies by stopwords. */
+  private val stopEn = "'the','a','of','and','to'"
+  private val stopEs = "'el','la','de','los','que'"
+  private val stopFr = "'le','les','des','et','une'"
+  private val stopDe = "'der','die','das','und','ist'"
+
+  /** Language argmax CASE over four count expressions (ties resolve
+    * en > es > fr > de, mirroring TextStats.languageId). */
+  private def langPredCaseSql(
+      cEn: String, cEs: String, cFr: String, cDe: String): String =
+    s"""CASE WHEN $cEn >= $cEs AND $cEn >= $cFr AND $cEn >= $cDe THEN 'en'
+       |     WHEN $cEs >= $cFr AND $cEs >= $cDe THEN 'es'
+       |     WHEN $cFr >= $cDe THEN 'fr' ELSE 'de' END""".stripMargin
+
+  /** Quality blend over a `documents` row (mirror TextStats.qualityScore). */
+  private val qualityScoreSql =
+    s"""floor((least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+       |       least(CAST(len(list_distinct($toksSql)) AS DOUBLE) /
+       |             CAST(len($toksSql) AS DOUBLE), 1.0) * 0.3 +
+       |       least(CAST(len(list_filter(list_transform($toksSql,
+       |               x -> lower(x)), x -> x IN ($stopEn)))
+       |             AS DOUBLE) /
+       |             CAST(len($toksSql) AS DOUBLE) * 5.0, 1.0) * 0.2)
+       |      * 10000 + 0.5) / 10000""".stripMargin
+
   /** CTE stack: toks → word 3-gram shingles → distinct → 48-bit hashes →
     * 64 affine minhashes (mod 2^31-1). */
   private val sigCte =
@@ -73,15 +99,13 @@ object TextQueries {
       s"""WITH c AS (SELECT doc_id, lang,
          |  list_transform($toksSql, x -> lower(x)) AS lt FROM documents),
          |n AS (SELECT doc_id, lang,
-         |  CAST(len(list_filter(lt, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS c_en,
-         |  CAST(len(list_filter(lt, x -> x IN ('el','la','de','los','que'))) AS BIGINT) AS c_es,
-         |  CAST(len(list_filter(lt, x -> x IN ('le','les','des','et','une'))) AS BIGINT) AS c_fr,
-         |  CAST(len(list_filter(lt, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS c_de
+         |  CAST(len(list_filter(lt, x -> x IN ($stopEn))) AS BIGINT) AS c_en,
+         |  CAST(len(list_filter(lt, x -> x IN ($stopEs))) AS BIGINT) AS c_es,
+         |  CAST(len(list_filter(lt, x -> x IN ($stopFr))) AS BIGINT) AS c_fr,
+         |  CAST(len(list_filter(lt, x -> x IN ($stopDe))) AS BIGINT) AS c_de
          |FROM c)
          |SELECT doc_id, lang,
-         |  CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
-         |       WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
-         |       WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS lang_pred,
+         |  ${langPredCaseSql("c_en", "c_es", "c_fr", "c_de")} AS lang_pred,
          |  c_en AS n_stopwords_en
          |FROM n
          |""".stripMargin) { (s, d) =>
@@ -93,18 +117,8 @@ object TextQueries {
 
     // Composite quality score (clamped linear blend, Parity-rounded).
     Q("q38_quality_score",
-      s"""WITH b AS (SELECT doc_id,
-         |  CAST(len($toksSql) AS DOUBLE) AS n_tok,
-         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) AS n_dis,
-         |  CAST(len(list_filter(list_transform($toksSql, x -> lower(x)),
-         |       x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS n_stop
-         |FROM documents)
-         |SELECT doc_id,
-         |  floor((least(n_tok / 100.0, 1.0) * 0.5 +
-         |         least(n_dis / n_tok, 1.0) * 0.3 +
-         |         least(n_stop / n_tok * 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000
-         |    AS quality_score
-         |FROM b
+      s"""SELECT doc_id, $qualityScoreSql AS quality_score
+         |FROM documents
          |""".stripMargin) { (s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -283,32 +297,16 @@ object TextQueries {
          |        >= 0.5),
          |lt AS (SELECT doc_id, lang,
          |  list_transform($toksSql, x -> lower(x)) AS lw FROM documents),
-         |lp AS (SELECT doc_id,
-         |  CASE WHEN len(list_filter(lw, x -> x IN ('the','a','of','and','to')))
-         |         >= len(list_filter(lw, x -> x IN ('el','la','de','los','que')))
-         |        AND len(list_filter(lw, x -> x IN ('the','a','of','and','to')))
-         |         >= len(list_filter(lw, x -> x IN ('le','les','des','et','une')))
-         |        AND len(list_filter(lw, x -> x IN ('the','a','of','and','to')))
-         |         >= len(list_filter(lw, x -> x IN ('der','die','das','und','ist')))
-         |        THEN 'en'
-         |       WHEN len(list_filter(lw, x -> x IN ('el','la','de','los','que')))
-         |         >= len(list_filter(lw, x -> x IN ('le','les','des','et','une')))
-         |        AND len(list_filter(lw, x -> x IN ('el','la','de','los','que')))
-         |         >= len(list_filter(lw, x -> x IN ('der','die','das','und','ist')))
-         |        THEN 'es'
-         |       WHEN len(list_filter(lw, x -> x IN ('le','les','des','et','une')))
-         |         >= len(list_filter(lw, x -> x IN ('der','die','das','und','ist')))
-         |        THEN 'fr' ELSE 'de' END AS lang_pred
+         |cn AS (SELECT doc_id,
+         |  len(list_filter(lw, x -> x IN ($stopEn))) AS c_en,
+         |  len(list_filter(lw, x -> x IN ($stopEs))) AS c_es,
+         |  len(list_filter(lw, x -> x IN ($stopFr))) AS c_fr,
+         |  len(list_filter(lw, x -> x IN ($stopDe))) AS c_de
          |  FROM lt),
-         |qs AS (SELECT doc_id,
-         |  floor((least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |         least(CAST(len(list_distinct($toksSql)) AS DOUBLE) /
-         |               CAST(len($toksSql) AS DOUBLE), 1.0) * 0.3 +
-         |         least(CAST(len(list_filter(list_transform($toksSql,
-         |                 x -> lower(x)), x -> x IN ('the','a','of','and','to')))
-         |               AS DOUBLE) /
-         |               CAST(len($toksSql) AS DOUBLE) * 5.0, 1.0) * 0.2)
-         |        * 10000 + 0.5) / 10000 AS quality_score
+         |lp AS (SELECT doc_id,
+         |  ${langPredCaseSql("c_en", "c_es", "c_fr", "c_de")} AS lang_pred
+         |  FROM cn),
+         |qs AS (SELECT doc_id, $qualityScoreSql AS quality_score
          |  FROM documents)
          |SELECT dc.doc_id, dc.lang, dc.source, qs.quality_score
          |FROM documents dc
