@@ -128,6 +128,43 @@ object StorageQueries {
       tbl.read()
     },
 
+    // Incremental change feed (Delta CDF-lite): replay q27's pipeline over a
+    // table hive-partitioned BY the primary key, so each rewritten file
+    // holds exactly one key's row and the feed is row-exact (no same-file
+    // false positives). Feed 1 -> current = the post-merge rows of the
+    // upserted users stamped _commit_version=2 (the delete commit only
+    // removes rows, adding no files).
+    Q("q75_change_feed",
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
+         |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |cdc AS (
+         |  SELECT CASE WHEN event_type = 'error' THEN 'D'
+         |              WHEN event_type = 'signup' THEN 'I'
+         |              ELSE 'U' END AS op,
+         |         ts AS ets,
+         |         user_id, event_id, event_type, value
+         |  FROM ev WHERE ts >= TIMESTAMP '$cutoff'),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT cdc.*, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ets DESC, event_id DESC) AS rn FROM cdc) x
+         |  WHERE rn = 1)
+         |SELECT user_id, event_id, event_type, value,
+         |  ets AS "timestamp",
+         |  TIMESTAMP '$auditTs' AS last_applied_date,
+         |  CAST(2 AS INT) AS _commit_version
+         |FROM dedup WHERE op <> 'D'
+         |""".stripMargin) { (s, d) =>
+      val tbl = CowTable.replace(s, tableDir("q75"),
+        TableConfig("user_state", Seq("user_id"),
+          partitionKey = Some("user_id"),
+          precombineKey = Some("event_id")),
+        initialSnapshot(s, d))
+      CdcPipeline.applyBatch(tbl, cdcBatch(s, d),
+        auditTs = lit(auditTs).cast("timestamp"))
+      tbl.readChangesWithVersion(1, tbl.currentVersion)
+    },
+
     // §2.2 strict dedup (the precombine tie-break path,
     // reference concept cdk.json:61-86 precombine_key): exactly one row per
     // key, (ts desc, event_id desc) — deterministic even under ties.
