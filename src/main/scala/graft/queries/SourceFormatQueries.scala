@@ -33,5 +33,15 @@ object SourceFormatQueries {
       val dir = StorageQueries.tableDir("q58_json")
       FormatSinks.writeJsonLines(df, dir)
       FormatSinks.readJsonLines(s, dir, df.schema)
+    },
+
+    // ORC sink + scan: Spark's second native columnar format — vectorized,
+    // pushdown-capable, exact round-trip with no options.
+    Q("q76_orc_roundtrip",
+      "SELECT * FROM part") { (s, d) =>
+      val df = t(s, d, "part")
+      val dir = StorageQueries.tableDir("q76_orc")
+      FormatSinks.writeOrc(df, dir)
+      FormatSinks.readOrc(s, dir, df.schema)
     })
 }

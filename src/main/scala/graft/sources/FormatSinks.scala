@@ -51,6 +51,15 @@ object FormatSinks {
       .schema(schema)
       .csv(dir)
 
+  /** ORC: the other columnar format Spark ships natively — vectorized
+    * reader, predicate pushdown, and type fidelity for free, so the
+    * round-trip needs no options at all. */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
   def writeJsonLines(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
