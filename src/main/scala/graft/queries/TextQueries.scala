@@ -277,6 +277,40 @@ object TextQueries {
       TextDedup.rollingFingerprints(docs(s, d), "doc_id", "text")
     },
 
+    // Near-dup clustering: connected components over the verified pair graph
+    // (pairs chain — a~b, b~c is ONE cluster even when a~c was never a
+    // candidate), labeled by component-min doc_id. Spark side converges by
+    // min-label propagation; the oracle replays it as a recursive transitive
+    // closure.
+    Q("q77_neardup_clusters",
+      s"""WITH RECURSIVE base AS (
+         |  SELECT id_a, id_b FROM (
+         |    WITH $sigCte,
+         |    hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
+         |    cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |          FROM bands l JOIN bands r
+         |            ON l.band = r.band AND l.band_key = r.band_key
+         |           AND l.doc_id < r.doc_id)
+         |    SELECT id_a, id_b FROM cands
+         |      JOIN hd a ON a.doc_id = id_a JOIN hd b ON b.doc_id = id_b
+         |      WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |            CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE)
+         |            >= 0.5)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM base
+         |          UNION SELECT id_b, id_a FROM base),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         |SELECT n.id AS doc_id,
+         |  least(n.id, (SELECT min(dst) FROM reach WHERE src = n.id))
+         |    AS cluster_id
+         |FROM (SELECT DISTINCT src AS id FROM edges) n
+         |""".stripMargin) { (s, d) =>
+      TextDedup.nearDupClusters(
+        TextDedup.nearDupPairs(docs(s, d), "doc_id", "text"))
+    },
+
     // End-to-end corpus build — the canonical LLM-data pipeline composed
     // from the individually-verified operators: language filter (heuristic
     // agrees with the labeled lang), quality threshold, near-dup removal

@@ -25,6 +25,56 @@ object TextDedup {
         .select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Near-duplicate CLUSTERS: connected components over a verified pair
+    * table (id_a < id_b), labeled by the component's minimum id — the step a
+    * dedup pipeline runs after pair generation to pick one survivor per
+    * duplicate group (pairs alone can chain: a~b, b~c must collapse to one
+    * cluster even if a~c was never a candidate).
+    *
+    * Iterative min-label propagation: each round every node takes the min of
+    * its own and its neighbors' labels; converges in O(component diameter)
+    * rounds — small by construction for near-dup graphs. Each round is one
+    * join + aggregation (no cartesian); lineage is cut per round via
+    * persist, and the loop exits on a converged count. Driver involvement is
+    * O(diameter) job submissions, not per-row work.
+    */
+  def nearDupClusters(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIterations: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist(lvl)
+    // `cur` is always the PERSISTED frame of the latest round (the changed
+    // count materializes it before the previous round's cache is released —
+    // unpersisting earlier would silently recompute the whole chain).
+    var cur = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .withColumn("__chg", lit(false)).persist(lvl)
+    cur.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val labels = cur.select("id", "cluster_id")
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("__nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("cluster_id"),
+          coalesce(col("__nmin") < col("cluster_id"), lit(false)).as("__chg"))
+        .persist(lvl)
+      changed = next.filter(col("__chg")).count()
+      cur.unpersist(blocking = false)
+      cur = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    cur.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** Exploded LSH bucket table (id, band, band_key): `bands` bands of
     * `numHashes / bands` signature rows each. Shuffle cost: n·bands tiny rows
     * hashed on (band, key) — scales linearly in corpus size. */

@@ -121,4 +121,19 @@ class TextDedupSpec extends SparkSpec {
     assert(sh.forall(_.isEmpty))
     assert(TextDedup.minhashBands(tiny, "doc_id", "text").count() == 0)
   }
+
+  test("nearDupClusters: chains collapse to one component, min-id label") {
+    // two components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = TextDedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupClusters: empty pair set yields empty labels, no hang") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextDedup.nearDupClusters(pairs).count() == 0)
+  }
 }
