@@ -547,7 +547,12 @@ final class CowTable private[storage] (
     if (parquetFiles.isEmpty) return Nil
     val numericKey = schema.find(_.name == config.primaryKey.head)
       .exists(f => statKeyNumeric(f.dataType))
-    Try(parquetFiles.map(footerStat(_, numericKey))).toOption match {
+    // footer reads are independent driver-side IO — do them in parallel
+    // (a commit touching hundreds of files would otherwise serialize
+    // hundreds of file opens)
+    import scala.collection.parallel.CollectionConverters._
+    Try(parquetFiles.par.map(footerStat(_, numericKey)).seq.toSeq)
+      .toOption match {
       // INT96-era timestamp keys (and other types parquet keeps no stats
       // for) come back stat-less from every footer — fall back to the
       // columnar key scan rather than committing a manifest that can never
