@@ -202,5 +202,25 @@ object TemporalQueries {
       EventStreams.drainToMemory(
         s, EventStreams.intervalJoin(s, src, schema),
         "q73_sink", base + "/ckpt", OutputMode.Append())
+    },
+
+    // Streaming dedup with watermark-bounded state: first occurrence of each
+    // (user, event_type, day) triple. Deterministic because the output IS
+    // the key (payload projected away pre-dedup), so the drained result is
+    // exactly the batch DISTINCT.
+    Q("q78_stream_dedup",
+      """SELECT DISTINCT user_id, event_type,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |FROM events
+        |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q78")
+      CowTable.deleteRecursively(Paths.get(base))
+      val src = base + "/src"
+      t(s, d, "events").select("event_id", "ts", "user_id", "event_type")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      EventStreams.drainToMemory(
+        s, EventStreams.streamDedup(s, src, schema),
+        "q78_sink", base + "/ckpt", OutputMode.Append())
     })
 }

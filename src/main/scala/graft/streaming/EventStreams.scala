@@ -78,6 +78,20 @@ object EventStreams {
         col("click_id"), col("c_ts"))
   }
 
+  /** Streaming deduplication: first occurrence of each (user, event_type,
+    * day) triple, with the watermarked day column itself part of the key so
+    * state is evicted once the watermark passes it. Projected to exactly the
+    * key columns BEFORE dropDuplicates — keeping payload columns would make
+    * WHICH duplicate survives dependent on intra-batch arrival order. */
+  def streamDedup(
+      spark: SparkSession, dir: String, schema: StructType,
+      watermark: String = "48 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("day", date_trunc("DAY", col("ts")))
+      .withWatermark("day", watermark)
+      .select("user_id", "event_type", "day")
+      .dropDuplicates("user_id", "event_type", "day")
+
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserRunningState(n: Long, total: Double)
   final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
