@@ -45,17 +45,12 @@ object StorageQueries {
         col("ts").as("timestamp"),
         col("user_id"), col("event_id"), col("event_type"), col("value"))
 
-  /** DuckDB replay of the full CDC pipeline semantics — shared by q27
-    * (batch) and q46 (streaming), which must converge to the same state. */
-  private[queries] val cdcOracleSql: String =
-    s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
-       |  CAST(ts AS TIMESTAMP) AS ts FROM events),
-       |pre AS (
-       |  SELECT user_id, event_id, event_type, value,
-       |    row_number() OVER (PARTITION BY user_id
-       |      ORDER BY ts DESC, event_id DESC) AS rn
-       |  FROM ev WHERE ts < TIMESTAMP '$cutoff'),
-       |init AS (SELECT user_id, event_id, event_type, value FROM pre WHERE rn = 1),
+  /** Shared CDC envelope replay (events → DMS ops → strict dedup): ONE
+    * source for every oracle that models the synthetic batch, so op mapping
+    * and tie-break order can never silently drift between q27/q46/q75. */
+  private[queries] def evCdcDedupCte(evFilter: String = ""): String =
+    s"""ev AS (SELECT user_id, event_id, event_type, value,
+       |  CAST(ts AS TIMESTAMP) AS ts FROM events$evFilter),
        |cdc AS (
        |  SELECT CASE WHEN event_type = 'error' THEN 'D'
        |              WHEN event_type = 'signup' THEN 'I'
@@ -67,7 +62,18 @@ object StorageQueries {
        |  SELECT * FROM (
        |    SELECT cdc.*, row_number() OVER (PARTITION BY user_id
        |      ORDER BY ets DESC, event_id DESC) AS rn FROM cdc) x
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of the full CDC pipeline semantics — shared by q27
+    * (batch) and q46 (streaming), which must converge to the same state. */
+  private[queries] val cdcOracleSql: String =
+    s"""WITH ${evCdcDedupCte()},
+       |pre AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM ev WHERE ts < TIMESTAMP '$cutoff'),
+       |init AS (SELECT user_id, event_id, event_type, value FROM pre WHERE rn = 1),
        |ups AS (SELECT * FROM dedup WHERE op <> 'D'),
        |merged AS (
        |  SELECT
@@ -138,21 +144,7 @@ object StorageQueries {
     // the check is feed SEMANTICS, and per-row files are a correctness
     // fixture, not a layout to scale with sf.
     Q("q75_change_feed",
-      s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
-         |  CAST(ts AS TIMESTAMP) AS ts FROM events
-         |  WHERE user_id % 5 = 0),
-         |cdc AS (
-         |  SELECT CASE WHEN event_type = 'error' THEN 'D'
-         |              WHEN event_type = 'signup' THEN 'I'
-         |              ELSE 'U' END AS op,
-         |         ts AS ets,
-         |         user_id, event_id, event_type, value
-         |  FROM ev WHERE ts >= TIMESTAMP '$cutoff'),
-         |dedup AS (
-         |  SELECT * FROM (
-         |    SELECT cdc.*, row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ets DESC, event_id DESC) AS rn FROM cdc) x
-         |  WHERE rn = 1)
+      s"""WITH ${evCdcDedupCte(" WHERE user_id % 5 = 0")}
          |SELECT user_id, event_id, event_type, value,
          |  ets AS "timestamp",
          |  TIMESTAMP '$auditTs' AS last_applied_date,

@@ -90,7 +90,10 @@ final class CowTable private[storage] (
     // are physical integers (micros / days since epoch)
     def str(v: Any): String = v match {
       case t: java.sql.Timestamp =>
-        ((t.getTime / 1000L) * 1000000L + t.getNanos / 1000L).toString
+        // getTime is already floor-milliseconds (negative-safe); only the
+        // sub-millisecond remainder of nanos is added — a seconds-based
+        // truncating division would shift pre-1970 fractional bounds
+        (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
       case d0: java.sql.Date => d0.toLocalDate.toEpochDay.toString
       case d0: java.time.LocalDate => d0.toEpochDay.toString
       case i: java.time.Instant =>
@@ -545,13 +548,18 @@ final class CowTable private[storage] (
         .toSeq.sortBy(_.toString)
     }
     if (parquetFiles.isEmpty) return Nil
-    val numericKey = schema.find(_.name == config.primaryKey.head)
-      .exists(f => statKeyNumeric(f.dataType))
+    val keyDt = schema.find(_.name == config.primaryKey.head).map(_.dataType)
+    val numericKey = keyDt.exists(statKeyNumeric)
+    // DECIMAL keys are stored UNSCALED in parquet footers (123.45 -> 12345)
+    // while pruning compares scaled values — the footer path would silently
+    // misprune, so decimal keys always take the columnar scan.
+    if (keyDt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+      return scanStats(verDir)
     // footer reads are independent driver-side IO — do them in parallel
     // (a commit touching hundreds of files would otherwise serialize
     // hundreds of file opens)
     import scala.collection.parallel.CollectionConverters._
-    Try(parquetFiles.par.map(footerStat(_, numericKey)).seq.toSeq)
+    Try(parquetFiles.par.map(footerStat(_, numericKey, keyDt)).seq.toSeq)
       .toOption match {
       // INT96-era timestamp keys (and other types parquet keeps no stats
       // for) come back stat-less from every footer — fall back to the
@@ -563,7 +571,9 @@ final class CowTable private[storage] (
     }
   }
 
-  private def footerStat(file: Path, numericKey: Boolean): FileEntry = {
+  private def footerStat(
+      file: Path, numericKey: Boolean,
+      keyDt: Option[DataType]): FileEntry = {
     import scala.jdk.CollectionConverters._
     val key = config.primaryKey.head
     val conf = spark.sessionState.newHadoopConf()
@@ -573,10 +583,30 @@ final class CowTable private[storage] (
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
+      // Timestamp stats can be MILLIS or MICROS depending on the writer —
+      // read the column's logical-type annotation instead of assuming
+      // (a millis stat compared in micros space mispruned by 1000x).
+      // Unknown/NANOS/INT96 annotations => no usable stats for this file.
+      val tsScale: Option[Long] =
+        if (!keyDt.contains(org.apache.spark.sql.types.TimestampType)) Some(1L)
+        else Try {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          reader.getFooter.getFileMetaData.getSchema.getType(Seq(key): _*)
+            .asPrimitiveType().getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                case _ => None
+              }
+            case _ => None
+          }
+        }.toOption.flatten
       val chunks = blocks.flatMap(
         _.getColumns.asScala.find(_.getPath.toDotString == key))
       val stats = chunks.map(_.getStatistics)
-      val usable = chunks.size == blocks.size && blocks.nonEmpty &&
+      val usable = tsScale.isDefined &&
+        chunks.size == blocks.size && blocks.nonEmpty &&
         stats.forall(s => s != null && s.hasNonNullValue && !s.isEmpty)
       val (mn, mx) =
         if (!usable) (None, None)
@@ -584,10 +614,11 @@ final class CowTable private[storage] (
           val mins = stats.map(s => statString(s.genericGetMin))
           val maxs = stats.map(s => statString(s.genericGetMax))
           if (mins.contains(None) || maxs.contains(None)) (None, None)
-          else if (numericKey)
-            (Some(mins.flatten.map(BigDecimal(_)).min.toString),
-              Some(maxs.flatten.map(BigDecimal(_)).max.toString))
-          else // UTF-8 byte order across row groups (same order pruning uses)
+          else if (numericKey) {
+            val scale = BigDecimal(tsScale.get)
+            (Some((mins.flatten.map(BigDecimal(_)).min * scale).toString),
+              Some((maxs.flatten.map(BigDecimal(_)).max * scale).toString))
+          } else // UTF-8 byte order across row groups (pruning's order)
             (Some(mins.flatten.min(CowTable.utf8Ordering)),
               Some(maxs.flatten.max(CowTable.utf8Ordering)))
         }

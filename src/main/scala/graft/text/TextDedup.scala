@@ -72,6 +72,12 @@ object TextDedup {
       it += 1
     }
     edges.unpersist(blocking = false)
+    // returning silently-partial labels would split one duplicate group
+    // across several cluster ids downstream — fail loudly instead
+    require(changed == 0,
+      s"nearDupClusters did not converge within $maxIterations rounds " +
+        s"($changed labels still changing) — a component's diameter " +
+        "exceeds maxIterations; raise it")
     cur.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
