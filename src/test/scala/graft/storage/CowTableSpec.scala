@@ -348,6 +348,26 @@ class CowTableSpec extends SparkSpec {
     assert(hour0.inputFiles.length <= 2, "expected manifest-level skip")
   }
 
+  test("decimal-keyed tables prune on scaled values (footers are unscaled)") {
+    val dir = tmpDir("cow")
+    val cfg = TableConfig("t", Seq("amt"))
+    val t = CowTable(spark, dir + "/t", cfg)
+    val df = (1L to 400L).map(i => (BigDecimal(i) / 100, i))
+      .toDF("amt", "v").selectExpr("CAST(amt AS DECIMAL(10,2)) AS amt", "v")
+    t.create(df.repartitionByRange(4, col("amt")))
+    assert(t.manifest(1).files.size == 4)
+    // stats must be in SCALED space: max key is 4.00, not unscaled 400
+    val mx = t.manifest(1).files.flatMap(_.maxKey).map(BigDecimal(_)).max
+    assert(mx == BigDecimal("4.00"), s"expected scaled stats, got $mx")
+    // update one low key: only its file is rewritten, result exact
+    t.upsert(Seq(("0.10", 999L)).toDF("amt", "v")
+      .selectExpr("CAST(amt AS DECIMAL(10,2)) AS amt", "v"))
+    assert(t.manifest(2).files.map(_.path).count(_.startsWith("v00001/")) == 3)
+    val out = t.read().selectExpr("CAST(amt AS STRING)", "v")
+      .as[(String, Long)].collect().toMap
+    assert(out.size == 400 && out("0.10") == 999L && out("3.99") == 399L)
+  }
+
   test("oversized batches prune via the distributed range join, still exact") {
     val (t, _) = freshTable()
     t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
