@@ -37,6 +37,24 @@ object SetAggQueries {
             .as("sum_qty"))
     },
 
+    // CUBE: all four grouping combinations in one pass (rollup's superset);
+    // grouping flags disambiguate subtotal NULLs.
+    Q("q79_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n_rows"))
+    },
+
     // INTERSECT / EXCEPT: customers with vs without orders, as set ops
     // (the reference expresses the same split only via joins — q12/q13).
     Q("q63_setops",

@@ -38,6 +38,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Int]("nrh") > 0)
       // simhash of identical-bit inputs: bits of 7 and 9 majority-voted
       assert(row.getAs[Long]("sh") >= 0L)
+      // bad calls are proper analysis errors, not builder crashes:
+      // wrong arity, non-literal int arg, and out-of-Int-range Long literal
+      intercept[org.apache.spark.sql.AnalysisException](
+        s.sql("SELECT simhash48() FROM ext_t").head())
+      intercept[org.apache.spark.sql.AnalysisException](
+        s.sql("SELECT winnow_mins(hs, id) FROM ext_t").head())
+      intercept[org.apache.spark.sql.AnalysisException](
+        s.sql("SELECT rolling_hash_windows(text, 4294967328, 8) FROM ext_t")
+          .head())
     } finally {
       // restore the shared session as default for other suites
       assert(base.sparkContext == s.sparkContext)
