@@ -21,13 +21,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** Proper analysis errors for bad calls (wrong arity / non-literal int
-    * args) instead of opaque builder exceptions. */
+    * args) instead of opaque builder exceptions. Raised as a USER error
+    * class (INVALID_PARAMETER_VALUE), not INTERNAL_ERROR — a typo in a SQL
+    * call is bad input, and callers must be able to tell it apart from an
+    * engine bug. */
   private def require(
       cond: Boolean, name: String, signature: String): Unit =
     if (!cond) throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "INTERNAL_ERROR",
+      errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
       messageParameters = Map(
-        "message" -> s"invalid arguments: expected $name($signature)"))
+        "parameter" -> "arguments",
+        "functionName" -> s"`$name`",
+        "value" -> s"expected $name($signature)"))
 
   private def arity(
       es: Seq[Expression], n: Int, name: String, sig: String): Unit =

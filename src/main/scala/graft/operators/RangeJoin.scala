@@ -29,14 +29,19 @@ object RangeJoin {
     val spanUs = math.max((upperSec - lowerSec) * 1000000L, 1L)
     val lUs = unix_micros(col(leftTs))
     val rUs = unix_micros(col(rightTs))
+    // exact long floor-division (SQL `div` on x - pmod, pmod >= 0): the
+    // double-promoting `/` + floor() is exact only while quotient*span stays
+    // below 2^53 — an implicit bound this integer form removes outright
+    def floorDiv(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("div", x - pmod(x, lit(spanUs)), lit(spanUs))
     val l = left
       .withColumn("__bin",
         explode(sequence(
-          floor((lUs + lowerSec * 1000000L) / spanUs),
-          floor((lUs + upperSec * 1000000L) / spanUs))))
+          floorDiv(lUs + lowerSec * 1000000L),
+          floorDiv(lUs + upperSec * 1000000L))))
     val r = right.select(
       keyCols.map(col) ++ Seq(
-        floor(rUs / spanUs).as("__bin"), rUs.as("__r_us")) ++
+        floorDiv(rUs).as("__bin"), rUs.as("__r_us")) ++
         payload.map { case (in, out) => col(in).as(out) }: _*)
     l.join(r, keyCols :+ "__bin")
       .filter(col("__r_us").between(

@@ -100,10 +100,10 @@ object TemporalQueries {
       t(s, d, "events").select("event_id", "ts", "event_type", "value")
         .write.parquet(src)
       val schema = s.read.parquet(src).schema
-      val stream = EventStreams.windowedCounts(
-        s, src, schema, valueCol = col("value").cast("decimal(28,10)"))
       EventStreams.drainToMemory(
-        s, stream, "q61_sink", base + "/ckpt", OutputMode.Append())
+        s, sess => EventStreams.windowedCounts(
+          sess, src, schema, valueCol = col("value").cast("decimal(28,10)")),
+        "q61_sink", base + "/ckpt", OutputMode.Append())
         .select(col("window_start"), col("event_type"), col("n_events"),
           col("sum_value").cast("double").as("sum_value"))
     },
@@ -139,7 +139,7 @@ object TemporalQueries {
         .write.parquet(src)
       val schema = s.read.parquet(src).schema
       EventStreams.drainToMemory(
-        s, EventStreams.sessionWindows(s, src, schema),
+        s, sess => EventStreams.sessionWindows(sess, src, schema),
         "q65_sink", base + "/ckpt", OutputMode.Append())
     },
 
@@ -200,7 +200,7 @@ object TemporalQueries {
         .write.parquet(src)
       val schema = s.read.parquet(src).schema
       EventStreams.drainToMemory(
-        s, EventStreams.intervalJoin(s, src, schema),
+        s, sess => EventStreams.intervalJoin(sess, src, schema),
         "q73_sink", base + "/ckpt", OutputMode.Append())
     },
 
@@ -220,7 +220,7 @@ object TemporalQueries {
         .write.parquet(src)
       val schema = s.read.parquet(src).schema
       EventStreams.drainToMemory(
-        s, EventStreams.streamDedup(s, src, schema),
+        s, sess => EventStreams.streamDedup(sess, src, schema),
         "q78_sink", base + "/ckpt", OutputMode.Append())
     })
 }

@@ -321,11 +321,15 @@ final class CowTable private[storage] (
     val doomed = (1 until firstRetained)
       .flatMap(v => manifest(v).files.map(_.path))
       .distinct.filterNot(live)
-    doomed.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    // publish the low-water mark BEFORE deleting: a crash mid-delete then
+    // leaves only extra undeleted files (re-collected by a later vacuum);
+    // the delete-first order would leave readVersion admitting versions
+    // whose files are gone, failing mid-scan instead of up front.
     val tmp = manifestDir.resolve("_vacuumed.tmp")
     Files.writeString(tmp, firstRetained.toString)
     Files.move(tmp, manifestDir.resolve("_vacuumed"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    doomed.foreach(p => Files.deleteIfExists(root.resolve(p)))
     doomed
   }
 
@@ -389,9 +393,15 @@ final class CowTable private[storage] (
       // low and one high key (any insert of a new max key does); this stays
       // exact at any batch size for O(batch) distributed work. String keys
       // compare in Spark's UTF8String byte order — the same order the file
-      // stats are in; numeric/temporal keys compare as DECIMAL(38,10) on
-      // both sides (stat strings never cast to e.g. TimestampType, which
-      // would throw under ANSI and silently null-out — misprune — without).
+      // stats are in; numeric/temporal keys compare as DECIMAL(38,18) via
+      // try_cast (a plain cast would throw under ANSI). Scale 18 covers
+      // double and micros-scale values exactly; anything try_cast nulls out
+      // (a >20-integer-digit or >18-decimal-digit value) degrades
+      // CONSERVATIVELY — an overflowing file bound marks that file touched,
+      // an overflowing source key falls back to touching every file — never
+      // the silent misprune a rounded DECIMAL(38,10) comparison allowed
+      // (values differing from a bound only past the 10th decimal could
+      // round across it and leave duplicate keys after merge).
       val spark0 = source.sparkSession
       import spark0.implicits._
       val keyed = source.select(keyStat.as("__k")).distinct()
@@ -399,19 +409,36 @@ final class CowTable private[storage] (
       try {
         if (keyed.filter(col("__k").isNull).limit(1).count() > 0)
           return Some((m.files, Nil)) // stats cannot locate null keys
+        def side(name: String) =
+          if (m.keyNumeric) expr(s"try_cast($name AS DECIMAL(38,18))")
+          else col(name).cast("string")
+        if (m.keyNumeric &&
+          keyed.filter(side("__k").isNull).limit(1).count() > 0)
+          return Some((m.files, Nil)) // key outside DECIMAL(38,18): no prune
+        // A numeric comparison is exact iff both file BOUNDS sit on the
+        // DECIMAL(38,18) grid: source keys may then round to the grid
+        // (HALF_UP) without ever escaping a containing [mn, mx] — rounding
+        // to the nearest grid point cannot cross a grid-aligned bound.
+        // Bounds NOT on the grid (scale > 18 or > 20 integer digits, e.g.
+        // extreme doubles) make the file unprunable-by-join: mark touched.
+        def onGrid(s: String): Boolean = Try {
+          val d = BigDecimal(s).underlying.stripTrailingZeros
+          d.scale <= 18 && d.precision - d.scale <= 20
+        }.getOrElse(false)
         val statless = m.files.zipWithIndex.collect {
-          case (e, i) if e.minKey.isEmpty || e.maxKey.isEmpty => i
+          case (e, i) if e.minKey.isEmpty || e.maxKey.isEmpty ||
+            (m.keyNumeric &&
+              !(onGrid(e.minKey.get) && onGrid(e.maxKey.get))) => i
         }.toSet
-        def side(c: org.apache.spark.sql.Column) =
-          if (m.keyNumeric) c.cast("decimal(38,10)") else c.cast("string")
         val ranges = m.files.zipWithIndex.collect {
-          case (e, i) if e.minKey.isDefined && e.maxKey.isDefined =>
+          case (e, i) if e.minKey.isDefined && e.maxKey.isDefined &&
+            !statless(i) =>
             (i, e.minKey.get, e.maxKey.get)
         }.toDF("__fid", "__mn", "__mx")
           .select(col("__fid"),
-            side(col("__mn")).as("__mn"), side(col("__mx")).as("__mx"))
+            side("__mn").as("__mn"), side("__mx").as("__mx"))
         val touchedIds = keyed
-          .select(side(col("__k")).as("__k"))
+          .select(side("__k").as("__k"))
           .join(broadcast(ranges),
             col("__k") >= col("__mn") && col("__k") <= col("__mx"))
           .select("__fid").distinct()

@@ -123,9 +123,9 @@ object EventStreams {
       }
   }
 
-  /** Drain everything currently in `dir` into an in-memory table named
-    * `sink` (complete/update mode per aggregation type) and return the
-    * result — the AvailableNow test/drive harness for the two shapes.
+  /** Drain a stream into an in-memory table named `sink` (complete/update
+    * mode per aggregation type) and return the result — the AvailableNow
+    * test/drive harness for the two shapes.
     *
     * State partitions are pinned low (`statePartitions`, default 8) for the
     * stream's lifetime: a streaming aggregation materializes one state-store
@@ -133,27 +133,27 @@ object EventStreams {
     * key cardinality — a 32-partition default burns 4x the provider/
     * checkpoint overhead for nothing on keyed state this small, and the
     * setting is per-query (pinned into the checkpoint), not global.
-    * NB the pin is applied by temporarily setting the session conf for the
-    * drain's duration (Spark reads it at stream start; there is no
-    * per-query knob) — callers sharing one session across threads should
-    * not plan OTHER queries concurrently with a drain. */
+    *
+    * The pin is applied on an ISOLATED child session (`newSession()` shares
+    * the SparkContext but has its own conf + temp-view catalog), and the
+    * stream is BUILT there via `mkStream` — queries planned concurrently on
+    * the caller's session never observe the lowered partition count. The
+    * returned DataFrame belongs to the child session; it reads like any
+    * other local DataFrame. */
   def drainToMemory(
-      spark: SparkSession, streaming: DataFrame, sink: String,
+      spark: SparkSession, mkStream: SparkSession => DataFrame, sink: String,
       checkpointDir: String, mode: OutputMode,
       statePartitions: Int = 8): DataFrame = {
-    val k = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(k)
-    spark.conf.set(k, statePartitions)
-    try {
-      val q = streaming.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(k, old)
-    spark.table(sink)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val q = mkStream(sess).writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(sink)
   }
 }

@@ -368,6 +368,30 @@ class CowTableSpec extends SparkSpec {
     assert(out.size == 400 && out("0.10") == 999L && out("3.99") == 399L)
   }
 
+  test("high-scale DECIMAL(20,12) keys stay exact on the distributed prune path") {
+    val dir = tmpDir("cow")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("k")))
+    // keys at 1e-12 granularity: values differ only past the 10th decimal
+    val df = (1L to 400L).map(i => i)
+      .toDF("i").selectExpr("CAST(i AS DECIMAL(20,12)) / 1000000000000 AS k", "i AS v")
+      .selectExpr("CAST(k AS DECIMAL(20,12)) AS k", "v")
+    t.create(df.repartitionByRange(4, col("k")))
+    assert(t.manifest(1).files.size == 4)
+    spark.conf.set("graft.pruneKeyLimit", "0") // force the distributed path
+    try {
+      t.upsert(Seq("0.000000000002").toDF("s")
+        .selectExpr("CAST(s AS DECIMAL(20,12)) AS k", "CAST(999 AS BIGINT) AS v"))
+      val carried =
+        t.manifest(2).files.map(_.path).count(_.startsWith("v00001/"))
+      assert(carried == 3, s"expected 3 carried files: ${t.manifest(2).files}")
+      val out = t.read().selectExpr("CAST(k AS STRING) AS k", "v")
+        .as[(String, Long)].collect().toMap
+      assert(out.size == 400 && out("0.000000000002") == 999L
+        && out("0.000000000001") == 1L && out("0.000000000003") == 3L,
+        s"sample: ${out.take(5)}")
+    } finally spark.conf.unset("graft.pruneKeyLimit")
+  }
+
   test("oversized batches prune via the distributed range join, still exact") {
     val (t, _) = freshTable()
     t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")

@@ -23,7 +23,7 @@ class EventStreamsSpec extends SparkSpec {
     // Complete mode: a single AvailableNow drain emits every window (append
     // would emit only watermark-finalized windows, which needs a LATER batch)
     val out = EventStreams.drainToMemory(spark,
-      EventStreams.windowedCounts(spark, dir + "/in", df.schema),
+      sess => EventStreams.windowedCounts(sess, dir + "/in", df.schema),
       "win_counts", dir + "/ckpt", OutputMode.Complete())
     val rows = out
       .select("window_start", "event_type", "n_events", "sum_value")
