@@ -162,6 +162,50 @@ object StorageQueries {
       tbl.readChangesWithVersion(1, tbl.currentVersion)
     },
 
+    // Change feed WITH DELETE TOMBSTONES (Delta CDF parity): q75's fixture
+    // plus _change_type classification — upserted users split into
+    // insert/update_postimage by pre-state membership (commit 2), deleted
+    // users surface as 'delete' tombstones carrying their PRE-image (the v1
+    // row: never upserted, so timestamp/last_applied_date are NULL) stamped
+    // with the delete commit (3). The one-row-per-file layout makes the
+    // file-diff classification per-key exact (no co-located-row churn).
+    Q("q80_change_feed_deletes",
+      s"""WITH ${evCdcDedupCte(" WHERE user_id % 5 = 0")},
+         |pre AS (SELECT user_id, event_id, event_type, value,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ev WHERE ts < TIMESTAMP '$cutoff'),
+         |init AS (SELECT user_id, event_id, event_type, value
+         |         FROM pre WHERE rn = 1),
+         |ups AS (SELECT user_id, event_id, event_type, value, ets
+         |        FROM dedup WHERE op <> 'D'),
+         |dels AS (SELECT i.* FROM init i
+         |         JOIN dedup d ON d.user_id = i.user_id AND d.op = 'D')
+         |SELECT u.user_id, u.event_id, u.event_type, u.value,
+         |  u.ets AS "timestamp",
+         |  TIMESTAMP '$auditTs' AS last_applied_date,
+         |  CAST(2 AS INT) AS _commit_version,
+         |  CASE WHEN i.user_id IS NULL THEN 'insert'
+         |       ELSE 'update_postimage' END AS _change_type
+         |FROM ups u LEFT JOIN init i ON i.user_id = u.user_id
+         |UNION ALL
+         |SELECT d.user_id, d.event_id, d.event_type, d.value,
+         |  CAST(NULL AS TIMESTAMP) AS "timestamp",
+         |  CAST(NULL AS TIMESTAMP) AS last_applied_date,
+         |  CAST(3 AS INT) AS _commit_version, 'delete' AS _change_type
+         |FROM dels d
+         |""".stripMargin) { (s, d) =>
+      val tbl = CowTable.replace(s, tableDir("q80"),
+        TableConfig("user_state", Seq("user_id"),
+          precombineKey = Some("event_id"),
+          maxRecordsPerFile = 1L),
+        initialSnapshot(s, d).filter(col("user_id") % 5 === 0))
+      CdcPipeline.applyBatch(tbl,
+        cdcBatch(s, d).filter(col("user_id") % 5 === 0),
+        auditTs = lit(auditTs).cast("timestamp"))
+      tbl.readChangeFeed(1, tbl.currentVersion)
+    },
+
     // §2.2 strict dedup (the precombine tie-break path,
     // reference concept cdk.json:61-86 precombine_key): exactly one row per
     // key, (ts desc, event_id desc) — deterministic even under ties.

@@ -268,6 +268,73 @@ final class CowTable private[storage] (
     else parts.reduce(_.union(_))
   }
 
+  /** Full change-data-feed with DELETE TOMBSTONES (Delta CDF parity): every
+    * row carries `_commit_version` plus `_change_type` ∈
+    * {`insert`, `update_postimage`, `delete`} — the surface an incremental
+    * consumer of the reference's delete path needs (a plain added-files feed
+    * surfaces deletes only as absences; the reference's MERGE delete,
+    * /root/reference/src/iceberg/iceberg-cdc-load.py:147-150, removes rows a
+    * real CDF must hand downstream as tombstones).
+    *
+    * Derivation is pure manifest diffing + one full-outer key join per
+    * commit, each side O(changed files) — never a snapshot scan:
+    *   - added files' rows vs removed files' rows (the pre-images),
+    *     null-safe-joined on the primary key;
+    *   - both present  → `update_postimage` (post-image values),
+    *   - added only    → `insert`,
+    *   - removed only  → `delete` (PRE-image values — the tombstone carries
+    *     the last row state, like Delta's `_change_type='delete'`).
+    *
+    * COW makes this exact per touched file: a rewritten file's unchanged
+    * co-located rows classify as `update_postimage` with identical values
+    * (file-granularity false-positive churn — same caveat as
+    * [[readChangesWithVersion]]; a one-row-per-file layout removes it).
+    * Rewrite-only commits (`dataChange=false`, e.g. compaction) emit
+    * nothing. Rollback commits classify naturally: restored rows as
+    * insert/update, rows the rollback dropped as deletes. */
+  def readChangeFeed(fromVersion: Int, toVersion: Int): DataFrame = {
+    requireFeedRange(fromVersion, toVersion)
+    val mTo = manifest(toVersion)
+    val schema = structFromJson(mTo.schemaJson)
+    val keys = config.primaryKey
+    val marker = "__graft_present"
+    var prevFiles: Seq[FileEntry] =
+      if (fromVersion == 0) Nil else manifest(fromVersion).files
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val m = manifest(v)
+      val out = if (!m.dataChange) None else {
+        val prevSet = prevFiles.map(_.path).toSet
+        val curSet = m.files.map(_.path).toSet
+        val added = m.files.filterNot(f => prevSet(f.path))
+        val removed = prevFiles.filterNot(f => curSet(f.path))
+        if (added.isEmpty && removed.isEmpty) None
+        else {
+          val a = readFiles(mTo, added).withColumn(marker, lit(1)).alias("a")
+          val r = readFiles(mTo, removed).withColumn(marker, lit(1)).alias("r")
+          val cond = keys.map(k => col(s"a.$k") <=> col(s"r.$k"))
+            .reduce(_ && _)
+          val aPresent = col(s"a.$marker").isNotNull
+          val cols = schema.fields.toSeq.map(f =>
+            when(aPresent, col(s"a.${f.name}"))
+              .otherwise(col(s"r.${f.name}")).as(f.name))
+          Some(a.join(r, cond, "full_outer").select(cols ++ Seq(
+            lit(v).as("_commit_version"),
+            when(!aPresent, "delete")
+              .when(col(s"r.$marker").isNotNull, "update_postimage")
+              .otherwise("insert").as("_change_type")): _*))
+        }
+      }
+      prevFiles = m.files
+      out
+    }
+    if (parts.isEmpty)
+      conform(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        schema).withColumn("_commit_version", lit(0))
+        .withColumn("_change_type", lit(""))
+        .limit(0)
+    else parts.reduce(_.unionAll(_))
+  }
+
   /** Rollback: make `version` current again by committing a NEW version
     * whose file list is version's (metadata-only — no data is copied or
     * deleted, and the rolled-back versions stay time-travelable). */

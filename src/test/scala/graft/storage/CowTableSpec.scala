@@ -412,6 +412,40 @@ class CowTableSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pruneKeyLimit")
   }
 
+  test("readChangeFeed classifies insert / update_postimage / delete exactly") {
+    val dir = tmpDir("cow")
+    // one row per file ⇒ file-diff classification is per-key exact
+    val cfg = TableConfig("t", Seq("id"), maxRecordsPerFile = 1L)
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "name")) // v2: upd 2, ins 4
+    t.delete(Seq(Tuple1(1L)).toDF("id"))                    // v3: del 1
+    val feed = t.readChangeFeed(1, t.currentVersion)
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed == Set(
+      (2L, "B2", 2, "update_postimage"),
+      (4L, "d", 2, "insert"),
+      (1L, "a", 3, "delete")), s"got $feed")
+    // compaction (dataChange=false) emits nothing; the delete tombstone
+    // stays exact across it
+    t.compact(smallBytes = Long.MaxValue, targetPartitions = 1)
+    assert(t.readChangeFeed(3, t.currentVersion).count() == 0)
+    assert(t.readChangeFeed(1, t.currentVersion)
+      .as[(Long, String, Int, String)].collect().toSet == feed)
+    // a rollback to v1 surfaces the restored row as insert, the rolled-away
+    // upserts as delete/update back to v1 state
+    val v5 = t.rollbackTo(1)
+    val roll = t.readChangeFeed(4, v5)
+      .as[(Long, String, Int, String)].collect().toSet
+    // id 3 shows as unchanged-value churn: the compacted v4 file co-located
+    // it with the others (the documented file-granularity caveat)
+    assert(roll == Set(
+      (1L, "a", v5, "insert"),
+      (2L, "b", v5, "update_postimage"),
+      (3L, "c", v5, "update_postimage"),
+      (4L, "d", v5, "delete")), s"got $roll")
+  }
+
   test("maxRecordsPerFile caps data-file size on every write path") {
     val dir = tmpDir("cow")
     val cfg = TableConfig("t", Seq("id"), maxRecordsPerFile = 25L)
