@@ -119,6 +119,25 @@ object StorageQueries {
       tbl.readVersion(1)
     },
 
+    // TIMESTAMP AS OF: commit times stamped by an injected deterministic
+    // clock; reading strictly between the two commit timestamps must resolve
+    // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel
+    // surface VERSION AS OF alone could not reach).
+    Q("q83_time_travel_ts",
+      "SELECT * FROM customer") { (s, d) =>
+      val c = t(s, d, "customer")
+      val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val tbl = CowTable(s, tableDir("q83"),
+        TableConfig("customer", Seq("c_custkey")))
+        .withClock(() => ticks.addAndGet(1000L))
+      CowTable.deleteRecursively(java.nio.file.Paths.get(tableDir("q83")))
+      tbl.create(c)                                        // committed at 1000
+      tbl.upsert(                                          // committed at 2000
+        c.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") + 42, 2)))
+      tbl.readAsOf(1500L)
+    },
+
     // §3.2 the end-to-end CDC pipeline: initial load → COW v1, synthetic
     // DMS-shaped batch → dedup (strict, precombine=event_id) → op routing →
     // upsert then delete → final snapshot. Oracle replays the identical

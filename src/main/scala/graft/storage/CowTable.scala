@@ -35,7 +35,16 @@ final case class CommitManifest(
     files: Seq[FileEntry],
     /** false ⇔ this commit only reorganized existing rows (compaction,
       * rollback) — the change feed skips its files (Delta CDF-style). */
-    dataChange: Boolean = true)
+    dataChange: Boolean = true,
+    /** Wall-clock commit time (epoch millis; 0 for manifests written before
+      * the field existed) — what `TIMESTAMP AS OF` resolves against. */
+    commitTimeMs: Long = 0L)
+
+/** A concurrent writer committed the same version first. The losing commit
+  * changed NOTHING (its manifest never became visible; its data files are
+  * unreferenced garbage) — re-read the table and retry the operation. */
+final class ConcurrentWriteException(msg: String)
+  extends RuntimeException(msg)
 
 /** Minimal copy-on-write transactional table on plain parquet — the engine's
   * re-expression of the reference's open-table-format layer
@@ -45,17 +54,22 @@ final case class CommitManifest(
   *
   * Layout:
   * {{{
-  *   <root>/_manifests/v00001.json     commit manifests (one per version)
-  *   <root>/_manifests/_current        atomic pointer (rename-swapped)
-  *   <root>/v00001/[pk=val/]part-*.parquet   hive-style partitioned data
+  *   <root>/_manifests/v00001.json     commit manifests (one per version;
+  *                                     atomic hard-link CAS = commit point)
+  *   <root>/_manifests/_current        fast-start pointer hint
+  *   <root>/v00001-<tok>/[pk=val/]part-*.parquet   writer-unique data dirs
   * }}}
   *
-  * Guarantees: atomic version advance (tmp-write + ATOMIC_MOVE of the pointer,
-  * single-writer — mirrors the reference's max_concurrent_runs=1,
-  * cdk_stacks/glue_stack.py:156-158), time-travel read of any version, schema
-  * evolution on write (new columns null-filled for old files at read time,
-  * mirroring Delta autoMerge, src/delta/delta-initial-load.py:33), and pruned
-  * merges: only files whose key range overlaps the source batch are rewritten.
+  * Guarantees: atomic version advance with optimistic concurrency (the
+  * manifest-file CAS makes exactly ONE of two racing writers succeed; the
+  * loser throws [[ConcurrentWriteException]] leaving only unreferenced
+  * files — single-writer deployments mirror the reference's
+  * max_concurrent_runs=1, cdk_stacks/glue_stack.py:156-158, and never see
+  * it), time-travel read of any version by number or commit timestamp,
+  * schema evolution on write (new columns null-filled for old files at read
+  * time, mirroring Delta autoMerge, src/delta/delta-initial-load.py:33), and
+  * pruned merges: only files whose key range overlaps the source batch are
+  * rewritten.
   */
 final class CowTable private[storage] (
     val spark: SparkSession, rootDir: String, val config: TableConfig) {
@@ -65,9 +79,24 @@ final class CowTable private[storage] (
   private def manifestDir: Path = root.resolve("_manifests")
   private def pointerFile: Path = manifestDir.resolve("_current")
 
-  def currentVersion: Int =
-    if (Files.exists(pointerFile)) Files.readString(pointerFile).trim.toInt
-    else 0
+  /** Injectable commit clock (epoch millis) — deterministic `TIMESTAMP AS
+    * OF` tests/oracles inject a fixed sequence; production uses wall clock
+    * (the reference stamps wall-clock too, src/hudi/hudi-cdc-load.py:93). */
+  @volatile private var clockMs: () => Long = () => System.currentTimeMillis()
+  def withClock(f: () => Long): this.type = { clockMs = f; this }
+
+  /** The COMMIT POINT is the atomic creation of the version's manifest file
+    * (hard-link CAS in [[commitManifest]]); the `_current` pointer is only a
+    * fast-start hint. Probing upward from the hint heals the crash window
+    * between manifest creation and pointer refresh — a committed version is
+    * never lost, and readers agree with writers on what "current" means. */
+  def currentVersion: Int = {
+    var v =
+      if (Files.exists(pointerFile)) Files.readString(pointerFile).trim.toInt
+      else 0
+    while (Files.exists(manifestDir.resolve(f"v${v + 1}%05d.json"))) v += 1
+    v
+  }
 
   def manifest(version: Int): CommitManifest = {
     val p = manifestDir.resolve(f"v$version%05d.json")
@@ -347,16 +376,28 @@ final class CowTable private[storage] (
     val v = parent + 1
     // dataChange=true: a rollback logically changes table content (restored
     // rows must reach change-feed consumers) even though no data is copied.
-    val next = m.copy(version = v, parent = parent, dataChange = true)
-    Files.createDirectories(manifestDir)
-    Files.writeString(
-      manifestDir.resolve(f"v$v%05d.json"), Serialization.write(next))
-    val tmp = manifestDir.resolve("_current.tmp")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, pointerFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    commitManifest(m.copy(version = v, parent = parent, dataChange = true,
+      commitTimeMs = clockMs()))
     v
   }
+
+  /** Latest version whose commit time is <= `tsMs` — `TIMESTAMP AS OF`
+    * resolution (commit times are stamped by the injectable [[withClock]]
+    * clock, monotone under the single-writer discipline; resolution scans
+    * O(versions) manifests, pure metadata). */
+  def versionAsOf(tsMs: Long): Int = {
+    val cur = currentVersion
+    require(cur > 0, s"table ${config.tableName} does not exist")
+    val v = (1 to cur).takeWhile(manifest(_).commitTimeMs <= tsMs).lastOption
+    v.getOrElse(throw new IllegalArgumentException(
+      s"no commit at or before timestamp $tsMs (earliest commit: " +
+        s"${manifest(1).commitTimeMs})"))
+  }
+
+  /** Time-travel by timestamp (`TIMESTAMP AS OF` — the Delta/Iceberg surface
+    * VERSION-only travel lacked); subject to the same vacuum low-water mark
+    * as [[readVersion]]. */
+  def readAsOf(tsMs: Long): DataFrame = readVersion(versionAsOf(tsMs))
 
   /** Commit log as a DataFrame (DESCRIBE HISTORY analog): one row per
     * version with parent, row count, file count, and the dataChange flag.
@@ -365,8 +406,10 @@ final class CowTable private[storage] (
     import spark.implicits._
     (1 to currentVersion).map { v =>
       val m = manifest(v)
-      (v, m.parent, m.rowCount, m.files.size.toLong, m.dataChange)
-    }.toDF("version", "parent", "row_count", "n_files", "data_change")
+      (v, m.parent, m.rowCount, m.files.size.toLong, m.dataChange,
+        m.commitTimeMs)
+    }.toDF("version", "parent", "row_count", "n_files", "data_change",
+      "commit_time_ms")
   }
 
   /** Physically delete data files referenced ONLY by versions older than the
@@ -581,12 +624,17 @@ final class CowTable private[storage] (
     * reference INSERT ... ORDER BY partition_key,
     * src/iceberg/iceberg-initial-load.py:87-92), collect per-file key stats,
     * and commit manifest + atomic pointer. */
-  private def writeVersion(
+  private[storage] def writeVersion(
       df: DataFrame, schema: StructType,
       carryOver: Seq[FileEntry], parent: Int,
       dataChange: Boolean = true): Int = {
     val v = parent + 1
-    val verSeg = f"v$v%05d"
+    // Writer-UNIQUE data directory (Delta-style): two racing writers of the
+    // same version can never clobber each other's files — the loser of the
+    // manifest CAS leaves only unreferenced garbage, never a corrupted
+    // winner. (A crashed writer's directory is equally inert.)
+    val verSeg = f"v$v%05d" + "-" + java.util.UUID.randomUUID
+      .toString.replace("-", "").substring(0, 8)
     val verDir = root.resolve(verSeg)
     val writer = config.partitionKey match {
       case Some(k) =>
@@ -615,14 +663,42 @@ final class CowTable private[storage] (
         .map(statKeyNumeric).getOrElse(false),
       rowCount = entries.map(_.rows).sum,
       files = entries,
-      dataChange = dataChange)
-    Files.createDirectories(manifestDir)
-    Files.writeString(manifestDir.resolve(f"v$v%05d.json"), Serialization.write(m))
-    val tmp = manifestDir.resolve(s"_current.tmp")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, pointerFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      dataChange = dataChange,
+      commitTimeMs = clockMs())
+    commitManifest(m)
     v
+  }
+
+  /** The one commit point: atomically PUBLISH a version's manifest, failing
+    * if a concurrent writer published the same version first (optimistic
+    * concurrency, Delta-protocol-style). POSIX rename REPLACES silently, so
+    * the fail-if-exists primitive is `Files.createLink` (hard link, EEXIST
+    * is atomic): the fully-written temp manifest is linked to its canonical
+    * name — it appears complete or not at all, never partially. The loser
+    * throws [[ConcurrentWriteException]] having changed nothing visible (its
+    * data files are unreferenced garbage). The `_current` pointer refresh
+    * after the link is only a fast-start hint ([[currentVersion]] probes past
+    * it), so a crash between link and pointer loses nothing.
+    *
+    * Single-writer deployments (the reference's `max_concurrent_runs=1`,
+    * cdk_stacks/glue_stack.py:156-158) never hit the conflict path; this
+    * guards the multi-writer case the reference fences off by scheduling. */
+  private def commitManifest(m: CommitManifest): Unit = {
+    Files.createDirectories(manifestDir)
+    val vfile = manifestDir.resolve(f"v${m.version}%05d.json")
+    val tmp = Files.createTempFile(manifestDir, f"_tmp_v${m.version}%05d", ".json")
+    Files.writeString(tmp, Serialization.write(m))
+    try Files.createLink(vfile, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentWriteException(
+          s"version ${m.version} of table ${config.tableName} was committed " +
+            "by a concurrent writer; re-read the table and retry")
+    } finally Files.deleteIfExists(tmp)
+    val ptmp = manifestDir.resolve(s"_current.tmp${m.version}")
+    Files.writeString(ptmp, m.version.toString)
+    Files.move(ptmp, pointerFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Per-file row count + first-key min/max for the freshly written files,

@@ -50,7 +50,7 @@ class CowTableSpec extends SparkSpec {
     val src = Seq((10L, "upd10"), (450L, "new450")).toDF("id", "name")
     t.upsert(src)
     val v2 = t.manifest(2)
-    val carried = v2.files.map(_.path).filter(_.startsWith("v00001/"))
+    val carried = v2.files.map(_.path).filter(_.startsWith("v00001"))
     assert(carried.size == 3, s"expected 3 carried-over files: ${v2.files}")
     assert(carried.forall(v1Files.contains))
     // and the carried files' bytes were genuinely not rewritten (same path ⇒ same file)
@@ -66,7 +66,7 @@ class CowTableSpec extends SparkSpec {
     t.create(df)
     t.delete(Seq(5L, 7L).toDF("id"))
     val v2 = t.manifest(2)
-    assert(v2.files.count(_.path.startsWith("v00001/")) == 3)
+    assert(v2.files.count(_.path.startsWith("v00001")) == 3)
     assert(v2.rowCount == 398)
     assert(t.read().filter(col("id").isin(5L, 7L)).count() == 0)
   }
@@ -127,7 +127,7 @@ class CowTableSpec extends SparkSpec {
     t.create(('a' to 'z').map(c => (s"$c", 1)).toDF("k", "v")
       .repartitionByRange(2, col("k")))
     t.upsert(Seq(("a", 99)).toDF("k", "v"))
-    assert(t.manifest(2).files.count(_.path.startsWith("v00001/")) == 1)
+    assert(t.manifest(2).files.count(_.path.startsWith("v00001")) == 1)
     assert(t.read().count() == 26)
   }
 
@@ -163,7 +163,7 @@ class CowTableSpec extends SparkSpec {
     ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
     // so a point upsert rewrites exactly one file
     t.upsert(Seq((7L, "upd")).toDF("id", "name"))
-    assert(t.manifest(2).files.count(_.path.startsWith("v00001/")) == 3)
+    assert(t.manifest(2).files.count(_.path.startsWith("v00001")) == 3)
   }
 
   test("changeFeed returns exactly the rows of files added in the range") {
@@ -326,7 +326,7 @@ class CowTableSpec extends SparkSpec {
       .toDF("ts", "v")
     t.upsert(src)
     val carried = t.manifest(2).files.map(_.path)
-      .count(_.startsWith("v00001/"))
+      .count(_.startsWith("v00001"))
     assert(carried == 3, s"expected 3 carried files: ${t.manifest(2).files}")
     val out = t.read().as[(java.sql.Timestamp, Long)].collect().toMap
     assert(out(java.sql.Timestamp.valueOf("2024-01-01 00:05:00")) == 999L)
@@ -337,7 +337,7 @@ class CowTableSpec extends SparkSpec {
       t.upsert(Seq((java.sql.Timestamp.valueOf("2024-01-01 03:04:00"), 888L))
         .toDF("ts", "v"))
       assert(t.manifest(3).files.map(_.path).count(f =>
-        f.startsWith("v00001/") || f.startsWith("v00002/")) == 3)
+        f.startsWith("v00001") || f.startsWith("v00002")) == 3)
       assert(t.read().count() == 400)
     } finally spark.conf.unset("graft.pruneKeyLimit")
     // readRange with timestamp bounds uses the same micros space
@@ -362,7 +362,7 @@ class CowTableSpec extends SparkSpec {
     // update one low key: only its file is rewritten, result exact
     t.upsert(Seq(("0.10", 999L)).toDF("amt", "v")
       .selectExpr("CAST(amt AS DECIMAL(10,2)) AS amt", "v"))
-    assert(t.manifest(2).files.map(_.path).count(_.startsWith("v00001/")) == 3)
+    assert(t.manifest(2).files.map(_.path).count(_.startsWith("v00001")) == 3)
     val out = t.read().selectExpr("CAST(amt AS STRING)", "v")
       .as[(String, Long)].collect().toMap
     assert(out.size == 400 && out("0.10") == 999L && out("3.99") == 399L)
@@ -382,7 +382,7 @@ class CowTableSpec extends SparkSpec {
       t.upsert(Seq("0.000000000002").toDF("s")
         .selectExpr("CAST(s AS DECIMAL(20,12)) AS k", "CAST(999 AS BIGINT) AS v"))
       val carried =
-        t.manifest(2).files.map(_.path).count(_.startsWith("v00001/"))
+        t.manifest(2).files.map(_.path).count(_.startsWith("v00001"))
       assert(carried == 3, s"expected 3 carried files: ${t.manifest(2).files}")
       val out = t.read().selectExpr("CAST(k AS STRING) AS k", "v")
         .as[(String, Long)].collect().toMap
@@ -404,7 +404,7 @@ class CowTableSpec extends SparkSpec {
       t.upsert(Seq((10L, "u10"), (399L, "u399"), (500L, "new"))
         .toDF("id", "name"))
       val v2 = t.manifest(2)
-      val carried = v2.files.map(_.path).count(_.startsWith("v00001/"))
+      val carried = v2.files.map(_.path).count(_.startsWith("v00001"))
       assert(carried == 2, s"expected 2 carried files: ${v2.files.map(_.path)}")
       val out = t.read().as[(Long, String)].collect().toMap
       assert(out.size == 401 && out(10L) == "u10" && out(399L) == "u399"
@@ -454,6 +454,70 @@ class CowTableSpec extends SparkSpec {
     assert(t.manifest(1).files.size >= 4)
     assert(t.manifest(1).files.forall(_.rows <= 25L))
     assert(t.read().count() == 100)
+  }
+
+  test("optimistic concurrency: of two interleaved writers exactly one commits") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // both writers observe parent=1; A commits v2 first
+    val staleParent = t.currentVersion
+    t.upsert(Seq((1L, "A2")).toDF("id", "name")) // writer A wins v2
+    // writer B replays its commit against the stale parent → CAS must fail
+    val e = intercept[ConcurrentWriteException] {
+      t.writeVersion(Seq((2L, "B2")).toDF("id", "name"),
+        t.read().schema, carryOver = Nil, parent = staleParent)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the table is exactly writer A's commit — B changed nothing visible
+    assert(t.currentVersion == 2)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "A2"), (2L, "b")))
+    // true concurrency: many threads race distinct upserts; every commit
+    // that reports success is present, losers threw and retried nothing
+    import scala.collection.parallel.CollectionConverters._
+    val results = (1 to 8).par.map { i =>
+      try Right(t.upsert(Seq((i.toLong + 10L, s"w$i")).toDF("id", "name")))
+      catch { case ce: ConcurrentWriteException => Left(ce) }
+    }.toList
+    val wins = results.collect { case Right(v) => v }
+    assert(wins.nonEmpty && wins.distinct.size == wins.size,
+      s"duplicate version claimed: $results")
+    assert(t.currentVersion == 2 + wins.size)
+    val names = t.read().as[(Long, String)].collect().toMap
+    results.zipWithIndex.foreach {
+      case (Right(_), i) => assert(names(i.toLong + 11L) == s"w${i + 1}")
+      case (Left(_), _) => ()
+    }
+  }
+
+  test("crashed-writer heal: currentVersion probes past a stale pointer hint") {
+    val (t, dir) = freshTable()
+    t.create(Seq((1L, "a")).toDF("id", "name"))
+    t.upsert(Seq((2L, "b")).toDF("id", "name"))
+    // simulate the crash window between manifest link and pointer refresh
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "t", "_manifests", "_current"), "1")
+    assert(t.currentVersion == 2, "committed manifest must win over the hint")
+    assert(t.read().count() == 2)
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the timestamp") {
+    val (t, _) = freshTable()
+    val ticks = Iterator(1000L, 2000L, 3000L)
+    t.withClock(() => ticks.next())
+    t.create(Seq((1L, "v1")).toDF("id", "name"))       // committed at 1000
+    t.upsert(Seq((1L, "v2")).toDF("id", "name"))       // committed at 2000
+    t.delete(Seq(1L).toDF("id"))                        // committed at 3000
+    assert(t.versionAsOf(1000L) == 1)
+    assert(t.versionAsOf(1500L) == 1)
+    assert(t.versionAsOf(2000L) == 2)
+    assert(t.versionAsOf(Long.MaxValue) == 3)
+    assert(t.readAsOf(2500L).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "v2")))
+    assertThrows[IllegalArgumentException] { t.versionAsOf(999L) }
+    // history surfaces the commit clock
+    assert(t.history().orderBy("version").select("commit_time_ms")
+      .as[Long].collect().toSeq == Seq(1000L, 2000L, 3000L))
   }
 
   test("vacuum retaining everything deletes nothing") {
