@@ -24,7 +24,12 @@ object LakeJob {
   /** Idempotent initial load: create each configured table from its
     * initial-load directory if absent, skip if present (the reference's
     * catalog probe, src/hudi/hudi-initial-load.py:114). Registers each table
-    * as a temp view (hive-sync analog). Returns created table names. */
+    * BOTH as a session temp view and in the durable lake catalog
+    * (`<lakeDir>/_catalog.json`, [[graft.storage.LakeRegistry]]) — the
+    * persistent half is what the reference's hive-sync gives it
+    * (src/hudi/hudi-initial-load.py:76-81): a FRESH session attaches with
+    * `LakeRegistry.attach(spark, lakeDir)` and needs no config file.
+    * Returns created table names. */
   def initialLoad(
       spark: SparkSession, rawDir: String, lakeDir: String,
       configs: Seq[TableConfig]): Seq[String] =
@@ -35,6 +40,7 @@ object LakeJob {
           t.create(spark.read.parquet(s"$rawDir/initial-load/${cfg.tableName}"))
           Some(cfg.tableName)
         } else None
+      graft.storage.LakeRegistry.register(lakeDir, cfg)
       t.read().createOrReplaceTempView(cfg.tableName)
       created
     }

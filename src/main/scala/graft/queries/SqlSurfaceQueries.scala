@@ -147,6 +147,35 @@ object SqlSurfaceQueries {
             .as("total_spend"))
     },
 
+    // Durable lake catalog (the reference's hive-sync/Glue persistence,
+    // src/hudi/hudi-initial-load.py:76-81): tables are created + registered
+    // in <lake>/_catalog.json by one session, then a FRESH session — new
+    // temp-view catalog, no config object in scope — attaches the lake by
+    // directory alone and answers SQL over the registered views.
+    Q("q81_catalog_attach",
+      """SELECT n.n_name AS nation, count(*) AS n_cust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      val lake = StorageQueries.tableDir("q81_lake")
+      CowTable.deleteRecursively(Paths.get(lake))
+      Seq("customer" -> Seq("c_custkey"), "nation" -> Seq("n_nationkey"))
+        .foreach { case (name, pk) =>
+          val cfg = graft.storage.TableConfig(name, pk)
+          CowTable(s, s"$lake/$name", cfg).create(Tables.table(s, d, name))
+          graft.storage.LakeRegistry.register(lake, cfg)
+        }
+      val fresh = s.newSession()
+      graft.storage.LakeRegistry.attach(fresh, lake)
+      fresh.sql(
+        """SELECT n.n_name AS nation, count(*) AS n_cust,
+          |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+          |GROUP BY 1
+          |""".stripMargin)
+    },
+
     // §2.5 #34 the ML-scoring function-call shape: the reference's churn
     // model is an external Redshift ML function invoked per row
     // (src/sample_redshift_ml_sql_query.txt:113-133); here a registered

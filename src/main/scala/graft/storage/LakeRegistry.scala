@@ -1,0 +1,93 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+
+/** Durable lake-level catalog: `<lakeDir>/_catalog.json` maps table name →
+  * (TableConfig, root dir), so a FRESH SparkSession can discover and query
+  * every table of the lake with no config file — the persistence the
+  * reference gets from hive-sync/Glue registration
+  * (/root/reference/src/hudi/hudi-initial-load.py:76-81; crawlers
+  * cdk_stacks/glue_stack.py:242-279) and that session temp views / the
+  * in-memory saveAsTable catalog lack (they evaporate with the session;
+  * the CowTable manifests were durable but nothing listed them).
+  *
+  * The catalog is pure O(tables) metadata, rewritten atomically
+  * (tmp + ATOMIC_MOVE, last writer wins — same single-writer discipline as
+  * the reference's scheduling; the table DATA is guarded separately by the
+  * manifest CAS). Roots are stored relative to the lake dir so the whole
+  * lake is relocatable.
+  */
+object LakeRegistry {
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  /** One catalog row — a flattened TableConfig plus the table root
+    * (relative to the lake dir unless absolute). */
+  final case class Entry(
+      table_name: String,
+      root: String,
+      primary_key: Seq[String],
+      partition_key: Option[String],
+      precombine_key: Option[String],
+      cluster_by_key: Boolean,
+      max_records_per_file: Long) {
+    def config: TableConfig = TableConfig(table_name, primary_key,
+      partition_key, precombine_key, cluster_by_key, max_records_per_file)
+  }
+
+  private def catalogFile(lakeDir: String): Path =
+    Paths.get(lakeDir).resolve("_catalog.json")
+
+  /** All registered tables (empty for a catalog-less lake). */
+  def entries(lakeDir: String): Seq[Entry] = {
+    val f = catalogFile(lakeDir)
+    if (!Files.exists(f)) Nil
+    else Serialization.read[Seq[Entry]](Files.readString(f))
+  }
+
+  /** Register (or re-register: replace by name) a table. `root` defaults to
+    * the table name — the `<lakeDir>/<table>` convention [[graft.pipeline.LakeJob]]
+    * uses. Returns the registered entry count. */
+  def register(
+      lakeDir: String, config: TableConfig, root: String = ""): Int = {
+    val r = if (root.isEmpty) config.tableName else root
+    val e = Entry(config.tableName, r, config.primaryKey,
+      config.partitionKey, config.precombineKey, config.clusterByKey,
+      config.maxRecordsPerFile)
+    val merged =
+      entries(lakeDir).filterNot(_.table_name == config.tableName) :+ e
+    Files.createDirectories(Paths.get(lakeDir))
+    val tmp = Files.createTempFile(Paths.get(lakeDir), "_catalog", ".tmp")
+    Files.writeString(tmp, Serialization.write(merged.sortBy(_.table_name)))
+    Files.move(tmp, catalogFile(lakeDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    merged.size
+  }
+
+  /** Open a registered table (resolving its relative root). */
+  def open(spark: SparkSession, lakeDir: String, name: String): CowTable = {
+    val e = entries(lakeDir).find(_.table_name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $name is not registered in $lakeDir/_catalog.json"))
+    CowTable(spark, resolveRoot(lakeDir, e), e.config)
+  }
+
+  /** Attach the whole lake to a session: register every cataloged table's
+    * CURRENT snapshot as a temp view named after it. This is what a fresh
+    * session (new JVM, new user) calls to see the lake — no config file, no
+    * prior state. Returns the attached table names. */
+  def attach(spark: SparkSession, lakeDir: String): Seq[String] =
+    entries(lakeDir).map { e =>
+      CowTable(spark, resolveRoot(lakeDir, e), e.config)
+        .read().createOrReplaceTempView(e.table_name)
+      e.table_name
+    }
+
+  private def resolveRoot(lakeDir: String, e: Entry): String = {
+    val p = Paths.get(e.root)
+    (if (p.isAbsolute) p else Paths.get(lakeDir).resolve(p)).toString
+  }
+}

@@ -52,5 +52,24 @@ class LakeJobSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((1L, "alice2")))
     // second run: bookmark filters everything → "No Data changed."
     assert(LakeJob.cdcLoad(spark, raw, lake, cfgs).isEmpty)
+
+    // ---- durable catalog: a FRESH session (new temp-view catalog, no
+    // config file, no prior state) attaches the lake and sees everything,
+    // including the post-CDC state of user_data
+    val fresh = spark.newSession()
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      fresh.table("user_data").count() // proves the session is really fresh
+    }
+    val attached = graft.storage.LakeRegistry.attach(fresh, lake)
+    assert(attached.toSet == Set("user_data", "item_data"))
+    assert(fresh.table("user_data").select("user_id", "name")
+      .as[(Long, String)].collect().toSet == Set((1L, "alice2")))
+    assert(fresh.table("item_data").count() == 2)
+    // the registry round-trips full TableConfigs (not just names)
+    assert(graft.storage.LakeRegistry.entries(lake)
+      .map(_.config).toSet == cfgs.toSet)
+    // open() hands back a live CowTable on the registered root
+    assert(graft.storage.LakeRegistry.open(fresh, lake, "user_data")
+      .currentVersion == 3) // create + upsert + delete
   }
 }
