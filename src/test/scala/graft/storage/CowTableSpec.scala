@@ -456,6 +456,54 @@ class CowTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("schema widening on upsert: int→long and float→double, old files conform") {
+    val (t, _) = freshTable()
+    t.create((1L to 100L).map(i => (i, i.toInt, i.toFloat))
+      .toDF("id", "n", "x").repartitionByRange(2, col("id")))
+    // wider source types widen the TABLE schema (Delta-autoMerge-style)
+    t.upsert(Seq((1L, 5000000000L, 2.5d), (101L, 7L, 1.5d))
+      .toDF("id", "n", "x"))
+    val out = t.read()
+    assert(out.schema("n").dataType.typeName == "long")
+    assert(out.schema("x").dataType.typeName == "double")
+    val m = out.as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m.size == 101 && m(1L)._2 == 5000000000L && m(101L)._3 == 1.5d)
+    // carried-over old files (int/float) read through the widened schema
+    assert(m(80L)._2 == 80L && m(80L)._3 == 80.0d)
+    // a NARROWER source upcasts into the table type, schema unchanged
+    t.upsert(Seq((2L, 9, 9.0f)).toDF("id", "n", "x")
+      .selectExpr("id", "CAST(n AS INT) AS n", "CAST(x AS FLOAT) AS x"))
+    assert(t.read().schema("n").dataType.typeName == "long")
+    assert(t.read().filter(col("id") === 2L).select("n")
+      .as[Long].head() == 9L)
+  }
+
+  test("decimal widening grows to max integer digits + max scale") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, "10.25")).toDF("id", "s")
+      .selectExpr("id", "CAST(s AS DECIMAL(10,2)) AS amt"))
+    t.upsert(Seq((2L, "123.4567")).toDF("id", "s")
+      .selectExpr("id", "CAST(s AS DECIMAL(12,4)) AS amt"))
+    val dt = t.read().schema("amt").dataType.simpleString
+    assert(dt == "decimal(12,4)", dt) // 8 int digits + 4 scale
+    assert(t.read().selectExpr("CAST(amt AS STRING)").as[String]
+      .collect().toSet == Set("10.2500", "123.4567"))
+  }
+
+  test("incompatible type change on upsert fails loudly, naming the column") {
+    val (t, _) = freshTable()
+    t.create(Seq((1L, 10)).toDF("id", "n"))
+    val e = intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, "ten")).toDF("id", "n"))
+    }
+    assert(e.getMessage.contains("column n") &&
+      e.getMessage.contains("int") && e.getMessage.contains("string"),
+      e.getMessage)
+    // long→int narrowing of a NON-shared-family type is fine (int widens);
+    // but long target never narrows to int: schema stays as created
+    assert(t.read().schema("n").dataType.typeName == "integer")
+  }
+
   test("optimistic concurrency: of two interleaved writers exactly one commits") {
     val (t, _) = freshTable()
     t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
