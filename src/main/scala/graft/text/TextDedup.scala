@@ -103,21 +103,43 @@ object TextDedup {
         col("bk.band_key").as("band_key"))
   }
 
+  /** LOUD guard against pathological LSH buckets: a corpus with mass
+    * duplication that skipped exact-dedup concentrates one bucket's whole
+    * member list (and its n² candidate explosion) on a single reducer —
+    * at scale that is an OOM/stragler, and silently truncating the bucket
+    * would drop real duplicate pairs. One cheap extra pass (partial-agg
+    * counts, no lists built) fails fast naming the worst bucket instead.
+    * Runs EAGERLY at operator-construction time — the failure belongs to
+    * the caller, not to whichever downstream action happens to run first. */
+  private def assertBoundedBuckets(
+      bands: DataFrame, groupCols: Seq[String],
+      maxBucket: Int, fix: String): Unit = {
+    val worst = bands.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .orderBy(col("__n").desc).head(1)
+    require(worst.isEmpty,
+      s"LSH bucket ${worst.headOption.fold("")(_.toString)} holds more " +
+        s"than maxBucket=$maxBucket members — within-bucket pair " +
+        s"generation would explode quadratically on one reducer. $fix")
+  }
+
   /** Near-duplicate pairs: LSH candidates (same band bucket, id_a < id_b)
     * verified by exact Jaccard over distinct shingle-hash sets, thresholded.
     * The verification join touches only candidate pairs — within-bucket
     * work, not all-pairs. (Jaccard over the 48-bit hash sets equals Jaccard
     * over the shingle-string sets up to within-pair hash collisions, and the
-    * oracle replays the identical hashing, so parity is exact either way.) */
+    * oracle replays the identical hashing, so parity is exact either way.)
+    * `maxBucket` bounds any single bucket (see [[assertBoundedBuckets]]). */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1 << 20): DataFrame = {
     val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
+    assertBoundedBuckets(b, Seq("band", "band_key"), maxBucket,
+      "Exact-dedup the corpus first (dedupExact), or raise maxBucket.")
     // bucket → within-bucket pairs via ONE groupBy (a self-join would
     // recompute the whole signature pipeline for each side). Bucket member
-    // lists are small by LSH construction; a pathological bucket (mass
-    // duplicates) should be exact-deduped first.
+    // lists are small by LSH construction AND bounded by the guard above.
     val cands = b.groupBy("band", "band_key")
       .agg(collect_list(col(idCol)).as("__ids"))
       .filter(size(col("__ids")) > 1)
@@ -167,7 +189,8 @@ object TextDedup {
     * Hamming distance. Same bucketed shape as minhash — never all-pairs. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4,
+      maxBucket: Int = 1 << 20): DataFrame = {
     val bitsPerChunk = TextFunctions.HashBits / chunks
     val mask = (1L << bitsPerChunk) - 1
     val sh = simhashes(df, idCol, textCol)
@@ -178,6 +201,8 @@ object TextDedup {
           .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("simhash"),
         col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    assertBoundedBuckets(bands, Seq("chunk", "key"), maxBucket,
+      "Exact-dedup the corpus first (dedupExact), or raise maxBucket.")
     bands.groupBy("chunk", "key")
       .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
         .as("__m"))

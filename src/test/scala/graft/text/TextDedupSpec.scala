@@ -46,6 +46,26 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("cartesian"), plan)
   }
 
+  test("hot-bucket guard: a mass-duplicate corpus fails loudly, not quadratically") {
+    // 500 identical docs that SKIPPED exact dedup: every band bucket holds
+    // all 500 ids — the pathological reducer-concentration case
+    val adversarial = (1L to 500L).map(i => (i, base)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.nearDupPairs(adversarial, "doc_id", "text", maxBucket = 100)
+    }
+    assert(e.getMessage.contains("maxBucket") &&
+      e.getMessage.contains("dedupExact"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextDedup.simhashNearDupPairs(
+        adversarial, "doc_id", "text", maxBucket = 100)
+    }
+    assert(e2.getMessage.contains("maxBucket"), e2.getMessage)
+    // the same corpus passes once exact-deduped (the prescribed fix)
+    val deduped = TextDedup.dedupExact(adversarial, "doc_id", "text")
+    assert(TextDedup.nearDupPairs(deduped, "doc_id", "text",
+      maxBucket = 100).count() == 0)
+  }
+
   test("simhash: near-dups land close in Hamming space, unrelated far") {
     val sh = TextDedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
