@@ -69,6 +69,36 @@ object MultimodalQueries {
       Multimodal.extractMeta(Multimodal.syntheticAssets(docs(s, d)))
     },
 
+    // REAL decode through the pluggable boundary: synthesized RIFF/WAVE
+    // PCM-16 containers (closed-form samples keyed by doc_id) parsed back by
+    // WavDecoder — magic/chunk-walk/fmt/sample extraction are genuine byte
+    // parsing, and the oracle independently replays the closed form in SQL
+    // (header fields + exact 8-bin sample histogram; zero bins filtered).
+    Q("q84_decode_wav",
+      """WITH s AS (SELECT doc_id AS asset_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(64 + doc_id % 64 AS INT) AS n_samples
+        |  FROM documents),
+        |sam AS (SELECT asset_id, sample_rate, n_samples,
+        |    (asset_id * 31 + t.i * 7) % 65536 - 32768 AS v
+        |  FROM s, UNNEST(generate_series(0, n_samples - 1)) AS t(i))
+        |SELECT asset_id, sample_rate, n_samples,
+        |  CAST((v + 32768) // 8192 AS INT) AS bin,
+        |  count(*) AS n
+        |FROM sam GROUP BY 1, 2, 3, 4
+        |""".stripMargin) { (s, d) =>
+      val assets = graft.multimodal.WavFixtures
+        .syntheticWavs(s, docs(s, d)).toDF()
+      Multimodal.decodeFeatures(s, assets, graft.multimodal.WavDecoder)
+        .toDF()
+        .select(col("asset_id"), col("width").as("sample_rate"),
+          col("n_frames").as("n_samples"),
+          posexplode(col("feature")).as(Seq("bin", "n")))
+        .filter(col("n") > 0)
+        .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+          col("bin"), col("n").cast("long").as("n"))
+    },
+
     // Byte-distribution features through the native codegen'd expression —
     // exploded to scalars. With 16 buckets the bucket of a byte is exactly
     // its high nibble, so the oracle counts each hex digit at the odd
