@@ -119,6 +119,29 @@ object StorageQueries {
       tbl.readVersion(1)
     },
 
+    // DSv2 connector scan: orders materialized as a range-clustered CowTable,
+    // read back through spark.read.format("graft") with a key-range filter
+    // (pushed into manifest-level file pruning; plan-asserted in
+    // GraftDataSourceSpec) and a projection (pushed into the parquet reader).
+    // Exercises long/string/double/timestamp columns through the Group-based
+    // partition reader end-to-end against the raw-parquet oracle.
+    Q("q82_dsv2_scan",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM orders WHERE o_orderkey <= 500
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q82")
+      CowTable.replace(s, root,
+        TableConfig("orders", Seq("o_orderkey"), clusterByKey = true),
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate").repartition(4))
+      s.read.format("graft").load(root)
+        .filter(col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

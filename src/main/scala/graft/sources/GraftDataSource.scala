@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.nio.file.{Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import graft.storage.{CommitManifest, CowTable, FileEntry}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for CowTable — the catalog-integration surface
+  * the reference gets from its format jars' own connectors (Hudi/Iceberg/
+  * Delta all register a Spark data source; e.g. the reference reads tables
+  * back via the format, src/iceberg/iceberg-cdc-load.py:85-93):
+  *
+  * {{{
+  *   spark.read.format("graft").load(root)                    // current
+  *   spark.read.format("graft").option("versionAsOf", 2)...   // time travel
+  *   spark.read.format("graft").option("timestampAsOf", ms)...
+  *   CREATE TABLE t USING graft LOCATION '<root>'             // SQL surface
+  * }}}
+  *
+  * Scan planning pushes key-range filters (=, <, <=, >, >=, AND on the
+  * primary key) into MANIFEST-level file pruning — the O(files) metadata
+  * skip [[CowTable.filesInRange]] gives merges — and prunes columns down to
+  * the requested projection (honored inside the parquet reader via a
+  * requested-schema projection, so unread columns are never decoded).
+  * Pushed filters stay residual: Spark re-applies the exact predicate, so
+  * pruning can only skip files, never change results.
+  *
+  * The per-partition reader is the parquet-hadoop Group API (one partition
+  * per data file, schema-evolution null-fill, hive partition-value
+  * reconstruction from the path). It is row-oriented — fine for the
+  * SQL/catalog surface; the bulk-analytics path remains `CowTable.read()`,
+  * which scans through Spark's vectorized parquet source. Flat primitive
+  * schemas only (CDC tables are flat by construction); nested types are
+  * rejected loudly at planning time.
+  */
+class GraftDataSource extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = GraftDataSource.rootFrom(options)
+    val v = GraftDataSource.versionFrom(root, options)
+    CowTable.structFromJson(CowTable.manifestAt(root, v).schemaJson)
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val root = GraftDataSource.rootFrom(options)
+    new GraftTable(root, GraftDataSource.versionFrom(root, options))
+  }
+}
+
+object GraftDataSource {
+  private[sources] def rootFrom(options: CaseInsensitiveStringMap): Path = {
+    val p = Option(options.get("path"))
+      .orElse(Option(options.get("location")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: a table root is required " +
+          "(load(<root>) / option(\"path\", ...) / LOCATION '<root>')"))
+    Paths.get(p.stripPrefix("file:")).toAbsolutePath
+  }
+
+  /** Resolve the version to read: explicit versionAsOf > timestampAsOf >
+    * current. Mirrors [[CowTable.versionAsOf]] semantics. */
+  private[sources] def versionFrom(
+      root: Path, options: CaseInsensitiveStringMap): Int = {
+    val cur = CowTable.currentVersionAt(root)
+    require(cur > 0, s"graft: no table at $root (no committed manifests)")
+    Option(options.get("versionAsOf")).map(_.trim.toInt).getOrElse {
+      Option(options.get("timestampAsOf")).map(_.trim.toLong) match {
+        case None => cur
+        case Some(ts) =>
+          (1 to cur).takeWhile(CowTable.manifestAt(root, _).commitTimeMs <= ts)
+            .lastOption.getOrElse(throw new IllegalArgumentException(
+              s"graft: no commit at or before timestamp $ts in $root"))
+      }
+    }
+  }
+}
+
+final class GraftTable(root: Path, version: Int)
+  extends Table with SupportsRead {
+
+  private val m: CommitManifest = CowTable.manifestAt(root, version)
+  private val tableSchema: StructType = CowTable.structFromJson(m.schemaJson)
+
+  override def name(): String = s"graft.`$root`@v$version"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, m, tableSchema)
+}
+
+final class GraftScanBuilder(
+    root: Path, m: CommitManifest, fullSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var bounds: Seq[(Option[Any], Option[Any])] = Nil
+
+  /** Key-range bounds extracted from a filter (conjuncts flattened); each
+    * bound prunes files independently, so AND needs no driver-side value
+    * comparison. Strict bounds prune as inclusive — conservative, and the
+    * residual predicate restores exactness. */
+  private def keyBounds(f: Filter): Seq[(Filter, Option[Any], Option[Any])] = {
+    val k = m.primaryKey.head
+    f match {
+      case EqualTo(`k`, v) => Seq((f, Some(v), Some(v)))
+      case GreaterThan(`k`, v) => Seq((f, Some(v), None))
+      case GreaterThanOrEqual(`k`, v) => Seq((f, Some(v), None))
+      case LessThan(`k`, v) => Seq((f, None, Some(v)))
+      case LessThanOrEqual(`k`, v) => Seq((f, None, Some(v)))
+      case And(l, r) => keyBounds(l) ++ keyBounds(r)
+      case _ => Nil
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.flatMap(keyBounds)
+    pushed = usable.map(_._1).distinct
+    bounds = usable.map(b => (b._2, b._3)).toSeq
+    filters // all residual: pruning only skips files, Spark keeps exactness
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    required.fields.foreach { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          throw new UnsupportedOperationException(
+            s"graft DSv2 reader supports flat primitive schemas; column " +
+              s"${f.name} is ${f.dataType.simpleString}. Read nested tables " +
+              "through CowTable.read().")
+        case _ => ()
+      }
+    }
+    new GraftScan(root, m, required, bounds)
+  }
+}
+
+final case class GraftInputPartition(
+    filePath: String, partitionValues: Map[String, String])
+  extends InputPartition
+
+final class GraftScan(
+    root: Path, m: CommitManifest, required: StructType,
+    bounds: Seq[(Option[Any], Option[Any])])
+  extends Scan with Batch {
+
+  private val kept: Seq[FileEntry] = bounds.foldLeft(m.files) { (fs, b) =>
+    CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
+  }
+
+  override def readSchema(): StructType = required
+
+  /** Surfaces the manifest-level skip in `explain()`: files=<kept>/<total>. */
+  override def description(): String =
+    s"graft $root v${m.version} files=${kept.size}/${m.files.size}" +
+      s" keyRangeFilters=${bounds.size}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map { e =>
+      // hive-style partition values live in the path, not the file
+      val parts = e.path.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) ->
+            java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        }.toMap
+      GraftInputPartition(root.resolve(e.path).toString, parts)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+final class GraftReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[
+    org.apache.spark.sql.catalyst.InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(gp.filePath, required, gp.partitionValues)
+  }
+}

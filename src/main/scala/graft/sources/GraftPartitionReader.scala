@@ -1,0 +1,166 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side reader: one parquet data file → InternalRows of the
+  * requested projection, via the parquet-hadoop Group API (the PUBLIC
+  * example reader — no Spark-internal parquet classes).
+  *
+  * Projection is pushed into the parquet layer (`parquet.read.schema` set to
+  * the intersection of the file schema with the requested columns), so
+  * pruned columns are never decoded or materialized. Three value sources per
+  * requested column, resolved once at open time (no per-row branching):
+  *   - present in the file → a primitive converter (full logical-type
+  *     handling: dates, MILLIS/MICROS int64 timestamps, INT96, decimals in
+  *     int32/int64/binary/fixed, UTF8 strings);
+  *   - a hive partition column → a constant parsed from the directory path;
+  *   - absent (file predates the column — schema evolution) → null.
+  */
+final class GraftPartitionReader(
+    filePath: String, required: StructType,
+    partitionValues: Map[String, String])
+  extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(filePath)
+
+  // file schema from the footer (cheap: footer only), for projection +
+  // converter resolution
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  private val fileFields: Map[String, org.apache.parquet.schema.Type] =
+    fileSchema.getFields.asScala.map(t => t.getName -> t).toMap
+  private val inFile: Set[String] = fileFields.keySet
+  private val readCols: Seq[String] =
+    required.fields.toSeq.map(_.name)
+      .filter(c => inFile(c) && !partitionValues.contains(c))
+
+  private val reader: ParquetReader[Group] = {
+    val requested = new MessageType("graft_projection",
+      readCols.map(fileFields(_)).asJava)
+    val c = new Configuration(conf)
+    c.set(ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(c).build()
+  }
+
+  /** Per-required-column extractor, fixed at open time. */
+  private val extractors: Array[Group => Any] =
+    required.fields.map { f =>
+      if (partitionValues.contains(f.name)) {
+        val const = parsePartitionValue(partitionValues(f.name), f.dataType)
+        (_: Group) => const
+      } else if (!inFile(f.name)) { (_: Group) => null }
+      else {
+        val idx = readCols.indexOf(f.name)
+        val pt = fileFields(f.name).asPrimitiveType()
+        val conv = converter(pt, f.dataType, f.name)
+        (g: Group) =>
+          if (g.getFieldRepetitionCount(idx) == 0) null else conv(g, idx)
+      }
+    }
+
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(extractors.map(_(current)))
+
+  override def close(): Unit = reader.close()
+
+  private def unsupported(name: String, pt: PrimitiveType, dt: DataType) =
+    throw new UnsupportedOperationException(
+      s"graft reader: column $name of parquet type $pt cannot be read as " +
+        s"${dt.simpleString}")
+
+  /** (group, fieldIndex) → Catalyst value for a primitive column. */
+  private def converter(
+      pt: PrimitiveType, dt: DataType, name: String): (Group, Int) => Any = {
+    val ann = pt.getLogicalTypeAnnotation
+    (pt.getPrimitiveTypeName, dt) match {
+      case (BOOLEAN, BooleanType) => (g, i) => g.getBoolean(i, 0)
+      case (INT32, IntegerType | DateType) => (g, i) => g.getInteger(i, 0)
+      case (INT32, ShortType) => (g, i) => g.getInteger(i, 0).toShort
+      case (INT32, ByteType) => (g, i) => g.getInteger(i, 0).toByte
+      case (INT32, LongType) => (g, i) => g.getInteger(i, 0).toLong
+      case (INT32, d: DecimalType) =>
+        (g, i) => Decimal(BigDecimal(BigInt(g.getInteger(i, 0)), d.scale),
+          d.precision, d.scale)
+      case (INT64, LongType) => (g, i) => g.getLong(i, 0)
+      case (INT64, TimestampType | TimestampNTZType) =>
+        // both Catalyst timestamp types carry micros-since-epoch longs; the
+        // annotation's isAdjustedToUTC flag decided which Spark type the
+        // schema holds, the physical value handling is identical
+        val scale = ann match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+              case u => throw new UnsupportedOperationException(
+                s"graft reader: timestamp unit $u in column $name")
+            }
+          case _ => unsupported(name, pt, dt)
+        }
+        (g, i) => g.getLong(i, 0) * scale
+      case (INT64, d: DecimalType) =>
+        (g, i) => Decimal(BigDecimal(BigInt(g.getLong(i, 0)), d.scale),
+          d.precision, d.scale)
+      case (INT96, TimestampType) =>
+        // legacy 12-byte (nanos-of-day LE, julian-day LE) timestamps
+        (g, i) => {
+          val b = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = b.getLong
+          val julianDay = b.getInt
+          DateTimeUtils.fromJulianDay(julianDay, nanosOfDay)
+        }
+      case (FLOAT, FloatType) => (g, i) => g.getFloat(i, 0)
+      case (FLOAT, DoubleType) => (g, i) => g.getFloat(i, 0).toDouble
+      case (DOUBLE, DoubleType) => (g, i) => g.getDouble(i, 0)
+      case (BINARY, StringType) =>
+        (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case (BINARY, BinaryType) => (g, i) => g.getBinary(i, 0).getBytes
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, d: DecimalType) =>
+        (g, i) => Decimal(
+          BigDecimal(BigInt(g.getBinary(i, 0).getBytes), d.scale),
+          d.precision, d.scale)
+      case _ => unsupported(name, pt, dt)
+    }
+  }
+
+  /** Hive partition segment value → Catalyst constant of the declared type
+    * (the manifest schema re-types what the path stores as text). */
+  private def parsePartitionValue(raw: String, dt: DataType): Any =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType => UTF8String.fromString(raw)
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case BooleanType => raw.toBoolean
+      case DateType => DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(raw))
+      case d: DecimalType => Decimal(BigDecimal(raw), d.precision, d.scale)
+      case other => throw new UnsupportedOperationException(
+        s"graft reader: partition column type ${other.simpleString}")
+    }
+}

@@ -90,18 +90,10 @@ final class CowTable private[storage] (
     * fast-start hint. Probing upward from the hint heals the crash window
     * between manifest creation and pointer refresh — a committed version is
     * never lost, and readers agree with writers on what "current" means. */
-  def currentVersion: Int = {
-    var v =
-      if (Files.exists(pointerFile)) Files.readString(pointerFile).trim.toInt
-      else 0
-    while (Files.exists(manifestDir.resolve(f"v${v + 1}%05d.json"))) v += 1
-    v
-  }
+  def currentVersion: Int = CowTable.currentVersionAt(root)
 
-  def manifest(version: Int): CommitManifest = {
-    val p = manifestDir.resolve(f"v$version%05d.json")
-    Serialization.read[CommitManifest](Files.readString(p))
-  }
+  def manifest(version: Int): CommitManifest =
+    CowTable.manifestAt(root, version)
 
   /** Current snapshot as a DataFrame (scan of the manifest's file set). */
   def read(): DataFrame = readVersion(currentVersion)
@@ -115,32 +107,7 @@ final class CowTable private[storage] (
   def readRange(lower: Option[Any], upper: Option[Any]): DataFrame = {
     val m = manifest(currentVersion)
     val k = config.primaryKey.head
-    // bounds must compare in the stats' value space: temporal keys' stats
-    // are physical integers (micros / days since epoch)
-    def str(v: Any): String = v match {
-      case t: java.sql.Timestamp =>
-        // getTime is already floor-milliseconds (negative-safe); only the
-        // sub-millisecond remainder of nanos is added — a seconds-based
-        // truncating division would shift pre-1970 fractional bounds
-        (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
-      case d0: java.sql.Date => d0.toLocalDate.toEpochDay.toString
-      case d0: java.time.LocalDate => d0.toEpochDay.toString
-      case i: java.time.Instant =>
-        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
-      case other => String.valueOf(other)
-    }
-    def cmp(a: String, b: String): Int =
-      if (m.keyNumeric) BigDecimal(a).compare(BigDecimal(b))
-      else CowTable.utf8Ordering.compare(a, b)
-    val kept = m.files.filter { e =>
-      (e.minKey, e.maxKey) match {
-        case (Some(mn), Some(mx)) =>
-          lower.forall(lo => cmp(mx, str(lo)) >= 0) &&
-            upper.forall(hi => cmp(mn, str(hi)) <= 0)
-        case _ => true // stats absent: must read
-      }
-    }
-    val df = readFiles(m, kept)
+    val df = readFiles(m, CowTable.filesInRange(m, lower, upper))
     val withLo = lower.map(lo => df.filter(col(k) >= lit(lo))).getOrElse(df)
     upper.map(hi => withLo.filter(col(k) <= lit(hi))).getOrElse(withLo)
   }
@@ -842,8 +809,58 @@ object CowTable {
   implicit private[storage] val formats: Formats =
     Serialization.formats(NoTypeHints)
 
-  private[storage] def structFromJson(json: String): StructType =
+  private[graft] def structFromJson(json: String): StructType =
     DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** Static manifest access (no SparkSession needed — pure file IO): the
+    * entry point the DSv2 connector's driver-side planning uses. */
+  private[graft] def currentVersionAt(root: Path): Int = {
+    val manifestDir = root.resolve("_manifests")
+    val pointer = manifestDir.resolve("_current")
+    var v =
+      if (Files.exists(pointer)) Files.readString(pointer).trim.toInt else 0
+    while (Files.exists(manifestDir.resolve(f"v${v + 1}%05d.json"))) v += 1
+    v
+  }
+
+  private[graft] def manifestAt(root: Path, version: Int): CommitManifest =
+    Serialization.read[CommitManifest](Files.readString(
+      root.resolve("_manifests").resolve(f"v$version%05d.json")))
+
+  /** A filter/merge bound in the manifest stats' value space: temporal
+    * values become their physical integers (micros / days since epoch). */
+  private[graft] def statValueString(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      // getTime is already floor-milliseconds (negative-safe); only the
+      // sub-millisecond remainder of nanos is added — a seconds-based
+      // truncating division would shift pre-1970 fractional bounds
+      (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
+    case d0: java.sql.Date => d0.toLocalDate.toEpochDay.toString
+    case d0: java.time.LocalDate => d0.toEpochDay.toString
+    case i: java.time.Instant =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case other => String.valueOf(other)
+  }
+
+  /** Manifest-level data skipping: the subset of `m.files` whose
+    * [minKey, maxKey] can intersect `[lower, upper]` (either bound
+    * optional; files without stats always kept). Exactness contract: callers
+    * re-apply the precise predicate on the rows that remain. */
+  private[graft] def filesInRange(
+      m: CommitManifest, lower: Option[Any], upper: Option[Any])
+      : Seq[FileEntry] = {
+    def cmp(a: String, b: String): Int =
+      if (m.keyNumeric) BigDecimal(a).compare(BigDecimal(b))
+      else utf8Ordering.compare(a, b)
+    m.files.filter { e =>
+      (e.minKey, e.maxKey) match {
+        case (Some(mn), Some(mx)) =>
+          lower.forall(lo => cmp(mx, statValueString(lo)) >= 0) &&
+            upper.forall(hi => cmp(mn, statValueString(hi)) <= 0)
+        case _ => true // stats absent: must read
+      }
+    }
+  }
 
   /** Open a table directory (existing or about-to-be-created). */
   def apply(spark: SparkSession, root: String, config: TableConfig): CowTable =
