@@ -524,7 +524,7 @@ final class CowTable private[storage] (
           match { case (t, u) => (t.map(_._1), u.map(_._1)) })
       } finally keyed.unpersist(blocking = false)
     } else if (m.keyNumeric)
-      Some(m.files.partition(containsAny(
+      Some(m.files.partition(CowTable.containsAny(
         _, keys.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_))))
     else {
       // UTF-8 byte order, NOT JVM UTF-16 order: file min/max stats come from
@@ -532,29 +532,10 @@ final class CowTable private[storage] (
       // UTF-8 bytes — the two orderings diverge for supplementary-plane
       // characters, and a mismatch silently skips files containing source keys.
       implicit val ord: Ordering[String] = CowTable.utf8Ordering
-      Some(m.files.partition(containsAny(
+      Some(m.files.partition(CowTable.containsAny(
         _, keys.sorted.toIndexedSeq, identity[String])))
     }
   }
-
-  /** Does [e.minKey, e.maxKey] contain any of `sorted` (ascending)? */
-  private def containsAny[T](
-      e: FileEntry, sorted: IndexedSeq[T], parse: String => T)(
-      implicit ord: Ordering[T]): Boolean =
-    (e.minKey, e.maxKey) match {
-      case (Some(mn), Some(mx)) =>
-        val lo = parse(mn)
-        val hi = parse(mx)
-        // lower bound: first index with sorted(i) >= lo
-        var l = 0
-        var r = sorted.length
-        while (l < r) {
-          val mid = (l + r) >>> 1
-          if (ord.lt(sorted(mid), lo)) l = mid + 1 else r = mid
-        }
-        l < sorted.length && ord.lteq(sorted(l), hi)
-      case _ => true // a file without stats must be assumed touched
-    }
 
   /** Read a set of manifest files, reconciling to `m`'s schema (files written
     * by older commits may predate added columns — null-fill + cast, the read
@@ -619,6 +600,18 @@ final class CowTable private[storage] (
       else writer
     sized.parquet(verDir.toString)
     val fresh = statFiles(verDir, schema)
+    commitAt(parent, fresh, carryOver, schema, dataChange)
+  }
+
+  /** Publish a commit whose data files already exist (written by
+    * [[writeVersion]] or by the DSv2 write path's executors): manifest
+    * assembly + the CAS of [[commitManifest]]. `parent` is the version the
+    * writer based its work on — a concurrent commit in between fails the
+    * CAS. Returns the committed version. */
+  private[graft] def commitAt(
+      parent: Int, fresh: Seq[FileEntry], carryOver: Seq[FileEntry],
+      schema: StructType, dataChange: Boolean = true): Int = {
+    val v = parent + 1
     val entries = fresh ++ carryOver
     val m = CommitManifest(
       version = v,
@@ -676,7 +669,7 @@ final class CowTable private[storage] (
     * (unsupported physical type, missing column, stats absent). Missing
     * stats degrade safely: a file without min/max is always treated as
     * touched by pruning. */
-  private def statFiles(verDir: Path, schema: StructType): Seq[FileEntry] = {
+  private[graft] def statFiles(verDir: Path, schema: StructType): Seq[FileEntry] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(verDir)) return Nil
     val parquetFiles = scala.util.Using.resource(Files.walk(verDir)) {
@@ -840,6 +833,42 @@ object CowTable {
     case i: java.time.Instant =>
       (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
     case other => String.valueOf(other)
+  }
+
+  /** Does [e.minKey, e.maxKey] contain any of `sorted` (ascending)? */
+  private[graft] def containsAny[T](
+      e: FileEntry, sorted: IndexedSeq[T], parse: String => T)(
+      implicit ord: Ordering[T]): Boolean =
+    (e.minKey, e.maxKey) match {
+      case (Some(mn), Some(mx)) =>
+        val lo = parse(mn)
+        val hi = parse(mx)
+        // lower bound: first index with sorted(i) >= lo
+        var l = 0
+        var r = sorted.length
+        while (l < r) {
+          val mid = (l + r) >>> 1
+          if (ord.lt(sorted(mid), lo)) l = mid + 1 else r = mid
+        }
+        l < sorted.length && ord.lteq(sorted(l), hi)
+      case _ => true // a file without stats must be assumed touched
+    }
+
+  /** Files whose [minKey, maxKey] contains at least one of `values`
+    * (Catalyst-space values: UTF8String/Long-micros/Int-days literals map to
+    * the stat space via [[statValueString]]) — the point-set twin of
+    * [[filesInRange]], used by runtime (DPP-style) group filtering. */
+  private[graft] def filesContainingAny(
+      m: CommitManifest, values: Seq[Any]): Seq[FileEntry] = {
+    val strs = values.map(statValueString)
+    if (m.keyNumeric)
+      m.files.filter(containsAny(
+        _, strs.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_)))
+    else {
+      implicit val ord: Ordering[String] = utf8Ordering
+      m.files.filter(containsAny(_, strs.sorted.toIndexedSeq,
+        identity[String]))
+    }
   }
 
   /** Manifest-level data skipping: the subset of `m.files` whose
