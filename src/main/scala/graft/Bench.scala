@@ -32,10 +32,44 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
+  /** PRE-FLIGHT LOAD GATE (round-4 lesson: the driver started a bench at
+    * loadavg 2.70 and burned the round's headline numbers): if the 1-min
+    * loadavg exceeds the threshold, wait (bounded) for the machine to go
+    * quiet before measuring anything. The decision is recorded in the JSON
+    * (`gate_waited_sec`, `gate_satisfied`) so a run that had to start on a
+    * busy box says so in the artifact. Tunables via env:
+    * SPARK_GRAFT_LOAD_GATE (threshold, default 1.0; <=0 disables),
+    * SPARK_GRAFT_LOAD_GATE_MAX_WAIT (seconds, default 300). */
+  private def loadGate(): (Double, Boolean) = {
+    val threshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
+    val maxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX_WAIT", "300").toInt
+    def load1(): Double =
+      scala.util.Try(loadavg().split("\\s+")(0).toDouble).getOrElse(0.0)
+    if (threshold <= 0) return (0.0, true)
+    val t0 = System.nanoTime()
+    var cur = load1()
+    while (cur > threshold &&
+      (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      System.err.println(
+        f"[bench] load gate: 1-min loadavg $cur%.2f > $threshold%.2f — " +
+          "waiting for the machine to go quiet")
+      Thread.sleep(5000)
+      cur = load1()
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    if (cur > threshold) System.err.println(
+      f"[bench] load gate TIMED OUT after $waited%.0fs (loadavg $cur%.2f)" +
+        " — results may be contention-polluted")
+    (waited, cur <= threshold)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val (gateWaited, gateOk) = loadGate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,7 +137,7 @@ object Bench {
     val total = times.map(_._2).sum
     val gcSec = (gcMillis() - gcStart) / 1e3
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup":$ws,"remeasured":$rs,"errors":$errs,"n_ok":${times.size},"n_err":${errors.size},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"gc_sec":$gcSec,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup":$ws,"remeasured":$rs,"errors":$errs,"n_ok":${times.size},"n_err":${errors.size},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"gate_waited_sec":$gateWaited,"gate_satisfied":$gateOk,"gc_sec":$gcSec,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     if (errors.nonEmpty) System.err.println(s"[bench] FAILURES: ${errors.keys.mkString(", ")}")

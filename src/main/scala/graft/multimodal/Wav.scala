@@ -41,7 +41,9 @@ object WavDecoder extends AssetDecoder {
     while (pos + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
       val id = tag(pos)
       val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length)
+      // compare in Long: a crafted size near Int.MaxValue overflows the Int
+      // sum and would bypass the guard (surfacing as an index error later)
+      if (size < 0 || pos + 8 + size.toLong > bytes.length)
         fail(s"chunk $id overruns the payload")
       id match {
         case "fmt " =>

@@ -74,12 +74,14 @@ object GraftDataSource {
   }
 
   /** Resolve the version to read: explicit versionAsOf > timestampAsOf >
-    * current. Mirrors [[CowTable.versionAsOf]] semantics. */
+    * current. Mirrors [[CowTable.readVersion]]'s guards too — an out-of-range
+    * versionAsOf or a vacuumed version fails LOUDLY at planning time, not as
+    * a FileNotFound halfway through the scan. */
   private[sources] def versionFrom(
       root: Path, options: CaseInsensitiveStringMap): Int = {
     val cur = CowTable.currentVersionAt(root)
     require(cur > 0, s"graft: no table at $root (no committed manifests)")
-    Option(options.get("versionAsOf")).map(_.trim.toInt).getOrElse {
+    val v = Option(options.get("versionAsOf")).map(_.trim.toInt).getOrElse {
       Option(options.get("timestampAsOf")).map(_.trim.toLong) match {
         case None => cur
         case Some(ts) =>
@@ -88,6 +90,12 @@ object GraftDataSource {
               s"graft: no commit at or before timestamp $ts in $root"))
       }
     }
+    require(v >= 1 && v <= cur,
+      s"graft: versionAsOf $v out of range 1..$cur at $root")
+    val earliest = CowTable.earliestReadableAt(root)
+    require(v >= earliest,
+      s"graft: version $v was vacuumed (earliest readable: $earliest)")
+    v
   }
 }
 

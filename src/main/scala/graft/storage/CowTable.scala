@@ -114,10 +114,7 @@ final class CowTable private[storage] (
 
   /** Oldest version whose files are guaranteed present (vacuum advances it;
     * 1 for a never-vacuumed table). */
-  def earliestReadableVersion: Int = {
-    val p = manifestDir.resolve("_vacuumed")
-    if (Files.exists(p)) Files.readString(p).trim.toInt else 1
-  }
+  def earliestReadableVersion: Int = CowTable.earliestReadableAt(root)
 
   /** Time-travel: any committed version >= [[earliestReadableVersion]]
     * remains readable (its files are never rewritten in place — copy-on-
@@ -814,6 +811,13 @@ object CowTable {
       if (Files.exists(pointer)) Files.readString(pointer).trim.toInt else 0
     while (Files.exists(manifestDir.resolve(f"v${v + 1}%05d.json"))) v += 1
     v
+  }
+
+  /** Vacuum low-water mark without a table instance (DSv2 planning shares
+    * the readVersion guard: versions below it have deleted data files). */
+  private[graft] def earliestReadableAt(root: Path): Int = {
+    val p = root.resolve("_manifests").resolve("_vacuumed")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 1
   }
 
   private[graft] def manifestAt(root: Path, version: Int): CommitManifest =

@@ -1,6 +1,6 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.json4s.{Formats, NoTypeHints}
@@ -15,11 +15,16 @@ import org.json4s.jackson.Serialization
   * in-memory saveAsTable catalog lack (they evaporate with the session;
   * the CowTable manifests were durable but nothing listed them).
   *
-  * The catalog is pure O(tables) metadata, rewritten atomically
-  * (tmp + ATOMIC_MOVE, last writer wins — same single-writer discipline as
-  * the reference's scheduling; the table DATA is guarded separately by the
-  * manifest CAS). Roots are stored relative to the lake dir so the whole
-  * lake is relocatable.
+  * The catalog is pure O(tables) metadata, stored as a chain of versioned
+  * files `_catalog.vNNNNN.json` committed with the SAME hard-link CAS the
+  * table-data manifests use: two concurrent `register` calls (e.g. two
+  * initial-load jobs for different tables) each link their merged state to
+  * the next version — the loser's link fails atomically and it retries the
+  * merge on the fresh state, so no registration is ever silently dropped
+  * (a plain read-modify-write of one file lost one of the two). Readers take
+  * the highest version; a legacy single `_catalog.json` is still readable.
+  * Roots are stored relative to the lake dir so the whole lake is
+  * relocatable.
   */
 object LakeRegistry {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
@@ -38,33 +43,58 @@ object LakeRegistry {
       partition_key, precombine_key, cluster_by_key, max_records_per_file)
   }
 
-  private def catalogFile(lakeDir: String): Path =
+  private def legacyFile(lakeDir: String): Path =
     Paths.get(lakeDir).resolve("_catalog.json")
+
+  private def versionFile(lakeDir: String, v: Int): Path =
+    Paths.get(lakeDir).resolve(f"_catalog.v$v%05d.json")
+
+  /** Highest committed catalog version (0 = none; probe upward — catalogs
+    * are O(registrations) small). */
+  private def currentCatalogVersion(lakeDir: String): Int = {
+    var v = 0
+    while (Files.exists(versionFile(lakeDir, v + 1))) v += 1
+    v
+  }
 
   /** All registered tables (empty for a catalog-less lake). */
   def entries(lakeDir: String): Seq[Entry] = {
-    val f = catalogFile(lakeDir)
+    val v = currentCatalogVersion(lakeDir)
+    val f = if (v > 0) versionFile(lakeDir, v) else legacyFile(lakeDir)
     if (!Files.exists(f)) Nil
     else Serialization.read[Seq[Entry]](Files.readString(f))
   }
 
   /** Register (or re-register: replace by name) a table. `root` defaults to
     * the table name — the `<lakeDir>/<table>` convention [[graft.pipeline.LakeJob]]
-    * uses. Returns the registered entry count. */
+    * uses. Safe under concurrent registration: the versioned-file hard-link
+    * CAS makes a lost race retry the merge against the winner's state
+    * instead of silently overwriting it. Returns the registered entry count.
+    */
   def register(
       lakeDir: String, config: TableConfig, root: String = ""): Int = {
     val r = if (root.isEmpty) config.tableName else root
     val e = Entry(config.tableName, r, config.primaryKey,
       config.partitionKey, config.precombineKey, config.clusterByKey,
       config.maxRecordsPerFile)
-    val merged =
-      entries(lakeDir).filterNot(_.table_name == config.tableName) :+ e
     Files.createDirectories(Paths.get(lakeDir))
-    val tmp = Files.createTempFile(Paths.get(lakeDir), "_catalog", ".tmp")
-    Files.writeString(tmp, Serialization.write(merged.sortBy(_.table_name)))
-    Files.move(tmp, catalogFile(lakeDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    merged.size
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = currentCatalogVersion(lakeDir)
+      val merged =
+        entries(lakeDir).filterNot(_.table_name == config.tableName) :+ e
+      val tmp = Files.createTempFile(Paths.get(lakeDir), "_catalog", ".tmp")
+      Files.writeString(tmp, Serialization.write(merged.sortBy(_.table_name)))
+      try {
+        Files.createLink(versionFile(lakeDir, base + 1), tmp)
+        return merged.size
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempts < 64 =>
+          () // a concurrent register won this version: re-merge and retry
+      } finally Files.deleteIfExists(tmp)
+    }
+    -1 // unreachable
   }
 
   /** Open a registered table (resolving its relative root). */

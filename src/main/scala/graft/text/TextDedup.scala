@@ -134,19 +134,28 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 1 << 20): DataFrame = {
+    // persist the band pipeline across (guard action, pair action): the
+    // guard would otherwise re-execute the whole shingle/minhash stage a
+    // second time, doubling the LSH cost. The pair set is materialized
+    // eagerly (localCheckpoint) while the cache is hot, then the cache is
+    // dropped — nothing leaks past this call.
     val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
-    assertBoundedBuckets(b, Seq("band", "band_key"), maxBucket,
-      "Exact-dedup the corpus first (dedupExact), or raise maxBucket.")
-    // bucket → within-bucket pairs via ONE groupBy (a self-join would
-    // recompute the whole signature pipeline for each side). Bucket member
-    // lists are small by LSH construction AND bounded by the guard above.
-    val cands = b.groupBy("band", "band_key")
-      .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
-      .select(col("id_a"), explode(col("__ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = try {
+      assertBoundedBuckets(b, Seq("band", "band_key"), maxBucket,
+        "Exact-dedup the corpus first (dedupExact), or raise maxBucket.")
+      // bucket → within-bucket pairs via ONE groupBy (a self-join would
+      // recompute the whole signature pipeline for each side). Bucket member
+      // lists are small by LSH construction AND bounded by the guard above.
+      b.groupBy("band", "band_key")
+        .agg(collect_list(col(idCol)).as("__ids"))
+        .filter(size(col("__ids")) > 1)
+        .select(explode(col("__ids")).as("id_a"), col("__ids"))
+        .select(col("id_a"), explode(col("__ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct()
+        .localCheckpoint()
+    } finally b.unpersist(blocking = false)
     val sh = graft.core.Spread.up(df).select(col(idCol),
       graft.functions.TextTokenExpressions
         .shingleHash48(col(textCol), shingleK, distinct = true).as("__sh"))
@@ -201,20 +210,27 @@ object TextDedup {
           .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("simhash"),
         col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    assertBoundedBuckets(bands, Seq("chunk", "key"), maxBucket,
-      "Exact-dedup the corpus first (dedupExact), or raise maxBucket.")
-    bands.groupBy("chunk", "key")
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
-        .as("__m"))
-      .filter(size(col("__m")) > 1)
-      .select(explode(col("__m")).as("a"), col("__m"))
-      .select(col("a"), explode(col("__m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
-          .as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // same persist-across-(guard, pairs) shape as nearDupPairs: one simhash
+    // computation, eagerly materialized pair set, cache released before return
+    val cached =
+      bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assertBoundedBuckets(cached, Seq("chunk", "key"), maxBucket,
+        "Exact-dedup the corpus first (dedupExact), or raise maxBucket.")
+      cached.groupBy("chunk", "key")
+        .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
+          .as("__m"))
+        .filter(size(col("__m")) > 1)
+        .select(explode(col("__m")).as("a"), col("__m"))
+        .select(col("a"), explode(col("__m")).as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .localCheckpoint()
+        .filter(col("hamming") <= maxHamming)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** (id, fingerprint) via character-level Rabin–Karp rolling hash windows
