@@ -142,6 +142,33 @@ object StorageQueries {
           "o_orderdate")
     },
 
+    // DSv2 WRITE path: half of orders lands via the Scala API (v1), the
+    // other half is appended by a SQL INSERT INTO through the connector
+    // (executor-written parquet, footer-stat'd, hard-link-CAS commit) —
+    // the reference's writer surface (src/delta/delta-initial-load.py:61-78)
+    // reached from pure SQL. Read back through the connector: the final
+    // state must equal one plain filtered scan of the source.
+    Q("q86_dsv2_write",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM orders WHERE o_orderkey <= 600
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q86")
+      val src = t(s, d, "orders").select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate")
+      CowTable.replace(s, root,
+        TableConfig("orders_w", Seq("o_orderkey"), clusterByKey = true),
+        src.filter(col("o_orderkey") <= 300))
+      s.sql("DROP TABLE IF EXISTS q86_orders")
+      s.sql(s"CREATE TABLE q86_orders USING graft LOCATION '$root'")
+      src.filter(col("o_orderkey") > 300 && col("o_orderkey") <= 600)
+        .createOrReplaceTempView("q86_src")
+      s.sql("INSERT INTO q86_orders SELECT * FROM q86_src")
+      s.sql("DROP TABLE IF EXISTS q86_orders") // data outlives the catalog row
+      s.read.format("graft").load(root)
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

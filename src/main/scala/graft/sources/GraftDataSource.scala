@@ -46,7 +46,9 @@ class GraftDataSource extends TableProvider
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  /** true: CTAS / first-write may hand the query schema to a table that has
+    * no manifest yet (an EXISTING table's manifest schema always wins). */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftDataSource.rootFrom(options)
@@ -59,7 +61,11 @@ class GraftDataSource extends TableProvider
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val root = GraftDataSource.rootFrom(options)
-    new GraftTable(root, GraftDataSource.versionFrom(root, options))
+    if (CowTable.currentVersionAt(root) > 0)
+      new GraftTable(root, GraftDataSource.versionFrom(root, options),
+        None, options)
+    else // about-to-be-created (CTAS / first write): schema from the query
+      new GraftTable(root, 0, Option(schema), options)
   }
 }
 
@@ -99,19 +105,60 @@ object GraftDataSource {
   }
 }
 
-final class GraftTable(root: Path, version: Int)
-  extends Table with SupportsRead {
+final class GraftTable(
+    root: Path, version: Int, externalSchema: Option[StructType],
+    props: CaseInsensitiveStringMap)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  private val m: CommitManifest = CowTable.manifestAt(root, version)
-  private val tableSchema: StructType = CowTable.structFromJson(m.schemaJson)
+  private val mOpt: Option[CommitManifest] =
+    if (version > 0) Some(CowTable.manifestAt(root, version)) else None
+  private val tableSchema: StructType =
+    mOpt.map(m => CowTable.structFromJson(m.schemaJson))
+      .orElse(externalSchema)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: no table at $root and no schema provided"))
+
+  /** Key/partition config: the manifest's for an existing table; for a table
+    * this write CREATES, the `primaryKey` / `partitionKey` options
+    * (comma-separated columns; `CREATE TABLE ... OPTIONS (primaryKey 'k')`),
+    * defaulting to the first column — stats/pruning metadata only, results
+    * are never affected. */
+  private def primaryKey: Seq[String] = mOpt.map(_.primaryKey).getOrElse {
+    Option(props.get("primaryKey")) match {
+      case Some(ks) => ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => tableSchema.fields.headOption.map(_.name).toSeq
+    }
+  }
+  private def partitionKey: Option[String] =
+    mOpt.map(_.partitionKey).getOrElse(Option(props.get("partitionKey")))
+
+  /** Was this handle opened at an explicit historical version? Writing
+    * through it would silently drop later commits — reject loudly. */
+  private def timeTravel: Boolean =
+    props.containsKey("versionAsOf") || props.containsKey("timestampAsOf")
 
   override def name(): String = s"graft.`$root`@v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = mOpt.getOrElse(throw new IllegalArgumentException(
+      s"graft: no table at $root (no committed manifests)"))
     new GraftScanBuilder(root, m, tableSchema)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (timeTravel) throw new UnsupportedOperationException(
+      s"graft: cannot write through a time-travel read of $root " +
+        "(versionAsOf/timestampAsOf) — writes target the current version")
+    new GraftWriteBuilder(root, version, tableSchema, primaryKey,
+      partitionKey, info)
+  }
 }
 
 final class GraftScanBuilder(

@@ -698,6 +698,29 @@ final class CowTable private[storage] (
     }
   }
 
+  /** Footer stats for an EXPLICIT file list (the DSv2 write commit path:
+    * executors report the files they wrote; nothing else in the writer-unique
+    * dir may be trusted — a zombie task attempt could still be writing).
+    * Degrades safely, never drops data: any stat failure — and decimal keys,
+    * whose footer stats are unscaled and would misprune — falls back to the
+    * message-carried row counts with no min/max (stat-less ⇒ always treated
+    * as touched by pruning). */
+  private[graft] def statListedFiles(
+      files: Seq[(String, Long)], schema: StructType): Seq[FileEntry] = {
+    if (files.isEmpty) return Nil
+    val keyDt = schema.find(_.name == config.primaryKey.head).map(_.dataType)
+    val numericKey = keyDt.exists(statKeyNumeric)
+    def fallback = files.map { case (p, n) => FileEntry(p, n, None, None) }
+    if (keyDt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+      fallback
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      Try(files.par.map { case (p, _) =>
+        footerStat(root.resolve(p), numericKey, keyDt)
+      }.seq.toSeq).getOrElse(fallback)
+    }
+  }
+
   private def footerStat(
       file: Path, numericKey: Boolean,
       keyDt: Option[DataType]): FileEntry = {

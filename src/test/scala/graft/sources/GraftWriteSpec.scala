@@ -1,0 +1,149 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.{ConcurrentWriteException, CowTable, TableConfig}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class GraftWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mixedDf = Seq(
+    (1L, "alpha", 1.5, "2024-01-01 10:00:00", "10.25", true),
+    (2L, "beta", -2.5, "2024-02-01 11:30:00", "-3.50", false),
+    (3L, null.asInstanceOf[String], 0.0, null.asInstanceOf[String],
+      null.asInstanceOf[String], true))
+    .toDF("id", "name", "x", "ts_s", "amt_s", "flag")
+    .select($"id", $"name", $"x", $"ts_s".cast("timestamp").as("ts"),
+      $"amt_s".cast("decimal(10,2)").as("amt"), $"flag")
+
+  test("mode(append).save appends a new COW version; read-back exact") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"))
+    (101L to 120L).map(i => (i, s"n$i")).toDF("id", "name")
+      .write.format("graft").mode("append").save(dir)
+    assert(t.currentVersion == 2)
+    // read through BOTH paths: the connector and the vectorized API
+    val expect = (1L to 120L).map(i => (i, s"n$i")).toSet
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toSet == expect)
+    assert(t.read().as[(Long, String)].collect().toSet == expect)
+    // the appended files carry footer key stats → future merges can prune
+    val fresh = t.manifest(2).files.filterNot(
+      t.manifest(1).files.map(_.path).toSet contains _.path)
+    assert(fresh.nonEmpty && fresh.forall(f =>
+      f.minKey.isDefined && f.maxKey.isDefined))
+    assert(fresh.flatMap(_.minKey).map(BigDecimal(_)).min == BigDecimal(101))
+  }
+
+  test("mode(overwrite).save truncates: new snapshot replaces the old") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create((1L to 50L).map(i => (i, s"old$i")).toDF("id", "name"))
+    Seq((7L, "fresh")).toDF("id", "name")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(t.currentVersion == 2)
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((7L, "fresh")))
+    // time travel still reaches the pre-overwrite snapshot (COW)
+    assert(t.readVersion(1).count() == 50)
+  }
+
+  test("first write CREATES the table (primaryKey option respected)") {
+    val dir = tmpDir("dsv2w") + "/t"
+    (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name")
+      .write.format("graft").option("primaryKey", "id").mode("append")
+      .save(dir)
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    assert(t.currentVersion == 1)
+    assert(t.manifest(1).primaryKey == Seq("id"))
+    assert(t.manifest(1).rowCount == 30)
+    assert(t.read().count() == 30)
+  }
+
+  test("SQL surface: INSERT INTO / INSERT OVERWRITE a USING graft table") {
+    val dir = tmpDir("dsv2w") + "/t"
+    CowTable(spark, dir, TableConfig("t", Seq("id")))
+      .create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    spark.sql("DROP TABLE IF EXISTS graft_w_sql")
+    try {
+      spark.sql(s"CREATE TABLE graft_w_sql USING graft LOCATION '$dir'")
+      spark.sql("INSERT INTO graft_w_sql VALUES (3, 'c'), (4, 'd')")
+      assert(spark.sql("SELECT * FROM graft_w_sql").as[(Long, String)]
+        .collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      spark.sql("INSERT OVERWRITE graft_w_sql VALUES (9, 'z')")
+      assert(spark.sql("SELECT * FROM graft_w_sql").as[(Long, String)]
+        .collect().toSeq == Seq((9L, "z")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_w_sql")
+  }
+
+  test("every primitive type incl. nulls round-trips through the writer") {
+    val dir = tmpDir("dsv2w") + "/t"
+    mixedDf.write.format("graft").option("primaryKey", "id")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema == mixedDf.schema)
+    assert(back.exceptAll(mixedDf).isEmpty && mixedDf.exceptAll(back).isEmpty,
+      s"mismatch:\n${back.collect().mkString("\n")}")
+    // and through the vectorized path too
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    assert(t.read().exceptAll(mixedDf).isEmpty)
+  }
+
+  test("two concurrent DSv2 writers: exactly one commits (manifest CAS)") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "base")).toDF("id", "name"))
+    val schema = t.read().schema
+    // two writes planned against the SAME parent version, as two racing
+    // jobs would be; drive the writer protocol directly for a
+    // deterministic interleaving (data written first, commits ordered here)
+    def plannedWrite(tag: String)
+        : (GraftBatchWrite,
+           org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+      val bw = new GraftBatchWrite(java.nio.file.Paths.get(dir), 1,
+        schema, schema, Seq("id"), None, overwrite = false)
+      val w = bw.createBatchWriterFactory(
+        new PhysicalWriteInfo { override def numPartitions(): Int = 1 })
+        .createWriter(0, 0L)
+      w.write(new GenericInternalRow(
+        Array[Any](99L, UTF8String.fromString(tag))))
+      (bw, w.commit())
+    }
+    val (a, aMsg) = plannedWrite("writer-a")
+    val (b, bMsg) = plannedWrite("writer-b")
+    a.commit(Array(aMsg)) // writer A wins
+    val e = intercept[ConcurrentWriteException] {
+      b.commit(Array(bMsg))
+    }
+    assert(e.getMessage.contains("concurrent"))
+    assert(t.currentVersion == 2)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (99L, "writer-a"))) // loser's row never visible
+  }
+
+  test("writes through a time-travel handle are rejected loudly") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "a")).toDF("id", "name"))
+    t.upsert(Seq((1L, "b")).toDF("id", "name"))
+    val e = intercept[Exception] {
+      Seq((2L, "x")).toDF("id", "name").write.format("graft")
+        .option("versionAsOf", "1").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("time-travel"), e.getMessage)
+  }
+
+  test("nested columns are rejected loudly at write planning") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1.0f))).toDF("id", "emb")
+        .write.format("graft").mode("append").save(dir)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("emb"),
+      String.valueOf(e.getMessage))
+  }
+}
