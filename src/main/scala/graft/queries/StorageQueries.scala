@@ -142,6 +142,50 @@ object StorageQueries {
           "o_orderdate")
     },
 
+    // SQL MERGE INTO (group-based row-level operation through the DSv2
+    // connector): the q27 CDC pipeline driven by TWO spark.sql MERGE
+    // statements — upserts (UPDATE SET / INSERT) then deletes (WHEN MATCHED
+    // DELETE) — exactly the reference's CDC apply step
+    // (src/iceberg/iceberg-cdc-load.py:130-150,
+    // src/delta/delta-cdc-load.py:121-141). Must converge to the SAME state
+    // as the Scala-API pipeline: the oracle is q27's oracle verbatim.
+    Q("q85_merge_sql", cdcOracleSql) { (s, d) =>
+      val root = tableDir("q85")
+      CowTable.replace(s, root,
+        TableConfig("user_state", Seq("user_id"), clusterByKey = true),
+        initialSnapshot(s, d)
+          .withColumn("timestamp", lit(null).cast("timestamp"))
+          .withColumn("last_applied_date", lit(null).cast("timestamp")))
+      CdcDedup.latestPerKeyStrict(
+        cdcBatch(s, d), Seq("user_id"), "timestamp", Seq("event_id"))
+        .createOrReplaceTempView("q85_batch")
+      s.sql("DROP TABLE IF EXISTS q85_state")
+      s.sql(s"CREATE TABLE q85_state USING graft LOCATION '$root'")
+      s.sql(
+        s"""MERGE INTO q85_state t
+           |USING (SELECT * FROM q85_batch WHERE Op <> 'D') s
+           |ON t.user_id = s.user_id
+           |WHEN MATCHED THEN UPDATE SET
+           |  t.user_id = s.user_id, t.event_id = s.event_id,
+           |  t.event_type = s.event_type, t.value = s.value,
+           |  t.`timestamp` = s.`timestamp`,
+           |  t.last_applied_date = TIMESTAMP '$auditTs'
+           |WHEN NOT MATCHED THEN INSERT
+           |  (user_id, event_id, event_type, value, `timestamp`,
+           |   last_applied_date)
+           |  VALUES (s.user_id, s.event_id, s.event_type, s.value,
+           |    s.`timestamp`, TIMESTAMP '$auditTs')
+           |""".stripMargin)
+      s.sql(
+        """MERGE INTO q85_state t
+          |USING (SELECT * FROM q85_batch WHERE Op = 'D') s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN DELETE
+          |""".stripMargin)
+      s.sql("DROP TABLE IF EXISTS q85_state")
+      CowTable(s, root, TableConfig("user_state", Seq("user_id"))).read()
+    },
+
     // DSv2 WRITE path: half of orders lands via the Scala API (v1), the
     // other half is appended by a SQL INSERT INTO through the connector
     // (executor-written parquet, footer-stat'd, hard-link-CAS commit) —

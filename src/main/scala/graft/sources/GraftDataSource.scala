@@ -69,6 +69,20 @@ class GraftDataSource extends TableProvider
   }
 }
 
+object GraftTable {
+  /** Name of the per-row data-file metadata column. */
+  val FileColumnName = "_file"
+
+  object FileMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "absolute path of the row's data file"
+  }
+}
+
 object GraftDataSource {
   private[sources] def rootFrom(options: CaseInsensitiveStringMap): Path = {
     val p = Option(options.get("path"))
@@ -109,7 +123,9 @@ final class GraftTable(
     root: Path, version: Int, externalSchema: Option[StructType],
     props: CaseInsensitiveStringMap)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private val mOpt: Option[CommitManifest] =
     if (version > 0) Some(CowTable.manifestAt(root, version)) else None
@@ -158,6 +174,29 @@ final class GraftTable(
         "(versionAsOf/timestampAsOf) — writes target the current version")
     new GraftWriteBuilder(root, version, tableSchema, primaryKey,
       partitionKey, info)
+  }
+
+  /** `_file`: which data file a row lives in. Queryable (`SELECT _file`),
+    * and REQUIRED plumbing for row-level operations — declaring a metadata
+    * attribute routes ReplaceData through Spark's projecting write task, the
+    * path that strips the internal `__row_operation` column before rows
+    * reach the [[GraftDataWriter]] (without it the raw operation column
+    * arrives ordinal-shifted). Same design as the reference formats' file
+    * metadata columns. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftTable.FileMetadataColumn)
+
+  /** SQL MERGE INTO / UPDATE / DELETE (group-based copy-on-write rewrite —
+    * see [[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (timeTravel) throw new UnsupportedOperationException(
+      s"graft: cannot mutate a time-travel read of $root")
+    val m = mOpt.getOrElse(throw new IllegalArgumentException(
+      s"graft: no table at $root (no committed manifests)"))
+    new GraftRowLevelOperationBuilder(root, version, m, tableSchema, info)
   }
 }
 

@@ -60,14 +60,20 @@ final class GraftPartitionReader(
     ParquetReader.builder(new GroupReadSupport(), hPath).withConf(c).build()
   }
 
-  /** Per-required-column extractor, fixed at open time. */
+  /** Per-required-column extractor, fixed at open time. A requested `_file`
+    * metadata column (not shadowed by a real data column) is the constant
+    * file path — what row-level operations group by. */
   private val extractors: Array[Group => Any] =
     required.fields.map { f =>
       if (partitionValues.contains(f.name)) {
         val const = parsePartitionValue(partitionValues(f.name), f.dataType)
         (_: Group) => const
-      } else if (!inFile(f.name)) { (_: Group) => null }
-      else {
+      } else if (!inFile(f.name)) {
+        if (f.name == GraftTable.FileColumnName) {
+          val const = UTF8String.fromString(filePath)
+          (_: Group) => const
+        } else (_: Group) => null
+      } else {
         val idx = readCols.indexOf(f.name)
         val pt = fileFields(f.name).asPrimitiveType()
         val conv = converter(pt, f.dataType, f.name)

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.file.Path
+
+import graft.storage.{CommitManifest, CowTable, FileEntry, TableConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GROUP-BASED row-level operations (SQL `MERGE INTO` / `UPDATE` / `DELETE`)
+  * for graft tables — the last reference surface a SQL-only user could not
+  * reach: the reference's CDC apply step IS a SQL MERGE
+  * (reference: src/iceberg/iceberg-cdc-load.py:130-150,
+  * src/delta/delta-cdc-load.py:121-141).
+  *
+  * How the copy-on-write contract maps onto Spark's framework:
+  *   - Spark's RewriteMergeIntoTable plans a ReplaceData: it reads all rows
+  *     of the AFFECTED GROUPS through [[GraftRowLevelScan]], applies the
+  *     merge actions, and writes the groups' replacement rows through
+  *     [[GraftRowLevelBatchWrite]].
+  *   - "Group" here = data file. The scan records exactly which files it
+  *     planned; the commit replaces those files (current manifest minus
+  *     scanned, plus freshly written) via the same hard-link CAS every other
+  *     write path uses — a concurrent commit loses loudly.
+  *   - Affected-group discovery is RUNTIME pruning
+  *     ([[SupportsRuntimeV2Filtering]] on the PRIMARY KEY): Spark computes
+  *     the distinct matched keys as a subquery and hands them back as an IN
+  *     predicate; the manifest's per-file [minKey, maxKey] stats map keys →
+  *     files ([[CowTable.filesContainingAny]] — the same exact-key skip
+  *     MERGE gets on the Scala API path). A 100-row CDC batch therefore
+  *     rewrites a handful of files, not the table. If Spark skips the
+  *     runtime filter (e.g. the key set blows its bytes cap), every file is
+  *     scanned and rewritten — degraded to a full COW rewrite, never wrong.
+  *
+  * Static merge-condition predicates are deliberately NOT pushed into file
+  * skipping here: a group-based rewrite must emit every surviving row of a
+  * scanned file, and only the runtime group filter is guaranteed by Spark's
+  * planner to narrow groups rather than rows.
+  */
+final class GraftRowLevelOperationBuilder(
+    root: Path, version: Int, m: CommitManifest, tableSchema: StructType,
+    info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(root, version, m, tableSchema, info.command())
+}
+
+final class GraftRowLevelOperation(
+    root: Path, parent: Int, m: CommitManifest, tableSchema: StructType,
+    cmd: Command)
+  extends RowLevelOperation {
+
+  /** Files the ReplaceData scan actually planned — the groups the commit
+    * replaces. Written by [[GraftRowLevelScan.planInputPartitions]] (driver-
+    * side, after runtime filtering); None until the scan plans (a write
+    * committing without a planned scan replaces nothing). */
+  @volatile private[sources] var scannedFiles: Option[Seq[FileEntry]] = None
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"graft row-level $cmd on $root v$parent"
+
+  /** `_file` engages Spark's projecting write task (see
+    * [[GraftTable.FileMetadataColumn]]); the write ignores the metadata row.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftTable.FileColumnName))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this, root, m, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftRowLevelWriteBuilder(this, root, parent, m, tableSchema, info)
+}
+
+final class GraftRowLevelScanBuilder(
+    op: GraftRowLevelOperation, root: Path, m: CommitManifest,
+    fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftRowLevelScan(op, root, m, required)
+}
+
+final class GraftRowLevelScan(
+    op: GraftRowLevelOperation, root: Path, m: CommitManifest,
+    required: StructType)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var kept: Seq[FileEntry] = m.files
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft row-level scan $root v${m.version} " +
+      s"files=${kept.size}/${m.files.size}"
+
+  override def toBatch: Batch = this
+
+  /** Runtime group filtering on the primary key (see class doc). */
+  override def filterAttributes(): Array[NamedReference] =
+    m.primaryKey.headOption
+      .map(k => Array[NamedReference](Expressions.column(k)))
+      .getOrElse(Array.empty)
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      inValues(p).foreach { vals =>
+        kept = CowTable.filesContainingAny(m.copy(files = kept), vals)
+      }
+    }
+
+  /** IN/= predicate on the key → Some(values); anything else → None (that
+    * predicate is simply ignored — predicates are conjunctive, so each
+    * understood one may prune files independently and an ignored one can
+    * only keep extra files, never drop needed ones). A NULL value disables
+    * pruning (file stats cannot locate nulls — same rule as merge pruning).
+    */
+  private def inValues(p: Predicate): Option[Seq[Any]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    val vals = p.children().toSeq.collect {
+      case l: V2Literal[_] => l.value()
+    }
+    val refs = p.children().toSeq.collect { case r: NamedReference => r }
+    p.name() match {
+      case "IN" | "=" if refs.size == 1 &&
+        refs.head.fieldNames().toSeq == Seq(m.primaryKey.head) &&
+        vals.size == p.children().length - 1 && !vals.contains(null) =>
+        Some(vals)
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.scannedFiles = Some(kept)
+    kept.map { e =>
+      val parts = e.path.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) ->
+            java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        }.toMap
+      GraftInputPartition(root.resolve(e.path).toString, parts)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+final class GraftRowLevelWriteBuilder(
+    op: GraftRowLevelOperation, root: Path, parent: Int, m: CommitManifest,
+    tableSchema: StructType, info: LogicalWriteInfo)
+  extends WriteBuilder {
+
+  override def build(): Write = {
+    GraftParquetIO.messageType(info.schema()) // flat schemas only, fail fast
+    new Write {
+      override def description(): String =
+        s"graft row-level replace-data $root basedOn=v$parent"
+      override def toBatch: BatchWrite = new GraftRowLevelBatchWrite(
+        op, root, parent, m, tableSchema, info.schema())
+    }
+  }
+}
+
+/** Commit = replace the scanned groups: (current files − scanned) ∪ fresh,
+  * published through [[CowTable.commitAt]]'s CAS. */
+final class GraftRowLevelBatchWrite(
+    op: GraftRowLevelOperation, root: Path, parent: Int, m: CommitManifest,
+    tableSchema: StructType, writeSchema: StructType)
+  extends BatchWrite {
+
+  private val verSeg = f"v${parent + 1}%05d-" +
+    java.util.UUID.randomUUID.toString.replace("-", "").substring(0, 8)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(root.toString, verSeg, writeSchema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.collect {
+      case GraftCommitMessage(p, n) if p != null => (p, n)
+    }
+    val spark = SparkSession.active
+    val tbl = CowTable(spark, root.toString,
+      TableConfig(root.getFileName.toString, m.primaryKey, m.partitionKey))
+    val fresh = tbl.statListedFiles(files, tableSchema)
+    val scanned = op.scannedFiles.getOrElse(Nil).map(_.path).toSet
+    val carry = m.files.filterNot(f => scanned(f.path))
+    tbl.commitAt(parent, fresh, carry, tableSchema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case GraftCommitMessage(p, _) if p != null =>
+        java.nio.file.Files.deleteIfExists(root.resolve(p))
+      case _ => ()
+    }
+    scala.util.Try(java.nio.file.Files.deleteIfExists(root.resolve(verSeg)))
+  }
+}

@@ -244,6 +244,10 @@ final class GraftDataWriter(
   private var factory: SimpleGroupFactory = _
   private var rows = 0L
 
+  /** Row-level writes deliver (metadataRow, dataRow); the data row is
+    * already projected to the write schema — metadata is not persisted. */
+  override def write(meta: InternalRow, data: InternalRow): Unit = write(data)
+
   override def write(r: InternalRow): Unit = {
     if (writer == null) {
       Files.createDirectories(absPath.getParent)

@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.{CowTable, TableConfig}
+import org.apache.spark.sql.functions._
+
+class GraftRowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withSqlTable(dir: String, name: String)(body: => Unit): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft LOCATION '$dir'")
+      body
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("MERGE INTO: update, delete, and insert clauses in one statement") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v"))
+    Seq((1L, "a2", 11.0, "U"), (3L, "c", 0.0, "D"), (9L, "new", 90.0, "I"))
+      .toDF("id", "name", "v", "op").createOrReplaceTempView("rl_src")
+    withSqlTable(dir, "rl_merge") {
+      spark.sql(
+        """MERGE INTO rl_merge t USING rl_src s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.id, s.name, s.v)
+          |""".stripMargin)
+      assert(spark.sql("SELECT * FROM rl_merge").as[(Long, String, Double)]
+        .collect().toSet ==
+        Set((1L, "a2", 11.0), (2L, "b", 20.0), (9L, "new", 90.0)))
+    }
+    assert(t.currentVersion == 2) // exactly one commit for the whole MERGE
+  }
+
+  test("MERGE prunes: untouched files are carried over, not rewritten") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      clusterByKey = true))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    val v1Files = t.manifest(1).files.map(_.path).toSet
+    assert(v1Files.size == 4)
+    Seq((7L, "updated"), (401L, "inserted")).toDF("id", "name")
+      .createOrReplaceTempView("rl_small")
+    withSqlTable(dir, "rl_prune") {
+      spark.sql(
+        """MERGE INTO rl_prune t USING rl_small s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+    }
+    val m2 = t.manifest(2)
+    val carried = m2.files.map(_.path).toSet.intersect(v1Files)
+    // runtime group filtering on the key must keep 3 of the 4 range-
+    // clustered files untouched (only the file containing id=7 is scanned)
+    assert(carried.size == 3,
+      s"expected 3 carried files, got ${carried.size} " +
+        s"(v2 files: ${m2.files.map(_.path)})")
+    assert(t.read().count() == 401)
+    assert(t.read().filter($"id" === 7L).as[(Long, String)].collect()
+      .toSeq == Seq((7L, "updated")))
+    assert(t.read().filter($"id" === 401L).as[(Long, String)].collect()
+      .toSeq == Seq((401L, "inserted")))
+    // partially-matched file: co-located keys survived the rewrite
+    assert(t.read().filter($"id".isin(6L, 8L)).count() == 2)
+  }
+
+  test("SQL UPDATE rewrites in place") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    withSqlTable(dir, "rl_upd") {
+      spark.sql("UPDATE rl_upd SET v = v * 10 WHERE id = 2")
+      assert(spark.sql("SELECT * FROM rl_upd").as[(Long, String, Double)]
+        .collect().toSet == Set((1L, "a", 1.0), (2L, "b", 20.0)))
+    }
+  }
+
+  test("SQL DELETE removes rows transactionally") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    withSqlTable(dir, "rl_del") {
+      spark.sql("DELETE FROM rl_del WHERE id >= 8")
+      assert(spark.sql("SELECT count(*) FROM rl_del").as[Long].head() == 7L)
+    }
+    // the pre-delete snapshot is still time-travelable
+    assert(t.readVersion(1).count() == 10)
+    assert(t.read().count() == 7)
+  }
+
+  test("MERGE INTO matches the Scala-API upsert exactly") {
+    val base = (1L to 100L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("id", "name", "v")
+    val batch = Seq((5L, "x5", 50.0), (101L, "x101", 1010.0))
+      .toDF("id", "name", "v")
+    // Scala API path
+    val dirA = tmpDir("rl") + "/a"
+    val ta = CowTable(spark, dirA, TableConfig("a", Seq("id")))
+    ta.create(base); ta.upsert(batch)
+    // SQL MERGE path
+    val dirB = tmpDir("rl") + "/b"
+    val tb = CowTable(spark, dirB, TableConfig("b", Seq("id")))
+    tb.create(base)
+    batch.createOrReplaceTempView("rl_batch")
+    withSqlTable(dirB, "rl_sqlmerge") {
+      spark.sql(
+        """MERGE INTO rl_sqlmerge t USING rl_batch s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+    }
+    assert(ta.read().exceptAll(tb.read()).isEmpty &&
+      tb.read().exceptAll(ta.read()).isEmpty)
+  }
+}
