@@ -142,6 +142,28 @@ object StorageQueries {
           "o_orderdate")
     },
 
+    // DSv2 partition-value pruning: customer partitioned hive-style on
+    // c_mktsegment (the reference's `category` partition key shape,
+    // /root/reference/cdk.json:71); a partition-column equality through the
+    // connector skips every other partition's files AT PLANNING TIME from
+    // the manifest paths alone (plan-asserted in GraftDataSourceSpec) and
+    // the result equals the plain filtered scan.
+    Q("q87_dsv2_partition_prune",
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q87")
+      CowTable.replace(s, root,
+        TableConfig("customer_p", Seq("c_custkey"),
+          partitionKey = Some("c_mktsegment")),
+        t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment",
+          "c_acctbal"))
+      s.read.format("graft").load(root)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    },
+
     // SQL MERGE INTO (group-based row-level operation through the DSv2
     // connector): the q27 CDC pipeline driven by TWO spark.sql MERGE
     // statements — upserts (UPDATE SET / INSERT) then deletes (WHEN MATCHED

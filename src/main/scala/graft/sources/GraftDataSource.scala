@@ -9,7 +9,7 @@ import graft.storage.{CommitManifest, CowTable, FileEntry}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -208,6 +208,7 @@ final class GraftScanBuilder(
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var bounds: Seq[(Option[Any], Option[Any])] = Nil
+  private var partValues: Option[Set[String]] = None
 
   /** Key-range bounds extracted from a filter (conjuncts flattened); each
     * bound prunes files independently, so AND needs no driver-side value
@@ -226,10 +227,38 @@ final class GraftScanBuilder(
     }
   }
 
+  /** A partition-path value renders unambiguously for these types only —
+    * anything else must not prune (a rendering mismatch against the hive
+    * directory name would SKIP files that hold matching rows). */
+  private def pathRenderable(v: Any): Boolean = v match {
+    case _: String | _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  /** Partition-column equality/IN values (hive-path form) from a conjunct —
+    * the manifest knows each file's partition value from its path, so these
+    * skip files with zero IO (the reference's `category` partition key
+    * access pattern, /root/reference/cdk.json:71). */
+  private def partitionSets(f: Filter): Seq[(Filter, Set[String])] = {
+    val pk = m.partitionKey.getOrElse(return Nil)
+    f match {
+      case EqualTo(`pk`, v) if v != null && pathRenderable(v) =>
+        Seq((f, Set(String.valueOf(v))))
+      case In(`pk`, vs) if vs != null && vs.nonEmpty &&
+        vs.forall(v => v != null && pathRenderable(v)) =>
+        Seq((f, vs.map(String.valueOf).toSet))
+      case And(l, r) => partitionSets(l) ++ partitionSets(r)
+      case _ => Nil
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.flatMap(keyBounds)
-    pushed = usable.map(_._1).distinct
+    val parts = filters.flatMap(partitionSets)
+    pushed = (usable.map(_._1) ++ parts.map(_._1)).distinct
     bounds = usable.map(b => (b._2, b._3)).toSeq
+    partValues = parts.map(_._2).reduceOption(_ intersect _)
     filters // all residual: pruning only skips files, Spark keeps exactness
   }
 
@@ -249,7 +278,7 @@ final class GraftScanBuilder(
         case _ => ()
       }
     }
-    new GraftScan(root, m, required, bounds)
+    new GraftScan(root, m, required, bounds, partValues)
   }
 }
 
@@ -259,11 +288,31 @@ final case class GraftInputPartition(
 
 final class GraftScan(
     root: Path, m: CommitManifest, required: StructType,
-    bounds: Seq[(Option[Any], Option[Any])])
+    bounds: Seq[(Option[Any], Option[Any])],
+    partValues: Option[Set[String]] = None)
   extends Scan with Batch {
 
-  private val kept: Seq[FileEntry] = bounds.foldLeft(m.files) { (fs, b) =>
-    CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
+  /** Hive partition value sitting in a file's path, if any (files written
+    * without partition directories — e.g. by the DSv2 writer — have none and
+    * are never partition-pruned). */
+  private def pathPartValue(e: FileEntry): Option[String] =
+    m.partitionKey.flatMap { pk =>
+      e.path.split('/').dropRight(1).find(_.startsWith(pk + "="))
+        .map(seg => java.net.URLDecoder.decode(
+          seg.substring(pk.length + 1), "UTF-8"))
+    }
+
+  private val kept: Seq[FileEntry] = {
+    val ranged = bounds.foldLeft(m.files) { (fs, b) =>
+      CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
+    }
+    partValues match {
+      case None => ranged
+      // a null partition (__HIVE_DEFAULT_PARTITION__) never equals a
+      // non-null filter value, so pruning it is exact
+      case Some(vs) => ranged.filter(e =>
+        pathPartValue(e).forall(vs.contains))
+    }
   }
 
   override def readSchema(): StructType = required
@@ -271,7 +320,8 @@ final class GraftScan(
   /** Surfaces the manifest-level skip in `explain()`: files=<kept>/<total>. */
   override def description(): String =
     s"graft $root v${m.version} files=${kept.size}/${m.files.size}" +
-      s" keyRangeFilters=${bounds.size}"
+      s" keyRangeFilters=${bounds.size}" +
+      s" partitionFilterValues=${partValues.fold(0)(_.size)}"
 
   override def toBatch: Batch = this
 

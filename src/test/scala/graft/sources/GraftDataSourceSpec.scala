@@ -80,6 +80,41 @@ class GraftDataSourceSpec extends SparkSpec {
       Set((1L, "A", 1.0), (2L, "B", 2.0), (3L, "A", 3.0)))
   }
 
+  test("partition-column filters prune files from the manifest path values") {
+    val dir = tmpDir("dsv2")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
+    CowTable(spark, dir + "/t", cfg).create(
+      (1L to 90L).map(i => (i, s"s${i % 3}", i * 1.0)).toDF("id", "seg", "v"))
+    val scan = spark.read.format("graft").load(dir + "/t")
+      .filter($"seg" === "s1")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("files=1/3"), s"expected partition skip in:\n$plan")
+    assert(scan.count() == 30)
+    // IN-list prunes to two partitions
+    val in2 = spark.read.format("graft").load(dir + "/t")
+      .filter($"seg".isin("s0", "s2"))
+    assert(in2.queryExecution.executedPlan.toString.contains("files=2/3"))
+    assert(in2.count() == 60)
+    // a residual non-partition filter composes (conjunction)
+    val mix = spark.read.format("graft").load(dir + "/t")
+      .filter($"seg" === "s1" && $"v" > 45.0)
+    assert(mix.queryExecution.executedPlan.toString.contains("files=1/3"))
+    assert(mix.count() == 15)
+  }
+
+  test("null partition values are pruned by non-null filters, kept on scan") {
+    val dir = tmpDir("dsv2")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
+    CowTable(spark, dir + "/t", cfg).create(
+      Seq((1L, "A"), (2L, null.asInstanceOf[String]), (3L, "B"))
+        .toDF("id", "seg"))
+    val all = spark.read.format("graft").load(dir + "/t")
+    assert(all.count() == 3) // null partition readable
+    val eq = all.filter($"seg" === "A")
+    assert(eq.queryExecution.executedPlan.toString.contains("files=1/3"))
+    assert(eq.as[(Long, String)].collect().toSeq == Seq((1L, "A")))
+  }
+
   test("versionAsOf / timestampAsOf options time-travel") {
     val dir = tmpDir("dsv2")
     val ticks = Iterator(1000L, 2000L)
