@@ -142,6 +142,36 @@ object StorageQueries {
           "o_orderdate")
     },
 
+    // DSv2 COLUMNAR bulk scan: the q03-shaped aggregate with lineitem read
+    // back THROUGH the connector (vectorized ColumnarBatch path — the same
+    // decode machinery spark.read.parquet uses; plan-asserted columnar in
+    // GraftDataSourceSpec). Benchmarks the connector as a bulk-analytics
+    // surface, not just a point-lookup/CDC one: q85/q86 made the connector
+    // the SQL user's whole world, so the full-scan cost through it must track
+    // CowTable.read() (reference reads back via the format,
+    // src/iceberg/iceberg-cdc-load.py:85-93).
+    Q("q88_dsv2_bulk_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q88")
+      CowTable.replace(s, root,
+        TableConfig("lineitem_c", Seq("l_orderkey")),
+        t(s, d, "lineitem").select("l_orderkey", "l_returnflag",
+          "l_linestatus", "l_quantity", "l_extendedprice"))
+      s.read.format("graft").load(root)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base"),
+          count(lit(1)).as("count_order"))
+    },
+
     // DSv2 partition-value pruning: customer partitioned hive-style on
     // c_mktsegment (the reference's `category` partition key shape,
     // /root/reference/cdk.json:71); a partition-column equality through the

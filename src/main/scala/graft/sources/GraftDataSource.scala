@@ -163,7 +163,12 @@ final class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = mOpt.getOrElse(throw new IllegalArgumentException(
       s"graft: no table at $root (no committed manifests)"))
-    new GraftScanBuilder(root, m, tableSchema)
+    // columnar vectorized read by default; option("columnar","false") (or the
+    // same table property) falls back to the row-oriented Group reader
+    val columnar = Seq(Option(options.get("columnar")),
+      Option(props.get("columnar"))).flatten.headOption
+      .forall(_.trim.toBoolean)
+    new GraftScanBuilder(root, m, tableSchema, columnar)
   }
 
   override def newWriteBuilder(
@@ -201,7 +206,8 @@ final class GraftTable(
 }
 
 final class GraftScanBuilder(
-    root: Path, m: CommitManifest, fullSchema: StructType)
+    root: Path, m: CommitManifest, fullSchema: StructType,
+    columnar: Boolean = true)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -278,7 +284,7 @@ final class GraftScanBuilder(
         case _ => ()
       }
     }
-    new GraftScan(root, m, required, bounds, partValues)
+    new GraftScan(root, m, required, bounds, partValues, columnar)
   }
 }
 
@@ -289,7 +295,8 @@ final case class GraftInputPartition(
 final class GraftScan(
     root: Path, m: CommitManifest, required: StructType,
     bounds: Seq[(Option[Any], Option[Any])],
-    partValues: Option[Set[String]] = None)
+    partValues: Option[Set[String]] = None,
+    columnar: Boolean = true)
   extends Scan with Batch {
 
   /** Hive partition value sitting in a file's path, if any (files written
@@ -321,7 +328,8 @@ final class GraftScan(
   override def description(): String =
     s"graft $root v${m.version} files=${kept.size}/${m.files.size}" +
       s" keyRangeFilters=${bounds.size}" +
-      s" partitionFilterValues=${partValues.fold(0)(_.size)}"
+      s" partitionFilterValues=${partValues.fold(0)(_.size)}" +
+      s" columnar=$columnar"
 
   override def toBatch: Batch = this
 
@@ -338,11 +346,24 @@ final class GraftScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, columnar)
 }
 
-final class GraftReaderFactory(required: StructType)
+final class GraftReaderFactory(required: StructType, columnar: Boolean = true)
   extends PartitionReaderFactory {
+
+  /** Per-scan (not per-file) decision — Spark requires all partitions of a
+    * scan in the same mode. Flat primitive schemas (the connector's only
+    * admitted shape) are always vectorizable. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[
+    org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    new GraftColumnarPartitionReader(gp.filePath, required,
+      gp.partitionValues, capacity = 4096)
+  }
+
   override def createReader(p: InputPartition): PartitionReader[
     org.apache.spark.sql.catalyst.InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]

@@ -66,7 +66,8 @@ final class GraftPartitionReader(
   private val extractors: Array[Group => Any] =
     required.fields.map { f =>
       if (partitionValues.contains(f.name)) {
-        val const = parsePartitionValue(partitionValues(f.name), f.dataType)
+        val const = GraftColumnarPartitionReader.parsePartitionValue(
+          partitionValues(f.name), f.dataType)
         (_: Group) => const
       } else if (!inFile(f.name)) {
         if (f.name == GraftTable.FileColumnName) {
@@ -151,22 +152,4 @@ final class GraftPartitionReader(
     }
   }
 
-  /** Hive partition segment value → Catalyst constant of the declared type
-    * (the manifest schema re-types what the path stores as text). */
-  private def parsePartitionValue(raw: String, dt: DataType): Any =
-    if (raw == "__HIVE_DEFAULT_PARTITION__") null
-    else dt match {
-      case StringType => UTF8String.fromString(raw)
-      case IntegerType => raw.toInt
-      case LongType => raw.toLong
-      case ShortType => raw.toShort
-      case ByteType => raw.toByte
-      case DoubleType => raw.toDouble
-      case FloatType => raw.toFloat
-      case BooleanType => raw.toBoolean
-      case DateType => DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(raw))
-      case d: DecimalType => Decimal(BigDecimal(raw), d.precision, d.scale)
-      case other => throw new UnsupportedOperationException(
-        s"graft reader: partition column type ${other.simpleString}")
-    }
 }

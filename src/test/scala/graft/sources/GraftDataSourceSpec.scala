@@ -147,6 +147,47 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_sql")
   }
 
+  test("scans are COLUMNAR (vectorized) by default; option falls back to rows") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
+    t.create(mixedDf)
+    // evolved-in column: one file predates `tag` (null vector path)
+    t.upsert(Seq((1L, "alpha", 1.5, "2024-01-01 10:00:00", "10.25", true, "x"))
+      .toDF("id", "name", "x", "ts_s", "amt_s", "flag", "tag")
+      .select($"id", $"name", $"x", $"ts_s".cast("timestamp").as("ts"),
+        $"amt_s".cast("decimal(10,2)").as("amt"), $"flag", $"tag"))
+    val cols = spark.read.format("graft").load(dir + "/t")
+    val plan = cols.queryExecution.executedPlan
+    assert(plan.toString.contains("columnar=true"), s"scan not columnar:\n$plan")
+    assert(plan.collectFirst {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty, s"no ColumnarToRow above the scan:\n$plan")
+    val rows = spark.read.format("graft").option("columnar", "false")
+      .load(dir + "/t")
+    assert(rows.queryExecution.executedPlan.toString.contains("columnar=false"))
+    // both readers must agree exactly (types, nulls, evolved column)
+    assert(cols.exceptAll(rows).isEmpty && rows.exceptAll(cols).isEmpty,
+      s"columnar/row divergence:\n${cols.collect().mkString("\n")}\nvs\n" +
+        rows.collect().mkString("\n"))
+    assert(cols.count() == 3)
+  }
+
+  test("columnar scan reconstructs hive partition values as constants") {
+    val dir = tmpDir("dsv2")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
+    CowTable(spark, dir + "/t", cfg).create(
+      Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, null.asInstanceOf[String], 3.0))
+        .toDF("id", "seg", "v"))
+    val back = spark.read.format("graft").load(dir + "/t")
+    assert(back.queryExecution.executedPlan.toString.contains("columnar=true"))
+    assert(back.as[(Long, Option[String], Double)].collect().toSet ==
+      Set((1L, Some("A"), 1.0), (2L, Some("B"), 2.0), (3L, None, 3.0)))
+    // projection ordering interleaving partition + data columns permutes right
+    val proj = back.select("seg", "id")
+    assert(proj.as[(Option[String], Long)].collect().toSet ==
+      Set((Some("A"), 1L), (Some("B"), 2L), (None, 3L)))
+  }
+
   test("nested types are rejected loudly (flat schemas only)") {
     val dir = tmpDir("dsv2")
     CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
