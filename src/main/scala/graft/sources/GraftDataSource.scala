@@ -61,11 +61,18 @@ class GraftDataSource extends TableProvider
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val root = GraftDataSource.rootFrom(options)
+    // DDL `PARTITIONED BY (col)` arrives as an identity transform; only
+    // relevant when this handle CREATES the table (an existing manifest's
+    // partitionKey always wins)
+    val ddlPart = partitioning.collectFirst {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+    }
     if (CowTable.currentVersionAt(root) > 0)
       new GraftTable(root, GraftDataSource.versionFrom(root, options),
-        None, options)
+        None, options, ddlPart)
     else // about-to-be-created (CTAS / first write): schema from the query
-      new GraftTable(root, 0, Option(schema), options)
+      new GraftTable(root, 0, Option(schema), options, ddlPart)
   }
 }
 
@@ -121,7 +128,7 @@ object GraftDataSource {
 
 final class GraftTable(
     root: Path, version: Int, externalSchema: Option[StructType],
-    props: CaseInsensitiveStringMap)
+    props: CaseInsensitiveStringMap, ddlPartition: Option[String] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -147,7 +154,8 @@ final class GraftTable(
     }
   }
   private def partitionKey: Option[String] =
-    mOpt.map(_.partitionKey).getOrElse(Option(props.get("partitionKey")))
+    mOpt.map(_.partitionKey).getOrElse(
+      Option(props.get("partitionKey")).orElse(ddlPartition))
 
   /** Was this handle opened at an explicit historical version? Writing
     * through it would silently drop later commits — reject loudly. */

@@ -165,9 +165,28 @@ final class GraftRowLevelWriteBuilder(
 
   override def build(): Write = {
     GraftParquetIO.messageType(info.schema()) // flat schemas only, fail fast
-    new Write {
+    val partCol = m.partitionKey.filter(info.schema().fieldNames.contains)
+    new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
       override def description(): String =
         s"graft row-level replace-data $root basedOn=v$parent"
+      /** Replacement files of a partitioned table keep the hive layout, so
+        * cluster by partition value; sort by the leading key column so the
+        * rewritten files carry tight [minKey, maxKey] stats. */
+      override def requiredDistribution(): Distribution = partCol match {
+        case Some(k) => Distributions.clustered(Array(Expressions.identity(k)))
+        case None => Distributions.unspecified()
+      }
+      override def requiredOrdering(): Array[SortOrder] = {
+        val cols = (partCol.toSeq ++
+          m.primaryKey.headOption.filter(info.schema().fieldNames.contains))
+          .distinct
+        cols.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          .toArray
+      }
       override def toBatch: BatchWrite = new GraftRowLevelBatchWrite(
         op, root, parent, m, tableSchema, info.schema())
     }
@@ -186,12 +205,13 @@ final class GraftRowLevelBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root.toString, verSeg, writeSchema.json)
+    new GraftWriterFactory(root.toString, verSeg, writeSchema.json,
+      m.partitionKey)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq.collect {
-      case GraftCommitMessage(p, n) if p != null => (p, n)
-    }
+      case GraftCommitMessage(fs) => fs
+    }.flatten
     val spark = SparkSession.active
     val tbl = CowTable(spark, root.toString,
       TableConfig(root.getFileName.toString, m.primaryKey, m.partitionKey))
@@ -203,8 +223,9 @@ final class GraftRowLevelBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case GraftCommitMessage(p, _) if p != null =>
+      case GraftCommitMessage(fs) => fs.foreach { case (p, _) =>
         java.nio.file.Files.deleteIfExists(root.resolve(p))
+      }
       case _ => ()
     }
     scala.util.Try(java.nio.file.Files.deleteIfExists(root.resolve(verSeg)))

@@ -37,10 +37,16 @@ import org.apache.spark.sql.types._
   *
   * Files are written with the PUBLIC parquet-hadoop example API (the write
   * twin of [[GraftPartitionReader]]) — flat primitive schemas only, matching
-  * the connector's documented read constraint. Partition-keyed tables get
-  * their partition column stored physically (no hive directories): the read
-  * path conforms either layout, and manifest-level partition pruning simply
-  * keeps physical-column files (stats-absent ⇒ kept, never skipped).
+  * the connector's documented read constraint. Partition-keyed tables are
+  * written HIVE-STYLE (`pk=value/` directories, partition column not stored
+  * physically — the exact layout [[CowTable.writeVersion]] produces, and the
+  * reference's, src/hudi/hudi-initial-load.py:75): the write declares
+  * [[RequiresDistributionAndOrdering]] clustered+sorted on the partition
+  * column, so Spark routes each partition value to one task in contiguous
+  * runs and the writer holds ONE open file at a time (close-on-value-change;
+  * an out-of-order row just opens a new sequence-numbered file — never
+  * wrong). Connector-written files therefore get the same planning-time
+  * partition pruning as API-written ones (q87).
   */
 object GraftParquetIO {
 
@@ -97,48 +103,79 @@ object GraftParquetIO {
     b.named("graft_write")
   }
 
-  /** Per-column (group, row, ordinal) appender, resolved once per writer. */
-  def setters(schema: StructType): Array[(Group, InternalRow, Int) => Unit] =
-    schema.fields.map { f =>
+  /** Per-column appenders, resolved once per writer: element `j` writes the
+    * group's field `j` from the ROW ordinal `rowOrdinals(j)` (the two differ
+    * for hive-partitioned writes, where the partition column is dropped from
+    * the data file). */
+  def setters(schema: StructType, rowOrdinals: Array[Int])
+      : Array[(Group, InternalRow) => Unit] =
+    schema.fields.zipWithIndex.map { case (f, gi) =>
+      val ri = rowOrdinals(gi)
       f.dataType match {
-        case BooleanType => (g, r, i) => g.add(i, r.getBoolean(i))
-        case ByteType => (g, r, i) => g.add(i, r.getByte(i).toInt)
-        case ShortType => (g, r, i) => g.add(i, r.getShort(i).toInt)
-        case IntegerType | DateType => (g, r, i) => g.add(i, r.getInt(i))
+        case BooleanType => (g, r) => g.add(gi, r.getBoolean(ri))
+        case ByteType => (g, r) => g.add(gi, r.getByte(ri).toInt)
+        case ShortType => (g, r) => g.add(gi, r.getShort(ri).toInt)
+        case IntegerType | DateType => (g, r) => g.add(gi, r.getInt(ri))
         case LongType | TimestampType | TimestampNTZType =>
-          (g, r, i) => g.add(i, r.getLong(i))
-        case FloatType => (g, r, i) => g.add(i, r.getFloat(i))
-        case DoubleType => (g, r, i) => g.add(i, r.getDouble(i))
+          (g, r) => g.add(gi, r.getLong(ri))
+        case FloatType => (g, r) => g.add(gi, r.getFloat(ri))
+        case DoubleType => (g, r) => g.add(gi, r.getDouble(ri))
         case StringType =>
           // fromReusedByteArray: UnsafeRow-backed strings hand out buffers
           // parquet must copy before the row is recycled (dictionary pages
           // hold Binary refs; "reused" marks them copy-on-retain)
-          (g, r, i) =>
-            g.add(i, Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
+          (g, r) =>
+            g.add(gi, Binary.fromReusedByteArray(r.getUTF8String(ri).getBytes))
         case BinaryType =>
-          (g, r, i) => g.add(i, Binary.fromReusedByteArray(r.getBinary(i)))
+          (g, r) => g.add(gi, Binary.fromReusedByteArray(r.getBinary(ri)))
         case d: DecimalType if d.precision <= 9 =>
-          (g, r, i) =>
-            g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong.toInt)
+          (g, r) =>
+            g.add(gi, r.getDecimal(ri, d.precision, d.scale).toUnscaledLong.toInt)
         case d: DecimalType if d.precision <= 18 =>
-          (g, r, i) =>
-            g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+          (g, r) =>
+            g.add(gi, r.getDecimal(ri, d.precision, d.scale).toUnscaledLong)
         case d: DecimalType =>
           val n = minBytesForPrecision(d.precision)
-          (g, r, i) => {
-            val unscaled = r.getDecimal(i, d.precision, d.scale)
+          (g, r) => {
+            val unscaled = r.getDecimal(ri, d.precision, d.scale)
               .toJavaBigDecimal.unscaledValue().toByteArray
             // sign-extend to the fixed width (big-endian two's complement)
             val fixed = new Array[Byte](n)
             if (unscaled.head < 0) java.util.Arrays.fill(fixed, -1: Byte)
             System.arraycopy(unscaled, 0, fixed, n - unscaled.length,
               unscaled.length)
-            g.add(i, Binary.fromConstantByteArray(fixed))
+            g.add(gi, Binary.fromConstantByteArray(fixed))
           }
         case other => throw new UnsupportedOperationException(
           s"graft DSv2 writer: unsupported column type ${other.simpleString}")
       }
     }
+
+  /** A row's partition value as the hive path TEXT form the readers parse
+    * back ([[GraftColumnarPartitionReader.parsePartitionValue]]) and the
+    * pruner compares (`String.valueOf` of the filter literal). Null ⇒ None
+    * (rendered `__HIVE_DEFAULT_PARTITION__`). Types with no unambiguous text
+    * form (timestamp, binary) are rejected at write-build time. */
+  def partitionValueRenderer(dt: DataType): (InternalRow, Int) => Option[String] = {
+    val render: (InternalRow, Int) => String = dt match {
+      case StringType => (r, i) => r.getUTF8String(i).toString
+      case IntegerType => (r, i) => r.getInt(i).toString
+      case LongType => (r, i) => r.getLong(i).toString
+      case ShortType => (r, i) => r.getShort(i).toString
+      case ByteType => (r, i) => r.getByte(i).toString
+      case BooleanType => (r, i) => r.getBoolean(i).toString
+      case DoubleType => (r, i) => r.getDouble(i).toString
+      case FloatType => (r, i) => r.getFloat(i).toString
+      case DateType => (r, i) =>
+        java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
+      case d: DecimalType =>
+        (r, i) => r.getDecimal(i, d.precision, d.scale).toString
+      case other => throw new UnsupportedOperationException(
+        s"graft DSv2 writer: partition column type ${other.simpleString} " +
+          "has no unambiguous hive-path form")
+    }
+    (r, i) => if (r.isNullAt(i)) None else Some(render(r, i))
+  }
 }
 
 /** Builder: plain append by default; `truncate()` (INSERT OVERWRITE /
@@ -156,10 +193,35 @@ final class GraftWriteBuilder(
 
   override def build(): Write = {
     GraftParquetIO.messageType(info.schema()) // fail fast: flat schemas only
-    new Write {
-    override def description(): String =
-      s"graft $root ${if (overwrite) "overwrite" else "append"}" +
-        s" basedOn=v$parent"
+    val partCol = partitionKey.filter(info.schema().fieldNames.contains)
+    // hive-path renderability check, at PLANNING time not mid-job
+    partCol.foreach(k => GraftParquetIO.partitionValueRenderer(
+      info.schema()(k).dataType))
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+      override def description(): String =
+        s"graft $root ${if (overwrite) "overwrite" else "append"}" +
+          s" basedOn=v$parent partitioned=${partCol.isDefined}"
+      /** Partitioned tables: cluster rows by partition value so each value
+        * lands in one task (one output file per value per write, not one per
+        * value per task) — the write-side half of q87's pruning story. */
+      override def requiredDistribution(): Distribution = partCol match {
+        case Some(k) => Distributions.clustered(Array(Expressions.identity(k)))
+        case None => Distributions.unspecified()
+      }
+      /** Sort within tasks: by partition value (contiguous runs ⇒ the writer
+        * holds one open file), then by the leading primary-key column so
+        * every data file carries a TIGHT [minKey, maxKey] — the stats all
+        * merge/scan pruning feeds on. */
+      override def requiredOrdering(): Array[SortOrder] = {
+        val cols = (partCol.toSeq ++
+          primaryKey.headOption.filter(info.schema().fieldNames.contains))
+          .distinct
+        cols.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          .toArray
+      }
       override def toBatch: BatchWrite = new GraftBatchWrite(
         root, parent, info.schema(), tableSchema, primaryKey, partitionKey,
         overwrite)
@@ -167,7 +229,7 @@ final class GraftWriteBuilder(
   }
 }
 
-final case class GraftCommitMessage(path: String, rows: Long)
+final case class GraftCommitMessage(files: Seq[(String, Long)])
   extends WriterCommitMessage
 
 /** Driver-side commit protocol: executors report (relative path, rows); the
@@ -186,12 +248,13 @@ final class GraftBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root.toString, verSeg, writeSchema.json)
+    new GraftWriterFactory(root.toString, verSeg, writeSchema.json,
+      partitionKey)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq.collect {
-      case GraftCommitMessage(p, n) if p != null => (p, n)
-    }
+      case GraftCommitMessage(fs) => fs
+    }.flatten
     val spark = SparkSession.active
     val tbl = CowTable(spark, root.toString,
       TableConfig(root.getFileName.toString, primaryKey, partitionKey))
@@ -209,8 +272,8 @@ final class GraftBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case GraftCommitMessage(p, _) if p != null =>
-        Files.deleteIfExists(root.resolve(p))
+      case GraftCommitMessage(fs) =>
+        fs.foreach { case (p, _) => Files.deleteIfExists(root.resolve(p)) }
       case _ => ()
     }
     Try(Files.deleteIfExists(root.resolve(verSeg)))
@@ -219,64 +282,115 @@ final class GraftBatchWrite(
 
 /** Serializable executor-side factory (schema ships as JSON). */
 final class GraftWriterFactory(
-    rootStr: String, verSeg: String, schemaJson: String)
+    rootStr: String, verSeg: String, schemaJson: String,
+    partitionKey: Option[String] = None)
   extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(rootStr, verSeg,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionId, taskId)
+      partitionKey, partitionId, taskId)
 }
 
-/** One task's writer: lazily opens `<verSeg>/part-<partition>-<task>.parquet`
-  * on the first row (empty partitions produce NO file, not an empty one),
-  * counts rows, deletes its file on abort. */
+/** One task's writer. Unpartitioned: lazily opens
+  * `<verSeg>/part-<partition>-<task>.parquet` on the first row (empty
+  * partitions produce NO file, not an empty one). Hive-partitioned: writes
+  * `<verSeg>/pk=<value>/part-<partition>-<task>-<seq>.parquet`, partition
+  * column dropped from the file (it lives in the path — the exact
+  * [[CowTable.writeVersion]] layout); one file open at a time, rolled on
+  * partition-value change (the write's required ordering makes values
+  * contiguous; an out-of-order straggler re-opens the value under the next
+  * seq — extra file, never wrong). Counts rows per file; deletes its files
+  * on abort. */
 final class GraftDataWriter(
     rootStr: String, verSeg: String, schema: StructType,
-    partitionId: Int, taskId: Long)
+    partitionKey: Option[String], partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
 
-  private val relPath = f"$verSeg/part-$partitionId%05d-$taskId.parquet"
-  private val absPath = Paths.get(rootStr).resolve(relPath)
-  private val messageType = GraftParquetIO.messageType(schema)
-  private val setters = GraftParquetIO.setters(schema)
+  private val partIdx: Int =
+    partitionKey.filter(schema.fieldNames.contains)
+      .map(schema.fieldIndex).getOrElse(-1)
+  private val renderPart: (InternalRow, Int) => Option[String] =
+    if (partIdx < 0) null
+    else GraftParquetIO.partitionValueRenderer(schema.fields(partIdx).dataType)
+
+  /** Physical file schema: the write schema minus the hive partition column;
+    * setter j reads row ordinal rowOrdinals(j). */
+  private val dataFields =
+    schema.fields.zipWithIndex.filter(_._2 != partIdx)
+  private val dataSchema = StructType(dataFields.map(_._1))
+  private val rowOrdinals = dataFields.map(_._2)
+  private val messageType = GraftParquetIO.messageType(dataSchema)
+  private val setters = GraftParquetIO.setters(dataSchema, rowOrdinals)
+  private val factory = new SimpleGroupFactory(messageType)
+
   private var writer: ParquetWriter[Group] = _
-  private var factory: SimpleGroupFactory = _
-  private var rows = 0L
+  private var currentDir: String = _   // "pk=v/" segment of the open file
+  private var currentPath: String = _  // relative path of the open file
+  private var rows = 0L                // rows in the open file
+  private var seq = 0                  // per-task file sequence
+  private val done = scala.collection.mutable.ListBuffer[(String, Long)]()
+
+  private def dirSegment(r: InternalRow): String =
+    if (partIdx < 0) ""
+    else {
+      val v = renderPart(r, partIdx)
+        .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName)
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      partitionKey.get + "=" + v + "/"
+    }
+
+  private def roll(dir: String): Unit = {
+    closeCurrent()
+    currentDir = dir
+    currentPath = f"$verSeg/${dir}part-$partitionId%05d-$taskId-$seq%03d.parquet"
+    seq += 1
+    val abs = Paths.get(rootStr).resolve(currentPath)
+    Files.createDirectories(abs.getParent)
+    writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(abs.toString))
+      .withType(messageType)
+      .withConf(new Configuration())
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    rows = 0L
+  }
+
+  private def closeCurrent(): Unit =
+    if (writer != null) {
+      writer.close()
+      writer = null
+      done += ((currentPath, rows))
+    }
 
   /** Row-level writes deliver (metadataRow, dataRow); the data row is
     * already projected to the write schema — metadata is not persisted. */
   override def write(meta: InternalRow, data: InternalRow): Unit = write(data)
 
   override def write(r: InternalRow): Unit = {
-    if (writer == null) {
-      Files.createDirectories(absPath.getParent)
-      writer = ExampleParquetWriter
-        .builder(new org.apache.hadoop.fs.Path(absPath.toString))
-        .withType(messageType)
-        .withConf(new Configuration())
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-      factory = new SimpleGroupFactory(messageType)
-    }
+    val dir = dirSegment(r)
+    if (writer == null || dir != currentDir) roll(dir)
     val g = factory.newGroup()
-    var i = 0
-    while (i < setters.length) {
-      if (!r.isNullAt(i)) setters(i)(g, r, i)
-      i += 1
+    var j = 0
+    while (j < setters.length) {
+      if (!r.isNullAt(rowOrdinals(j))) setters(j)(g, r)
+      j += 1
     }
     writer.write(g)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    close()
-    GraftCommitMessage(if (rows == 0) null else relPath, rows)
+    closeCurrent()
+    GraftCommitMessage(done.toList)
   }
 
   override def abort(): Unit = {
-    close()
-    Files.deleteIfExists(absPath)
+    closeCurrent()
+    done.foreach { case (p, _) =>
+      Files.deleteIfExists(Paths.get(rootStr).resolve(p))
+    }
   }
 
   override def close(): Unit =

@@ -93,6 +93,82 @@ class GraftWriteSpec extends SparkSpec {
     assert(t.read().exceptAll(mixedDf).isEmpty)
   }
 
+  test("DSv2 writes are HIVE-PARTITIONED: INSERT-built tables prune") {
+    val dir = tmpDir("dsv2w") + "/t"
+    // table built ENTIRELY through the connector (no API writes)
+    (1L to 90L).map(i => (i, s"s${i % 3}", i * 1.0)).toDF("id", "seg", "v")
+      .write.format("graft").option("primaryKey", "id")
+      .option("partitionKey", "seg").mode("append").save(dir)
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")))
+    // files live in hive dirs, partition column not stored physically
+    val m = t.manifest(1)
+    assert(m.partitionKey.contains("seg"))
+    assert(m.files.nonEmpty && m.files.forall(_.path.contains("seg=s")),
+      m.files.map(_.path).mkString(","))
+    val onePath = t.root.resolve(m.files.head.path)
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(onePath.toUri),
+        new org.apache.hadoop.conf.Configuration()))
+    try assert(!pf.getFooter.getFileMetaData.getSchema.getFields.toString
+      .contains("seg"))
+    finally pf.close()
+    // clustering: one file per partition value (not per value per task)
+    assert(m.files.size == 3, m.files.map(_.path).mkString(","))
+    // planning-time partition pruning now applies to connector-written files
+    val scan = spark.read.format("graft").load(dir).filter($"seg" === "s1")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("files=1/3"), s"expected partition skip in:\n$plan")
+    assert(scan.count() == 30)
+    // and both read paths agree on the reconstructed partition values
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String, Double)].collect().toSet ==
+      (1L to 90L).map(i => (i, s"s${i % 3}", i * 1.0)).toSet)
+    assert(t.read().as[(Long, String, Double)].collect().toSet ==
+      (1L to 90L).map(i => (i, s"s${i % 3}", i * 1.0)).toSet)
+  }
+
+  test("partition values escape hive-hostile characters and null") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val df = Seq((1L, "a/b"), (2L, "a b"), (3L, "a=b"), (4L, null))
+      .map { case (i, s) => (i, Option(s)) }.toDF("id", "seg")
+    df.write.format("graft").option("primaryKey", "id")
+      .option("partitionKey", "seg").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("a/b")), (2L, Some("a b")), (3L, Some("a=b")),
+        (4L, None)))
+    // the API read path round-trips the same layout
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")))
+    assert(t.read().as[(Long, Option[String])].collect().toSet ==
+      back.as[(Long, Option[String])].collect().toSet)
+  }
+
+  test("row-level SQL mutations keep the hive layout on partitioned tables") {
+    val dir = tmpDir("dsv2w") + "/t"
+    CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")))
+      .create((1L to 60L).map(i => (i, s"s${i % 3}", 0.0))
+        .toDF("id", "seg", "v"))
+    spark.sql("DROP TABLE IF EXISTS graft_w_part")
+    try {
+      spark.sql(s"CREATE TABLE graft_w_part USING graft LOCATION '$dir'")
+      spark.sql("UPDATE graft_w_part SET v = 1.0 WHERE id <= 30")
+      val t = CowTable(spark, dir,
+        TableConfig("t", Seq("id"), partitionKey = Some("seg")))
+      val m = t.manifest(t.currentVersion)
+      assert(m.files.forall(_.path.contains("seg=s")),
+        m.files.map(_.path).mkString(","))
+      // pruning still applies after the SQL rewrite
+      val scan = spark.read.format("graft").load(dir).filter($"seg" === "s0")
+      assert(scan.queryExecution.executedPlan.toString.contains("files="))
+      assert(spark.sql(
+        "SELECT sum(v) FROM graft_w_part").as[Double].collect().head == 30.0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_w_part")
+  }
+
   test("two concurrent DSv2 writers: exactly one commits (manifest CAS)") {
     val dir = tmpDir("dsv2w") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
