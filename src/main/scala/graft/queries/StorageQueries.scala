@@ -309,7 +309,7 @@ object StorageQueries {
     // the check is feed SEMANTICS, and per-row files are a correctness
     // fixture, not a layout to scale with sf.
     Q("q75_change_feed",
-      s"""WITH ${evCdcDedupCte(" WHERE user_id % 5 = 0")}
+      s"""WITH ${evCdcDedupCte(" WHERE user_id % 5 = 0 AND user_id < 500")}
          |SELECT user_id, event_id, event_type, value,
          |  ets AS "timestamp",
          |  TIMESTAMP '$auditTs' AS last_applied_date,
@@ -320,9 +320,9 @@ object StorageQueries {
         TableConfig("user_state", Seq("user_id"),
           precombineKey = Some("event_id"),
           maxRecordsPerFile = 1L),
-        initialSnapshot(s, d).filter(col("user_id") % 5 === 0))
+        initialSnapshot(s, d).filter(col("user_id") % 5 === 0 && col("user_id") < 500))
       CdcPipeline.applyBatch(tbl,
-        cdcBatch(s, d).filter(col("user_id") % 5 === 0),
+        cdcBatch(s, d).filter(col("user_id") % 5 === 0 && col("user_id") < 500),
         auditTs = lit(auditTs).cast("timestamp"))
       tbl.readChangesWithVersion(1, tbl.currentVersion)
     },
@@ -335,7 +335,7 @@ object StorageQueries {
     // with the delete commit (3). The one-row-per-file layout makes the
     // file-diff classification per-key exact (no co-located-row churn).
     Q("q80_change_feed_deletes",
-      s"""WITH ${evCdcDedupCte(" WHERE user_id % 5 = 0")},
+      s"""WITH ${evCdcDedupCte(" WHERE user_id % 5 = 0 AND user_id < 500")},
          |pre AS (SELECT user_id, event_id, event_type, value,
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY ts DESC, event_id DESC) AS rn
@@ -364,9 +364,9 @@ object StorageQueries {
         TableConfig("user_state", Seq("user_id"),
           precombineKey = Some("event_id"),
           maxRecordsPerFile = 1L),
-        initialSnapshot(s, d).filter(col("user_id") % 5 === 0))
+        initialSnapshot(s, d).filter(col("user_id") % 5 === 0 && col("user_id") < 500))
       CdcPipeline.applyBatch(tbl,
-        cdcBatch(s, d).filter(col("user_id") % 5 === 0),
+        cdcBatch(s, d).filter(col("user_id") % 5 === 0 && col("user_id") < 500),
         auditTs = lit(auditTs).cast("timestamp"))
       tbl.readChangeFeed(1, tbl.currentVersion)
     },

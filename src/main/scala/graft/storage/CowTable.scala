@@ -180,11 +180,25 @@ final class CowTable private[storage] (
   }
 
   /** Small-file compaction: rewrite the current snapshot's files whose size
-    * is below `smallBytes` into `targetPartitions`-sized files, carrying
-    * large files over untouched. The COW answer to CDC-induced file sprawl
-    * (every merge writes a few small files; compaction folds them back —
-    * SURVEY.md §7.5 north-star op). Returns the new version (or the current
-    * one when there is nothing to compact). */
+    * is below `smallBytes` into ~`targetPartitions` bin-packed files,
+    * carrying large files over untouched. The COW answer to CDC-induced file
+    * sprawl (every merge writes a few small files; compaction folds them
+    * back — SURVEY.md §7.5 north-star op). Returns the new version (or the
+    * current one when there is nothing to compact).
+    *
+    * SHUFFLE-FREE on unpartitioned tables: small files are size-bin-packed
+    * driver-side (pure metadata), each bin `coalesce(1)`s its files into one
+    * output partition, and the bins write in parallel — no Exchange, no
+    * repartition of every small-file byte through one global shuffle (at
+    * 100 TB a year of CDC sprawl compacts at IO cost, not shuffle cost).
+    * Bins are built over files ORDERED BY minKey, so range-clustered inputs
+    * yield range-clustered outputs (merge pruning stays tight). Each bin is
+    * its own scan→coalesce(1)→write job — submitted concurrently, so bin
+    * parallelism matches a cluster's scheduler, not a single union plan
+    * (Spark 4 zips same-partitioned union children into ONE partition, which
+    * would serialize the rewrite AND fold all bins into one file).
+    * Partitioned tables keep the hive re-layout path (the write's
+    * partitionBy clusters per value). */
   def compact(smallBytes: Long = 32L << 20, targetPartitions: Int = 1): Int = {
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
@@ -192,10 +206,69 @@ final class CowTable private[storage] (
     val (small, large) = m.files.partition(e =>
       java.nio.file.Files.size(root.resolve(e.path)) < smallBytes)
     if (small.size <= 1) return parent // nothing to fold
-    val compacted = readFiles(m, small).repartition(targetPartitions)
-    writeVersion(compacted, structFromJson(m.schemaJson), large, parent,
+    if (config.partitionKey.isDefined) {
+      val compacted = readFiles(m, small).repartition(targetPartitions)
+      return writeVersion(compacted, structFromJson(m.schemaJson), large,
+        parent, dataChange = false)
+    }
+    val schema = structFromJson(m.schemaJson)
+    val bins = compactionBins(m, small, targetPartitions)
+    val verSeg = f"v${parent + 1}%05d-" + java.util.UUID.randomUUID
+      .toString.replace("-", "").substring(0, 8)
+    val verDir = root.resolve(verSeg)
+    // one independent scan→coalesce(1)→write job per bin, submitted in
+    // parallel (Spark schedules concurrent jobs from multiple threads);
+    // each job's plan is Exchange-free by construction
+    import scala.collection.parallel.CollectionConverters._
+    bins.zipWithIndex.par.foreach { case (b, i) =>
+      compactionBinFrame(m, b)
+        .write.mode("overwrite").parquet(verDir.resolve(f"bin-$i%04d").toString)
+    }
+    commitAt(parent, statFiles(verDir, schema), large, schema,
       dataChange = false)
   }
+
+  /** Size-balanced compaction bins: first-fit packing of `small` (ordered by
+    * minKey, stat-less files last — range-clustered inputs yield
+    * range-clustered outputs) into ~`targetPartitions` groups. Pure driver-
+    * side metadata. Package-visible for plan-asserting specs. */
+  private[storage] def compactionBins(
+      m: CommitManifest, small: Seq[FileEntry],
+      targetPartitions: Int): Seq[Vector[FileEntry]] = {
+    val sized = small.map(e =>
+      (e, java.nio.file.Files.size(root.resolve(e.path))))
+    val ordered =
+      if (m.keyNumeric)
+        sized.sortBy { case (e, _) =>
+          (e.minKey.isEmpty,
+            e.minKey.map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+        }
+      else sized.sortBy { case (e, _) =>
+        (e.minKey.isEmpty, e.minKey.getOrElse(""))
+      }(Ordering.Tuple2(Ordering.Boolean, CowTable.utf8Ordering))
+    // 5% slack absorbs per-file size jitter (equal-sized inputs would
+    // otherwise overflow the last slot of every bin and double the bin count)
+    val binTarget = math.max(1L,
+      math.ceil(1.05 * sized.map(_._2).sum /
+        math.max(1, targetPartitions)).toLong)
+    val bins = scala.collection.mutable.ListBuffer[Vector[FileEntry]]()
+    var cur = Vector.empty[FileEntry]
+    var curBytes = 0L
+    ordered.foreach { case (e, sz) =>
+      if (cur.nonEmpty && curBytes + sz > binTarget) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur = cur :+ e; curBytes += sz
+    }
+    if (cur.nonEmpty) bins += cur
+    bins.toSeq
+  }
+
+  /** One bin's rewrite plan: scan of exactly its files folded to one output
+    * partition — no Exchange (package-visible for plan assertions). */
+  private[storage] def compactionBinFrame(
+      m: CommitManifest, bin: Seq[FileEntry]): DataFrame =
+    readFiles(m, bin).coalesce(1)
 
   /** Change feed: rows in files added by DATA commits between `fromVersion`
     * (exclusive) and `toVersion` (inclusive) — the incremental-consumption
@@ -214,6 +287,22 @@ final class CowTable private[storage] (
     require(fromVersion >= earliestReadableVersion - 1,
       s"change feed from $fromVersion crosses vacuumed versions (earliest " +
         s"readable: $earliestReadableVersion)")
+  }
+
+  /** Union the per-commit feed subplans with BOUNDED plan width: every
+    * `graft.feedChunkCommits` (default 32) branches are materialized via an
+    * eager localCheckpoint — a lineage cut, so a month of hourly commits
+    * (720) analyzes ~23 bounded subplans instead of one 720-branch Catalyst
+    * tree (O(commits) driver memory + analysis time). Short feeds (the
+    * common incremental-consumer case) stay fully lazy — no checkpoint, no
+    * early job. */
+  private def unionBounded(parts: Seq[DataFrame]): DataFrame = {
+    val chunk = math.max(2,
+      spark.conf.get("graft.feedChunkCommits", "32").toInt)
+    if (parts.size <= chunk) parts.reduce(_.unionAll(_))
+    else parts.grouped(chunk)
+      .map(g => g.reduce(_.unionAll(_)).localCheckpoint())
+      .reduce(_.unionAll(_))
   }
 
   def changedFiles(fromVersion: Int, toVersion: Int): Seq[FileEntry] = {
@@ -258,7 +347,7 @@ final class CowTable private[storage] (
     if (parts.isEmpty)
       conform(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         schema).withColumn("_commit_version", lit(0))
-    else parts.reduce(_.union(_))
+    else unionBounded(parts)
   }
 
   /** Full change-data-feed with DELETE TOMBSTONES (Delta CDF parity): every
@@ -325,7 +414,7 @@ final class CowTable private[storage] (
         schema).withColumn("_commit_version", lit(0))
         .withColumn("_change_type", lit(""))
         .limit(0)
-    else parts.reduce(_.unionAll(_))
+    else unionBounded(parts)
   }
 
   /** Rollback: make `version` current again by committing a NEW version

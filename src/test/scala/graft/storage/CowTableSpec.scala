@@ -147,6 +147,60 @@ class CowTableSpec extends SparkSpec {
     assert(t.readVersion(v - 1).count() == 201)
   }
 
+  test("compaction is SHUFFLE-FREE: bins coalesce, plan has no Exchange") {
+    val (t, _) = freshTable()
+    t.create((1L to 300L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(6, col("id")))
+    val m = t.manifest(t.currentVersion)
+    val bins = t.compactionBins(m, m.files, targetPartitions = 2)
+    assert(bins.size == 2, s"expected 2 bins, got ${bins.map(_.size)}")
+    bins.foreach { b =>
+      val frame = t.compactionBinFrame(m, b)
+      // string check sees through an AdaptiveSparkPlanExec wrapper too
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"compaction shuffles:\n$plan")
+      assert(frame.rdd.getNumPartitions == 1, "bin must fold to one partition")
+    }
+    // 2 bins → 2 output partitions → 2 files on write
+    val v = t.compact(smallBytes = Long.MaxValue, targetPartitions = 2)
+    val files = t.manifest(v).files
+    assert(files.size == 2, files.map(_.path).mkString(","))
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      (1L to 300L).map(i => (i, s"n$i")).toSet)
+    // minKey-ordered binning keeps the compacted files range-disjoint
+    val ranges = files.map(f =>
+      (BigDecimal(f.minKey.get), BigDecimal(f.maxKey.get)))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, ranges.toString)
+  }
+
+  test("change feed over many commits: bounded plan width, identical content") {
+    val (t, _) = freshTable()
+    spark.conf.set("graft.feedChunkCommits", "8")
+    try {
+      t.create(Seq((0L, "v0")).toDF("id", "name"))
+      (1L to 40L).foreach(i => t.upsert(Seq((i, s"v$i")).toDF("id", "name")))
+      val feed = t.readChangesWithVersion(1, t.currentVersion)
+      // every upsert rewrote its file set; each commit's added rows appear
+      val rows = feed.as[(Long, String, Int)].collect()
+      assert(rows.map(_._3).distinct.sorted.toSeq == (2 to 41))
+      assert(rows.filter(_._3 == 41).map(_._1).contains(40L))
+      // plan width is bounded: 40 per-commit branches fold into <=
+      // ceil(40/8)=5 checkpointed leaves (vs 40 parquet-scan leaves unbatched)
+      val leaves = feed.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.size <= 6, s"plan has ${leaves.size} leaves")
+      // the tombstone feed goes through the same bounded union
+      val cdf = t.readChangeFeed(0, t.currentVersion)
+      assert(cdf.queryExecution.optimizedPlan.collectLeaves().size <= 12)
+      val byType = cdf.groupBy("_change_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(byType("insert") == 41L) // 1 create row + 40 fresh keys... none deleted
+    } finally spark.conf.unset("graft.feedChunkCommits")
+  }
+
   test("clusterByKey: shuffled input lands in files with disjoint key ranges") {
     val dir = tmpDir("cow")
     val cfg = TableConfig("t", Seq("id"), clusterByKey = true)
