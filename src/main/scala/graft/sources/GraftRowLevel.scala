@@ -28,14 +28,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     scanned, plus freshly written) via the same hard-link CAS every other
   *     write path uses — a concurrent commit loses loudly.
   *   - Affected-group discovery is RUNTIME pruning
-  *     ([[SupportsRuntimeV2Filtering]] on the PRIMARY KEY): Spark computes
-  *     the distinct matched keys as a subquery and hands them back as an IN
-  *     predicate; the manifest's per-file [minKey, maxKey] stats map keys →
-  *     files ([[CowTable.filesContainingAny]] — the same exact-key skip
-  *     MERGE gets on the Scala API path). A 100-row CDC batch therefore
-  *     rewrites a handful of files, not the table. If Spark skips the
-  *     runtime filter (e.g. the key set blows its bytes cap), every file is
-  *     scanned and rewritten — degraded to a full COW rewrite, never wrong.
+  *     ([[SupportsRuntimeV2Filtering]] on the `_file` METADATA COLUMN, the
+  *     group id itself): Spark joins the table with the source on the merge
+  *     condition as a subquery and hands back IN(_file, <matched paths>) —
+  *     EXACTLY the files holding matched rows, for any key arity (a
+  *     composite-key MERGE prunes precisely, where per-column min/max could
+  *     only approximate; same design as the reference formats' file-based
+  *     group filtering). A 100-row CDC batch therefore rewrites a handful of
+  *     files, not the table. Key-column IN predicates are still understood
+  *     and prune via footer stats ([[CowTable.filesContainingAny]], both
+  *     stat-tracked columns). If Spark skips the runtime filter entirely,
+  *     every file is scanned and rewritten — degraded to a full COW rewrite,
+  *     never wrong.
   *
   * Static merge-condition predicates are deliberately NOT pushed into file
   * skipping here: a group-based rewrite must emit every surviving row of a
@@ -107,26 +111,36 @@ final class GraftRowLevelScan(
 
   override def toBatch: Batch = this
 
-  /** Runtime group filtering on the primary key (see class doc). */
+  /** Runtime group filtering on the `_file` metadata column — the group id
+    * itself. Spark's matching-rows subquery yields the distinct `_file`
+    * values of rows the operation touches; IN(_file, ...) then keeps EXACTLY
+    * those files, independent of key arity or stat quality. (A single
+    * multi-column key subquery does not survive V2 predicate translation, so
+    * key-attribute filtering would silently degrade on composite keys;
+    * `_file` is one attribute by construction. Same design as the reference
+    * formats' copy-on-write scans.) */
   override def filterAttributes(): Array[NamedReference] =
-    m.primaryKey.headOption
-      .map(k => Array[NamedReference](Expressions.column(k)))
-      .getOrElse(Array.empty)
+    Array(Expressions.column(GraftTable.FileColumnName))
 
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
-      inValues(p).foreach { vals =>
-        kept = CowTable.filesContainingAny(m.copy(files = kept), vals)
+      inValues(p).foreach { case (colIdx, vals) =>
+        kept =
+          if (colIdx < 0) { // _file: exact path-set membership
+            val set = vals.map(String.valueOf(_)).toSet
+            kept.filter(e => set(root.resolve(e.path).toString))
+          } else CowTable.filesContainingAny(m.copy(files = kept), vals, colIdx)
       }
     }
 
-  /** IN/= predicate on the key → Some(values); anything else → None (that
+  /** IN/= predicate on `_file` (→ colIdx -1) or a stat-tracked key column
+    * (→ colIdx 0/1) → Some(colIdx → values); anything else → None (that
     * predicate is simply ignored — predicates are conjunctive, so each
     * understood one may prune files independently and an ignored one can
     * only keep extra files, never drop needed ones). A NULL value disables
     * pruning (file stats cannot locate nulls — same rule as merge pruning).
     */
-  private def inValues(p: Predicate): Option[Seq[Any]] = {
+  private def inValues(p: Predicate): Option[(Int, Seq[Any])] = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
     val vals = p.children().toSeq.collect {
       case l: V2Literal[_] => l.value()
@@ -134,9 +148,13 @@ final class GraftRowLevelScan(
     val refs = p.children().toSeq.collect { case r: NamedReference => r }
     p.name() match {
       case "IN" | "=" if refs.size == 1 &&
-        refs.head.fieldNames().toSeq == Seq(m.primaryKey.head) &&
         vals.size == p.children().length - 1 && !vals.contains(null) =>
-        Some(vals)
+        val ref = refs.head.fieldNames().toSeq
+        if (ref == Seq(GraftTable.FileColumnName)) Some((-1, vals))
+        else m.primaryKey.take(2).indexWhere(k => ref == Seq(k)) match {
+          case -1 => None
+          case i => Some((i, vals))
+        }
       case _ => None
     }
   }

@@ -15,10 +15,20 @@ import org.json4s.jackson.Serialization
   * write: untouched files are carried over by reference, never rewritten).
   * `minKey`/`maxKey` are the stringified min/max of the first primary-key
   * column — the pruning statistics that keep MERGE from rewriting the world
-  * (SURVEY.md §7.4.7: prune target files against source keys BEFORE the join).
+  * (SURVEY.md §7.4.7: prune target files against source keys BEFORE the
+  * join). `minKey2`/`maxKey2` carry the SECOND key column of composite-key
+  * tables (absent on single-key tables and pre-upgrade manifests — both
+  * degrade to "no col-2 stats ⇒ no extra pruning", never to a wrong skip):
+  * each column prunes independently, so a MERGE touching (a=1, b=high) can
+  * carry files holding only (a=1, b=low).
   */
 final case class FileEntry(
-    path: String, rows: Long, minKey: Option[String], maxKey: Option[String])
+    path: String, rows: Long, minKey: Option[String], maxKey: Option[String],
+    minKey2: Option[String] = None, maxKey2: Option[String] = None) {
+  /** Stat bounds of key column `i` (0 or 1). */
+  def bounds(i: Int): (Option[String], Option[String]) =
+    if (i == 0) (minKey, maxKey) else (minKey2, maxKey2)
+}
 
 /** JSON commit manifest — the transactional metadata the reference delegates
   * to Hudi/Iceberg/Delta (all configured copy-on-write, SURVEY.md §1.1).
@@ -38,7 +48,10 @@ final case class CommitManifest(
     dataChange: Boolean = true,
     /** Wall-clock commit time (epoch millis; 0 for manifests written before
       * the field existed) — what `TIMESTAMP AS OF` resolves against. */
-    commitTimeMs: Long = 0L)
+    commitTimeMs: Long = 0L,
+    /** Numeric-comparison flag for the SECOND key column's stats (false for
+      * single-key tables and pre-upgrade manifests). */
+    key2Numeric: Boolean = false)
 
 /** A concurrent writer committed the same version first. The losing commit
   * changed NOTHING (its manifest never became visible; its data files are
@@ -538,6 +551,44 @@ final class CowTable private[storage] (
     * None ⇔ empty source.
     */
   private def pruneFiles(m: CommitManifest, source: DataFrame)
+      : Option[(Seq[FileEntry], Seq[FileEntry])] =
+    pruneFilesFirstCol(m, source).map { case (touched, untouched) =>
+      val (still, moved) = secondColRefine(m, source, touched)
+      (still, untouched ++ moved)
+    }
+
+  /** COMPOSITE-KEY refinement: of the files the first-column prune kept,
+    * drop those whose SECOND key column's [min2, max2] contains none of the
+    * batch's column-2 values. Per-column decomposition is conservative — a
+    * file holding a real (k1, k2) match has each component inside its
+    * respective range, so it always stays touched; files with no col-2 stats
+    * (single-key tables, pre-upgrade manifests, unstatable types) stay
+    * touched too. Returns (still touched, newly untouched). */
+  private def secondColRefine(
+      m: CommitManifest, source: DataFrame, touched: Seq[FileEntry])
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val k2 = config.primaryKey.lift(1).getOrElse(return (touched, Nil))
+    if (!source.columns.contains(k2) ||
+      touched.forall(_.minKey2.isEmpty)) return (touched, Nil)
+    val dt2 = source.schema(k2).dataType
+    val keys = source.select(keyStatColumn(col(k2), dt2).cast("string"))
+      .distinct().limit(pruneKeyLimit + 1).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    // null col-2 values or an oversized batch: no refinement (conservative)
+    if (keys.isEmpty || keys.contains(null) || keys.length > pruneKeyLimit)
+      return (touched, Nil)
+    if (m.key2Numeric)
+      touched.partition(CowTable.containsAny(
+        _, keys.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_),
+        colIdx = 1))
+    else {
+      implicit val ord: Ordering[String] = CowTable.utf8Ordering
+      touched.partition(CowTable.containsAny(
+        _, keys.sorted.toIndexedSeq, identity[String], colIdx = 1))
+    }
+  }
+
+  private def pruneFilesFirstCol(m: CommitManifest, source: DataFrame)
       : Option[(Seq[FileEntry], Seq[FileEntry])] = {
     val k = config.primaryKey.head
     if (!source.columns.contains(k)) return Some((m.files, Nil))
@@ -710,7 +761,10 @@ final class CowTable private[storage] (
       rowCount = entries.map(_.rows).sum,
       files = entries,
       dataChange = dataChange,
-      commitTimeMs = clockMs())
+      commitTimeMs = clockMs(),
+      key2Numeric = config.primaryKey.lift(1)
+        .flatMap(k => Try(schema(k).dataType).toOption)
+        .exists(statKeyNumeric))
     commitManifest(m)
     v
   }
@@ -755,6 +809,16 @@ final class CowTable private[storage] (
     * (unsupported physical type, missing column, stats absent). Missing
     * stats degrade safely: a file without min/max is always treated as
     * touched by pruning. */
+  /** (name, numeric-compare, dtype) of the stat-tracked key columns — the
+    * first TWO primary-key columns (composite-key pruning; further columns
+    * add little skip power for their metadata cost). */
+  private def statCols(schema: StructType)
+      : Seq[(String, Boolean, Option[DataType])] =
+    config.primaryKey.take(2).map { k =>
+      val dt = schema.find(_.name == k).map(_.dataType)
+      (k, dt.exists(statKeyNumeric), dt)
+    }
+
   private[graft] def statFiles(verDir: Path, schema: StructType): Seq[FileEntry] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(verDir)) return Nil
@@ -765,17 +829,18 @@ final class CowTable private[storage] (
     }
     if (parquetFiles.isEmpty) return Nil
     val keyDt = schema.find(_.name == config.primaryKey.head).map(_.dataType)
-    val numericKey = keyDt.exists(statKeyNumeric)
     // DECIMAL keys are stored UNSCALED in parquet footers (123.45 -> 12345)
     // while pruning compares scaled values — the footer path would silently
-    // misprune, so decimal keys always take the columnar scan.
+    // misprune, so decimal FIRST keys always take the columnar scan (a
+    // decimal SECOND column just gets no col-2 footer stats).
     if (keyDt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
       return scanStats(verDir)
+    val cols = statCols(schema)
     // footer reads are independent driver-side IO — do them in parallel
     // (a commit touching hundreds of files would otherwise serialize
     // hundreds of file opens)
     import scala.collection.parallel.CollectionConverters._
-    Try(parquetFiles.par.map(footerStat(_, numericKey, keyDt)).seq.toSeq)
+    Try(parquetFiles.par.map(footerStat(_, cols)).seq.toSeq)
       .toOption match {
       // INT96-era timestamp keys (and other types parquet keeps no stats
       // for) come back stat-less from every footer — fall back to the
@@ -798,23 +863,22 @@ final class CowTable private[storage] (
       files: Seq[(String, Long)], schema: StructType): Seq[FileEntry] = {
     if (files.isEmpty) return Nil
     val keyDt = schema.find(_.name == config.primaryKey.head).map(_.dataType)
-    val numericKey = keyDt.exists(statKeyNumeric)
     def fallback = files.map { case (p, n) => FileEntry(p, n, None, None) }
     if (keyDt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
       fallback
     else {
+      val cols = statCols(schema)
       import scala.collection.parallel.CollectionConverters._
       Try(files.par.map { case (p, _) =>
-        footerStat(root.resolve(p), numericKey, keyDt)
+        footerStat(root.resolve(p), cols)
       }.seq.toSeq).getOrElse(fallback)
     }
   }
 
   private def footerStat(
-      file: Path, numericKey: Boolean,
-      keyDt: Option[DataType]): FileEntry = {
+      file: Path,
+      cols: Seq[(String, Boolean, Option[DataType])]): FileEntry = {
     import scala.jdk.CollectionConverters._
-    val key = config.primaryKey.head
     val conf = spark.sessionState.newHadoopConf()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -822,32 +886,39 @@ final class CowTable private[storage] (
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      // Timestamp stats can be MILLIS or MICROS depending on the writer —
-      // read the column's logical-type annotation instead of assuming
-      // (a millis stat compared in micros space mispruned by 1000x).
-      // Unknown/NANOS/INT96 annotations => no usable stats for this file.
-      val tsScale: Option[Long] =
-        if (!keyDt.contains(org.apache.spark.sql.types.TimestampType)) Some(1L)
-        else Try {
-          import org.apache.parquet.schema.LogicalTypeAnnotation
-          reader.getFooter.getFileMetaData.getSchema.getType(Seq(key): _*)
-            .asPrimitiveType().getLogicalTypeAnnotation match {
-            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              ts.getUnit match {
-                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
-                case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
-                case _ => None
-              }
-            case _ => None
-          }
-        }.toOption.flatten
-      val chunks = blocks.flatMap(
-        _.getColumns.asScala.find(_.getPath.toDotString == key))
-      val stats = chunks.map(_.getStatistics)
-      val usable = tsScale.isDefined &&
-        chunks.size == blocks.size && blocks.nonEmpty &&
-        stats.forall(s => s != null && s.hasNonNullValue && !s.isEmpty)
-      val (mn, mx) =
+
+      /** One column's (min, max) in stat-string space; (None, None) when any
+        * row group lacks usable stats for it. */
+      def colStat(key: String, numericKey: Boolean, keyDt: Option[DataType])
+          : (Option[String], Option[String]) = {
+        // footer decimal stats are UNSCALED — never usable here
+        if (keyDt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+          return (None, None)
+        // Timestamp stats can be MILLIS or MICROS depending on the writer —
+        // read the column's logical-type annotation instead of assuming
+        // (a millis stat compared in micros space mispruned by 1000x).
+        // Unknown/NANOS/INT96 annotations => no usable stats for this file.
+        val tsScale: Option[Long] =
+          if (!keyDt.contains(org.apache.spark.sql.types.TimestampType)) Some(1L)
+          else Try {
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            reader.getFooter.getFileMetaData.getSchema.getType(Seq(key): _*)
+              .asPrimitiveType().getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                  case _ => None
+                }
+              case _ => None
+            }
+          }.toOption.flatten
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == key))
+        val stats = chunks.map(_.getStatistics)
+        val usable = tsScale.isDefined &&
+          chunks.size == blocks.size && blocks.nonEmpty &&
+          stats.forall(s => s != null && s.hasNonNullValue && !s.isEmpty)
         if (!usable) (None, None)
         else {
           val mins = stats.map(s => statString(s.genericGetMin))
@@ -861,7 +932,13 @@ final class CowTable private[storage] (
             (Some(mins.flatten.min(CowTable.utf8Ordering)),
               Some(maxs.flatten.max(CowTable.utf8Ordering)))
         }
-      FileEntry(relativize(file.toString), rows, mn, mx)
+      }
+
+      val (mn, mx) = cols.headOption
+        .map { case (k, n, dt) => colStat(k, n, dt) }.getOrElse((None, None))
+      val (mn2, mx2) = cols.lift(1)
+        .map { case (k, n, dt) => colStat(k, n, dt) }.getOrElse((None, None))
+      FileEntry(relativize(file.toString), rows, mn, mx, mn2, mx2)
     } finally reader.close()
   }
 
@@ -874,26 +951,28 @@ final class CowTable private[storage] (
     case _ => None // double/decimal/timestamp keys: fall back to no stats
   }
 
-  /** Fallback: one columnar pass over just the key column. */
+  /** Fallback: one columnar pass over just the key column(s). */
   private def scanStats(verDir: Path): Seq[FileEntry] = {
-    val k = config.primaryKey.head
     Try {
       val df = spark.read.option("basePath", verDir.toString)
         .parquet(verDir.toString)
-      val hasKey = df.columns.contains(k)
-      val aggs =
-        if (hasKey) {
-          // same value space as footer stats (temporal keys → physical ints)
+      // same value space as footer stats (temporal keys → physical ints)
+      def minMax(k: String): Seq[org.apache.spark.sql.Column] =
+        if (df.columns.contains(k)) {
           val ks = keyStatColumn(col(k), df.schema(k).dataType)
-          Seq(count(lit(1)), min(ks).cast("string"), max(ks).cast("string"))
-        } else Seq(count(lit(1)),
-          lit(null).cast("string"), lit(null).cast("string"))
+          Seq(min(ks).cast("string"), max(ks).cast("string"))
+        } else Seq(lit(null).cast("string"), lit(null).cast("string"))
+      val ks = config.primaryKey.take(2)
+      val aggs = Seq(count(lit(1))) ++ minMax(ks.head) ++
+        (if (ks.size > 1) minMax(ks(1))
+         else Seq(lit(null).cast("string"), lit(null).cast("string")))
       df.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq
         .map { r =>
           FileEntry(relativize(r.getString(0)), r.getLong(1),
-            Option(r.getString(2)), Option(r.getString(3)))
+            Option(r.getString(2)), Option(r.getString(3)),
+            Option(r.getString(4)), Option(r.getString(5)))
         }.sortBy(_.path)
     }.getOrElse(Nil) // empty write ⇒ no readable files ⇒ no entries
   }
@@ -951,11 +1030,13 @@ object CowTable {
     case other => String.valueOf(other)
   }
 
-  /** Does [e.minKey, e.maxKey] contain any of `sorted` (ascending)? */
+  /** Does key column `colIdx`'s [min, max] contain any of `sorted`
+    * (ascending)? */
   private[graft] def containsAny[T](
-      e: FileEntry, sorted: IndexedSeq[T], parse: String => T)(
+      e: FileEntry, sorted: IndexedSeq[T], parse: String => T,
+      colIdx: Int = 0)(
       implicit ord: Ordering[T]): Boolean =
-    (e.minKey, e.maxKey) match {
+    e.bounds(colIdx) match {
       case (Some(mn), Some(mx)) =>
         val lo = parse(mn)
         val hi = parse(mx)
@@ -970,20 +1051,23 @@ object CowTable {
       case _ => true // a file without stats must be assumed touched
     }
 
-  /** Files whose [minKey, maxKey] contains at least one of `values`
-    * (Catalyst-space values: UTF8String/Long-micros/Int-days literals map to
-    * the stat space via [[statValueString]]) — the point-set twin of
-    * [[filesInRange]], used by runtime (DPP-style) group filtering. */
+  /** Files whose key-column-`colIdx` [min, max] contains at least one of
+    * `values` (Catalyst-space values: UTF8String/Long-micros/Int-days
+    * literals map to the stat space via [[statValueString]]) — the point-set
+    * twin of [[filesInRange]], used by runtime (DPP-style) group filtering.
+    * Columns prune independently (conjunctive), so a multi-column-key MERGE
+    * intersects the per-column survivors. */
   private[graft] def filesContainingAny(
-      m: CommitManifest, values: Seq[Any]): Seq[FileEntry] = {
+      m: CommitManifest, values: Seq[Any], colIdx: Int = 0): Seq[FileEntry] = {
     val strs = values.map(statValueString)
-    if (m.keyNumeric)
+    val numeric = if (colIdx == 0) m.keyNumeric else m.key2Numeric
+    if (numeric)
       m.files.filter(containsAny(
-        _, strs.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_)))
+        _, strs.map(BigDecimal(_)).sorted.toIndexedSeq, BigDecimal(_), colIdx))
     else {
       implicit val ord: Ordering[String] = utf8Ordering
       m.files.filter(containsAny(_, strs.sorted.toIndexedSeq,
-        identity[String]))
+        identity[String], colIdx))
     }
   }
 

@@ -69,6 +69,35 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(t.read().filter($"id".isin(6L, 8L)).count() == 2)
   }
 
+  test("composite-key MERGE: runtime filtering prunes on BOTH key columns") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("a", "b")))
+    // identical a-ranges, disjoint b-ranges: only the col-2 runtime filter
+    // can separate the two files
+    t.create((1L to 10L).flatMap(a => (1L to 100L).map(b => (a, b, 0.0)))
+      .toDF("a", "b", "v").repartitionByRange(2, col("b")))
+    val v1 = t.manifest(1).files.map(_.path).toSet
+    assert(v1.size == 2)
+    Seq((5L, 90L, 1.0)).toDF("a", "b", "v")
+      .createOrReplaceTempView("rl_ck_src")
+    withSqlTable(dir, "rl_ck") {
+      spark.sql(
+        """MERGE INTO rl_ck t USING rl_ck_src s
+          |ON t.a = s.a AND t.b = s.b
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+    }
+    val m2 = t.manifest(2)
+    val carried = m2.files.map(_.path).toSet.intersect(v1)
+    assert(carried.size == 1,
+      s"expected the low-b file carried, got ${carried.size} " +
+        s"(v2 files: ${m2.files.map(_.path)})")
+    assert(t.read().filter($"v" === 1.0).as[(Long, Long, Double)]
+      .collect().toSeq == Seq((5L, 90L, 1.0)))
+    assert(t.read().count() == 1000)
+  }
+
   test("SQL UPDATE rewrites in place") {
     val dir = tmpDir("rl") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))

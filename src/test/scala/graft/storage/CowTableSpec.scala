@@ -201,6 +201,36 @@ class CowTableSpec extends SparkSpec {
     } finally spark.conf.unset("graft.feedChunkCommits")
   }
 
+  test("composite keys: second-column stats prune files the first can't") {
+    val dir = tmpDir("cow")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("a", "b")))
+    // two files with IDENTICAL a-ranges but disjoint b-ranges: first-column
+    // pruning alone must touch both, the b stats separate them
+    t.create(
+      (1L to 10L).flatMap(a => (1L to 100L).map(b => (a, b, s"v$a-$b")))
+        .toDF("a", "b", "v").repartitionByRange(2, col("b")))
+    val m = t.manifest(1)
+    assert(m.files.size == 2)
+    assert(m.key2Numeric)
+    assert(m.files.forall(f => f.minKey2.isDefined && f.maxKey2.isDefined),
+      m.files.toString)
+    val v1 = m.files.map(_.path).toSet
+    // (a=5, b=high): in both files' a-range, in only one file's b-range
+    t.upsert(Seq((5L, 90L, "updated")).toDF("a", "b", "v"))
+    val m2 = t.manifest(2)
+    val carried = m2.files.map(_.path).toSet.intersect(v1)
+    assert(carried.size == 1,
+      s"expected the low-b file carried, got ${carried.size} of ${v1.size}")
+    assert(t.read().count() == 1000)
+    assert(t.read().filter($"a" === 5L && $"b" === 90L)
+      .select("v").as[String].collect().toSeq == Seq("updated"))
+    // deletes refine on the second column too
+    t.delete(Seq((5L, 90L)).toDF("a", "b"))
+    val m3 = t.manifest(3)
+    assert(m3.files.map(_.path).toSet.intersect(v1).size == 1)
+    assert(t.read().count() == 999)
+  }
+
   test("clusterByKey: shuffled input lands in files with disjoint key ranges") {
     val dir = tmpDir("cow")
     val cfg = TableConfig("t", Seq("id"), clusterByKey = true)
