@@ -238,6 +238,42 @@ object StorageQueries {
       CowTable(s, root, TableConfig("user_state", Seq("user_id"))).read()
     },
 
+    // SQL MERGE with the reference's LITERAL shorthand: `UPDATE SET *` /
+    // `INSERT *` over the envelope-dropped, audit-stamped source (exactly
+    // /root/reference/src/iceberg/iceberg-cdc-load.py:125-134 — Op dropped,
+    // star-assignments aligned BY NAME), then the delete MERGE
+    // (:143-150). Must converge to the same state as q27/q85: oracle is
+    // q27's verbatim.
+    Q("q89_merge_sql_star", cdcOracleSql) { (s, d) =>
+      val root = tableDir("q89")
+      CowTable.replace(s, root,
+        TableConfig("user_state", Seq("user_id"), clusterByKey = true),
+        initialSnapshot(s, d)
+          .withColumn("timestamp", lit(null).cast("timestamp"))
+          .withColumn("last_applied_date", lit(null).cast("timestamp")))
+      val batch = CdcDedup.latestPerKeyStrict(
+        cdcBatch(s, d), Seq("user_id"), "timestamp", Seq("event_id"))
+      batch.filter(col("Op") =!= "D").drop("Op")
+        .withColumn("last_applied_date", lit(auditTs).cast("timestamp"))
+        .createOrReplaceTempView("q89_upsert")
+      batch.filter(col("Op") === "D").createOrReplaceTempView("q89_delete")
+      s.sql("DROP TABLE IF EXISTS q89_state")
+      s.sql(s"CREATE TABLE q89_state USING graft LOCATION '$root'")
+      s.sql(
+        """MERGE INTO q89_state t
+          |USING q89_upsert s ON s.user_id = t.user_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      s.sql(
+        """MERGE INTO q89_state t
+          |USING q89_delete s ON s.user_id = t.user_id
+          |WHEN MATCHED THEN DELETE
+          |""".stripMargin)
+      s.sql("DROP TABLE IF EXISTS q89_state")
+      CowTable(s, root, TableConfig("user_state", Seq("user_id"))).read()
+    },
+
     // DSv2 WRITE path: half of orders lands via the Scala API (v1), the
     // other half is appended by a SQL INSERT INTO through the connector
     // (executor-written parquet, footer-stat'd, hard-link-CAS commit) —

@@ -162,7 +162,10 @@ final class GraftTable(
   private def timeTravel: Boolean =
     props.containsKey("versionAsOf") || props.containsKey("timestampAsOf")
 
-  override def name(): String = s"graft.`$root`@v$version"
+  /** No backticks: Spark renders this name inside SQL-identifier error
+    * messages (e.g. TOO_MANY_DATA_COLUMNS), and embedded quoting makes the
+    * real error unreadable (INVALID_ATTRIBUTE_NAME_SYNTAX). */
+  override def name(): String = s"graft:$root@v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

@@ -169,6 +169,43 @@ class GraftWriteSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_w_part")
   }
 
+  test("schema evolution: SQL writes pin the table schema, API path evolves") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "a")).toDF("id", "name"))
+    // a WIDER source through SQL is rejected LOUDLY at analysis (the DSv2
+    // write pins the table schema — evolution is the API path's job); Spark
+    // names the problem, the table is untouched
+    val e = intercept[Exception] {
+      Seq((2L, "b", "extra")).toDF("id", "name", "tag")
+        .write.format("graft").mode("append").save(dir)
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("too many data columns") ||
+        e.getMessage.contains("TOO_MANY_DATA_COLUMNS")), e.getMessage)
+    assert(t.currentVersion == 1)
+    // the API path evolves (lossless widening + null-fill)...
+    t.upsert(Seq((2L, "b", "fresh")).toDF("id", "name", "tag"))
+    // ...and the SQL surface immediately sees and writes the evolved schema
+    assert(spark.read.format("graft").load(dir).columns.toSeq ==
+      Seq("id", "name", "tag"))
+    Seq((3L, "c", "t3")).toDF("id", "name", "tag")
+      .write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String, Option[String])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some("fresh")), (3L, "c", Some("t3"))))
+    // store-assignment widening INTO the pinned schema still works (int
+    // source values into a bigint column — Spark casts, the writer never
+    // sees a mismatch)
+    spark.sql("DROP TABLE IF EXISTS graft_evo")
+    try {
+      spark.sql(s"CREATE TABLE graft_evo USING graft LOCATION '$dir'")
+      spark.sql("INSERT INTO graft_evo VALUES (4, 'd', 't4')")
+      assert(spark.sql("SELECT count(*) FROM graft_evo")
+        .as[Long].collect().head == 4L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_evo")
+  }
+
   test("two concurrent DSv2 writers: exactly one commits (manifest CAS)") {
     val dir = tmpDir("dsv2w") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
