@@ -301,6 +301,35 @@ object StorageQueries {
       s.read.format("graft").load(root)
     },
 
+    // STREAMING SINK: readStream → filter → writeStream.format("graft"),
+    // drained with AvailableNow — each micro-batch epoch commits one table
+    // version through the CAS, exactly-once via the manifest (queryId,
+    // epochId) marker (the native-sink completion of the reference's
+    // hourly micro-batch load; replay/restart asserted in GraftWriteSpec).
+    // Final table state must equal the plain filtered batch scan.
+    Q("q90_stream_sink",
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_type, value
+        |FROM events WHERE event_type <> 'error'
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q90")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val src = base + "/src"
+      t(s, d, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") =!= "error")
+        .writeStream.format("graft")
+        .option("path", base + "/t").option("primaryKey", "event_id")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      CowTable(s, base + "/t", TableConfig("events_s", Seq("event_id"))).read()
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

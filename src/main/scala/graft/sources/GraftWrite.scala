@@ -225,8 +225,104 @@ final class GraftWriteBuilder(
       override def toBatch: BatchWrite = new GraftBatchWrite(
         root, parent, info.schema(), tableSchema, primaryKey, partitionKey,
         overwrite)
+      /** `writeStream.format("graft")` — exactly-once micro-batch appends
+        * (see [[GraftStreamingWrite]]). */
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        if (overwrite) throw new UnsupportedOperationException(
+          "graft streaming sink supports append output mode only")
+        new GraftStreamingWrite(root, info.schema(), primaryKey,
+          partitionKey, info.queryId())
+      }
     }
   }
+}
+
+/** Streaming sink: each micro-batch epoch commits one new table version
+  * through the same hard-link CAS as every other write path, made
+  * EXACTLY-ONCE by a (queryId, epochId) transaction marker in the manifest
+  * (the Delta txn-action design): a failure-recovery replay of an epoch
+  * finds `lastStreamEpoch(queryId) >= epochId` and commits nothing, deleting
+  * its re-written files. Epochs race correctly with concurrent batch/API
+  * writers — a lost CAS re-reads the parent and retries, re-checking the
+  * marker each attempt. The reference's hourly-cron micro-batch load
+  * (mirrored by Bookmark/CdcStream on the read side) thus gets a native
+  * `writeStream` sink: readStream → transform → graft table, checkpointed by
+  * Spark, idempotent by the manifest. */
+final class GraftStreamingWrite(
+    root: Path, writeSchema: StructType,
+    primaryKey: Seq[String], partitionKey: Option[String], queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def table(spark: SparkSession): CowTable =
+    CowTable(spark, root.toString,
+      TableConfig(root.getFileName.toString, primaryKey, partitionKey))
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(root.toString, queryId, writeSchema.json,
+      partitionKey)
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.collect {
+      case GraftCommitMessage(fs) => fs
+    }.flatten
+    val tbl = table(SparkSession.active)
+    var attempts = 0
+    while (true) {
+      if (tbl.lastStreamEpoch(queryId).exists(_ >= epochId)) {
+        // replayed epoch: already applied — drop the re-written files
+        files.foreach { case (p, _) =>
+          Try(Files.deleteIfExists(root.resolve(p)))
+        }
+        return
+      }
+      val parent = tbl.currentVersion
+      val schema =
+        if (parent > 0)
+          CowTable.structFromJson(tbl.manifest(parent).schemaJson)
+        else writeSchema // first epoch CREATES the table
+      val fresh = tbl.statListedFiles(files, schema)
+      val carry = if (parent == 0) Nil else tbl.manifest(parent).files
+      try {
+        tbl.commitAt(parent, fresh, carry, schema,
+          streamTxn = Some((queryId, epochId)))
+        return
+      } catch {
+        // a concurrent writer took this version: re-read and retry (bounded)
+        case e: graft.storage.ConcurrentWriteException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftCommitMessage(fs) => fs.foreach { case (p, _) =>
+        Files.deleteIfExists(root.resolve(p))
+      }
+      case _ => ()
+    }
+}
+
+/** Executor-side streaming factory: files land in a per-(query, epoch)
+  * directory; task/attempt uniqueness comes from the task id in the file
+  * name, and only commit-reported files are ever referenced. */
+final class GraftStreamingWriterFactory(
+    rootStr: String, queryId: String, schemaJson: String,
+    partitionKey: Option[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(rootStr,
+      f"se-${queryId.replace("-", "").take(8)}-e$epochId%06d",
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partitionKey, partitionId, taskId)
 }
 
 final case class GraftCommitMessage(files: Seq[(String, Long)])

@@ -51,7 +51,13 @@ final case class CommitManifest(
     commitTimeMs: Long = 0L,
     /** Numeric-comparison flag for the SECOND key column's stats (false for
       * single-key tables and pre-upgrade manifests). */
-    key2Numeric: Boolean = false)
+    key2Numeric: Boolean = false,
+    /** Exactly-once streaming-sink transaction marker: the (stable streaming
+      * query id, epoch id) this commit applied — the Delta txn-action
+      * analog. A recovery-replayed epoch finds its marker and commits
+      * nothing twice. */
+    streamQueryId: Option[String] = None,
+    streamEpochId: Option[Long] = None)
 
 /** A concurrent writer committed the same version first. The losing commit
   * changed NOTHING (its manifest never became visible; its data files are
@@ -745,9 +751,25 @@ final class CowTable private[storage] (
     * assembly + the CAS of [[commitManifest]]. `parent` is the version the
     * writer based its work on — a concurrent commit in between fails the
     * CAS. Returns the committed version. */
+  /** Latest committed epoch of streaming query `queryId`, walking back from
+    * the current version (manifests survive vacuum, so the walk is always
+    * complete); stops at the query's FIRST marker found — epochs are
+    * monotone per query, so that marker is the high-water mark. None ⇔ the
+    * query never committed here. */
+  private[graft] def lastStreamEpoch(queryId: String): Option[Long] = {
+    var v = currentVersion
+    while (v >= 1) {
+      val m = manifest(v)
+      if (m.streamQueryId.contains(queryId)) return m.streamEpochId
+      v -= 1
+    }
+    None
+  }
+
   private[graft] def commitAt(
       parent: Int, fresh: Seq[FileEntry], carryOver: Seq[FileEntry],
-      schema: StructType, dataChange: Boolean = true): Int = {
+      schema: StructType, dataChange: Boolean = true,
+      streamTxn: Option[(String, Long)] = None): Int = {
     val v = parent + 1
     val entries = fresh ++ carryOver
     val m = CommitManifest(
@@ -764,7 +786,9 @@ final class CowTable private[storage] (
       commitTimeMs = clockMs(),
       key2Numeric = config.primaryKey.lift(1)
         .flatMap(k => Try(schema(k).dataType).toOption)
-        .exists(statKeyNumeric))
+        .exists(statKeyNumeric),
+      streamQueryId = streamTxn.map(_._1),
+      streamEpochId = streamTxn.map(_._2))
     commitManifest(m)
     v
   }

@@ -238,6 +238,43 @@ class GraftWriteSpec extends SparkSpec {
       Set((1L, "base"), (99L, "writer-a"))) // loser's row never visible
   }
 
+  test("writeStream sink: per-epoch CAS commits, exactly-once on replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("dsv2s")
+    val src = base + "/src"
+    (1L to 60L).map(i => (i, s"n$i")).toDF("id", "name").repartition(2)
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val dir = base + "/t"
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("graft")
+        .option("path", dir).option("primaryKey", "id")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    // one commit per micro-batch epoch (2 source files, 1 per trigger)
+    assert(t.currentVersion == 2, s"got v${t.currentVersion}")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      (1L to 60L).map(i => (i, s"n$i")).toSet)
+    val m = t.manifest(2)
+    assert(m.streamQueryId.isDefined && m.streamEpochId.contains(1L), m.toString)
+    // checkpointed restart: nothing new to process, no new commits
+    drain()
+    assert(t.currentVersion == 2)
+    // recovery replay of an already-applied epoch: exactly-once no-op
+    val sw = new GraftStreamingWrite(java.nio.file.Paths.get(dir), schema,
+      Seq("id"), None, m.streamQueryId.get)
+    sw.commit(m.streamEpochId.get, Array(GraftCommitMessage(Nil)))
+    assert(t.currentVersion == 2)
+    // and the files carry key stats like every other write path's
+    assert(m.files.forall(f => f.minKey.isDefined && f.maxKey.isDefined))
+  }
+
   test("writes through a time-travel handle are rejected loudly") {
     val dir = tmpDir("dsv2w") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
