@@ -309,7 +309,8 @@ final class GraftScan(
     bounds: Seq[(Option[Any], Option[Any])],
     partValues: Option[Set[String]] = None,
     columnar: Boolean = true)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Hive partition value sitting in a file's path, if any (files written
     * without partition directories — e.g. by the DSv2 writer — have none and
@@ -335,6 +336,30 @@ final class GraftScan(
   }
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived statistics for the PRUNED file set — what lets
+    * Catalyst auto-broadcast a small graft table in a join (and shrink the
+    * estimate further when partition/key pruning dropped files) without
+    * opening a single data file at planning time. `bytes` rides in the
+    * manifest; a pre-upgrade entry (bytes=0) is stat'ed lazily — O(kept
+    * files) driver metadata IO, once per plan, only on old tables. The
+    * reference formats all feed Spark's join planning the same way (Delta
+    * add-file sizes / Iceberg manifests). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rowCount = kept.map(_.rows).sum
+    val sizeBytes = kept.map { e =>
+      if (e.bytes > 0L) e.bytes
+      else scala.util.Try(java.nio.file.Files.size(root.resolve(e.path)))
+        .getOrElse(0L)
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sizeBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowCount)
+    }
+  }
 
   /** Surfaces the manifest-level skip in `explain()`: files=<kept>/<total>. */
   override def description(): String =

@@ -20,11 +20,15 @@ import org.json4s.jackson.Serialization
   * tables (absent on single-key tables and pre-upgrade manifests — both
   * degrade to "no col-2 stats ⇒ no extra pruning", never to a wrong skip):
   * each column prunes independently, so a MERGE touching (a=1, b=high) can
-  * carry files holding only (a=1, b=low).
+  * carry files holding only (a=1, b=low). `bytes` is the file's on-disk size
+  * (0 on pre-upgrade manifests ⇒ callers stat the file lazily) — what the
+  * DSv2 scan reports to Catalyst so small graft tables auto-broadcast in
+  * joins without touching any data file at planning time.
   */
 final case class FileEntry(
     path: String, rows: Long, minKey: Option[String], maxKey: Option[String],
-    minKey2: Option[String] = None, maxKey2: Option[String] = None) {
+    minKey2: Option[String] = None, maxKey2: Option[String] = None,
+    bytes: Long = 0L) {
   /** Stat bounds of key column `i` (0 or 1). */
   def bounds(i: Int): (Option[String], Option[String]) =
     if (i == 0) (minKey, maxKey) else (minKey2, maxKey2)
@@ -962,7 +966,8 @@ final class CowTable private[storage] (
         .map { case (k, n, dt) => colStat(k, n, dt) }.getOrElse((None, None))
       val (mn2, mx2) = cols.lift(1)
         .map { case (k, n, dt) => colStat(k, n, dt) }.getOrElse((None, None))
-      FileEntry(relativize(file.toString), rows, mn, mx, mn2, mx2)
+      FileEntry(relativize(file.toString), rows, mn, mx, mn2, mx2,
+        bytes = Try(Files.size(file)).getOrElse(0L))
     } finally reader.close()
   }
 
@@ -994,9 +999,11 @@ final class CowTable private[storage] (
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq
         .map { r =>
-          FileEntry(relativize(r.getString(0)), r.getLong(1),
+          val rel = relativize(r.getString(0))
+          FileEntry(rel, r.getLong(1),
             Option(r.getString(2)), Option(r.getString(3)),
-            Option(r.getString(4)), Option(r.getString(5)))
+            Option(r.getString(4)), Option(r.getString(5)),
+            bytes = Try(Files.size(root.resolve(rel))).getOrElse(0L))
         }.sortBy(_.path)
     }.getOrElse(Nil) // empty write ⇒ no readable files ⇒ no entries
   }

@@ -188,6 +188,41 @@ class GraftDataSourceSpec extends SparkSpec {
       Set((Some("A"), 1L), (Some("B"), 2L), (None, 3L)))
   }
 
+  test("scan reports manifest statistics; pruning shrinks the estimate") {
+    val dir = tmpDir("dsv2")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
+    CowTable(spark, dir + "/t", cfg).create(
+      (1L to 100L).map(i => (i, if (i <= 50) "A" else "B", s"row$i"))
+        .toDF("id", "seg", "name"))
+
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.computeStats()
+      }.get
+
+    val full = stats(spark.read.format("graft").load(dir + "/t"))
+    assert(full.rowCount.contains(BigInt(100)), full)
+    assert(full.sizeInBytes > 0 && full.sizeInBytes < (1L << 20), full)
+
+    val pruned = stats(spark.read.format("graft").load(dir + "/t")
+      .filter($"seg" === "A"))
+    assert(pruned.rowCount.contains(BigInt(50)), pruned)
+    assert(pruned.sizeInBytes < full.sizeInBytes, s"$pruned vs $full")
+  }
+
+  test("small graft table auto-broadcasts in a join (no hint)") {
+    val dir = tmpDir("dsv2")
+    CowTable(spark, dir + "/t", TableConfig("dim", Seq("id"))).create(
+      (1L to 20L).map(i => (i, s"dim$i")).toDF("id", "label"))
+    val facts = (1L to 1000L).map(i => (i % 20 + 1, i)).toDF("id", "v")
+    val joined = facts.join(
+      spark.read.format("graft").load(dir + "/t"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 1000L)
+  }
+
   test("nested types are rejected loudly (flat schemas only)") {
     val dir = tmpDir("dsv2")
     CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
