@@ -330,6 +330,40 @@ object StorageQueries {
       CowTable(s, base + "/t", TableConfig("events_s", Seq("event_id"))).read()
     },
 
+    // STREAMING SOURCE: readStream.format(graft) over the commit log —
+    // three append commits drained through an AvailableNow micro-batch
+    // stream into a SECOND graft table (source and sink both native — the
+    // full DSv2 streaming matrix). Offsets are commit versions checkpointed
+    // by the engine; each batch reads only its commits' ADDED files, so a
+    // standing tail of a 100 TB table costs O(new data) per batch, not
+    // O(table). Spec coverage (restart exactly-once, rewrite rejection,
+    // compaction skip, pacing) in GraftStreamSourceSpec.
+    Q("q91_stream_source",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id <= 3000
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q91")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val src = CowTable(s, base + "/src",
+        TableConfig("events_src", Seq("event_id")))
+      src.create(ev.filter(col("event_id") <= 1000))                // v1
+      src.upsert(ev.filter(                                         // v2
+        col("event_id") > 1000 && col("event_id") <= 2000))
+      src.upsert(ev.filter(                                         // v3
+        col("event_id") > 2000 && col("event_id") <= 3000))
+      val q = s.readStream.format("graft").load(base + "/src")
+        .writeStream.format("graft")
+        .option("path", base + "/dst").option("primaryKey", "event_id")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      CowTable(s, base + "/dst",
+        TableConfig("events_dst", Seq("event_id"))).read()
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

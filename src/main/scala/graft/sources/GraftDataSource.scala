@@ -170,7 +170,7 @@ final class GraftTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = mOpt.getOrElse(throw new IllegalArgumentException(
@@ -180,7 +180,15 @@ final class GraftTable(
     val columnar = Seq(Option(options.get("columnar")),
       Option(props.get("columnar"))).flatten.headOption
       .forall(_.trim.toBoolean)
-    new GraftScanBuilder(root, m, tableSchema, columnar)
+    // streaming-read options (ignored by batch scans)
+    val streamOpts = GraftStreamOptions(
+      startingVersion = Option(options.get("startingVersion"))
+        .map(_.trim.toInt).getOrElse(0),
+      ignoreChanges = Option(options.get("ignoreChanges"))
+        .exists(_.trim.toBoolean),
+      maxCommitsPerBatch = Option(options.get("maxCommitsPerBatch"))
+        .map(_.trim.toInt))
+    new GraftScanBuilder(root, m, tableSchema, columnar, streamOpts)
   }
 
   override def newWriteBuilder(
@@ -219,7 +227,8 @@ final class GraftTable(
 
 final class GraftScanBuilder(
     root: Path, m: CommitManifest, fullSchema: StructType,
-    columnar: Boolean = true)
+    columnar: Boolean = true,
+    streamOpts: GraftStreamOptions = GraftStreamOptions())
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -296,7 +305,7 @@ final class GraftScanBuilder(
         case _ => ()
       }
     }
-    new GraftScan(root, m, required, bounds, partValues, columnar)
+    new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts)
   }
 }
 
@@ -304,23 +313,40 @@ final case class GraftInputPartition(
     filePath: String, partitionValues: Map[String, String])
   extends InputPartition
 
-final class GraftScan(
-    root: Path, m: CommitManifest, required: StructType,
-    bounds: Seq[(Option[Any], Option[Any])],
-    partValues: Option[Set[String]] = None,
-    columnar: Boolean = true)
-  extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-
+object GraftScan {
   /** Hive partition value sitting in a file's path, if any (files written
-    * without partition directories — e.g. by the DSv2 writer — have none and
-    * are never partition-pruned). */
-  private def pathPartValue(e: FileEntry): Option[String] =
-    m.partitionKey.flatMap { pk =>
+    * without partition directories — e.g. pre-r6 DSv2 writers — have none
+    * and are never partition-pruned). */
+  private[sources] def pathPartValue(
+      partitionKey: Option[String], e: FileEntry): Option[String] =
+    partitionKey.flatMap { pk =>
       e.path.split('/').dropRight(1).find(_.startsWith(pk + "="))
         .map(seg => java.net.URLDecoder.decode(
           seg.substring(pk.length + 1), "UTF-8"))
     }
+
+  /** All `k=v` hive segments of a relative file path (partition values live
+    * in the path, not the file). */
+  private[sources] def hivePathValues(path: String): Map[String, String] =
+    path.split('/').dropRight(1).filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) ->
+          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      }.toMap
+}
+
+final class GraftScan(
+    root: Path, m: CommitManifest, required: StructType,
+    bounds: Seq[(Option[Any], Option[Any])],
+    partValues: Option[Set[String]] = None,
+    columnar: Boolean = true,
+    streamOpts: GraftStreamOptions = GraftStreamOptions())
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private def pathPartValue(e: FileEntry): Option[String] =
+    GraftScan.pathPartValue(m.partitionKey, e)
 
   private val kept: Seq[FileEntry] = {
     val ranged = bounds.foldLeft(m.files) { (fs, b) =>
@@ -370,16 +396,20 @@ final class GraftScan(
 
   override def toBatch: Batch = this
 
+  /** Incremental micro-batch read over the commit log (see
+    * [[GraftMicroBatchStream]]). Pushed key bounds / partition values apply
+    * per batch; the checkpoint location is engine-managed (offsets only —
+    * the table's own manifests are the source of truth). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(
+      root, required, columnar, bounds, partValues, streamOpts)
+
   override def planInputPartitions(): Array[InputPartition] =
     kept.map { e =>
       // hive-style partition values live in the path, not the file
-      val parts = e.path.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg =>
-          val i = seg.indexOf('=')
-          seg.substring(0, i) ->
-            java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
-        }.toMap
-      GraftInputPartition(root.resolve(e.path).toString, parts)
+      GraftInputPartition(
+        root.resolve(e.path).toString, GraftScan.hivePathValues(e.path))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import graft.storage.{CommitManifest, CowTable, FileEntry}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming-read options parsed by [[GraftScanBuilder]] from the
+  * `readStream` option map. */
+final case class GraftStreamOptions(
+    /** Commits ≤ this version are NOT streamed (offset semantics: "already
+      * processed"). Default 0 = stream the table from its first commit. */
+    startingVersion: Int = 0,
+    /** Stream the ADDED files of rewrite commits (upsert/delete/overwrite)
+      * instead of failing — rewritten files re-emit their carried rows, so
+      * downstream must tolerate duplicates (Delta's `ignoreChanges`). */
+    ignoreChanges: Boolean = false,
+    /** Admission control: at most this many commits per micro-batch (rate
+      * limiting for catch-up over a long history). None = all available. */
+    maxCommitsPerBatch: Option[Int] = None)
+
+/** Stream position = "all commits ≤ `version` processed". Commits are the
+  * table's atomic units of change, so a (start, end] version range
+  * deterministically names a file set — replay-safe under checkpoint
+  * recovery. */
+final case class GraftOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** MICRO-BATCH SOURCE over a graft table's commit log —
+  * `spark.readStream.format("graft").load(root)`, the incremental-read twin
+  * of the exactly-once streaming sink. Completes the reference's CDC loop
+  * natively: the hourly micro-batch job that tails a lake table
+  * (/root/reference/src/delta/delta-cdc-load.py runs as a scheduled
+  * incremental read) becomes a standing `readStream` with checkpointed
+  * offsets.
+  *
+  * Semantics (the Delta streaming-source contract, which the reference's
+  * formats all share):
+  *  - APPEND commits (only new files vs the parent) stream exactly their
+  *    added rows; carried-over files are never re-read — per-batch cost is
+  *    O(changed data), not O(table).
+  *  - REWRITE commits (a parent file disappeared: upsert/delete/overwrite)
+  *    fail loudly by default — silently re-emitting rewritten files would
+  *    duplicate rows downstream. `option("ignoreChanges","true")` opts into
+  *    streaming their added files anyway.
+  *  - Reorganization commits (`dataChange=false`: compaction, rollback) are
+  *    skipped entirely — same bytes, new layout, nothing to emit.
+  *
+  * Scale: planning a batch reads only the (start, end] manifests — O(files)
+  * driver metadata, no data IO — and each batch's files go through the same
+  * columnar reader as a batch scan. Partition/key-bound file skipping is
+  * wired per batch but today only reachable through the API: Spark's
+  * V2ScanRelationPushDown matches batch relations only, so a `readStream`
+  * filter runs as a residual (correct, unpruned) until streaming pushdown
+  * lands upstream. Vacuumed history fails loud (offset gap), never silently
+  * skips.
+  */
+final class GraftMicroBatchStream(
+    root: Path, required: StructType, columnar: Boolean,
+    bounds: Seq[(Option[Any], Option[Any])],
+    partValues: Option[Set[String]],
+    opts: GraftStreamOptions)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** AvailableNow: the end version is pinned ONCE at stream start, so the
+    * drain terminates even if writers keep committing. */
+  @volatile private var pinnedEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(CowTable.currentVersionAt(root))
+
+  override def initialOffset(): Offset = GraftOffset(opts.startingVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(CowTable.currentVersionAt(root))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val current = pinnedEnd.getOrElse(CowTable.currentVersionAt(root))
+    val capped = opts.maxCommitsPerBatch match {
+      case Some(n) => math.min(current, from + n)
+      case None => current
+    }
+    GraftOffset(math.max(from, capped))
+  }
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def deserializeOffset(json: String): Offset = {
+    val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: unreadable stream offset: $json"))
+      .group(1).toInt
+    GraftOffset(v)
+  }
+
+  /** Files ADDED by commits in (start, end], rewrite-checked and pruned. */
+  private def addedFiles(startV: Int, endV: Int): Seq[(CommitManifest, FileEntry)] =
+    ((startV + 1) to endV).flatMap { v =>
+      val m =
+        try CowTable.manifestAt(root, v)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"graft stream: commit v$v of $root is unreadable (vacuumed or " +
+              "corrupt history?) — restart the stream from a retained " +
+              s"version via option(\"startingVersion\", ...)", e)
+        }
+      if (!m.dataChange) Nil // compaction/rollback: same rows, new layout
+      else {
+        val parentPaths: Set[String] =
+          if (m.parent <= 0) Set.empty
+          else CowTable.manifestAt(root, m.parent).files.map(_.path).toSet
+        val currentPaths = m.files.map(_.path).toSet
+        val removed = parentPaths -- currentPaths
+        if (removed.nonEmpty && !opts.ignoreChanges)
+          throw new IllegalStateException(
+            s"graft stream: commit v$v of $root rewrote or deleted " +
+              s"${removed.size} file(s) (upsert/delete/overwrite). The " +
+              "stream serves appends exactly-once; rewritten files would " +
+              "re-emit carried rows. Set option(\"ignoreChanges\",\"true\") " +
+              "to stream added files anyway (downstream must dedup), or " +
+              "read mutations as a change feed (CowTable.readChangeFeed).")
+        val added = m.files.filterNot(e => parentPaths.contains(e.path))
+        // same per-file skipping as the batch scan: key bounds via this
+        // commit's stat space, partition values via the hive path
+        val ranged = bounds.foldLeft(added) { (fs, b) =>
+          CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
+        }
+        val kept = partValues match {
+          case None => ranged
+          case Some(vs) => ranged.filter(e =>
+            GraftScan.pathPartValue(m.partitionKey, e).forall(vs.contains))
+        }
+        kept.map(m -> _)
+      }
+    }
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    addedFiles(s, e).map { case (_, entry) =>
+      GraftInputPartition(
+        root.resolve(entry.path).toString,
+        GraftScan.hivePathValues(entry.path))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, columnar)
+
+  override def commit(end: Offset): Unit = () // engine-side checkpointing
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.{CowTable, TableConfig}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Long, hi: Long) =
+    (lo to hi).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "v")
+
+  /** Drain src → graft dst with AvailableNow; returns after termination. */
+  private def drain(src: String, dst: String, ckpt: String,
+      opts: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft")
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(src)
+      .writeStream.format("graft")
+      .option("path", dst).option("primaryKey", "id")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def dstIds(dst: String): Set[Long] =
+    CowTable(spark, dst, TableConfig("dst", Seq("id")))
+      .read().select("id").as[Long].collect().toSet
+
+  test("append commits stream incrementally, exactly-once across restarts") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    t.create(rows(1, 50))          // v1
+    t.upsert(rows(51, 80))         // v2: disjoint keys ⇒ pure append
+    drain(dir + "/src", dir + "/dst", dir + "/ckpt")
+    assert(dstIds(dir + "/dst") == (1L to 80L).toSet)
+
+    t.upsert(rows(81, 100))        // v3 after the first drain
+    drain(dir + "/src", dir + "/dst", dir + "/ckpt") // same checkpoint
+    // only v3 arrives; v1/v2 rows are not re-emitted (no duplicate upserts)
+    assert(dstIds(dir + "/dst") == (1L to 100L).toSet)
+    val dst = CowTable(spark, dir + "/dst", TableConfig("dst", Seq("id")))
+    assert(dst.read().count() == 100L) // exactly-once: no dup rows at all
+  }
+
+  test("rewrite commits fail loudly; ignoreChanges streams added files") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    t.create(rows(1, 20))
+    t.upsert(rows(10, 15).withColumn("v", lit(99.0))) // overlap ⇒ rewrite
+    val e = intercept[StreamingQueryException] {
+      drain(dir + "/src", dir + "/dst", dir + "/ckpt")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("ignoreChanges"), msg)
+
+    drain(dir + "/src", dir + "/dst2", dir + "/ckpt2",
+      Map("ignoreChanges" -> "true"))
+    // rewritten file re-emits its rows; the graft sink upserts by key, so
+    // the dst converges to the source's final state
+    val dst = CowTable(spark, dir + "/dst2", TableConfig("dst", Seq("id")))
+    val vAt12 = dst.read().filter($"id" === 12L).select("v").as[Double].head()
+    assert(vAt12 == 99.0)
+    assert(dstIds(dir + "/dst2") == (1L to 20L).toSet)
+  }
+
+  test("dataChange=false commits (compaction) are skipped") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    t.create(rows(1, 30))
+    t.upsert(rows(31, 60))
+    t.compact(smallBytes = 1L << 30) // rewrites everything, dataChange=false
+    t.upsert(rows(61, 70))
+    drain(dir + "/src", dir + "/dst", dir + "/ckpt")
+    val dst = CowTable(spark, dir + "/dst", TableConfig("dst", Seq("id")))
+    assert(dst.read().count() == 70L) // compacted layout never re-emitted
+    assert(dstIds(dir + "/dst") == (1L to 70L).toSet)
+  }
+
+  test("startingVersion skips earlier commits; maxCommitsPerBatch paces") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    t.create(rows(1, 10))    // v1
+    t.upsert(rows(11, 20))   // v2
+    t.upsert(rows(21, 30))   // v3
+    drain(dir + "/src", dir + "/dst", dir + "/ckpt",
+      Map("startingVersion" -> "1", "maxCommitsPerBatch" -> "1"))
+    assert(dstIds(dir + "/dst") == (11L to 30L).toSet)
+    // one commit per micro-batch ⇒ the sink committed one epoch per source
+    // commit: dst history has exactly 2 data commits
+    val dst = CowTable(spark, dir + "/dst", TableConfig("dst", Seq("id")))
+    assert(dst.currentVersion == 2, s"v=${dst.currentVersion}")
+  }
+
+  test("filters apply as residuals; batches read only each commit's adds") {
+    val dir = tmpDir("gstream")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
+    val t = CowTable(spark, dir + "/src", cfg)
+    t.create(Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "seg", "v"))
+    t.upsert(Seq((3L, "A", 3.0), (4L, "B", 4.0)).toDF("id", "seg", "v"))
+    val sink = "gstream_pruned"
+    val q = spark.readStream.format("graft").load(dir + "/src")
+      .filter($"seg" === "A")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(sink).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    // Spark does not push filters into micro-batch DSv2 scans (the filter
+    // above ran as a residual), but incrementality holds: only the 4 added
+    // rows were ever read — carried-over files are never re-scanned
+    val read = q.recentProgress.map(_.numInputRows).sum
+    assert(read == 4L, s"streamed $read rows — expected only the adds")
+  }
+
+  test("file skipping applies when bounds reach the stream (API path)") {
+    val dir = tmpDir("gstream")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
+    val t = CowTable(spark, dir + "/src", cfg)
+    t.create(Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "seg", "v"))
+    t.upsert(Seq((3L, "A", 3.0), (4L, "B", 4.0)).toDF("id", "seg", "v"))
+    val stream = new GraftMicroBatchStream(
+      java.nio.file.Paths.get(dir + "/src"),
+      t.read().schema, columnar = true, bounds = Nil,
+      partValues = Some(Set("A")), GraftStreamOptions())
+    val parts = stream.planInputPartitions(GraftOffset(0), GraftOffset(2))
+    // hive layout: one file per seg per commit; only seg=A files planned
+    assert(parts.length == 2, parts.mkString(", "))
+    assert(parts.collect { case p: GraftInputPartition => p }
+      .forall(_.partitionValues.get("seg").contains("A")))
+  }
+}
