@@ -364,6 +364,35 @@ object StorageQueries {
         TableConfig("events_dst", Seq("event_id"))).read()
     },
 
+    // RUNTIME FILE PRUNING (the DPP analog for manifest-tracked files):
+    // orders partitioned by o_orderstatus joins a storage-backed dim
+    // filtered to one label — at execution Spark feeds the dim's join-key
+    // values into GraftScan.filter (SupportsRuntimeV2Filtering) and the
+    // scan drops every file whose hive path can't match before planning
+    // partitions. At 100 TB: a dimension slice touches a handful of fact
+    // files instead of the whole table. Plan + file-count asserted in
+    // GraftDataSourceSpec ("runtime V2 filtering…", "join against a
+    // filtered dim…").
+    Q("q92_runtime_prune_join",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q92")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      CowTable(s, base + "/fact",
+        TableConfig("orders_part", Seq("o_orderkey"),
+          partitionKey = Some("o_orderstatus")))
+        .create(t(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      t(s, d, "orders").select(col("o_orderstatus").as("st")).distinct()
+        .withColumn("label", col("st"))
+        .write.mode("overwrite").parquet(base + "/dim")
+      val dim = s.read.parquet(base + "/dim").filter(col("label") === "F")
+      s.read.format("graft").load(base + "/fact")
+        .join(dim, col("o_orderstatus") === col("st"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

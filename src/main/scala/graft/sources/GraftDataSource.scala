@@ -334,6 +334,34 @@ object GraftScan {
         seg.substring(0, i) ->
           java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
       }.toMap
+
+  /** Single-attribute IN / = V2 predicate → (column, non-null values);
+    * anything else → None (ignored — conjunctive predicates may each prune
+    * independently, and ignoring one only keeps extra files). NULLs disable
+    * pruning: file stats cannot locate nulls. */
+  private[sources] def inValues(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    val vals = p.children().toSeq.collect { case l: V2Literal[_] => l.value() }
+    val refs = p.children().toSeq.collect { case r: NamedReference => r }
+    p.name() match {
+      case "IN" | "=" if refs.size == 1 &&
+        refs.head.fieldNames().length == 1 &&
+        vals.size == p.children().length - 1 && !vals.contains(null) =>
+        Some((refs.head.fieldNames().head, vals))
+      case _ => None
+    }
+  }
+
+  /** A partition-path value renders unambiguously for these types only —
+    * anything else must not prune against the hive directory name. */
+  private[sources] def pathRenderableValue(v: Any): Boolean = v match {
+    case _: String | _: org.apache.spark.unsafe.types.UTF8String |
+         _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
+    case _ => false
+  }
 }
 
 final class GraftScan(
@@ -343,12 +371,15 @@ final class GraftScan(
     columnar: Boolean = true,
     streamOpts: GraftStreamOptions = GraftStreamOptions())
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private def pathPartValue(e: FileEntry): Option[String] =
     GraftScan.pathPartValue(m.partitionKey, e)
 
-  private val kept: Seq[FileEntry] = {
+  /** Planning-time pruning (pushed key bounds + partition values); runtime
+    * filtering below may shrink it further before partitions are planned. */
+  @volatile private var kept: Seq[FileEntry] = {
     val ranged = bounds.foldLeft(m.files) { (fs, b) =>
       CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
     }
@@ -360,6 +391,43 @@ final class GraftScan(
         pathPartValue(e).forall(vs.contains))
     }
   }
+
+  /** RUNTIME file pruning — the dynamic-partition-pruning analog for
+    * manifest-tracked files. A join against a filtered dimension hands the
+    * scan an IN-subquery of the dim's join-key values at execution time;
+    * files whose [min,max] stats (key columns) or hive path (partition
+    * column) cannot contain any value are dropped before partitions are
+    * planned. At 100 TB this is the difference between scanning a fact
+    * table and scanning the handful of files a dimension slice touches.
+    * Same contract as the row-level MERGE scan; predicates not understood
+    * here are conjunctive extras — ignoring them keeps files, never drops
+    * needed ones. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val keyCols = m.primaryKey.take(2)
+    (keyCols ++ m.partitionKey.filterNot(keyCols.contains)).distinct
+      // Spark resolves these against the scan's (column-pruned) output —
+      // advertising a projected-away column is an analysis error
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      GraftScan.inValues(p).foreach { case (colName, vals) =>
+        val keyIdx = m.primaryKey.take(2).indexOf(colName)
+        if (keyIdx >= 0)
+          kept = CowTable.filesContainingAny(m.copy(files = kept), vals, keyIdx)
+        else if (m.partitionKey.contains(colName) &&
+            vals.forall(GraftScan.pathRenderableValue)) {
+          val set = vals.map(String.valueOf(_)).toSet
+          kept = kept.filter(e => pathPartValue(e).forall(set.contains))
+        } // unrenderable partition value or unknown column: no pruning
+      }
+    }
 
   override def readSchema(): StructType = required
 

@@ -223,6 +223,76 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(joined.count() == 1000L)
   }
 
+  test("runtime V2 filtering prunes files by key stats and partition path") {
+    import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.{DataType, LongType}
+    // LiteralValue is private[sql]; the public Literal interface suffices
+    def v2lit[T](v: T, dt: DataType): V2Literal[T] = new V2Literal[T] {
+      override def value(): T = v
+      override def dataType(): DataType = dt
+    }
+    val dir = tmpDir("dsv2")
+    val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"),
+      clusterByKey = true)
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create((1L to 100L).map(i => (i, if (i <= 50) "A" else "B", s"n$i"))
+      .toDF("id", "seg", "name"))
+    val m = t.manifest(t.currentVersion)
+    // hive layout: one file per partition value, disjoint key ranges
+    assert(m.files.size == 2, m.files.map(_.path))
+
+    def freshScan() = new GraftScan(
+      java.nio.file.Paths.get(dir + "/t"), m, t.read().schema, Nil)
+    def partsOf(s: GraftScan) = s.planInputPartitions().length
+
+    // key IN (3): only files whose [min,max] admit 3 survive
+    val byKey = freshScan()
+    val all = partsOf(byKey)
+    byKey.filter(Array(new Predicate("IN", Array(
+      Expressions.column("id"), v2lit(3L, LongType)))))
+    assert(partsOf(byKey) < all, s"key runtime filter kept all $all files")
+
+    // seg = 'A': hive-path pruning drops every seg=B file
+    val byPart = freshScan()
+    byPart.filter(Array(new Predicate("=", Array(
+      Expressions.column("seg"),
+      v2lit(org.apache.spark.unsafe.types.UTF8String.fromString("A"),
+        org.apache.spark.sql.types.StringType)))))
+    val keptParts = byPart.planInputPartitions()
+      .collect { case p: GraftInputPartition => p }
+    assert(keptParts.nonEmpty &&
+      keptParts.forall(_.partitionValues.get("seg").contains("A")))
+
+    // an un-understood predicate is ignored, never over-prunes
+    val noop = freshScan()
+    noop.filter(Array(new Predicate("LIKE", Array(
+      Expressions.column("name"),
+      v2lit(org.apache.spark.unsafe.types.UTF8String.fromString("x%"),
+        org.apache.spark.sql.types.StringType)))))
+    assert(partsOf(noop) == all)
+  }
+
+  test("join against a filtered dim plans a runtime pruning subquery") {
+    val dir = tmpDir("dsv2")
+    val cfg = TableConfig("fact", Seq("k"), partitionKey = Some("seg"))
+    CowTable(spark, dir + "/t", cfg).create(
+      (1L to 1000L).map(i => (i, s"seg${i % 10}", i * 2.0))
+        .toDF("k", "seg", "v"))
+    // the dim must come from storage: a Seq-backed dim constant-folds to a
+    // pre-filtered LocalRelation and leaves no selective predicate for DPP
+    (0L to 9L).map(i => (s"seg$i", s"d$i")).toDF("seg", "label")
+      .write.parquet(dir + "/dim")
+    val dim = spark.read.parquet(dir + "/dim")
+    val joined = spark.read.format("graft").load(dir + "/t")
+      .join(dim.filter($"label" === "d3"), "seg")
+    // Spark recognizes the scan's filterAttributes and attaches a dynamic
+    // pruning filter on the partition column (DPP over manifest files)
+    val planned = joined.queryExecution.executedPlan.toString
+    assert(planned.toLowerCase.contains("dynamicpruning"), planned)
+    assert(joined.count() == 100L)
+  }
+
   test("nested types are rejected loudly (flat schemas only)") {
     val dir = tmpDir("dsv2")
     CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
