@@ -393,6 +393,30 @@ object StorageQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
 
+    // BLOOM INDEX (Hudi's default index re-expressed): two commits with
+    // INTERLEAVED key spaces (odd custkeys, then even) give every file a
+    // range spanning the whole table — min/max pruning alone must touch all
+    // of them on any point merge. The per-file key bloom sidecar answers
+    // per-key, so the third point-update commit rewrites only files that
+    // can actually hold its keys (carried-file behavior asserted in
+    // BloomIndexSpec). Oracle replays the merge arithmetic in SQL.
+    Q("q93_bloom_index_merge",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 97 = 0 THEN round(c_acctbal + 100, 2)
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin) { (s, d) =>
+      val base = tableDir("q93")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val tbl = CowTable(s, base,
+        TableConfig("customer_bloom", Seq("c_custkey"), bloomIndex = true))
+      tbl.create(c.filter(col("c_custkey") % 2 === 1))
+      tbl.upsert(c.filter(col("c_custkey") % 2 === 0))
+      tbl.upsert(c.filter(col("c_custkey") % 97 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)))
+      tbl.read()
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

@@ -515,7 +515,10 @@ final class CowTable private[storage] (
     Files.writeString(tmp, firstRetained.toString)
     Files.move(tmp, manifestDir.resolve("_vacuumed"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    doomed.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    doomed.foreach { p =>
+      Files.deleteIfExists(root.resolve(p))
+      Files.deleteIfExists(root.resolve(p + ".bloom")) // index sidecar
+    }
     doomed
   }
 
@@ -564,8 +567,49 @@ final class CowTable private[storage] (
       : Option[(Seq[FileEntry], Seq[FileEntry])] =
     pruneFilesFirstCol(m, source).map { case (touched, untouched) =>
       val (still, moved) = secondColRefine(m, source, touched)
-      (still, untouched ++ moved)
+      val (still2, moved2) = bloomRefine(still, source)
+      (still2, untouched ++ moved ++ moved2)
     }
+
+  /** BLOOM refinement (third stage, opt-in via [[TableConfig.bloomIndex]]):
+    * of the files range pruning kept, drop those whose key Bloom filter
+    * contains NONE of the batch's keys. This is where point-key merges on
+    * range-overlapping files win: [min,max] admits everything when files
+    * interleave key space, but a bloom answers per key. False positives
+    * keep extra files (harmless); a missing/unreadable sidecar keeps the
+    * file (never a wrong skip). Oversized or null-bearing batches skip
+    * refinement, same rule as the range stages. (The batch's distinct keys
+    * are re-collected here — one extra bounded job — to keep the three
+    * stages independent.) */
+  private def bloomRefine(touched: Seq[FileEntry], source: DataFrame)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    if (!config.bloomIndex || touched.isEmpty) return (touched, Nil)
+    val k = config.primaryKey.head
+    if (!source.columns.contains(k)) return (touched, Nil)
+    val keys = source
+      .select(keyStatColumn(col(k), source.schema(k).dataType).cast("string"))
+      .distinct().limit(pruneKeyLimit + 1).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    if (keys.isEmpty || keys.contains(null) || keys.length > pruneKeyLimit)
+      return (touched, Nil)
+    touched.partition { e =>
+      loadBloom(e.path) match {
+        case None => true // no sidecar (pre-index commit, DSv2 write): keep
+        case Some(bf) => keys.exists(bf.mightContainString)
+      }
+    }
+  }
+
+  private def loadBloom(relPath: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = root.resolve(relPath + ".bloom")
+    if (!Files.isRegularFile(p)) None
+    else Try {
+      val in = Files.newInputStream(p)
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }.toOption
+  }
 
   /** COMPOSITE-KEY refinement: of the files the first-column prune kept,
     * drop those whose SECOND key column's [min2, max2] contains none of the
@@ -747,7 +791,51 @@ final class CowTable private[storage] (
       else writer
     sized.parquet(verDir.toString)
     val fresh = statFiles(verDir, schema)
+    if (config.bloomIndex) writeBlooms(verDir, fresh, schema)
     commitAt(parent, fresh, carryOver, schema, dataChange)
+  }
+
+  /** BLOOM sidecars for a commit's new files: one pass over the leading key
+    * column, aggregated per file executor-side, written as `<file>.bloom`
+    * next to each data file (inside the writer-unique version dir, so the
+    * CAS story is unchanged — a losing writer's sidecars are as inert as
+    * its data files). Key values are encoded in the SAME stat-string space
+    * pruning compares in ([[keyStatColumn]] → string), so lookups are
+    * byte-consistent. Sized for the largest new file at 1% FPP; executors
+    * write their own sidecars — the driver never holds the filters. */
+  private def writeBlooms(
+      verDir: Path, fresh: Seq[FileEntry], schema: StructType): Unit = {
+    val k = config.primaryKey.head
+    if (fresh.isEmpty || !schema.fieldNames.contains(k)) return
+    val expected = math.max(1000L, fresh.map(_.rows).max)
+    val df = spark.read.schema(schema)
+      .option("basePath", verDir.toString).parquet(verDir.toString)
+    val keyed = df.select(
+      input_file_name().as("__file"),
+      keyStatColumn(col(k), schema(k).dataType).cast("string").as("__k"))
+    keyed.where(col("__k").isNotNull)
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .aggregateByKey(
+        null: org.apache.spark.util.sketch.BloomFilter)(
+        (bf, s) => {
+          val b = if (bf == null)
+            org.apache.spark.util.sketch.BloomFilter.create(expected, 0.01)
+          else bf
+          b.putString(s); b
+        },
+        (a, b) =>
+          if (a == null) b else if (b == null) a
+          else { a.mergeInPlace(b); a })
+      .foreach { case (fileUri, bf) =>
+        if (bf != null) {
+          val p = if (fileUri.startsWith("file:"))
+            Paths.get(new java.net.URI(fileUri).getPath)
+          else Paths.get(fileUri)
+          val out = Files.newOutputStream(
+            p.resolveSibling(p.getFileName.toString + ".bloom"))
+          try bf.writeTo(out) finally out.close()
+        }
+      }
   }
 
   /** Publish a commit whose data files already exist (written by

@@ -24,6 +24,15 @@ package graft.storage
   *                      partition value or a giant merge rewrite can't
   *                      produce multi-GB files that defeat task-level
   *                      parallelism on later reads
+  * @param bloomIndex    build a per-file Bloom filter of the leading key
+  *                      column at commit time (a `<file>.bloom` sidecar,
+  *                      written executor-side) and use it as a third merge-
+  *                      pruning stage after min/max range checks — Hudi's
+  *                      default BLOOM index re-expressed. Pays one extra
+  *                      key-column pass per commit's NEW files; wins when
+  *                      keys are scattered (range-overlapping files that
+  *                      point lookups would otherwise always touch).
+  *                      False positives only ⇒ never a wrong skip.
   */
 final case class TableConfig(
     tableName: String,
@@ -31,6 +40,7 @@ final case class TableConfig(
     partitionKey: Option[String] = None,
     precombineKey: Option[String] = None,
     clusterByKey: Boolean = false,
-    maxRecordsPerFile: Long = 0L) {
+    maxRecordsPerFile: Long = 0L,
+    bloomIndex: Boolean = false) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
 }
