@@ -417,6 +417,29 @@ object StorageQueries {
       tbl.read()
     },
 
+    // OPTIMIZE ZORDER: hash-scattered composite-key lineitem slice is
+    // rewritten along a Morton curve over (l_orderkey, l_linenumber) — a
+    // dataChange=false reorganization that gives every file a tight
+    // hyper-rectangle of the key space (both columns' stats sharpened at
+    // once; probe-count and carried-file behavior asserted in ZOrderSpec).
+    // Oracle = the untouched row set: reorganization must preserve content
+    // exactly.
+    Q("q94_zorder_optimize",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q94")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(col("l_orderkey") <= 1000)
+      val tbl = CowTable(s, base,
+        TableConfig("li_z", Seq("l_orderkey", "l_linenumber")))
+      tbl.create(li.repartition(8))
+      tbl.optimize()
+      tbl.read()
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

@@ -251,6 +251,68 @@ final class CowTable private[storage] (
       dataChange = false)
   }
 
+  /** OPTIMIZE ZORDER (Delta/Hudi clustering surface): rewrite the current
+    * snapshot ordered along a Morton curve over `clusterBy` (default: the
+    * stat-tracked key columns), so every output file covers a small
+    * hyper-rectangle of the key space — tight per-file [min,max] on ALL
+    * cluster columns at once, where `clusterByKey`'s lexicographic range
+    * split only tightens the leading one. Composite-key merge pruning, the
+    * SQL-MERGE runtime filter, and DSv2 key-range scans all sharpen; the
+    * bloom index (if on) is rebuilt for the new files.
+    *
+    * A reorganization commit (`dataChange=false`): same rows, new layout —
+    * the change feed and the streaming source skip it. Cost: one
+    * approxQuantile pass (skew-robust 8-bit range ids per column, see
+    * [[ZOrder]]) + one range-exchange write; at 100 TB it runs per
+    * partition-era or post-compaction, not per commit. Numeric, date, and
+    * timestamp columns only — a string leading key should use
+    * `clusterByKey` range clustering instead (quantiles over strings don't
+    * exist in one pass).
+    *
+    * @param targetPartitions output file count (0 ⇒ keep the current count)
+    */
+  def optimize(clusterBy: Seq[String] = config.primaryKey.take(2),
+      targetPartitions: Int = 0): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    require(clusterBy.nonEmpty, "optimize needs >=1 cluster column")
+    val m = manifest(parent)
+    val df = readVersion(parent)
+    val missing = clusterBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"optimize: cluster columns not in table: ${missing.mkString(", ")}")
+    val casted = clusterBy.map { k =>
+      val dt = df.schema(k).dataType
+      val ok = dt.isInstanceOf[NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.DateType
+      require(ok, s"graft optimize: z-order needs numeric/date/timestamp " +
+        s"columns; $k is ${dt.simpleString} (use clusterByKey range " +
+        "clustering for string keys)")
+      s"__zr_$k" -> keyStatColumn(col(k), dt).cast("double")
+    }
+    val tmp = casted.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val probes = (1 until (1 << ZOrder.Bits)).map(_.toDouble / (1 << ZOrder.Bits)).toArray
+    val splits = tmp.stat.approxQuantile(
+      casted.map(_._1).toArray, probes, 0.001)
+    val ranked = casted.zip(splits).map { case ((n, _), sp) =>
+      ZOrder.rankColumn(col(n), sp.toSeq.distinct.sorted)
+    }
+    val nOut =
+      if (targetPartitions > 0) targetPartitions
+      else math.max(1, m.files.size)
+    val shaped = config.partitionKey match {
+      // hive layout survives; the curve orders rows WITHIN each partition
+      case Some(pk) => tmp.withColumn("__z", ZOrder.zvalue(ranked))
+        .repartition(col(pk)).sortWithinPartitions(col(pk), col("__z"))
+      case None => tmp.withColumn("__z", ZOrder.zvalue(ranked))
+        .repartitionByRange(nOut, col("__z"))
+    }
+    val out = shaped.drop("__z").drop(casted.map(_._1): _*)
+    writeVersion(out, structFromJson(m.schemaJson), Nil, parent,
+      dataChange = false, preshaped = true)
+  }
+
   /** Size-balanced compaction bins: first-fit packing of `small` (ordered by
     * minKey, stat-less files last — range-clustered inputs yield
     * range-clustered outputs) into ~`targetPartitions` groups. Pure driver-
@@ -766,7 +828,8 @@ final class CowTable private[storage] (
   private[storage] def writeVersion(
       df: DataFrame, schema: StructType,
       carryOver: Seq[FileEntry], parent: Int,
-      dataChange: Boolean = true): Int = {
+      dataChange: Boolean = true,
+      preshaped: Boolean = false): Int = {
     val v = parent + 1
     // Writer-UNIQUE data directory (Delta-style): two racing writers of the
     // same version can never clobber each other's files — the loser of the
@@ -775,16 +838,23 @@ final class CowTable private[storage] (
     val verSeg = f"v$v%05d" + "-" + java.util.UUID.randomUUID
       .toString.replace("-", "").substring(0, 8)
     val verDir = root.resolve(verSeg)
-    val writer = config.partitionKey match {
-      case Some(k) =>
-        df.repartition(col(k)).write.mode("overwrite").partitionBy(k)
-      case None if config.clusterByKey =>
-        // disjoint per-file key ranges ⇒ minimal touch sets for future merges
-        val n = math.max(1, df.rdd.getNumPartitions)
-        df.repartitionByRange(n, config.primaryKey.map(col): _*)
-          .write.mode("overwrite")
-      case None => df.write.mode("overwrite")
-    }
+    val writer =
+      // caller already distributed+ordered the rows (z-order optimize):
+      // re-shaping here would destroy that layout
+      if (preshaped) config.partitionKey match {
+        case Some(k) => df.write.mode("overwrite").partitionBy(k)
+        case None => df.write.mode("overwrite")
+      }
+      else config.partitionKey match {
+        case Some(k) =>
+          df.repartition(col(k)).write.mode("overwrite").partitionBy(k)
+        case None if config.clusterByKey =>
+          // disjoint per-file key ranges ⇒ minimal touch sets for future merges
+          val n = math.max(1, df.rdd.getNumPartitions)
+          df.repartitionByRange(n, config.primaryKey.map(col): _*)
+            .write.mode("overwrite")
+        case None => df.write.mode("overwrite")
+      }
     val sized =
       if (config.maxRecordsPerFile > 0)
         writer.option("maxRecordsPerFile", config.maxRecordsPerFile)

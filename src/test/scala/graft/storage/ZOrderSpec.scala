@@ -1,0 +1,88 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 64x64 grid over a composite key (a, b), written hash-scattered so
+    * every file spans nearly the whole range on BOTH columns. */
+  private def grid(dir: String): CowTable = {
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("t", Seq("a", "b")))
+    t.create((0L until 4096L).map(i => (i % 64, i / 64, s"v$i"))
+      .toDF("a", "b", "payload").repartition(8))
+    t
+  }
+
+  /** Files whose stats admit the composite probe (a=pa AND b=pb). */
+  private def touchable(m: CommitManifest, pa: Long, pb: Long): Seq[FileEntry] =
+    CowTable.filesContainingAny(m, Seq(pa), colIdx = 0)
+      .intersect(CowTable.filesContainingAny(m, Seq(pb), colIdx = 1))
+
+  test("optimize tightens both key columns' file stats at once") {
+    val dir = tmpDir("zorder")
+    val t = grid(dir)
+    val before = t.manifest(t.currentVersion)
+    assert(before.files.size == 8)
+    // hash-scattered: the probe is admitted by every file
+    assert(touchable(before, 5L, 5L).size == 8)
+
+    val v = t.optimize(Seq("a", "b"))
+    val after = t.manifest(v)
+    assert(after.files.size == 8, after.files.map(_.path))
+    val hits = touchable(after, 5L, 5L)
+    assert(hits.size <= 3,
+      s"z-order left ${hits.size}/8 files admitting a point probe: " +
+        after.files.map(e => (e.minKey, e.maxKey, e.minKey2, e.maxKey2)))
+  }
+
+  test("optimize preserves content exactly and is dataChange=false") {
+    val dir = tmpDir("zorder")
+    val t = grid(dir)
+    val before = t.read().as[(Long, Long, String)].collect().toSet
+    val v = t.optimize(Seq("a", "b"))
+    assert(t.read().as[(Long, Long, String)].collect().toSet == before)
+    assert(!t.manifest(v).dataChange)
+    // the change feed skips a reorganization commit entirely
+    assert(t.readChangeFeed(v - 1, v).isEmpty)
+  }
+
+  test("optimize sharpens composite-key merges (fewer files rewritten)") {
+    val dir = tmpDir("zorder")
+    val t = grid(dir)
+    t.optimize(Seq("a", "b"))
+    val before = t.manifest(t.currentVersion).files.map(_.path).toSet
+    t.upsert(Seq((5L, 5L, "updated")).toDF("a", "b", "payload"))
+    val after = t.manifest(t.currentVersion).files.map(_.path).toSet
+    val carried = before intersect after
+    assert(carried.size >= 5,
+      s"composite point upsert carried only ${carried.size}/8 files")
+    val got = t.read().filter($"a" === 5L && $"b" === 5L)
+      .select("payload").as[String].head()
+    assert(got == "updated")
+    assert(t.read().count() == 4096L)
+  }
+
+  test("string cluster columns are rejected loudly") {
+    val dir = tmpDir("zorder")
+    val t = grid(dir)
+    val e = intercept[IllegalArgumentException] {
+      t.optimize(Seq("payload"))
+    }
+    assert(e.getMessage.contains("clusterByKey"), e.getMessage)
+  }
+
+  test("hive-partitioned tables keep their layout, curve-ordered within") {
+    val dir = tmpDir("zorder")
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("t", Seq("a", "b"), partitionKey = Some("seg")))
+    t.create((0L until 1000L).map(i => (i % 10, i / 10, if (i % 2 == 0) "X" else "Y"))
+      .toDF("a", "b", "seg").repartition(4))
+    val v = t.optimize(Seq("a", "b"))
+    val m = t.manifest(v)
+    assert(m.files.forall(e => e.path.contains("seg=")), m.files.map(_.path))
+    assert(t.read().count() == 1000L)
+  }
+}
