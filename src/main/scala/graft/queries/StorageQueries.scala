@@ -440,6 +440,40 @@ object StorageQueries {
       tbl.read()
     },
 
+    // CATALOG PLUGIN: the full SQL lifecycle through three-part names —
+    // spark.sql.catalog.<name> = GraftCatalog over a durable lake dir
+    // (LakeRegistry CAS chain), CTAS, INSERT, and SQL-native VERSION AS OF
+    // time travel (the loadTable(ident, version) hook — previously only
+    // reachable via read options). Result = rows added AFTER the CTAS
+    // commit, computed in SQL as final EXCEPT VERSION-AS-OF-2 (v1 is the
+    // declared-schema empty commit); oracle replays the slice directly.
+    Q("q95_catalog_sql",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 3 = 0
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q95")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      sess.read.parquet(s"$d/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .createOrReplaceTempView("customer_src")
+      sess.sql(
+        """CREATE TABLE lake.default.cust OPTIONS (primaryKey 'c_custkey')
+          |AS SELECT * FROM customer_src WHERE c_custkey % 3 <> 0
+          |""".stripMargin)                                    // v1 + v2
+      sess.sql(
+        """INSERT INTO lake.default.cust
+          |SELECT * FROM customer_src WHERE c_custkey % 3 = 0
+          |""".stripMargin)                                    // v3
+      sess.sql(
+        """SELECT * FROM lake.default.cust
+          |EXCEPT
+          |SELECT * FROM lake.default.cust VERSION AS OF 2
+          |""".stripMargin)
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.storage.{CowTable, LakeRegistry, TableConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
+  TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark CATALOG PLUGIN over a graft lake — the SQL-native front door the
+  * reference gets from Glue registration + engine catalogs
+  * (/root/reference/cdk_stacks/glue_stack.py:242-279):
+  *
+  * {{{
+  *   spark.sql.catalog.lake           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.lake.warehouse = /path/to/lake
+  *
+  *   CREATE TABLE lake.default.users (id BIGINT, name STRING)
+  *     OPTIONS (primaryKey 'id')
+  *   INSERT INTO lake.default.users ...
+  *   SELECT * FROM lake.default.users VERSION AS OF 3        -- time travel
+  *   SELECT * FROM lake.default.users TIMESTAMP AS OF '...'  -- time travel
+  *   SHOW TABLES IN lake.default
+  *   MERGE INTO lake.default.users t USING s ON ...
+  * }}}
+  *
+  * Identity comes from [[LakeRegistry]]'s CAS-committed `_catalog.vN.json`
+  * chain, so the catalog is durable across sessions and safe under
+  * concurrent DDL; the returned tables are ordinary [[GraftTable]]s, so
+  * every connector capability (columnar scan, runtime pruning, row-level
+  * SQL, streaming read/write) works through three-part names unchanged.
+  * `VERSION AS OF` / `TIMESTAMP AS OF` resolve through the standard DSv2
+  * time-travel hooks (`loadTable(ident, version|timestamp)`) — previously
+  * only reachable via read options.
+  *
+  * One flat namespace (`default`): the reference's lake is one database
+  * (glue_stack.py creates a single Glue DB); nesting adds nothing here.
+  * DROP TABLE un-registers without deleting data (un-registering is a
+  * catalog operation; `CowTable.vacuum`/delete handle data lifecycle).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def isDefaultNs(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (namespace.length == 1 && namespace(0).equalsIgnoreCase("default"))
+
+  private def requireNs(namespace: Array[String]): Unit =
+    if (!isDefaultNs(namespace))
+      throw new NoSuchNamespaceException(namespace)
+
+  private def entryFor(ident: Identifier): Option[LakeRegistry.Entry] = {
+    requireNs(ident.namespace())
+    LakeRegistry.entries(warehouse).find(_.table_name == ident.name())
+  }
+
+  private def rootOf(e: LakeRegistry.Entry): Path = {
+    val p = Paths.get(e.root)
+    if (p.isAbsolute) p else Paths.get(warehouse).resolve(p)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireNs(namespace)
+    LakeRegistry.entries(warehouse)
+      .map(e => Identifier.of(Array("default"), e.table_name)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val e = entryFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    val root = rootOf(e)
+    new GraftTable(root, CowTable.currentVersionAt(root), None,
+      CaseInsensitiveStringMap.empty(), e.partition_key)
+  }
+
+  /** SQL `VERSION AS OF v`. The handle carries a `versionAsOf` prop so any
+    * write through it is rejected loudly (same rule as the options path). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val e = entryFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    val root = rootOf(e)
+    val v = scala.util.Try(version.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: VERSION AS OF wants an integer commit version, got " +
+          s"'$version' (use TIMESTAMP AS OF for time-based travel)"))
+    val cur = CowTable.currentVersionAt(root)
+    require(v >= 1 && v <= cur,
+      s"graft: version $v out of range 1..$cur for ${ident.name()}")
+    new GraftTable(root, v, None,
+      new CaseInsensitiveStringMap(
+        java.util.Map.of("versionAsOf", v.toString)),
+      e.partition_key)
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` (micros since epoch from Spark). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val e = entryFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    val root = rootOf(e)
+    val tsMs = Math.floorDiv(timestampMicros, 1000L)
+    val v = CowTable(SparkSession.active, root.toString, e.config)
+      .versionAsOf(tsMs)
+    new GraftTable(root, v, None,
+      new CaseInsensitiveStringMap(
+        java.util.Map.of("timestampAsOf", tsMs.toString)),
+      e.partition_key)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isDefaultNs(ident.namespace()) && entryFor(ident).isDefined
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    requireNs(ident.namespace())
+    if (entryFor(ident).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    val partitionKey = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft: only identity partitioning is supported, got $other")
+    } match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new UnsupportedOperationException(
+        s"graft: one partition column max, got ${many.mkString(", ")}")
+    }
+    val primaryKey = Option(properties.get("primaryKey"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "primaryKey")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(schema.fields.headOption.map(_.name).toSeq)
+    val bloom = Seq(Option(properties.get("bloomIndex")),
+      Option(properties.get(TableCatalog.OPTION_PREFIX + "bloomIndex")))
+      .flatten.headOption.exists(_.trim.toBoolean)
+    val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
+      bloomIndex = bloom)
+    val root = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(Paths.get(_)).getOrElse(rootOf(
+        LakeRegistry.Entry(ident.name(), ident.name(), primaryKey,
+          partitionKey, None, cluster_by_key = false, 0L)))
+    Files.createDirectories(root)
+    // persist the declared schema as an EMPTY v1 commit, so a fresh session
+    // (or this one) resolves columns from the manifest like any other table
+    val t = CowTable(SparkSession.active, root.toString, cfg)
+    if (t.currentVersion == 0)
+      t.commitAt(parent = 0, fresh = Nil, carryOver = Nil, schema = schema)
+    LakeRegistry.register(warehouse, cfg, root.toString)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft: ALTER TABLE is not supported — schema evolves through merge " +
+        "writes (lossless widening) on the Scala API")
+
+  override def dropTable(ident: Identifier): Boolean =
+    isDefaultNs(ident.namespace()) &&
+      LakeRegistry.unregister(warehouse, ident.name())
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft: RENAME TABLE is not supported (re-register under a new name)")
+
+  // ---- namespaces: exactly one, `default` --------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else { requireNs(namespace); Array.empty }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isDefaultNs(namespace)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    requireNs(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft: the lake has one flat namespace (default)")
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft: the lake has one flat namespace (default)")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft: the lake has one flat namespace (default)")
+}

@@ -38,9 +38,11 @@ object LakeRegistry {
       partition_key: Option[String],
       precombine_key: Option[String],
       cluster_by_key: Boolean,
-      max_records_per_file: Long) {
+      max_records_per_file: Long,
+      bloom_index: Boolean = false) {
     def config: TableConfig = TableConfig(table_name, primary_key,
-      partition_key, precombine_key, cluster_by_key, max_records_per_file)
+      partition_key, precombine_key, cluster_by_key, max_records_per_file,
+      bloom_index)
   }
 
   private def legacyFile(lakeDir: String): Path =
@@ -76,7 +78,7 @@ object LakeRegistry {
     val r = if (root.isEmpty) config.tableName else root
     val e = Entry(config.tableName, r, config.primaryKey,
       config.partitionKey, config.precombineKey, config.clusterByKey,
-      config.maxRecordsPerFile)
+      config.maxRecordsPerFile, config.bloomIndex)
     Files.createDirectories(Paths.get(lakeDir))
     var attempts = 0
     while (true) {
@@ -95,6 +97,30 @@ object LakeRegistry {
       } finally Files.deleteIfExists(tmp)
     }
     -1 // unreachable
+  }
+
+  /** Remove a table's registration (data files untouched — un-registering
+    * is a catalog operation, not a data operation). Same CAS discipline as
+    * [[register]]. Returns true iff the table was registered. */
+  def unregister(lakeDir: String, name: String): Boolean = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = currentCatalogVersion(lakeDir)
+      val cur = entries(lakeDir)
+      if (!cur.exists(_.table_name == name)) return false
+      val merged = cur.filterNot(_.table_name == name)
+      val tmp = Files.createTempFile(Paths.get(lakeDir), "_catalog", ".tmp")
+      Files.writeString(tmp, Serialization.write(merged.sortBy(_.table_name)))
+      try {
+        Files.createLink(versionFile(lakeDir, base + 1), tmp)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempts < 64 =>
+          () // lost the CAS: re-read and retry
+      } finally Files.deleteIfExists(tmp)
+    }
+    false // unreachable
   }
 
   /** Open a registered table (resolving its relative root). */

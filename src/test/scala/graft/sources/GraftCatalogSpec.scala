@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.{CowTable, TableConfig}
+import org.apache.spark.sql.SparkSession
+
+class GraftCatalogSpec extends SparkSpec {
+
+  private def lakeSession(lake: String): SparkSession = {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess
+  }
+
+  test("CREATE / INSERT / SELECT / SHOW / DROP through three-part names") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.users (id BIGINT, name STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    val shown = sess.sql("SHOW TABLES IN lake.default").collect()
+      .map(_.getString(1))
+    assert(shown.contains("users"), shown.mkString(", "))
+
+    sess.sql("INSERT INTO lake.default.users VALUES (1, 'a'), (2, 'b')")
+    sess.sql("INSERT INTO lake.default.users VALUES (3, 'c')")
+    assert(sess.table("lake.default.users").count() == 3)
+
+    // durable: a brand-new session sees the same catalog state
+    val fresh = lakeSession(lake)
+    assert(fresh.table("lake.default.users").count() == 3)
+
+    assert(sess.sql("DROP TABLE lake.default.users") != null)
+    val after = sess.sql("SHOW TABLES IN lake.default").collect()
+    assert(!after.map(_.getString(1)).contains("users"))
+    // data outlives the catalog row (un-register, not delete)
+    assert(CowTable(spark, lake + "/users",
+      TableConfig("users", Seq("id"))).read().count() == 3)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF travel through SQL") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.t (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")                       // v1: empty
+    sess.sql("INSERT INTO lake.default.t VALUES (1, 'x'), (2, 'y')") // v2
+    Thread.sleep(20) // distinct commit timestamps
+    sess.sql("INSERT INTO lake.default.t VALUES (3, 'z')")           // v3
+    assert(sess.sql(
+      "SELECT * FROM lake.default.t VERSION AS OF 1").count() == 0)
+    assert(sess.sql(
+      "SELECT * FROM lake.default.t VERSION AS OF 2").count() == 2)
+    assert(sess.table("lake.default.t").count() == 3)
+
+    val v2ts = CowTable(spark, lake + "/t", TableConfig("t", Seq("id")))
+      .manifest(2).commitTimeMs
+    val lit = java.time.Instant.ofEpochMilli(v2ts).toString
+    assert(sess.sql(
+      s"SELECT * FROM lake.default.t TIMESTAMP AS OF '$lit'").count() == 2)
+  }
+
+  test("MERGE INTO a catalog table (row-level ops through the ident)") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.m (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.m VALUES (1, 'a'), (2, 'b')")
+    sess.sql("SELECT * FROM VALUES (2, 'B'), (9, 'I') AS s(id, v)")
+      .createOrReplaceTempView("src")
+    sess.sql(
+      """MERGE INTO lake.default.m t USING src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = sess.table("lake.default.m").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 9L -> "I"), got)
+  }
+
+  test("CTAS through the catalog, partitioned create via PARTITIONED BY") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.range(1, 101).selectExpr("id", "CAST(id % 4 AS STRING) AS seg")
+      .createOrReplaceTempView("hundred")
+    sess.sql("CREATE TABLE lake.default.c OPTIONS (primaryKey 'id') " +
+      "AS SELECT * FROM hundred")
+    assert(sess.table("lake.default.c").count() == 100)
+
+    sess.sql("CREATE TABLE lake.default.p (id BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg) OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.p SELECT * FROM hundred")
+    // partition landed in hive layout ⇒ partition-value pruning applies
+    val pruned = sess.sql("SELECT * FROM lake.default.p WHERE seg = '1'")
+    assert(pruned.count() == 25)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("partitionFilterValues=1"), plan)
+  }
+
+  test("unknown table / namespace / version fail loudly") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    intercept[Exception] { sess.table("lake.default.nope").collect() }
+    intercept[Exception] { sess.sql("SHOW TABLES IN lake.other").collect() }
+    sess.sql("CREATE TABLE lake.default.e (id BIGINT) OPTIONS (primaryKey 'id')")
+    val err = intercept[Exception] {
+      sess.sql("SELECT * FROM lake.default.e VERSION AS OF 99").collect()
+    }
+    assert(err.getMessage.contains("out of range"), err.getMessage)
+  }
+}
