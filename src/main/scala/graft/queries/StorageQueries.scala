@@ -474,6 +474,38 @@ object StorageQueries {
           |""".stripMargin)
     },
 
+    // STORAGE-PARTITIONED JOIN (Iceberg-style SPJ): two graft tables
+    // hive-partitioned on event_type report KeyGroupedPartitioning, so
+    // with v2 bucketing on, Spark aligns their partitions and the join
+    // plans with ZERO Exchange (plan-asserted in GraftSpjSpec) — at 100 TB
+    // the difference between shuffling both fact tables and shuffling
+    // nothing. Grouping is conf-gated: plain scans keep per-file
+    // parallelism. Oracle replays the join in SQL.
+    Q("q96_spj_join",
+      """SELECT e.event_id, e.event_type, d.cnt
+        |FROM events e
+        |JOIN (SELECT event_type, COUNT(*) AS cnt
+        |      FROM events GROUP BY event_type) d
+        |  ON e.event_type = d.event_type
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q96")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val ev = t(s, d, "events").select("event_id", "event_type")
+      CowTable(s, base + "/facts",
+        TableConfig("ev", Seq("event_id"), partitionKey = Some("event_type")))
+        .create(ev)
+      CowTable(s, base + "/dims",
+        TableConfig("evd", Seq("event_type"),
+          partitionKey = Some("event_type")))
+        .create(ev.groupBy("event_type").agg(count(lit(1)).as("cnt")))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sess.read.format("graft").load(base + "/facts")
+        .join(sess.read.format("graft").load(base + "/dims"), "event_type")
+        .select(col("event_id"), col("event_type"), col("cnt"))
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

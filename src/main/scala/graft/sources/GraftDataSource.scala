@@ -313,6 +313,23 @@ final case class GraftInputPartition(
     filePath: String, partitionValues: Map[String, String])
   extends InputPartition
 
+/** All of one partition VALUE's files as a single input partition — the
+  * unit of [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]:
+  * `partitionKey()` exposes the typed value, letting Spark co-locate two
+  * graft tables partitioned on the same column and join them with ZERO
+  * shuffle (storage-partitioned join). Only planned when
+  * `spark.sql.sources.v2.bucketing.enabled` is on — grouping trades scan
+  * parallelism (one task per value) for exchange elimination, which is the
+  * right trade only when a join will exploit it. */
+final case class GraftGroupedPartition(
+    files: Seq[String], partitionValues: Map[String, String],
+    keyRow: org.apache.spark.sql.catalyst.InternalRow)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    keyRow
+}
+
 object GraftScan {
   /** Hive partition value sitting in a file's path, if any (files written
     * without partition directories — e.g. pre-r6 DSv2 writers — have none
@@ -372,7 +389,8 @@ final class GraftScan(
     streamOpts: GraftStreamOptions = GraftStreamOptions())
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def pathPartValue(e: FileEntry): Option[String] =
     GraftScan.pathPartValue(m.partitionKey, e)
@@ -473,12 +491,64 @@ final class GraftScan(
     new GraftMicroBatchStream(
       root, required, columnar, bounds, partValues, streamOpts)
 
+  /** Files grouped by partition value, iff a storage-partitioned join can
+    * use the grouping: the table is hive-partitioned, v2 bucketing is on,
+    * the partition column survives column pruning (the clustering
+    * expression must resolve against the scan output), every kept file has
+    * a path-borne value, and the value parses as the declared type. Any
+    * miss ⇒ None ⇒ plain per-file planning — never a wrong grouping. */
+  private def keyGroups: Option[Seq[(String, Seq[FileEntry])]] = {
+    val pk = m.partitionKey.getOrElse(return None)
+    val bucketing = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+    if (bucketing != "true") return None
+    if (!required.fieldNames.contains(pk)) return None
+    if (kept.isEmpty) return None
+    val dt = required(pk).dataType
+    val vals = kept.map(pathPartValue)
+    if (vals.contains(None)) return None // flat-layout file: value unknown
+    if (scala.util.Try(vals.flatten.distinct.foreach(v =>
+      GraftColumnarPartitionReader.parsePartitionValue(v, dt))).isFailure)
+      return None
+    Some(kept.groupBy(e => pathPartValue(e).get).toSeq.sortBy(_._1))
+  }
+
+  /** Storage-partitioned-join contract: when files are key-grouped, report
+    * identity clustering on the partition column so Spark can align two
+    * co-partitioned graft tables and elide both exchanges. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(m.partitionKey.get)),
+            groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(kept.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map { e =>
-      // hive-style partition values live in the path, not the file
-      GraftInputPartition(
-        root.resolve(e.path).toString, GraftScan.hivePathValues(e.path))
-    }.toArray
+    keyGroups match {
+      case Some(groups) =>
+        val pk = m.partitionKey.get
+        val dt = required(pk).dataType
+        groups.map { case (raw, es) =>
+          GraftGroupedPartition(
+            es.map(e => root.resolve(e.path).toString),
+            Map(pk -> raw),
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](GraftColumnarPartitionReader
+                .parsePartitionValue(raw, dt))))
+        }.toArray
+      case None => kept.map { e =>
+        // hive-style partition values live in the path, not the file
+        GraftInputPartition(
+          root.resolve(e.path).toString, GraftScan.hivePathValues(e.path))
+      }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, columnar)
@@ -493,15 +563,49 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true)
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
   override def createColumnarReader(p: InputPartition): PartitionReader[
-    org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val gp = p.asInstanceOf[GraftInputPartition]
-    new GraftColumnarPartitionReader(gp.filePath, required,
-      gp.partitionValues, capacity = 4096)
+    org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case g: GraftGroupedPartition =>
+      new GraftConcatReader(g.files.map(f => () =>
+        new GraftColumnarPartitionReader(f, required, g.partitionValues,
+          capacity = 4096): PartitionReader[
+            org.apache.spark.sql.vectorized.ColumnarBatch]))
+    case gp: GraftInputPartition =>
+      new GraftColumnarPartitionReader(gp.filePath, required,
+        gp.partitionValues, capacity = 4096)
   }
 
   override def createReader(p: InputPartition): PartitionReader[
-    org.apache.spark.sql.catalyst.InternalRow] = {
-    val gp = p.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(gp.filePath, required, gp.partitionValues)
+    org.apache.spark.sql.catalyst.InternalRow] = p match {
+    case g: GraftGroupedPartition =>
+      new GraftConcatReader(g.files.map(f => () =>
+        new GraftPartitionReader(f, required, g.partitionValues)
+          : PartitionReader[org.apache.spark.sql.catalyst.InternalRow]))
+    case gp: GraftInputPartition =>
+      new GraftPartitionReader(gp.filePath, required, gp.partitionValues)
   }
+}
+
+/** Sequential concatenation of per-file readers — one key-grouped task reads
+  * its partition value's files back to back (opened lazily, closed eagerly:
+  * at most one file's reader is live per task). */
+final class GraftConcatReader[T](mk: Seq[() => PartitionReader[T]])
+  extends PartitionReader[T] {
+  private val pending = mk.iterator
+  private var cur: PartitionReader[T] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!pending.hasNext) return false
+        cur = pending.next()()
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
