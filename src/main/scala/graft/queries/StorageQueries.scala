@@ -506,6 +506,42 @@ object StorageQueries {
         .select(col("event_id"), col("event_type"), col("cnt"))
     },
 
+    // METADATA TABLES ($history / $files): DESCRIBE-HISTORY-style
+    // introspection as plain SQL over manifests — a LocalScan (driver-local
+    // rows, zero jobs, zero data IO). Result: the commit log of a
+    // create + disjoint-upsert table joined to the current file inventory's
+    // row total; oracle recomputes both from the data slice in SQL.
+    Q("q97_metadata_tables",
+      """SELECT CAST(1 AS INT) AS version, CAST(0 AS INT) AS parent,
+        |  true AS data_change,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 1)
+        |    AS row_count,
+        |  (SELECT COUNT(*) FROM customer) AS current_file_rows
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(1 AS INT), true,
+        |  (SELECT COUNT(*) FROM customer),
+        |  (SELECT COUNT(*) FROM customer)
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q97")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val tbl = CowTable(s, lake + "/cust",
+        TableConfig("cust", Seq("c_custkey")))
+      tbl.create(c.filter(col("c_custkey") % 2 === 1))
+      tbl.upsert(c.filter(col("c_custkey") % 2 === 0))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      graft.storage.LakeRegistry.register(lake,
+        TableConfig("cust", Seq("c_custkey")), lake + "/cust")
+      sess.sql(
+        """SELECT h.version, h.parent, h.data_change, h.row_count,
+          |  (SELECT SUM(rows) FROM lake.default.`cust$files`)
+          |    AS current_file_rows
+          |FROM lake.default.`cust$history` h
+          |""".stripMargin)
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

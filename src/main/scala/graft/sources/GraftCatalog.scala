@@ -85,6 +85,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    val nm = ident.name()
+    val dollar = nm.lastIndexOf('$')
+    if (dollar > 0) {
+      val base = Identifier.of(ident.namespace(), nm.substring(0, dollar))
+      val e = entryFor(base).getOrElse(throw new NoSuchTableException(ident))
+      return GraftMetadataTables.table(
+        warehouse, e, rootOf(e), nm.substring(dollar + 1))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
     val e = entryFor(ident).getOrElse(throw new NoSuchTableException(ident))
     val root = rootOf(e)
     new GraftTable(root, CowTable.currentVersionAt(root), None,
@@ -165,10 +174,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: ALTER TABLE is not supported — schema evolves through merge " +
-        "writes (lossless widening) on the Scala API")
+  /** `ALTER TABLE ... ADD COLUMN(S)`: a METADATA-ONLY commit — same files,
+    * widened schema (`dataChange=false`; the change feed and streaming
+    * source skip it). Files predating the column null-fill it at read, the
+    * behavior both connector readers already implement for merge-evolved
+    * schemas. Anything beyond top-level nullable ADDs (drop, rename,
+    * retype, reposition) is rejected loudly: those require rewriting or
+    * re-mapping physical files. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val e = entryFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    val t = CowTable(SparkSession.active, rootOf(e).toString, e.config)
+    val cur = t.currentVersion
+    require(cur > 0, s"graft: ${ident.name()} has no commits")
+    val m = t.manifest(cur)
+    var schema = CowTable.structFromJson(m.schemaJson)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft: nested ADD COLUMN is not supported " +
+            s"(${add.fieldNames().mkString(".")})")
+        val colName = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"graft: column $colName already exists in ${ident.name()}")
+        schema = schema.add(colName, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft: unsupported ALTER TABLE change $other — only ADD COLUMN " +
+          "evolves a graft table's schema in place")
+    }
+    t.commitAt(parent = cur, fresh = Nil, carryOver = m.files,
+      schema = schema, dataChange = false)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     isDefaultNs(ident.namespace()) &&

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.Path
+
+import graft.storage.{CowTable, LakeRegistry}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES behind `$`-suffixed names on the catalog:
+  *
+  * {{{
+  *   SELECT * FROM lake.default.`users$history`  -- commit log
+  *   SELECT * FROM lake.default.`users$files`    -- current snapshot files
+  * }}}
+  *
+  * Both are O(versions)/O(files) MANIFEST reads served as a [[LocalScan]] —
+  * driver-local rows, no jobs, no data IO; exactly the introspection the
+  * reference reads from engine system tables (Athena `$files`/history,
+  * /root/reference/README.md query examples). DESCRIBE-HISTORY-style
+  * auditing and small-file diagnosis (feeding `compact`/`optimize`
+  * decisions) become plain SQL.
+  */
+object GraftMetadataTables {
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("parent", IntegerType, nullable = false),
+    StructField("commit_time", TimestampType, nullable = true),
+    StructField("data_change", BooleanType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("stream_query_id", StringType, nullable = true),
+    StructField("stream_epoch_id", LongType, nullable = true)))
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("min_key", StringType, nullable = true),
+    StructField("max_key", StringType, nullable = true),
+    StructField("min_key2", StringType, nullable = true),
+    StructField("max_key2", StringType, nullable = true),
+    StructField("partition_value", StringType, nullable = true)))
+
+  /** The metadata table for suffix `kind`, or None for an unknown suffix. */
+  def table(warehouse: String, e: LakeRegistry.Entry, root: Path,
+      kind: String): Option[Table] = kind match {
+    case "history" => Some(new MetaTable(
+      s"${e.table_name}$$history", HistorySchema, () => historyRows(root)))
+    case "files" => Some(new MetaTable(
+      s"${e.table_name}$$files", FilesSchema,
+      () => fileRows(e, root)))
+    case _ => None
+  }
+
+  private def historyRows(root: Path): Array[InternalRow] = {
+    val cur = CowTable.currentVersionAt(root)
+    (1 to cur).map { v =>
+      val m = CowTable.manifestAt(root, v)
+      new GenericInternalRow(Array[Any](
+        m.version, m.parent,
+        if (m.commitTimeMs > 0) m.commitTimeMs * 1000L else null,
+        m.dataChange, m.rowCount, m.files.size,
+        m.streamQueryId.map(UTF8String.fromString).orNull,
+        m.streamEpochId.map(Long.box).orNull
+      )): InternalRow
+    }.toArray
+  }
+
+  private def fileRows(e: LakeRegistry.Entry, root: Path)
+      : Array[InternalRow] = {
+    val cur = CowTable.currentVersionAt(root)
+    if (cur == 0) return Array.empty
+    val m = CowTable.manifestAt(root, cur)
+    m.files.map { f =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(f.path), f.rows,
+        if (f.bytes > 0) f.bytes
+        else scala.util.Try(
+          java.nio.file.Files.size(root.resolve(f.path))).getOrElse(0L),
+        f.minKey.map(UTF8String.fromString).orNull,
+        f.maxKey.map(UTF8String.fromString).orNull,
+        f.minKey2.map(UTF8String.fromString).orNull,
+        f.maxKey2.map(UTF8String.fromString).orNull,
+        GraftScan.pathPartValue(m.partitionKey, f)
+          .map(UTF8String.fromString).orNull
+      )): InternalRow
+    }.toArray
+  }
+
+  /** Read-only driver-local table: rows materialize per scan (fresh
+    * manifest state each query), never an executor job. */
+  private final class MetaTable(
+      tblName: String, tblSchema: StructType,
+      data: () => Array[InternalRow])
+    extends Table with SupportsRead {
+
+    override def name(): String = tblName
+    override def schema(): StructType = tblSchema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new LocalScan {
+        override def rows(): Array[InternalRow] = data()
+        override def readSchema(): StructType = tblSchema
+        override def description(): String = s"graft metadata $tblName"
+      }
+  }
+}

@@ -95,6 +95,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("partitionFilterValues=1"), plan)
   }
 
+  test("ALTER TABLE ADD COLUMN is a metadata-only schema evolution") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.a (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.a VALUES (1, 'x'), (2, 'y')") // v2
+    sess.sql("ALTER TABLE lake.default.a ADD COLUMN extra DOUBLE")   // v3
+    val t = CowTable(spark, lake + "/a", TableConfig("a", Seq("id")))
+    assert(t.currentVersion == 3)
+    // same files, new schema, reorganization-style commit
+    assert(t.manifest(3).files == t.manifest(2).files)
+    assert(!t.manifest(3).dataChange)
+    // old rows null-fill; new writes carry the column
+    sess.sql("INSERT INTO lake.default.a VALUES (3, 'z', 2.5)")
+    val got = sess.sql(
+      "SELECT id, extra FROM lake.default.a ORDER BY id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(1L -> None, 2L -> None, 3L -> Some(2.5)), got.toSeq)
+    // everything else stays loudly unsupported
+    intercept[Exception] {
+      sess.sql("ALTER TABLE lake.default.a DROP COLUMN v")
+    }
+  }
+
+  test("$history and $files metadata tables read manifests via SQL") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.h (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.h VALUES (1, 'x'), (2, 'y')")
+    sess.sql("INSERT INTO lake.default.h VALUES (3, 'z')")
+
+    val hist = sess.sql(
+      "SELECT version, parent, data_change, row_count, file_count " +
+        "FROM lake.default.`h$history` ORDER BY version").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(hist.map(_.getLong(3)).toSeq == Seq(0L, 2L, 3L))
+    assert(hist.head.getInt(4) == 0) // declared-schema empty commit
+
+    val files = sess.sql(
+      "SELECT path, rows, bytes FROM lake.default.`h$files`").collect()
+    assert(files.map(_.getLong(1)).sum == 3L)
+    assert(files.forall(_.getLong(2) > 0L))
+    // the metadata read is driver-local: aggregating it still works in SQL
+    val total = sess.sql(
+      "SELECT SUM(rows) FROM lake.default.`h$files`").head().getLong(0)
+    assert(total == 3L)
+    // unknown suffix is a missing table, not a crash
+    intercept[Exception] {
+      sess.table("lake.default.`h$nope`").collect()
+    }
+  }
+
   test("unknown table / namespace / version fail loudly") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
