@@ -542,6 +542,31 @@ object StorageQueries {
           |""".stripMargin)
     },
 
+    // GENERAL DATA SKIPPING (statsColumns): the events log keyed by
+    // event_id carries extra per-file [min,max] stats on the ts column
+    // (footer-read only, no extra commit IO — the Delta
+    // dataSkippingNumIndexedCols analog). A time-range scan through the
+    // connector then skips files at the manifest level (files=k/N
+    // plan-asserted in StatsColumnsSpec); at 100 TB this is how an
+    // append-only event table answers "last week" without touching a year
+    // of files. Oracle replays the range in SQL.
+    Q("q98_stats_skipping",
+      """SELECT event_id, user_id, ts, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q98")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+      CowTable(s, base,
+        TableConfig("ev", Seq("event_id"), statsColumns = Seq("ts")))
+        .create(ev.repartitionByRange(8, col("ts")))
+      s.read.format("graft").load(base)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

@@ -158,8 +158,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val bloom = Seq(Option(properties.get("bloomIndex")),
       Option(properties.get(TableCatalog.OPTION_PREFIX + "bloomIndex")))
       .flatten.headOption.exists(_.trim.toBoolean)
+    val statsCols = Seq(Option(properties.get("statsColumns")),
+      Option(properties.get(TableCatalog.OPTION_PREFIX + "statsColumns")))
+      .flatten.headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
-      bloomIndex = bloom)
+      bloomIndex = bloom, statsColumns = statsCols)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(Paths.get(_)).getOrElse(rootOf(
         LakeRegistry.Entry(ident.name(), ident.name(), primaryKey,

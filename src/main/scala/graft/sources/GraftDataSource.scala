@@ -236,6 +236,8 @@ final class GraftScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var bounds: Seq[(Option[Any], Option[Any])] = Nil
   private var partValues: Option[Set[String]] = None
+  private var extraBounds: Seq[(String, Boolean, Option[Any], Option[Any])] =
+    Nil
 
   /** Key-range bounds extracted from a filter (conjuncts flattened); each
     * bound prunes files independently, so AND needs no driver-side value
@@ -280,12 +282,46 @@ final class GraftScanBuilder(
     }
   }
 
+  /** Range bounds on [[graft.storage.TableConfig.statsColumns]] — columns
+    * any manifest file carries extra stats for. Same conjunct shapes as
+    * [[keyBounds]]; numeric-ness comes from the declared type (the stat
+    * space [[graft.storage.CowTable.statValueString]] maps into). */
+  private def statColBounds(f: Filter)
+      : Seq[(Filter, String, Option[Any], Option[Any])] = {
+    def statted(c: String): Boolean =
+      c != m.primaryKey.head && m.files.exists(_.extra.contains(c))
+    f match {
+      case EqualTo(c, v) if statted(c) && v != null =>
+        Seq((f, c, Some(v), Some(v)))
+      case GreaterThan(c, v) if statted(c) && v != null =>
+        Seq((f, c, Some(v), None))
+      case GreaterThanOrEqual(c, v) if statted(c) && v != null =>
+        Seq((f, c, Some(v), None))
+      case LessThan(c, v) if statted(c) && v != null =>
+        Seq((f, c, None, Some(v)))
+      case LessThanOrEqual(c, v) if statted(c) && v != null =>
+        Seq((f, c, None, Some(v)))
+      case And(l, r) => statColBounds(l) ++ statColBounds(r)
+      case _ => Nil
+    }
+  }
+
+  private def numericStat(c: String): Boolean =
+    fullSchema.find(_.name == c).map(_.dataType).exists {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.flatMap(keyBounds)
     val parts = filters.flatMap(partitionSets)
-    pushed = (usable.map(_._1) ++ parts.map(_._1)).distinct
+    val stats = filters.flatMap(statColBounds)
+    pushed = (usable.map(_._1) ++ parts.map(_._1) ++ stats.map(_._1)).distinct
     bounds = usable.map(b => (b._2, b._3)).toSeq
     partValues = parts.map(_._2).reduceOption(_ intersect _)
+    extraBounds = stats.map(s => (s._2, numericStat(s._2), s._3, s._4)).toSeq
     filters // all residual: pruning only skips files, Spark keeps exactness
   }
 
@@ -305,7 +341,8 @@ final class GraftScanBuilder(
         case _ => ()
       }
     }
-    new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts)
+    new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
+      extraBounds)
   }
 }
 
@@ -386,7 +423,8 @@ final class GraftScan(
     bounds: Seq[(Option[Any], Option[Any])],
     partValues: Option[Set[String]] = None,
     columnar: Boolean = true,
-    streamOpts: GraftStreamOptions = GraftStreamOptions())
+    streamOpts: GraftStreamOptions = GraftStreamOptions(),
+    extraBounds: Seq[(String, Boolean, Option[Any], Option[Any])] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -395,18 +433,25 @@ final class GraftScan(
   private def pathPartValue(e: FileEntry): Option[String] =
     GraftScan.pathPartValue(m.partitionKey, e)
 
-  /** Planning-time pruning (pushed key bounds + partition values); runtime
-    * filtering below may shrink it further before partitions are planned. */
+  /** Planning-time pruning (pushed key bounds + partition values +
+    * statsColumns ranges); runtime filtering below may shrink it further
+    * before partitions are planned. */
   @volatile private var kept: Seq[FileEntry] = {
     val ranged = bounds.foldLeft(m.files) { (fs, b) =>
       CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
     }
-    partValues match {
+    val parted = partValues match {
       case None => ranged
       // a null partition (__HIVE_DEFAULT_PARTITION__) never equals a
       // non-null filter value, so pruning it is exact
       case Some(vs) => ranged.filter(e =>
         pathPartValue(e).forall(vs.contains))
+    }
+    // extra data-skipping stats: a file without stats for the column is
+    // kept (conservative); overlap checks use the declared type's space
+    extraBounds.foldLeft(parted) { case (fs, (c, num, lo, hi)) =>
+      fs.filter(e => e.extra.get(c)
+        .forall(r => CowTable.rangeOverlaps(r, lo, hi, num)))
     }
   }
 
@@ -478,6 +523,7 @@ final class GraftScan(
     s"graft $root v${m.version} files=${kept.size}/${m.files.size}" +
       s" keyRangeFilters=${bounds.size}" +
       s" partitionFilterValues=${partValues.fold(0)(_.size)}" +
+      s" statsColFilters=${extraBounds.size}" +
       s" columnar=$columnar"
 
   override def toBatch: Batch = this

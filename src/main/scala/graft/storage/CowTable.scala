@@ -28,11 +28,19 @@ import org.json4s.jackson.Serialization
 final case class FileEntry(
     path: String, rows: Long, minKey: Option[String], maxKey: Option[String],
     minKey2: Option[String] = None, maxKey2: Option[String] = None,
-    bytes: Long = 0L) {
+    bytes: Long = 0L,
+    /** Extra data-skipping stats ([[TableConfig.statsColumns]]): column →
+      * [min, max] in stat-string space. Absent column ⇒ no stats ⇒ that
+      * file is never skipped on it (pre-upgrade manifests degrade safely).
+      */
+    extra: Map[String, ColRange] = Map.empty) {
   /** Stat bounds of key column `i` (0 or 1). */
   def bounds(i: Int): (Option[String], Option[String]) =
     if (i == 0) (minKey, maxKey) else (minKey2, maxKey2)
 }
+
+/** One column's [min, max] footer stats (stat-string space). */
+final case class ColRange(mn: Option[String], mx: Option[String])
 
 /** JSON commit manifest — the transactional metadata the reference delegates
   * to Hudi/Iceberg/Delta (all configured copy-on-write, SURVEY.md §1.1).
@@ -243,9 +251,12 @@ final class CowTable private[storage] (
     // parallel (Spark schedules concurrent jobs from multiple threads);
     // each job's plan is Exchange-free by construction
     import scala.collection.parallel.CollectionConverters._
-    bins.zipWithIndex.par.foreach { case (b, i) =>
-      compactionBinFrame(m, b)
-        .write.mode("overwrite").parquet(verDir.resolve(f"bin-$i%04d").toString)
+    withStatFriendlyTimestamps {
+      bins.zipWithIndex.par.foreach { case (b, i) =>
+        compactionBinFrame(m, b)
+          .write.mode("overwrite")
+          .parquet(verDir.resolve(f"bin-$i%04d").toString)
+      }
     }
     commitAt(parent, statFiles(verDir, schema), large, schema,
       dataChange = false)
@@ -825,6 +836,24 @@ final class CowTable private[storage] (
     * reference INSERT ... ORDER BY partition_key,
     * src/iceberg/iceberg-initial-load.py:87-92), collect per-file key stats,
     * and commit manifest + atomic pointer. */
+  /** Scope `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` to a
+    * graft TABLE write: INT64-micros timestamps carry parquet footer stats
+    * (the session-default INT96 does not), so timestamp keys avoid the
+    * columnar-scan stat fallback and [[TableConfig.statsColumns]] can skip
+    * on time ranges. Deliberately NOT a session-wide setting — it would
+    * retag every OTHER parquet the session writes (e.g. result dumps) as
+    * UTC-adjusted, changing how non-Spark readers type them. */
+  private def withStatFriendlyTimestamps[T](f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private[storage] def writeVersion(
       df: DataFrame, schema: StructType,
       carryOver: Seq[FileEntry], parent: Int,
@@ -859,7 +888,7 @@ final class CowTable private[storage] (
       if (config.maxRecordsPerFile > 0)
         writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
       else writer
-    sized.parquet(verDir.toString)
+    withStatFriendlyTimestamps { sized.parquet(verDir.toString) }
     val fresh = statFiles(verDir, schema)
     if (config.bloomIndex) writeBlooms(verDir, fresh, schema)
     commitAt(parent, fresh, carryOver, schema, dataChange)
@@ -1005,6 +1034,16 @@ final class CowTable private[storage] (
       (k, dt.exists(statKeyNumeric), dt)
     }
 
+  /** [[TableConfig.statsColumns]] present in the schema (keys excluded —
+    * they are always statted), in the same (name, numeric, dtype) shape
+    * [[footerStat]] consumes. */
+  private def extraStatCols(schema: StructType)
+      : Seq[(String, Boolean, Option[DataType])] =
+    config.statsColumns.distinct
+      .filterNot(config.primaryKey.take(2).contains)
+      .flatMap(k => schema.find(_.name == k))
+      .map(f => (f.name, statKeyNumeric(f.dataType), Some(f.dataType)))
+
   private[graft] def statFiles(verDir: Path, schema: StructType): Seq[FileEntry] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(verDir)) return Nil
@@ -1022,11 +1061,12 @@ final class CowTable private[storage] (
     if (keyDt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
       return scanStats(verDir)
     val cols = statCols(schema)
+    val extras = extraStatCols(schema)
     // footer reads are independent driver-side IO — do them in parallel
     // (a commit touching hundreds of files would otherwise serialize
     // hundreds of file opens)
     import scala.collection.parallel.CollectionConverters._
-    Try(parquetFiles.par.map(footerStat(_, cols)).seq.toSeq)
+    Try(parquetFiles.par.map(footerStat(_, cols, extras)).seq.toSeq)
       .toOption match {
       // INT96-era timestamp keys (and other types parquet keeps no stats
       // for) come back stat-less from every footer — fall back to the
@@ -1054,16 +1094,18 @@ final class CowTable private[storage] (
       fallback
     else {
       val cols = statCols(schema)
+      val extras = extraStatCols(schema)
       import scala.collection.parallel.CollectionConverters._
       Try(files.par.map { case (p, _) =>
-        footerStat(root.resolve(p), cols)
+        footerStat(root.resolve(p), cols, extras)
       }.seq.toSeq).getOrElse(fallback)
     }
   }
 
   private def footerStat(
       file: Path,
-      cols: Seq[(String, Boolean, Option[DataType])]): FileEntry = {
+      cols: Seq[(String, Boolean, Option[DataType])],
+      extras: Seq[(String, Boolean, Option[DataType])] = Nil): FileEntry = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1124,8 +1166,14 @@ final class CowTable private[storage] (
         .map { case (k, n, dt) => colStat(k, n, dt) }.getOrElse((None, None))
       val (mn2, mx2) = cols.lift(1)
         .map { case (k, n, dt) => colStat(k, n, dt) }.getOrElse((None, None))
+      // extra data-skipping columns: stat-less ones stay absent from the
+      // map (absent ⇒ never skipped on that column)
+      val extraMap = extras.flatMap { case (k, n, dt) =>
+        val (emn, emx) = colStat(k, n, dt)
+        if (emn.isEmpty || emx.isEmpty) None else Some(k -> ColRange(emn, emx))
+      }.toMap
       FileEntry(relativize(file.toString), rows, mn, mx, mn2, mx2,
-        bytes = Try(Files.size(file)).getOrElse(0L))
+        bytes = Try(Files.size(file)).getOrElse(0L), extra = extraMap)
     } finally reader.close()
   }
 
@@ -1246,6 +1294,27 @@ object CowTable {
     * twin of [[filesInRange]], used by runtime (DPP-style) group filtering.
     * Columns prune independently (conjunctive), so a multi-column-key MERGE
     * intersects the per-column survivors. */
+  /** Does a file's [min, max] on some column possibly intersect the filter
+    * bound [lo, hi] (either side open)? Strict bounds are treated as
+    * inclusive — conservative; the residual predicate restores exactness.
+    * Filter values map through [[statValueString]] into the same stat space
+    * the footer stats are in. */
+  private[graft] def rangeOverlaps(
+      r: ColRange, lo: Option[Any], hi: Option[Any],
+      numeric: Boolean): Boolean = {
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b))
+      else utf8Ordering.compare(a, b)
+    (r.mn, r.mx) match {
+      case (Some(mn), Some(mx)) =>
+        Try {
+          lo.forall(l => cmp(mx, statValueString(l)) >= 0) &&
+            hi.forall(h => cmp(mn, statValueString(h)) <= 0)
+        }.getOrElse(true) // unparseable value/stat: keep the file
+      case _ => true
+    }
+  }
+
   private[graft] def filesContainingAny(
       m: CommitManifest, values: Seq[Any], colIdx: Int = 0): Seq[FileEntry] = {
     val strs = values.map(statValueString)

@@ -39,10 +39,11 @@ object LakeRegistry {
       precombine_key: Option[String],
       cluster_by_key: Boolean,
       max_records_per_file: Long,
-      bloom_index: Boolean = false) {
+      bloom_index: Boolean = false,
+      stats_columns: Seq[String] = Nil) {
     def config: TableConfig = TableConfig(table_name, primary_key,
       partition_key, precombine_key, cluster_by_key, max_records_per_file,
-      bloom_index)
+      bloom_index, stats_columns)
   }
 
   private def legacyFile(lakeDir: String): Path =
@@ -78,7 +79,7 @@ object LakeRegistry {
     val r = if (root.isEmpty) config.tableName else root
     val e = Entry(config.tableName, r, config.primaryKey,
       config.partitionKey, config.precombineKey, config.clusterByKey,
-      config.maxRecordsPerFile, config.bloomIndex)
+      config.maxRecordsPerFile, config.bloomIndex, config.statsColumns)
     Files.createDirectories(Paths.get(lakeDir))
     var attempts = 0
     while (true) {

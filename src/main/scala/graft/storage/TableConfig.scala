@@ -33,6 +33,13 @@ package graft.storage
   *                      keys are scattered (range-overlapping files that
   *                      point lookups would otherwise always touch).
   *                      False positives only ⇒ never a wrong skip.
+  * @param statsColumns  extra columns to footer-stat per file (min/max in
+  *                      the manifest) beyond the always-statted key columns
+  *                      — the Delta "dataSkippingNumIndexedCols" analog.
+  *                      DSv2 scans then skip files on range/equality
+  *                      predicates over these columns (e.g. an event-time
+  *                      column on an append-only log). Footer-read only:
+  *                      no extra data IO at commit.
   */
 final case class TableConfig(
     tableName: String,
@@ -41,6 +48,7 @@ final case class TableConfig(
     precombineKey: Option[String] = None,
     clusterByKey: Boolean = false,
     maxRecordsPerFile: Long = 0L,
-    bloomIndex: Boolean = false) {
+    bloomIndex: Boolean = false,
+    statsColumns: Seq[String] = Nil) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
 }
