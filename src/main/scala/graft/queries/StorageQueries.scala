@@ -567,6 +567,40 @@ object StorageQueries {
           col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
     },
 
+    // MATERIALIZED CHANGE DATA FEED (Delta enableChangeDataFeed): mutation
+    // commits write their exact I/U/D rows to manifest-referenced _cdc
+    // dirs, so the feed is ROW-exact over ordinary MULTI-row files — no
+    // per-commit reconstruction join, no same-file false positives (q75
+    // needed a one-row-per-file fixture for exactness; this does not).
+    // Feed (1, 3]: v2's updates then v3's delete tombstones carrying
+    // preimages. Oracle replays both commits' row sets in SQL.
+    Q("q99_change_data_feed",
+      """SELECT c_custkey, round(c_acctbal + 50, 2) AS c_acctbal,
+        |  CAST(2 AS INT) AS _commit_version,
+        |  'update_postimage' AS _change_type
+        |FROM customer WHERE c_custkey % 17 = 0
+        |UNION ALL
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 17 = 0 THEN round(c_acctbal + 50, 2)
+        |       ELSE c_acctbal END,
+        |  CAST(3 AS INT), 'delete'
+        |FROM customer WHERE c_custkey % 23 = 0
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q99")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val c = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      val tbl = CowTable(s, base,
+        TableConfig("cust_cdf", Seq("c_custkey"), changeDataFeed = true))
+      tbl.create(c)                                                  // v1
+      tbl.upsert(c.filter(col("c_custkey") % 17 === 0)               // v2
+        .withColumn("c_acctbal", round(col("c_acctbal") + 50, 2)))
+      tbl.delete(c.filter(col("c_custkey") % 23 === 0)               // v3
+        .select("c_custkey"))
+      tbl.readChangeFeed(1, 3)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("_commit_version"), col("_change_type"))
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

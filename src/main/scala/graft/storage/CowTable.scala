@@ -69,7 +69,14 @@ final case class CommitManifest(
       * analog. A recovery-replayed epoch finds its marker and commits
       * nothing twice. */
     streamQueryId: Option[String] = None,
-    streamEpochId: Option[Long] = None)
+    streamEpochId: Option[Long] = None,
+    /** Root-relative dir of this commit's MATERIALIZED change rows
+      * ([[TableConfig.changeDataFeed]]): the exact I/U/D rows with a
+      * physical `_change_type` column, written by the mutating commit
+      * itself. Present ⇒ the change feed reads them directly (row-exact,
+      * no reconstruction join); absent ⇒ the feed falls back to the
+      * file-diff join. */
+    cdcDir: Option[String] = None)
 
 /** A concurrent writer committed the same version first. The losing commit
   * changed NOTHING (its manifest never became visible; its data files are
@@ -189,8 +196,32 @@ final class CowTable private[storage] (
       case None => parent // empty batch: no-op, no empty commit
       case Some((touched, untouched)) =>
         val target = readFiles(m, touched)
-        val merged = MergeEngine.upsert(target, source, config.primaryKey)
-        writeVersion(merged, merged.schema, untouched, parent)
+        val merged0 = MergeEngine.upsert(target, source, config.primaryKey)
+        if (!config.changeDataFeed)
+          writeVersion(merged0, merged0.schema, untouched, parent)
+        else {
+          // ROW-exact changes from the merge's own inputs: merged rows with
+          // a key in the source split insert/update by target membership;
+          // carried neighbors (same file, untouched key) never appear. The
+          // merge plan is persisted once and feeds both the CDC write and
+          // the data write.
+          val merged = merged0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val ks = config.primaryKey.map(col)
+            val tKeys = target.select(ks: _*).distinct()
+            val sKeys = source.select(ks: _*).distinct()
+            val inserts = merged.join(sKeys, config.primaryKey, "left_semi")
+              .join(tKeys, config.primaryKey, "left_anti")
+              .withColumn("_change_type", lit("insert"))
+            val updates = merged.join(sKeys, config.primaryKey, "left_semi")
+              .join(tKeys, config.primaryKey, "left_semi")
+              .withColumn("_change_type", lit("update_postimage"))
+            val cdc = writeCdc(inserts.unionByName(updates), parent + 1)
+            writeVersion(merged, merged.schema, untouched, parent,
+              cdcDir = cdc)
+          } finally merged.unpersist()
+        }
     }
   }
 
@@ -206,7 +237,15 @@ final class CowTable private[storage] (
       case Some((touched, untouched)) =>
         val target = readFiles(m, touched)
         val remaining = MergeEngine.delete(target, deleteKeys, config.primaryKey)
-        writeVersion(remaining, structFromJson(m.schemaJson), untouched, parent)
+        val cdc = if (!config.changeDataFeed) None else {
+          // tombstones carry the PREIMAGE row (what Delta CDF emits)
+          val dKeys = deleteKeys
+            .select(config.primaryKey.map(col): _*).distinct()
+          writeCdc(target.join(dKeys, config.primaryKey, "left_semi")
+            .withColumn("_change_type", lit("delete")), parent + 1)
+        }
+        writeVersion(remaining, structFromJson(m.schemaJson), untouched,
+          parent, cdcDir = cdc)
     }
   }
 
@@ -480,7 +519,18 @@ final class CowTable private[storage] (
       if (fromVersion == 0) Nil else manifest(fromVersion).files
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val m = manifest(v)
-      val out = if (!m.dataChange) None else {
+      val out = if (!m.dataChange) None
+      else if (m.cdcDir.isDefined) {
+        // materialized change rows (TableConfig.changeDataFeed): read them
+        // directly — row-exact, join-free. Columns conform to the feed
+        // schema at toVersion (evolved-in columns null-fill).
+        val cdc = spark.read.parquet(root.resolve(m.cdcDir.get).toString)
+        val cols = schema.fields.toSeq.map(f =>
+          (if (cdc.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name))
+        Some(cdc.select(cols ++ Seq(
+          lit(v).as("_commit_version"), col("_change_type")): _*))
+      } else {
         val prevSet = prevFiles.map(_.path).toSet
         val curSet = m.files.map(_.path).toSet
         val added = m.files.filterNot(f => prevSet(f.path))
@@ -591,6 +641,12 @@ final class CowTable private[storage] (
     doomed.foreach { p =>
       Files.deleteIfExists(root.resolve(p))
       Files.deleteIfExists(root.resolve(p + ".bloom")) // index sidecar
+    }
+    // materialized change dirs of expired versions (manifest-referenced
+    // only — an unreferenced _cdc dir may belong to an in-flight writer)
+    (1 until firstRetained).foreach { v =>
+      manifest(v).cdcDir.foreach(d =>
+        CowTable.deleteRecursively(root.resolve(d)))
     }
     doomed
   }
@@ -858,7 +914,8 @@ final class CowTable private[storage] (
       df: DataFrame, schema: StructType,
       carryOver: Seq[FileEntry], parent: Int,
       dataChange: Boolean = true,
-      preshaped: Boolean = false): Int = {
+      preshaped: Boolean = false,
+      cdcDir: Option[String] = None): Int = {
     val v = parent + 1
     // Writer-UNIQUE data directory (Delta-style): two racing writers of the
     // same version can never clobber each other's files — the loser of the
@@ -891,7 +948,20 @@ final class CowTable private[storage] (
     withStatFriendlyTimestamps { sized.parquet(verDir.toString) }
     val fresh = statFiles(verDir, schema)
     if (config.bloomIndex) writeBlooms(verDir, fresh, schema)
-    commitAt(parent, fresh, carryOver, schema, dataChange)
+    commitAt(parent, fresh, carryOver, schema, dataChange, cdcDir = cdcDir)
+  }
+
+  /** Write a mutation's exact change rows (schema + `_change_type`) to a
+    * writer-unique `_cdc/` dir and return its root-relative path — called
+    * just before the commit that will reference it, so a losing CAS leaves
+    * only an unreferenced dir (same inertness argument as data files). */
+  private def writeCdc(changes: DataFrame, forVersion: Int): Option[String] = {
+    val seg = f"_cdc/v$forVersion%05d-" + java.util.UUID.randomUUID
+      .toString.replace("-", "").substring(0, 8)
+    withStatFriendlyTimestamps {
+      changes.write.mode("overwrite").parquet(root.resolve(seg).toString)
+    }
+    Some(seg)
   }
 
   /** BLOOM sidecars for a commit's new files: one pass over the leading key
@@ -960,7 +1030,8 @@ final class CowTable private[storage] (
   private[graft] def commitAt(
       parent: Int, fresh: Seq[FileEntry], carryOver: Seq[FileEntry],
       schema: StructType, dataChange: Boolean = true,
-      streamTxn: Option[(String, Long)] = None): Int = {
+      streamTxn: Option[(String, Long)] = None,
+      cdcDir: Option[String] = None): Int = {
     val v = parent + 1
     val entries = fresh ++ carryOver
     val m = CommitManifest(
@@ -979,7 +1050,8 @@ final class CowTable private[storage] (
         .flatMap(k => Try(schema(k).dataType).toOption)
         .exists(statKeyNumeric),
       streamQueryId = streamTxn.map(_._1),
-      streamEpochId = streamTxn.map(_._2))
+      streamEpochId = streamTxn.map(_._2),
+      cdcDir = cdcDir)
     commitManifest(m)
     v
   }

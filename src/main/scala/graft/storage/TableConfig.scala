@@ -49,6 +49,14 @@ final case class TableConfig(
     clusterByKey: Boolean = false,
     maxRecordsPerFile: Long = 0L,
     bloomIndex: Boolean = false,
-    statsColumns: Seq[String] = Nil) {
+    statsColumns: Seq[String] = Nil,
+    /** Materialize each upsert/delete commit's exact change rows (with a
+      * physical `_change_type`) into a per-commit `_cdc/` dir referenced by
+      * the manifest — Delta's enableChangeDataFeed. The change feed then
+      * reads them directly: ROW-exact (no same-file false positives from
+      * rewritten neighbors) and join-free per commit. Costs one extra write
+      * of O(changed rows) per mutation. Commits made without the flag (or
+      * through the DSv2 row-level path) fall back to the file-diff join. */
+    changeDataFeed: Boolean = false) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
 }

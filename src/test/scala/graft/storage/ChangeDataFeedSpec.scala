@@ -1,0 +1,92 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChangeDataFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg = TableConfig("t", Seq("id"), changeDataFeed = true)
+
+  test("upsert/delete commits materialize ROW-exact change files") {
+    val dir = tmpDir("cdf")
+    val t = CowTable(spark, dir + "/t", cfg)
+    // v1: 100 rows in FEW files — neighbors share files with changed keys
+    t.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // v2: update 3 keys + insert 2 new ones (same multi-row files rewritten)
+    t.upsert(Seq((10L, "V10"), (20L, "V20"), (30L, "V30"),
+      (101L, "v101"), (102L, "v102")).toDF("id", "v"))
+    // v3: delete 2 keys
+    t.delete(Seq(10L, 101L).toDF("id"))
+
+    assert(t.manifest(2).cdcDir.isDefined && t.manifest(3).cdcDir.isDefined)
+
+    val feed = t.readChangeFeed(1, 3)
+      .select("id", "v", "_commit_version", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    // ROW-exact: rewritten files' untouched neighbors never appear
+    assert(feed == Set(
+      (10L, "V10", 2, "update_postimage"),
+      (20L, "V20", 2, "update_postimage"),
+      (30L, "V30", 2, "update_postimage"),
+      (101L, "v101", 2, "insert"),
+      (102L, "v102", 2, "insert"),
+      (10L, "V10", 3, "delete"),
+      (101L, "v101", 3, "delete")), feed)
+  }
+
+  test("without the flag the same history over-reports (file-level feed)") {
+    val dir = tmpDir("cdf")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
+    t.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.upsert(Seq((10L, "V10")).toDF("id", "v"))
+    val feed = t.readChangeFeed(1, 2)
+    // the file-diff join re-reports every row of the rewritten file(s)
+    assert(feed.count() > 1, feed.count())
+    assert(t.manifest(2).cdcDir.isEmpty)
+  }
+
+  test("feed mixes materialized and reconstructed commits seamlessly") {
+    val dir = tmpDir("cdf")
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))   // v1
+    t.upsert(Seq((60L, "v60")).toDF("id", "v"))                   // v2 cdc
+    t.compact(smallBytes = 1L << 30)                              // v3 skip
+    t.upsert(Seq((60L, "V60")).toDF("id", "v"))                   // v4 cdc
+    val feed = t.readChangeFeed(1, 4)
+      .select("id", "_commit_version", "_change_type")
+      .as[(Long, Int, String)].collect().toSet
+    assert(feed == Set((60L, 2, "insert"), (60L, 4, "update_postimage")),
+      feed)
+  }
+
+  test("vacuum removes expired commits' change dirs, keeps recent ones") {
+    val dir = tmpDir("cdf")
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.upsert(Seq((1L, "a")).toDF("id", "v"))  // v2 cdc
+    t.upsert(Seq((2L, "b")).toDF("id", "v"))  // v3 cdc
+    t.upsert(Seq((3L, "c")).toDF("id", "v"))  // v4 cdc
+    val root = java.nio.file.Paths.get(dir + "/t")
+    val v2cdc = root.resolve(t.manifest(2).cdcDir.get)
+    val v4cdc = root.resolve(t.manifest(4).cdcDir.get)
+    assert(java.nio.file.Files.isDirectory(v2cdc))
+    t.vacuum(retainLast = 1)
+    assert(!java.nio.file.Files.exists(v2cdc), "expired cdc dir survived")
+    assert(java.nio.file.Files.isDirectory(v4cdc), "live cdc dir deleted")
+  }
+
+  test("precombine upstream + schema evolution still feed exactly") {
+    val dir = tmpDir("cdf")
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // evolving upsert adds a column; feed conforms to the final schema
+    t.upsert(Seq((2L, "B", 9.5), (3L, "c", 1.0)).toDF("id", "v", "w"))
+    val feed = t.readChangeFeed(1, 2)
+      .select("id", "v", "w", "_change_type")
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(feed == Set(
+      (2L, "B", Some(9.5), "update_postimage"),
+      (3L, "c", Some(1.0), "insert")), feed)
+  }
+}
