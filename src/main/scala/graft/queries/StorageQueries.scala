@@ -601,6 +601,50 @@ object StorageQueries {
           col("_commit_version"), col("_change_type"))
     },
 
+    // STREAMING CHANGE FEED: readStream.format(graft)
+    // .option(readChangeFeed) tails the SAME history as q99 and emits
+    // create-inserts, update postimages, and preimage delete tombstones
+    // with their commit versions — the standing-CDC-consumer completion of
+    // the reference's incremental pattern (append commits stream their
+    // added files; mutation commits stream their materialized _cdc rows).
+    // Oracle = q99's change set plus v1's full insert load.
+    Q("q100_stream_change_feed",
+      """SELECT c_custkey, c_acctbal, CAST(1 AS INT) AS _commit_version,
+        |  'insert' AS _change_type
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, round(c_acctbal + 50, 2), CAST(2 AS INT),
+        |  'update_postimage'
+        |FROM customer WHERE c_custkey % 17 = 0
+        |UNION ALL
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 17 = 0 THEN round(c_acctbal + 50, 2)
+        |       ELSE c_acctbal END,
+        |  CAST(3 AS INT), 'delete'
+        |FROM customer WHERE c_custkey % 23 = 0
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q100")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val c = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      val tbl = CowTable(s, base + "/t",
+        TableConfig("cust_cdf_s", Seq("c_custkey"), changeDataFeed = true))
+      tbl.create(c)                                                  // v1
+      tbl.upsert(c.filter(col("c_custkey") % 17 === 0)               // v2
+        .withColumn("c_acctbal", round(col("c_acctbal") + 50, 2)))
+      tbl.delete(c.filter(col("c_custkey") % 23 === 0)               // v3
+        .select("c_custkey"))
+      val sess = s.newSession()
+      val q = sess.readStream.format("graft")
+        .option("readChangeFeed", "true").load(base + "/t")
+        .writeStream.format("memory").queryName("q100_sink")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sess.table("q100_sink")
+        .select("c_custkey", "c_acctbal", "_commit_version", "_change_type")
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

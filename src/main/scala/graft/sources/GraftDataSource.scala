@@ -53,7 +53,10 @@ class GraftDataSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftDataSource.rootFrom(options)
     val v = GraftDataSource.versionFrom(root, options)
-    CowTable.structFromJson(CowTable.manifestAt(root, v).schemaJson)
+    val base = CowTable.structFromJson(CowTable.manifestAt(root, v).schemaJson)
+    if (options.getBoolean("readChangeFeed", false))
+      GraftTable.withCdfColumns(base)
+    else base
   }
 
   override def getTable(
@@ -77,6 +80,14 @@ class GraftDataSource extends TableProvider
 }
 
 object GraftTable {
+  /** Change-feed read schema: the table's columns plus the two CDF
+    * metadata columns every feed row carries. */
+  def withCdfColumns(base: StructType): StructType = base
+    .add("_commit_version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)
+    .add("_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false)
+
   /** Name of the per-row data-file metadata column. */
   val FileColumnName = "_file"
 
@@ -165,8 +176,15 @@ final class GraftTable(
   /** No backticks: Spark renders this name inside SQL-identifier error
     * messages (e.g. TOO_MANY_DATA_COLUMNS), and embedded quoting makes the
     * real error unreadable (INVALID_ATTRIBUTE_NAME_SYNTAX). */
+  /** Change-feed streaming read (`option("readChangeFeed","true")`):
+    * the schema grows the CDF metadata columns and scans route to the
+    * change-feed micro-batch planner. */
+  private def cdfRead: Boolean =
+    props.getBoolean("readChangeFeed", false)
+
   override def name(): String = s"graft:$root@v$version"
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType =
+    if (cdfRead) GraftTable.withCdfColumns(tableSchema) else tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -187,8 +205,9 @@ final class GraftTable(
       ignoreChanges = Option(options.get("ignoreChanges"))
         .exists(_.trim.toBoolean),
       maxCommitsPerBatch = Option(options.get("maxCommitsPerBatch"))
-        .map(_.trim.toInt))
-    new GraftScanBuilder(root, m, tableSchema, columnar, streamOpts)
+        .map(_.trim.toInt),
+      readChangeFeed = cdfRead)
+    new GraftScanBuilder(root, m, schema(), columnar, streamOpts)
   }
 
   override def newWriteBuilder(
@@ -526,7 +545,13 @@ final class GraftScan(
       s" statsColFilters=${extraBounds.size}" +
       s" columnar=$columnar"
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (streamOpts.readChangeFeed) throw new UnsupportedOperationException(
+      "graft: readChangeFeed is a STREAMING read option " +
+        "(spark.readStream.format(\"graft\").option(\"readChangeFeed\"," +
+        "\"true\")) — for a batch feed use CowTable.readChangeFeed")
+    this
+  }
 
   /** Incremental micro-batch read over the commit log (see
     * [[GraftMicroBatchStream]]). Pushed key bounds / partition values apply

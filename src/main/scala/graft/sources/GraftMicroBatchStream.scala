@@ -20,7 +20,13 @@ final case class GraftStreamOptions(
     ignoreChanges: Boolean = false,
     /** Admission control: at most this many commits per micro-batch (rate
       * limiting for catch-up over a long history). None = all available. */
-    maxCommitsPerBatch: Option[Int] = None)
+    maxCommitsPerBatch: Option[Int] = None,
+    /** Stream the CHANGE FEED instead of the row stream: append commits
+      * emit their added rows as `insert`s, mutation commits emit their
+      * materialized `_cdc` rows (I/U/D with preimage deletes). Requires
+      * mutating commits to carry change files
+      * ([[graft.storage.TableConfig.changeDataFeed]]). */
+    readChangeFeed: Boolean = false)
 
 /** Stream position = "all commits ≤ `version` processed". Commits are the
   * table's atomic units of change, so a (start, end] version range
@@ -142,11 +148,50 @@ final class GraftMicroBatchStream(
       }
     }
 
+  /** Change-feed partitions for commits (start, end]: per commit, either
+    * its materialized `_cdc` files (physical `_change_type`, constant
+    * `_commit_version`) or — for pure-append commits — its added data files
+    * with BOTH metadata columns riding as constants. A rewrite commit
+    * without change files fails loudly: its per-row changes were never
+    * recorded and cannot be reconstructed file-wise. */
+  private def cdfPartitions(startV: Int, endV: Int): Array[InputPartition] =
+    ((startV + 1) to endV).flatMap { v =>
+      val m = CowTable.manifestAt(root, v)
+      if (!m.dataChange) Nil
+      else m.cdcDir match {
+        case Some(dir) =>
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(Files.walk(root.resolve(dir))) {
+            _.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .toSeq.sortBy(_.toString)
+          }.map(p => GraftInputPartition(p.toString,
+            Map("_commit_version" -> v.toString)))
+        case None =>
+          val parentPaths: Set[String] =
+            if (m.parent <= 0) Set.empty
+            else CowTable.manifestAt(root, m.parent).files.map(_.path).toSet
+          val removed = parentPaths -- m.files.map(_.path).toSet
+          if (removed.nonEmpty) throw new IllegalStateException(
+            s"graft stream: commit v$v of $root rewrote files without " +
+              "materialized change rows — create the table with " +
+              "TableConfig(changeDataFeed = true) so mutations record " +
+              "their exact changes, or read appends only (drop the " +
+              "readChangeFeed option).")
+          m.files.filterNot(e => parentPaths.contains(e.path)).map(e =>
+            GraftInputPartition(root.resolve(e.path).toString,
+              GraftScan.hivePathValues(e.path) ++ Map(
+                "_commit_version" -> v.toString,
+                "_change_type" -> "insert")))
+      }
+    }.toArray
+
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].version
     val e = end.asInstanceOf[GraftOffset].version
-    addedFiles(s, e).map { case (_, entry) =>
+    if (opts.readChangeFeed) cdfPartitions(s, e)
+    else addedFiles(s, e).map { case (_, entry) =>
       GraftInputPartition(
         root.resolve(entry.path).toString,
         GraftScan.hivePathValues(entry.path))

@@ -118,6 +118,65 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(read == 4L, s"streamed $read rows — expected only the adds")
   }
 
+  test("readChangeFeed streams I/U/D rows incl. preimage deletes") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src",
+      TableConfig("t", Seq("id"), changeDataFeed = true))
+    t.create(rows(1, 5))                                         // v1
+    t.upsert(Seq((3L, "NEW3", 0.0), (9L, "nine", 9.0))
+      .toDF("id", "name", "v"))                                  // v2 cdc
+    t.delete(Seq(1L).toDF("id"))                                 // v3 cdc
+    val sink = "gstream_cdf"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir + "/src")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    val got = spark.table(sink)
+      .select("id", "name", "_commit_version", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    val expected =
+      (1L to 5L).map(i => (i, s"name$i", 1, "insert")).toSet ++ Set(
+        (3L, "NEW3", 2, "update_postimage"),
+        (9L, "nine", 2, "insert"),
+        (1L, "name1", 3, "delete")) // preimage
+    assert(got == expected, got)
+  }
+
+  test("readChangeFeed on a non-CDF table fails loudly at a rewrite") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    t.create(rows(1, 5))
+    t.upsert(Seq((3L, "NEW3", 0.0)).toDF("id", "name", "v")) // rewrite
+    val e = intercept[StreamingQueryException] {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir + "/src")
+        .writeStream.format("memory").queryName("gstream_cdf_fail")
+        .option("checkpointLocation", dir + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("changeDataFeed"), msg)
+  }
+
+  test("readChangeFeed is rejected for batch reads") {
+    val dir = tmpDir("gstream")
+    CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+      .create(rows(1, 3))
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(dir + "/src").collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msg.contains("STREAMING"), msg)
+  }
+
   test("file skipping applies when bounds reach the stream (API path)") {
     val dir = tmpDir("gstream")
     val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
