@@ -645,6 +645,34 @@ object StorageQueries {
         .select("c_custkey", "c_acctbal", "_commit_version", "_change_type")
     },
 
+    // CALL PROCEDURES (Iceberg rewrite_data_files/expire_snapshots-style
+    // maintenance as SQL): CALL lake.compact + CALL lake.optimize fold and
+    // z-order a CDC-sprawled orders table entirely from SQL — both are
+    // dataChange=false reorganizations, so the final read must equal the
+    // untouched row set (the oracle). Spec asserts versions/vacuum counts.
+    Q("q101_call_procedures",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q101")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 0)
+      val tbl = CowTable(s, lake + "/ord",
+        TableConfig("ord", Seq("o_orderkey")))
+      tbl.create(o.filter(col("o_orderkey") % 4 === 0))
+      tbl.upsert(o.filter(col("o_orderkey") % 4 === 2))
+      graft.storage.LakeRegistry.register(lake,
+        TableConfig("ord", Seq("o_orderkey")), lake + "/ord")
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      sess.sql("CALL lake.compact('ord')").collect()
+      sess.sql("CALL lake.optimize('ord')").collect()
+      sess.table("lake.default.ord")
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DROP TABLE un-registers without deleting data (un-registering is a
   * catalog operation; `CowTable.vacuum`/delete handle data lifecycle).
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -163,8 +164,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .flatten.headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val cdf = Seq(Option(properties.get("changeDataFeed")),
+      Option(properties.get(TableCatalog.OPTION_PREFIX + "changeDataFeed")))
+      .flatten.headOption.exists(_.trim.toBoolean)
     val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
-      bloomIndex = bloom, statsColumns = statsCols)
+      bloomIndex = bloom, statsColumns = statsCols, changeDataFeed = cdf)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(Paths.get(_)).getOrElse(rootOf(
         LakeRegistry.Entry(ident.name(), ident.name(), primaryKey,
@@ -218,6 +222,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft: RENAME TABLE is not supported (re-register under a new name)")
+
+  // ---- CALL procedures: table maintenance as SQL -------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    requireNs(ident.namespace())
+    GraftProcedures.load(warehouse, ident.name()).getOrElse(
+      throw new NoSuchTableException(ident)) // closest loud analysis error
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    requireNs(namespace)
+    GraftProcedures.list()
+  }
 
   // ---- namespaces: exactly one, `default` --------------------------------
 

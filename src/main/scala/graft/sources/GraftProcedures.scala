@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.storage.{CowTable, LakeRegistry}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL `CALL` PROCEDURES for table maintenance — the Iceberg
+  * `CALL catalog.system.rewrite_data_files(...)` surface the reference's
+  * operators run for housekeeping, bound to graft's native operations:
+  *
+  * {{{
+  *   CALL lake.compact('users')                -- fold small files
+  *   CALL lake.optimize('users')               -- z-order by the key cols
+  *   CALL lake.optimize('users', 'a,b')        -- z-order by given cols
+  *   CALL lake.vacuum('users', 2)              -- expire unreferenced files
+  *   CALL lake.rollback('users', 3)            -- restore version 3
+  * }}}
+  *
+  * Each returns a one-row result (the new version / deleted-file count) as
+  * a driver-local scan. Maintenance stays a catalog concern: the SQL user
+  * never needs the Scala API to keep a 100 TB table healthy.
+  */
+object GraftProcedures {
+
+  val All: Seq[String] = Seq("compact", "optimize", "vacuum", "rollback")
+
+  def load(warehouse: String, name: String): Option[UnboundProcedure] = {
+    def open(tbl: String): CowTable =
+      LakeRegistry.open(SparkSession.active, warehouse, tbl)
+    name.toLowerCase match {
+      case "compact" => Some(proc("compact",
+        Seq(in("table", StringType),
+          in("small_bytes", LongType, Some((32L << 20).toString)),
+          in("target_partitions", IntegerType, Some("1"))),
+        resultSchema = versionResult) { args =>
+        val v = open(str(args, 0))
+          .compact(smallBytes = args.getLong(1),
+            targetPartitions = args.getInt(2))
+        Array[Any](v)
+      })
+      case "optimize" => Some(proc("optimize",
+        Seq(in("table", StringType),
+          in("cluster_by", StringType, Some("''"))),
+        resultSchema = versionResult) { args =>
+        val t = open(str(args, 0))
+        val cols = str(args, 1).split(",").map(_.trim).filter(_.nonEmpty)
+        val v = if (cols.isEmpty) t.optimize() else t.optimize(cols.toSeq)
+        Array[Any](v)
+      })
+      case "vacuum" => Some(proc("vacuum",
+        Seq(in("table", StringType),
+          in("retain_last", IntegerType, Some("2"))),
+        resultSchema = StructType(Seq(
+          StructField("deleted_files", IntegerType, nullable = false)))) {
+        args =>
+          Array[Any](open(str(args, 0)).vacuum(args.getInt(1)).size)
+      })
+      case "rollback" => Some(proc("rollback",
+        Seq(in("table", StringType), in("version", IntegerType)),
+        resultSchema = versionResult) { args =>
+        Array[Any](open(str(args, 0)).rollbackTo(args.getInt(1)))
+      })
+      case _ => None
+    }
+  }
+
+  def list(): Array[Identifier] =
+    All.map(n => Identifier.of(Array("default"), n)).toArray
+
+  private def versionResult: StructType =
+    StructType(Seq(StructField("version", IntegerType, nullable = false)))
+
+  private def str(r: InternalRow, i: Int): String = {
+    val v = r.getUTF8String(i)
+    require(v != null, s"procedure argument $i must not be NULL")
+    v.toString
+  }
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      resultSchema: StructType)(
+      body: InternalRow => Array[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft $procName procedure"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft $procName procedure"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val out = body(input)
+            java.util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(new GenericInternalRow(out))
+              override def readSchema(): StructType = resultSchema
+              override def description(): String = s"graft $procName result"
+            }).iterator()
+          }
+        }
+    }
+}

@@ -148,6 +148,36 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: compact / optimize / vacuum / rollback via SQL") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.p (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.p VALUES (1, 'a'), (2, 'b')") // v2
+    sess.sql("INSERT INTO lake.default.p VALUES (3, 'c')")           // v3
+    sess.sql("INSERT INTO lake.default.p VALUES (4, 'd')")           // v4
+
+    // compact folds the small files into one, as a new version
+    val v = sess.sql("CALL lake.compact('p')").head().getInt(0)
+    assert(v == 5, s"compact returned $v")
+    assert(sess.table("lake.default.p").count() == 4)
+
+    // rollback restores the pre-compaction version (metadata-only)
+    val rb = sess.sql("CALL lake.rollback('p', 4)").head().getInt(0)
+    assert(rb == 6 && sess.table("lake.default.p").count() == 4)
+
+    // z-order by the key; returns the new version
+    val zv = sess.sql("CALL lake.optimize('p')").head().getInt(0)
+    assert(zv == 7)
+
+    // vacuum with a retention window drops unreferenced files
+    val deleted = sess.sql("CALL lake.vacuum('p', 1)").head().getInt(0)
+    assert(deleted >= 1, s"vacuum deleted $deleted")
+    assert(sess.table("lake.default.p").count() == 4)
+
+    intercept[Exception] { sess.sql("CALL lake.no_such_proc('p')") }
+  }
+
   test("unknown table / namespace / version fail loudly") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
