@@ -354,16 +354,44 @@ final class GraftBatchWrite(
     val spark = SparkSession.active
     val tbl = CowTable(spark, root.toString,
       TableConfig(root.getFileName.toString, primaryKey, partitionKey))
-    val fresh = tbl.statListedFiles(files,
-      if (parent > 0) tableSchema else writeSchema)
-    val carry =
-      if (overwrite || parent == 0) Nil
-      else CowTable.manifestAt(root, parent).files
     // commit schema: the existing table's schema for appends/overwrites of a
     // live table (Spark already aligned the query output to it); the query
     // schema when this write CREATES the table (CTAS / first write)
-    tbl.commitAt(parent, fresh,
-      carry, if (parent > 0) tableSchema else writeSchema)
+    val schema = if (parent > 0) tableSchema else writeSchema
+    val fresh = tbl.statListedFiles(files, schema)
+    // BLIND-APPEND conflict resolution (Delta WriteSerializable): an
+    // INSERT INTO that loses the CAS re-reads the winner's state and
+    // re-commits on top — its files were written to a writer-unique dir and
+    // depend on nothing, so carrying the winner's files is always sound.
+    // Overwrites and creates stay single-winner: they assert a table STATE,
+    // not a delta, and a rebase would silently drop the winner's commit.
+    // A winner that changed the SCHEMA aborts the rebase (the appended
+    // files were aligned to the old one).
+    var base = parent
+    var attempts = 0
+    while (true) {
+      val carry =
+        if (overwrite || base == 0) Nil
+        else CowTable.manifestAt(root, base).files
+      try {
+        tbl.commitAt(base, fresh, carry, schema)
+        return
+      } catch {
+        case e: graft.storage.ConcurrentWriteException =>
+          attempts += 1
+          val blindAppend = !overwrite && parent > 0
+          if (!blindAppend || attempts > 8) throw e
+          val now = CowTable.currentVersionAt(root)
+          val winnerSchema =
+            CowTable.structFromJson(CowTable.manifestAt(root, now).schemaJson)
+          if (winnerSchema != schema) throw new graft.storage
+            .ConcurrentWriteException(
+              s"concurrent writer changed the schema of $root while this " +
+                "append was in flight — re-run the append against the new " +
+                "schema")
+          base = now
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

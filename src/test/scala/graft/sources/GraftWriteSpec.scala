@@ -206,7 +206,7 @@ class GraftWriteSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_evo")
   }
 
-  test("two concurrent DSv2 writers: exactly one commits (manifest CAS)") {
+  test("two concurrent DSv2 appends: loser rebases onto the winner") {
     val dir = tmpDir("dsv2w") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
     t.create(Seq((1L, "base")).toDF("id", "name"))
@@ -228,14 +228,38 @@ class GraftWriteSpec extends SparkSpec {
     }
     val (a, aMsg) = plannedWrite("writer-a")
     val (b, bMsg) = plannedWrite("writer-b")
-    a.commit(Array(aMsg)) // writer A wins
-    val e = intercept[ConcurrentWriteException] {
-      b.commit(Array(bMsg))
-    }
-    assert(e.getMessage.contains("concurrent"))
-    assert(t.currentVersion == 2)
+    a.commit(Array(aMsg)) // writer A wins version 2
+    b.commit(Array(bMsg)) // writer B REBASES onto it (blind append)
+    assert(t.currentVersion == 3)
     assert(t.read().as[(Long, String)].collect().toSet ==
-      Set((1L, "base"), (99L, "writer-a"))) // loser's row never visible
+      Set((1L, "base"), (99L, "writer-a"), (99L, "writer-b")),
+      "both appends must land, in CAS order")
+  }
+
+  test("racing OVERWRITES stay single-winner (no append rebase)") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "base")).toDF("id", "name"))
+    val schema = t.read().schema
+    def plannedOverwrite(tag: String)
+        : (GraftBatchWrite,
+           org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+      val bw = new GraftBatchWrite(java.nio.file.Paths.get(dir), 1,
+        schema, schema, Seq("id"), None, overwrite = true)
+      val w = bw.createBatchWriterFactory(
+        new PhysicalWriteInfo { override def numPartitions(): Int = 1 })
+        .createWriter(0, 0L)
+      w.write(new GenericInternalRow(
+        Array[Any](99L, UTF8String.fromString(tag))))
+      (bw, w.commit())
+    }
+    val (a, aMsg) = plannedOverwrite("over-a")
+    val (b, bMsg) = plannedOverwrite("over-b")
+    a.commit(Array(aMsg))
+    val e = intercept[ConcurrentWriteException] { b.commit(Array(bMsg)) }
+    assert(e.getMessage.contains("concurrent"))
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((99L, "over-a")))
   }
 
   test("writeStream sink: per-epoch CAS commits, exactly-once on replay") {
