@@ -297,8 +297,9 @@ final class CowTable private[storage] (
           .parquet(verDir.resolve(f"bin-$i%04d").toString)
       }
     }
-    commitAt(parent, statFiles(verDir, schema), large, schema,
-      dataChange = false)
+    val freshC = statFiles(verDir, schema)
+    if (config.bloomIndex) writeBlooms(verDir, freshC, schema)
+    commitAt(parent, freshC, large, schema, dataChange = false)
   }
 
   /** OPTIMIZE ZORDER (Delta/Hudi clustering surface): rewrite the current
@@ -976,12 +977,19 @@ final class CowTable private[storage] (
       verDir: Path, fresh: Seq[FileEntry], schema: StructType): Unit = {
     val k = config.primaryKey.head
     if (fresh.isEmpty || !schema.fieldNames.contains(k)) return
+    // a path-borne partition key already has EXACT per-file "stats" (one
+    // value per file) — and is physically absent from the files
+    if (config.partitionKey.contains(k)) return
     val expected = math.max(1000L, fresh.map(_.rows).max)
-    val df = spark.read.schema(schema)
-      .option("basePath", verDir.toString).parquet(verDir.toString)
+    // explicit file list: covers hive layouts and compaction's bin-*/
+    // subdirs alike (a directory listing would miss or mis-partition both)
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      config.partitionKey.contains(f.name)))
+    val df = spark.read.schema(dataSchema)
+      .parquet(fresh.map(e => root.resolve(e.path).toString): _*)
     val keyed = df.select(
       input_file_name().as("__file"),
-      keyStatColumn(col(k), schema(k).dataType).cast("string").as("__k"))
+      keyStatColumn(col(k), dataSchema(k).dataType).cast("string").as("__k"))
     keyed.where(col("__k").isNotNull)
       .rdd.map(r => (r.getString(0), r.getString(1)))
       .aggregateByKey(

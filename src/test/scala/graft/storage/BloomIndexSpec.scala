@@ -85,6 +85,21 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.read().as[(String, Int)].collect().toMap.apply("nn") == 50)
   }
 
+  test("compaction rebuilds sidecars for its rewritten files") {
+    val dir = tmpDir("bloom")
+    val t = overlappingTable(dir)
+    val v = t.compact(smallBytes = 1L << 30)
+    val m = t.manifest(v)
+    m.files.foreach { e =>
+      val side = java.nio.file.Paths.get(dir + "/t").resolve(e.path + ".bloom")
+      assert(java.nio.file.Files.isRegularFile(side), s"missing $side")
+    }
+    // and the rebuilt bloom still prunes: compacted layout is one file, so
+    // a point upsert must still merge correctly through it
+    t.upsert(Seq((42L, "updated")).toDF("id", "name"))
+    assert(t.read().count() == 100L)
+  }
+
   test("vacuum removes sidecars with their data files") {
     val dir = tmpDir("bloom")
     val t = overlappingTable(dir)
