@@ -68,6 +68,25 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
 
+    // SEQUENCE PACKING (pretraining batch prep): assign each document to a
+    // fixed-budget bin in doc_id order via the DISTRIBUTED two-phase prefix
+    // sum (per-partition cumsum + broadcast offsets) — the naive global
+    // window would drag the whole corpus through ONE task at 100 TB
+    // (plan-asserted partitioned windows in SeqPackSpec). Oracle replays
+    // the equivalent single-window formulation in DuckDB.
+    Q("q102_sequence_packing",
+      """SELECT doc_id, n_chars,
+        |  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 4000.0) AS BIGINT) AS bin
+        |FROM documents
+        |""".stripMargin) { (s, d) =>
+      graft.operators.SeqPack
+        .packBins(docs(s, d).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", budget = 4000L)
+        .select("doc_id", "n_chars", "bin")
+    },
+
     // Exact dedup groups: content-hash groupBy (one uniform shuffle).
     Q("q28_dedup_exact",
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
