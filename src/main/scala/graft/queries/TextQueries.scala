@@ -87,6 +87,24 @@ object TextQueries {
         .select("doc_id", "n_chars", "bin")
     },
 
+    // DETERMINISTIC TRAIN/VAL/TEST SPLIT: content-hash bucketing of the
+    // doc id (md5 hex → 0..99), NOT randomSplit — the same row lands in
+    // the same split on any cluster/partitioning/rerun, and growing the
+    // corpus never reshuffles prior assignments. Pure projection, no
+    // shuffle. Oracle replays the identical hash arithmetic.
+    Q("q103_split_assign",
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+        |    AS b FROM documents)
+        |""".stripMargin) { (s, d) =>
+      graft.text.Sampling
+        .assignSplit(docs(s, d).select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "split")
+    },
+
     // Exact dedup groups: content-hash groupBy (one uniform shuffle).
     Q("q28_dedup_exact",
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,

@@ -1,0 +1,36 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting/sampling for training pipelines. Every
+  * assignment derives from a content hash of the ID — NO RNG state: the
+  * same row lands in the same split on any cluster, any partitioning, any
+  * rerun, and adding data never reshuffles existing assignments (the
+  * property `randomSplit` lacks — its sampling is seed+partition dependent,
+  * so a repartition silently reassigns rows).
+  */
+object Sampling {
+
+  /** 0..99 deterministic bucket of an id column: the first 6 hex digits of
+    * its md5, mod 100 — engine-portable (DuckDB: `('0x' ||
+    * substr(md5(x),1,6))::BIGINT % 100`), uniform enough for split ratios.
+    */
+  def hashBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  /** Assign `train`/`val`/`test` by cumulative percentage thresholds
+    * (e.g. 80/10/10 ⇒ `trainPct = 80, valPct = 10`). Pure projection —
+    * no shuffle, codegen throughout. */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: $trainPct/$valPct")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

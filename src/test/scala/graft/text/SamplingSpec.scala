@@ -1,0 +1,39 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split assignment is deterministic and partition-independent") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.assignSplit(df, "id")
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(df.repartition(13), "id")
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "repartitioning must not reassign splits")
+    // growing the corpus keeps prior assignments
+    val grown = Sampling.assignSplit((1L to 4000L).toDF("id"), "id")
+      .as[(Long, String)].collect().toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+  }
+
+  test("ratios land near 80/10/10 and the plan is shuffle-free") {
+    val df = (1L to 10000L).toDF("id")
+    val out = Sampling.assignSplit(df, "id")
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 8000L) < 400, counts)
+    assert(math.abs(counts("val") - 1000L) < 200, counts)
+    assert(math.abs(counts("test") - 1000L) < 200, counts)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("bad percentages are rejected") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", trainPct = 90, valPct = 20)
+    }
+  }
+}
