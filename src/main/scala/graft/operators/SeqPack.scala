@@ -36,31 +36,35 @@ object SeqPack {
     // persist is LOAD-BEARING, not an optimization: RangePartitioner's
     // sampling seed derives from the RDD id, so two separate actions over
     // an unpersisted plan could draw DIFFERENT range boundaries — the
-    // offsets pass and the main pass must see the same partitioning. The
-    // cache holds until the caller's action completes (bounded: one
-    // repartitioned copy).
+    // offsets pass and the main pass must see the same partitioning.
     val ranged = df.repartitionByRange(n, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = ranged.groupBy("__pid")
-      .agg(sum(col(costCol).cast("long")).as("__psum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // exclusive prefix offsets, in partition order (range partitions are
-    // ordered by construction)
-    val offsets = (0 until n).scanLeft(0L) {
-      (acc, pid) => acc + totals.getOrElse(pid, 0L)
-    }
-    val offsetDf = spark.createDataFrame(
-      (0 until n).map(pid => (pid, offsets(pid))))
-      .toDF("__pid", "__off")
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(F.broadcast(offsetDf), "__pid")
-      .withColumn("__prev",
-        coalesce(sum(col(costCol).cast("long")).over(w), lit(0L)) +
-          col("__off"))
-      .withColumn("bin",
-        floor(col("__prev") / lit(budget.toDouble)).cast("long"))
-      .drop("__pid", "__off", "__prev")
+    try {
+      val totals = ranged.groupBy("__pid")
+        .agg(sum(col(costCol).cast("long")).as("__psum"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // exclusive prefix offsets, in partition order (range partitions are
+      // ordered by construction)
+      val offsets = (0 until n).scanLeft(0L) {
+        (acc, pid) => acc + totals.getOrElse(pid, 0L)
+      }
+      val offsetDf = spark.createDataFrame(
+        (0 until n).map(pid => (pid, offsets(pid))))
+        .toDF("__pid", "__off")
+      val w = Window.partitionBy("__pid").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val out = ranged.join(F.broadcast(offsetDf), "__pid")
+        .withColumn("__prev",
+          coalesce(sum(col(costCol).cast("long")).over(w), lit(0L)) +
+            col("__off"))
+        .withColumn("bin",
+          floor(col("__prev") / lit(budget.toDouble)).cast("long"))
+        .drop("__pid", "__off", "__prev")
+      // materialize eagerly (severing lineage from the cached copy), so
+      // the intermediate cache can be released HERE instead of leaking for
+      // the session's lifetime; the result itself is ContextCleaner-managed
+      out.localCheckpoint(true)
+    } finally ranged.unpersist()
   }
 }

@@ -390,12 +390,20 @@ object GraftScan {
   /** Hive partition value sitting in a file's path, if any (files written
     * without partition directories — e.g. pre-r6 DSv2 writers — have none
     * and are never partition-pruned). */
+  /** Hive path-segment decode: the EXACT inverse of the escaping both
+    * writers use (`ExternalCatalogUtils.escapePathName`, same as Spark's
+    * partitioned writes). URLDecoder is NOT that inverse — it turns a
+    * literal `+` into a space, silently corrupting round-tripped values
+    * and mispruning partition filters. */
+  private[sources] def unescapeSeg(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
+
   private[sources] def pathPartValue(
       partitionKey: Option[String], e: FileEntry): Option[String] =
     partitionKey.flatMap { pk =>
       e.path.split('/').dropRight(1).find(_.startsWith(pk + "="))
-        .map(seg => java.net.URLDecoder.decode(
-          seg.substring(pk.length + 1), "UTF-8"))
+        .map(seg => unescapeSeg(seg.substring(pk.length + 1)))
     }
 
   /** All `k=v` hive segments of a relative file path (partition values live
@@ -404,8 +412,7 @@ object GraftScan {
     path.split('/').dropRight(1).filter(_.contains('='))
       .map { seg =>
         val i = seg.indexOf('=')
-        seg.substring(0, i) ->
-          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        seg.substring(0, i) -> unescapeSeg(seg.substring(i + 1))
       }.toMap
 
   /** Single-attribute IN / = V2 predicate → (column, non-null values);

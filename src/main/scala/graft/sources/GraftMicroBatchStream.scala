@@ -156,12 +156,24 @@ final class GraftMicroBatchStream(
     * recorded and cannot be reconstructed file-wise. */
   private def cdfPartitions(startV: Int, endV: Int): Array[InputPartition] =
     ((startV + 1) to endV).flatMap { v =>
-      val m = CowTable.manifestAt(root, v)
+      val m =
+        try CowTable.manifestAt(root, v)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"graft stream: commit v$v of $root is unreadable (vacuumed " +
+              "or corrupt history?) — restart the change-feed stream from " +
+              "a retained version via option(\"startingVersion\", ...)", e)
+        }
       if (!m.dataChange) Nil
       else m.cdcDir match {
         case Some(dir) =>
           import scala.jdk.CollectionConverters._
-          scala.util.Using.resource(Files.walk(root.resolve(dir))) {
+          val cdcPath = root.resolve(dir)
+          if (!Files.isDirectory(cdcPath)) throw new IllegalStateException(
+            s"graft stream: commit v$v's change files ($dir) were vacuumed " +
+              "— restart the change-feed stream from a retained version " +
+              "via option(\"startingVersion\", ...)")
+          scala.util.Using.resource(Files.walk(cdcPath)) {
             _.iterator().asScala
               .filter(_.getFileName.toString.endsWith(".parquet"))
               .toSeq.sortBy(_.toString)

@@ -162,13 +162,8 @@ final class GraftRowLevelScan(
   override def planInputPartitions(): Array[InputPartition] = {
     op.scannedFiles = Some(kept)
     kept.map { e =>
-      val parts = e.path.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg =>
-          val i = seg.indexOf('=')
-          seg.substring(0, i) ->
-            java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
-        }.toMap
-      GraftInputPartition(root.resolve(e.path).toString, parts)
+      GraftInputPartition(root.resolve(e.path).toString,
+        GraftScan.hivePathValues(e.path))
     }.toArray
   }
 
@@ -232,7 +227,7 @@ final class GraftRowLevelBatchWrite(
     }.flatten
     val spark = SparkSession.active
     val tbl = CowTable(spark, root.toString,
-      TableConfig(root.getFileName.toString, m.primaryKey, m.partitionKey))
+      m.tableConfig(root.getFileName.toString))
     val fresh = tbl.statListedFiles(files, tableSchema)
     val scanned = op.scannedFiles.getOrElse(Nil).map(_.path).toSet
     val carry = m.files.filterNot(f => scanned(f.path))

@@ -255,8 +255,8 @@ final class GraftStreamingWrite(
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def table(spark: SparkSession): CowTable =
-    CowTable(spark, root.toString,
-      TableConfig(root.getFileName.toString, primaryKey, partitionKey))
+    CowTable(spark, root.toString, CowTable.configAt(root,
+      TableConfig(root.getFileName.toString, primaryKey, partitionKey)))
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
@@ -352,8 +352,8 @@ final class GraftBatchWrite(
       case GraftCommitMessage(fs) => fs
     }.flatten
     val spark = SparkSession.active
-    val tbl = CowTable(spark, root.toString,
-      TableConfig(root.getFileName.toString, primaryKey, partitionKey))
+    val tbl = CowTable(spark, root.toString, CowTable.configAt(root,
+      TableConfig(root.getFileName.toString, primaryKey, partitionKey)))
     // commit schema: the existing table's schema for appends/overwrites of a
     // live table (Spark already aligned the query output to it); the query
     // schema when this write CREATES the table (CTAS / first write)

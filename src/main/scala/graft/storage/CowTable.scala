@@ -76,7 +76,24 @@ final case class CommitManifest(
       * itself. Present ⇒ the change feed reads them directly (row-exact,
       * no reconstruction join); absent ⇒ the feed falls back to the
       * file-diff join. */
-    cdcDir: Option[String] = None)
+    cdcDir: Option[String] = None,
+    /** Durable TABLE PROPERTIES ([[TableConfig]] behavior flags), carried
+      * commit to commit so writers that open the table from its root alone
+      * (the DSv2 connector, procedures) inherit the declared behavior
+      * instead of silently dropping it. Absent on pre-upgrade manifests ⇒
+      * all defaults (how those tables actually behaved). */
+    statsColumns: Seq[String] = Nil,
+    bloomIndex: Boolean = false,
+    changeDataFeed: Boolean = false,
+    precombineKey: Option[String] = None,
+    clusterByKey: Boolean = false,
+    maxRecordsPerFile: Long = 0L) {
+
+  /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
+  def tableConfig(name: String): TableConfig = TableConfig(
+    name, primaryKey, partitionKey, precombineKey, clusterByKey,
+    maxRecordsPerFile, bloomIndex, statsColumns, changeDataFeed)
+}
 
 /** A concurrent writer committed the same version first. The losing commit
   * changed NOTHING (its manifest never became visible; its data files are
@@ -432,6 +449,15 @@ final class CowTable private[storage] (
     * tree (O(commits) driver memory + analysis time). Short feeds (the
     * common incremental-consumer case) stay fully lazy — no checkpoint, no
     * early job. */
+  /** Union a per-commit plan list without unbounded Catalyst growth: past
+    * `graft.feedChunkCommits` branches, each chunk is materialized via
+    * localCheckpoint. Trade-off, eyes open: checkpointing is EAGER (a
+    * feed over hundreds of commits runs its chunk jobs at construction)
+    * and the blocks are executor-local (an executor lost mid-read cannot
+    * recompute them — on a cluster with decommissioning, raise the chunk
+    * size or set a reliable checkpoint dir and swap to `checkpoint()`).
+    * The alternative — a thousand-branch union — fails the analyzer
+    * outright, which is worse than either cost. */
   private def unionBounded(parts: Seq[DataFrame]): DataFrame = {
     val chunk = math.max(2,
       spark.conf.get("graft.feedChunkCommits", "32").toInt)
@@ -1059,7 +1085,13 @@ final class CowTable private[storage] (
         .exists(statKeyNumeric),
       streamQueryId = streamTxn.map(_._1),
       streamEpochId = streamTxn.map(_._2),
-      cdcDir = cdcDir)
+      cdcDir = cdcDir,
+      statsColumns = config.statsColumns,
+      bloomIndex = config.bloomIndex,
+      changeDataFeed = config.changeDataFeed,
+      precombineKey = config.precombineKey,
+      clusterByKey = config.clusterByKey,
+      maxRecordsPerFile = config.maxRecordsPerFile)
     commitManifest(m)
     v
   }
@@ -1326,6 +1358,18 @@ object CowTable {
   private[graft] def earliestReadableAt(root: Path): Int = {
     val p = root.resolve("_manifests").resolve("_vacuumed")
     if (Files.exists(p)) Files.readString(p).trim.toInt else 1
+  }
+
+  /** Behavioral config for a table opened from its ROOT alone (the DSv2
+    * connector, streaming sink): the current manifest's stored properties
+    * when the table exists — so declared behavior (bloomIndex,
+    * statsColumns, changeDataFeed, ...) survives writers that never saw
+    * the original TableConfig — else `fallback` (first-write creates). */
+  private[graft] def configAt(root: Path, fallback: TableConfig)
+      : TableConfig = {
+    val v = currentVersionAt(root)
+    if (v == 0) fallback
+    else manifestAt(root, v).tableConfig(fallback.tableName)
   }
 
   private[graft] def manifestAt(root: Path, version: Int): CommitManifest =

@@ -40,10 +40,11 @@ object LakeRegistry {
       cluster_by_key: Boolean,
       max_records_per_file: Long,
       bloom_index: Boolean = false,
-      stats_columns: Seq[String] = Nil) {
+      stats_columns: Seq[String] = Nil,
+      change_data_feed: Boolean = false) {
     def config: TableConfig = TableConfig(table_name, primary_key,
       partition_key, precombine_key, cluster_by_key, max_records_per_file,
-      bloom_index, stats_columns)
+      bloom_index, stats_columns, change_data_feed)
   }
 
   private def legacyFile(lakeDir: String): Path =
@@ -79,7 +80,8 @@ object LakeRegistry {
     val r = if (root.isEmpty) config.tableName else root
     val e = Entry(config.tableName, r, config.primaryKey,
       config.partitionKey, config.precombineKey, config.clusterByKey,
-      config.maxRecordsPerFile, config.bloomIndex, config.statsColumns)
+      config.maxRecordsPerFile, config.bloomIndex, config.statsColumns,
+      config.changeDataFeed)
     Files.createDirectories(Paths.get(lakeDir))
     var attempts = 0
     while (true) {

@@ -236,6 +236,38 @@ class GraftWriteSpec extends SparkSpec {
       "both appends must land, in CAS order")
   }
 
+  test("partition values with '+' round-trip and prune correctly") {
+    val dir = tmpDir("dsv2w") + "/t"
+    Seq((1L, "a+b"), (2L, "c d"), (3L, "x%y")).toDF("id", "seg")
+      .write.format("graft").mode("append").option("primaryKey", "id")
+      .option("partitionKey", "seg").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.select("seg").as[String].collect().toSet ==
+      Set("a+b", "c d", "x%y"))
+    // the pushed partition filter must MATCH the file, not prune it away
+    val hit = back.filter($"seg" === "a+b")
+    assert(hit.count() == 1L, hit.queryExecution.executedPlan.toString)
+  }
+
+  test("DSv2 writes inherit manifest-stored table properties") {
+    val dir = tmpDir("dsv2w") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), statsColumns = Seq("w"),
+        changeDataFeed = true))
+    t.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "w"))
+    // a connector write opened from the ROOT alone must keep collecting
+    // the declared statsColumns (it reads the config from the manifest)
+    spark.sql(s"DROP TABLE IF EXISTS props_t")
+    spark.sql(s"CREATE TABLE props_t USING graft LOCATION '$dir'")
+    spark.sql("INSERT INTO props_t VALUES (3, 30)")
+    spark.sql("DROP TABLE props_t")
+    val m = t.manifest(t.currentVersion)
+    assert(m.changeDataFeed && m.statsColumns == Seq("w"), m)
+    val inserted = m.files.filterNot(t.manifest(1).files.contains)
+    assert(inserted.nonEmpty && inserted.forall(_.extra.contains("w")),
+      inserted)
+  }
+
   test("racing OVERWRITES stay single-winner (no append rebase)") {
     val dir = tmpDir("dsv2w") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
