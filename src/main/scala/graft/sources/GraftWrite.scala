@@ -30,10 +30,17 @@ import org.apache.spark.sql.types._
   * version directory (`v{parent+1}-<token>/`, the same convention
   * [[CowTable.writeVersion]] uses); the driver's commit stats the written
   * footers (O(files) metadata, zero data re-scanned) and publishes the new
-  * version through [[CowTable.commitAt]]'s hard-link CAS. Two concurrent
-  * DSv2 writers therefore race exactly like two API writers: one commits,
-  * the other throws ConcurrentWriteException having left only unreferenced
-  * files (asserted in GraftWriteSpec).
+  * version through [[CowTable.commitAt]]'s hard-link CAS. Concurrent
+  * APPENDS both land — the CAS loser rebases onto the winner (blind-append
+  * conflict resolution, GraftWriteSpec); overwrites/creates stay
+  * single-winner, the loser leaving only unreferenced files.
+  *
+  * PERFORMANCE CONTRACT: this writer materializes one parquet-example
+  * `Group` per row — the right cost for the CDC-sized batches `INSERT
+  * INTO`/MERGE carry, a real tax on multi-TB bulk loads. Bulk initial
+  * loads should go through `CowTable.create`/`spark.read`-side plans
+  * (Spark's vectorized parquet writer); the READ side is columnar either
+  * way ([[GraftColumnarPartitionReader]]).
   *
   * Files are written with the PUBLIC parquet-hadoop example API (the write
   * twin of [[GraftPartitionReader]]) — flat primitive schemas only, matching
