@@ -37,11 +37,14 @@ object GraftProcedures {
       case "compact" => Some(proc("compact",
         Seq(in("table", StringType),
           in("small_bytes", LongType, Some((32L << 20).toString)),
-          in("target_partitions", IntegerType, Some("1"))),
+          in("target_partitions", IntegerType, Some("1")),
+          in("partition_value", StringType, Some("''"))),
         resultSchema = versionResult) { args =>
+        val scope = Option(args.getUTF8String(3))
+          .map(_.toString).filter(_.nonEmpty)
         val v = open(str(args, 0))
           .compact(smallBytes = args.getLong(1),
-            targetPartitions = args.getInt(2))
+            targetPartitions = args.getInt(2), partitionValue = scope)
         Array[Any](v)
       })
       case "optimize" => Some(proc("optimize",

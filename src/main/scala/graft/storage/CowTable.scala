@@ -286,11 +286,28 @@ final class CowTable private[storage] (
     * would serialize the rewrite AND fold all bins into one file).
     * Partitioned tables keep the hive re-layout path (the write's
     * partitionBy clusters per value). */
-  def compact(smallBytes: Long = 32L << 20, targetPartitions: Int = 1): Int = {
+  def compact(smallBytes: Long = 32L << 20, targetPartitions: Int = 1,
+      partitionValue: Option[String] = None): Int = {
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
+    require(partitionValue.isEmpty || config.partitionKey.isDefined,
+      s"table ${config.tableName} is not partitioned")
     val m = manifest(parent)
-    val (small, large) = m.files.partition(e =>
+    // partition-scoped compaction: fold ONLY the named partition value's
+    // small files ("compact yesterday's partition") — at scale the hot
+    // recent partition sprawls while the cold ones are already folded, and
+    // touching them again is pure wasted IO. Files outside the scope carry
+    // over untouched.
+    def inScope(e: FileEntry): Boolean = partitionValue.forall { v =>
+      config.partitionKey.exists { pk =>
+        e.path.split('/').dropRight(1).find(_.startsWith(pk + "="))
+          .map(seg => org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              seg.substring(pk.length + 1)))
+          .contains(v)
+      }
+    }
+    val (small, large) = m.files.partition(e => inScope(e) &&
       java.nio.file.Files.size(root.resolve(e.path)) < smallBytes)
     if (small.size <= 1) return parent // nothing to fold
     if (config.partitionKey.isDefined) {

@@ -178,6 +178,33 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sess.sql("CALL lake.no_such_proc('p')") }
   }
 
+  test("partition-scoped compaction folds only the named partition") {
+    import spark.implicits._
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    val t = CowTable(spark, lake + "/pt",
+      TableConfig("pt", Seq("id"), partitionKey = Some("seg")))
+    t.create(Seq((1L, "A"), (2L, "B")).toDF("id", "seg"))
+    t.upsert(Seq((3L, "A"), (4L, "B")).toDF("id", "seg"))
+    t.upsert(Seq((5L, "A"), (6L, "B")).toDF("id", "seg"))
+    graft.storage.LakeRegistry.register(lake,
+      TableConfig("pt", Seq("id"), partitionKey = Some("seg")), lake + "/pt")
+    val before = t.manifest(t.currentVersion).files
+    val bBefore = before.filter(_.path.contains("seg=B")).map(_.path).toSet
+    assert(before.count(_.path.contains("seg=A")) == 3)
+
+    val v = sess.sql("CALL lake.compact('pt', partition_value => 'A')")
+      .head().getInt(0)
+    val after = CowTable(spark, lake + "/pt",
+      TableConfig("pt", Seq("id"), partitionKey = Some("seg")))
+      .manifest(v).files
+    // seg=A folded to one file; every seg=B file carried untouched
+    assert(after.count(_.path.contains("seg=A")) == 1, after.map(_.path))
+    assert(after.filter(_.path.contains("seg=B")).map(_.path).toSet ==
+      bBefore)
+    assert(sess.table("lake.default.pt").count() == 6)
+  }
+
   test("unknown table / namespace / version fail loudly") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
