@@ -79,4 +79,64 @@ class CowTableModelSpec extends SparkSpec {
   test("random op sequences match the model (seeds 1-3)") { runSeed(1) }
   test("random op sequences match the model (seeds 4-6)") { runSeed(5) }
   test("random op sequences match the model (seed 9)") { runSeed(9) }
+
+  /** Same harness over a HIVE-PARTITIONED table (different write branch,
+    * partition-path pruning in the mix; z-order keeps the layout). The
+    * partition value derives from the key so upserts never move a row
+    * across partitions (the engine's documented contract). */
+  private def runPartitionedSeed(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = tmpDir(s"modelp$seed")
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("m", Seq("id"), partitionKey = Some("seg"),
+        statsColumns = Seq("w"), changeDataFeed = true))
+    val model = scala.collection.mutable.Map[Long, (String, Long)]()
+    def seg(k: Long) = s"s${k % 3}"
+    def df(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("id", "v", "w").withColumn("seg", expr("concat('s', id % 3)"))
+        .select("id", "seg", "v", "w")
+    def randRows(n: Int): Seq[(Long, String, Long)] =
+      (1 to n).map { _ =>
+        (rnd.nextInt(40).toLong, s"v${rnd.nextInt(1000)}",
+          rnd.nextInt(500).toLong)
+      }.groupBy(_._1).map(_._2.head).toSeq
+
+    val init = randRows(20)
+    t.create(df(init))
+    init.foreach { case (k, v, w) => model(k) = (v, w) }
+    (1 to 6).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val batch = randRows(1 + rnd.nextInt(8))
+          t.upsert(df(batch))
+          batch.foreach { case (k, v, w) => model(k) = (v, w) }
+        case 2 =>
+          val keys = (1 to 1 + rnd.nextInt(5))
+            .map(_ => rnd.nextInt(40).toLong).distinct
+          t.delete(keys.toDF("id"))
+          keys.foreach(model.remove)
+        case 3 =>
+          if (rnd.nextBoolean()) t.compact(smallBytes = 1L << 30,
+            partitionValue = Some(seg(rnd.nextInt(40).toLong)))
+          else t.optimize(Seq("id", "w"))
+      }
+      val got = t.read().select("id", "seg", "v", "w")
+        .as[(Long, String, String, Long)].collect()
+      assert(got.forall(r => r._2 == seg(r._1)), "partition value drifted")
+      val gm = got.map(r => r._1 -> ((r._3, r._4))).toMap
+      assert(gm == model.toMap, s"seed=$seed step=$step diff=" +
+        s"${(gm.toSet diff model.toSet) ++ (model.toSet diff gm.toSet)}")
+      // the DSv2 scan agrees with the API read, partition pruning included
+      val viaScan = spark.read.format("graft").load(dir + "/t")
+        .filter($"seg" === "s1").select("id").as[Long].collect().toSet
+      assert(viaScan == model.keySet.filter(_ % 3 == 1), s"seed=$seed")
+    }
+  }
+
+  test("partitioned random op sequences match the model (seed 2)") {
+    runPartitionedSeed(2)
+  }
+  test("partitioned random op sequences match the model (seed 7)") {
+    runPartitionedSeed(7)
+  }
 }
