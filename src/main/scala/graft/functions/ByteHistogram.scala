@@ -67,11 +67,27 @@ object ByteHistogram {
       ByteHistogram(
         org.apache.spark.sql.graftshim.ColumnBridge.toExpression(c), buckets))
 
-  /** Optional SQL registration: `SELECT byte_histogram(content, 16)`. */
+  /** Optional SQL registration: `SELECT byte_histogram(content, 16)`.
+    * The bucket count must be a positive integer LITERAL — validated here
+    * so a column/non-foldable/null argument gets a clear analysis-time
+    * message instead of an Unevaluable crash or NPE from a blind eval. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_histogram",
-      exprs => ByteHistogram(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => {
+        require(exprs.length == 2,
+          "byte_histogram(content, buckets) takes exactly 2 arguments")
+        val b = exprs(1)
+        if (!b.foldable) throw new IllegalArgumentException(
+          "byte_histogram: buckets must be a positive integer literal, " +
+            s"got non-constant expression ${b.sql}")
+        b.eval() match {
+          case n: Number if n.intValue() > 0 =>
+            ByteHistogram(exprs.head, n.intValue())
+          case other => throw new IllegalArgumentException(
+            "byte_histogram: buckets must be a positive integer literal, " +
+              s"got $other")
+        }
+      },
       "built-in")
 }

@@ -93,7 +93,13 @@ private[graft] object HashArrayAlgebra {
   }
 
   def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // a silent min-length truncation would undervalue the cosine of a
+    // corrupt/mismatched-dimension pair instead of surfacing it — the
+    // "exact" similarity paths must fail loud on bad inputs
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"dot_long: embedding dimensions differ (${n} vs ${b.numElements()})" +
+        " — mixed-dimension corpus or mis-exported query vectors")
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }

@@ -135,7 +135,14 @@ private[graft] object TextTokenAlgebra {
     ws.foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
-  private val maxStopwordBytes = 3
+  /** Fast-path length gate for the per-token hash probe — DERIVED from the
+    * lists so adding a longer stopword can never silently stop counting it
+    * (a hardcoded 3 would have dropped e.g. 'dans'/'dass' without any test
+    * failing on the old lists). */
+  private val maxStopwordBytes: Int = {
+    import scala.jdk.CollectionConverters._
+    stopwordSets.iterator.flatMap(_.asScala).map(_.numBytes()).max
+  }
 
   @inline private def isAsciiLetter(b: Byte): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')

@@ -174,7 +174,14 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    vectors.select(col(idCol), bucket.as("bucket"))
+    // a dim mismatch would null-pad zip_with, null-poison every dot, and
+    // silently drop ALL rows into bucket 0 — turning downstream candidate
+    // generation into the all-pairs blowup this module exists to avoid
+    val guarded = when(size(col(vecCol)) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lshBuckets: expected $dim-dim vectors, got "),
+        size(col(vecCol)).cast("string"), lit("-dim row"))).cast("long"))
+    vectors.select(col(idCol), guarded.as("bucket"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,

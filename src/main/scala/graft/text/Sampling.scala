@@ -29,7 +29,13 @@ object Sampling {
       s"bad split percentages: $trainPct/$valPct")
     val b = hashBucket(col(idCol))
     df.withColumn("split",
-      when(b < trainPct, "train")
+      // a NULL id must fail loud: both `<` comparisons evaluate to null,
+      // so it would otherwise fall through and silently concentrate every
+      // malformed row in the test split
+      when(col(idCol).isNull, raise_error(lit(
+        s"assignSplit: null $idCol cannot be split deterministically — " +
+          "filter or repair ids first")).cast("string"))
+        .when(b < trainPct, "train")
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }

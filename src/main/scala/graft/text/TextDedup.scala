@@ -73,12 +73,20 @@ object TextDedup {
     }
     edges.unpersist(blocking = false)
     // returning silently-partial labels would split one duplicate group
-    // across several cluster ids downstream — fail loudly instead
-    require(changed == 0,
-      s"nearDupClusters did not converge within $maxIterations rounds " +
-        s"($changed labels still changing) — a component's diameter " +
-        "exceeds maxIterations; raise it")
-    cur.select(col("id").as("doc_id"), col("cluster_id"))
+    // across several cluster ids downstream — fail loudly instead (and
+    // release the round cache on BOTH exits: the final labels leave this
+    // call checkpointed, never still-persisted)
+    if (changed != 0) {
+      cur.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"nearDupClusters did not converge within $maxIterations rounds " +
+          s"($changed labels still changing) — a component's diameter " +
+          "exceeds maxIterations; raise it")
+    }
+    val out = cur.select(col("id").as("doc_id"), col("cluster_id"))
+      .localCheckpoint()
+    cur.unpersist(blocking = false)
+    out
   }
 
   /** Exploded LSH bucket table (id, band, band_key): `bands` bands of
@@ -156,9 +164,17 @@ object TextDedup {
         .distinct()
         .localCheckpoint()
     } finally b.unpersist(blocking = false)
-    val sh = graft.core.Spread.up(df).select(col(idCol),
-      graft.functions.TextTokenExpressions
-        .shingleHash48(col(textCol), shingleK, distinct = true).as("__sh"))
+    // shingle only the CANDIDATE docs for verification: a semi-join prune
+    // before the shingle projection keeps the expensive md5 pipeline off
+    // the (vast) non-candidate majority — the bands pass above remains the
+    // only full-corpus hash scan
+    val candIds = cands.select(col("id_a").as(idCol))
+      .unionAll(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = graft.core.Spread.up(df)
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.TextTokenExpressions
+          .shingleHash48(col(textCol), shingleK, distinct = true).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
@@ -227,9 +243,13 @@ object TextDedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
             .as("hamming"))
+        // filter BEFORE distinct/checkpoint: chunk keys are narrow (12-bit
+        // slices), so random collisions make the unfiltered candidate set
+        // quadratic-ish at scale — only survivors deserve a shuffle and a
+        // checkpoint write
+        .filter(col("hamming") <= maxHamming)
         .distinct()
         .localCheckpoint()
-        .filter(col("hamming") <= maxHamming)
     } finally cached.unpersist(blocking = false)
   }
 
