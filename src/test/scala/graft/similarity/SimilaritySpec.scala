@@ -89,6 +89,31 @@ class SimilaritySpec extends SparkSpec {
       s"mean IVF recall ${recalls.sum / recalls.size} too low")
   }
 
+  test("mismatched embedding dimensions fail loud, never mis-rank") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f)))           // corrupt: 2-dim in a 4-dim corpus
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.cosineTopK(
+        vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding", 3)
+        .collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msg.contains("dimensions differ"), msg)
+
+    val e2 = intercept[Exception] {
+      Similarity.lshBuckets(
+        Seq((1L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64).collect()
+    }
+    val msg2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    assert(msg2.contains("64-dim"), msg2)
+  }
+
   test("zero vectors are excluded (no NaN cosine)") {
     val vecs = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 1f)))

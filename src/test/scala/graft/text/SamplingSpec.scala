@@ -30,6 +30,16 @@ class SamplingSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("null ids fail loud instead of skewing the test split") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.assignSplit(df, "id").collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msg.contains("null"), msg)
+  }
+
   test("bad percentages are rejected") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException] {
