@@ -41,9 +41,21 @@ object SeqPack {
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val totals = ranged.groupBy("__pid")
-        .agg(sum(col(costCol).cast("long")).as("__psum"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // null costs would silently skew the packing (the window sum skips
+      // them while an oracle's arithmetic may not — and an all-null
+      // partition makes sum() NULL, NPE-ing the offsets pass): reject them
+      // loudly in the same cheap totals aggregation
+      val totalRows = ranged.groupBy("__pid")
+        .agg(sum(col(costCol).cast("long")).as("__psum"),
+          count(when(col(costCol).isNull, 1)).as("__nulls"))
+        .collect()
+      val nullCost = totalRows.map(_.getLong(2)).sum
+      require(nullCost == 0,
+        s"packBins: $nullCost rows have null $costCol — null costs would " +
+          "silently skew bin budgets; filter or coalesce them upstream")
+      val totals = totalRows
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .toMap
       // exclusive prefix offsets, in partition order (range partitions are
       // ordered by construction)
       val offsets = (0 until n).scanLeft(0L) {

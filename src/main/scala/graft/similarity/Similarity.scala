@@ -142,24 +142,47 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: candidates restricted to one
     * quantized-LSH bucket (never all-pairs), exact-rescored, thresholded.
-    * Output (id_a, id_b, cosine) with id_a < id_b. */
+    * Output (id_a, id_b, cosine) with id_a < id_b.
+    *
+    * `maxBucket` bounds any single LSH bucket (same loud guard as
+    * TextDedup's banded minhash): a degenerate corpus — mass-duplicate
+    * embeddings, near-zero vectors collapsing into one sign pattern — would
+    * otherwise concentrate the self-join's O(bucket²) pair generation on a
+    * single reducer. The guard fails fast naming the worst bucket instead of
+    * OOM-ing mid-shuffle. */
   def embeddingNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 6, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 1 << 20): DataFrame = {
+    // persist across (guard action, pair action) so the quantize+bucket
+    // pipeline runs once; the thresholded pair set is tiny, so it is
+    // materialized eagerly while the cache is hot, then the cache dropped —
+    // nothing leaks past this call
     val n = prepared(vectors, idCol, vecCol)
       .withColumn("bucket", lshBucketQ(col("__qv"), numPlanes, dim, seed))
-    val a = n.select(col(idCol).as("id_a"), col("bucket"),
-      col("__qv").as("__qa"), col("__n2").as("__na"))
-    val b = n.select(col(idCol).as("id_b"), col("bucket"),
-      col("__qv").as("__qb"), col("__n2").as("__nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        dotQ(col("__qa"), col("__qb")).cast("double") /
-          sqrt(col("__na").cast("double") * col("__nb").cast("double")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val worst = n.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .orderBy(col("__n").desc).head(1)
+      require(worst.isEmpty,
+        s"embedding LSH bucket ${worst.headOption.fold("")(_.toString)} " +
+          s"holds more than maxBucket=$maxBucket members — the within-bucket " +
+          "self-join would explode quadratically on one reducer. Exact-dedup " +
+          "the embeddings first, add planes, or raise maxBucket.")
+      val a = n.select(col(idCol).as("id_a"), col("bucket"),
+        col("__qv").as("__qa"), col("__n2").as("__na"))
+      val b = n.select(col(idCol).as("id_b"), col("bucket"),
+        col("__qv").as("__qb"), col("__n2").as("__nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          dotQ(col("__qa"), col("__qb")).cast("double") /
+            sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .localCheckpoint()
+    } finally n.unpersist(blocking = false)
   }
 
   /** (id, bucket): sign pattern of the vector against `numPlanes` random

@@ -569,26 +569,41 @@ final class GraftScan(
     new GraftMicroBatchStream(
       root, required, columnar, bounds, partValues, streamOpts)
 
+  /** The file set as of PLANNING time. Key-grouped planning must derive its
+    * partition-VALUE list from this snapshot, not from the runtime-pruned
+    * `kept`: Spark captures `KeyGroupedPartitioning(numPartitions)` when the
+    * plan is built, and `BatchScanExec` demands the data source "preserve
+    * the original partitioning during runtime filtering" — a runtime
+    * IN-filter that drops every file of one partition value must therefore
+    * yield an EMPTY group for that value, not a shorter group list (the same
+    * reason Iceberg keeps empty groups under SPJ). */
+  private val planned: Seq[FileEntry] = kept
+
   /** Files grouped by partition value, iff a storage-partitioned join can
     * use the grouping: the table is hive-partitioned, v2 bucketing is on,
     * the partition column survives column pruning (the clustering
     * expression must resolve against the scan output), every kept file has
     * a path-borne value, and the value parses as the declared type. Any
-    * miss ⇒ None ⇒ plain per-file planning — never a wrong grouping. */
+    * miss ⇒ None ⇒ plain per-file planning — never a wrong grouping.
+    * Group VALUES come from the planning-time snapshot (stable across
+    * runtime filtering); group MEMBERS come from the current `kept`, so a
+    * fully-pruned value shows up as an empty group. */
   private def keyGroups: Option[Seq[(String, Seq[FileEntry])]] = {
     val pk = m.partitionKey.getOrElse(return None)
     val bucketing = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
     if (bucketing != "true") return None
     if (!required.fieldNames.contains(pk)) return None
-    if (kept.isEmpty) return None
+    if (planned.isEmpty) return None
     val dt = required(pk).dataType
-    val vals = kept.map(pathPartValue)
+    val vals = planned.map(pathPartValue)
     if (vals.contains(None)) return None // flat-layout file: value unknown
     if (scala.util.Try(vals.flatten.distinct.foreach(v =>
       GraftColumnarPartitionReader.parsePartitionValue(v, dt))).isFailure)
       return None
-    Some(kept.groupBy(e => pathPartValue(e).get).toSeq.sortBy(_._1))
+    val current = kept.groupBy(e => pathPartValue(e).get)
+    Some(planned.map(e => pathPartValue(e).get).distinct.sorted
+      .map(v => v -> current.getOrElse(v, Nil)))
   }
 
   /** Storage-partitioned-join contract: when files are key-grouped, report

@@ -34,12 +34,23 @@ object ZOrder {
   }
 
   /** Bit-interleave the per-column ranks: bit i of column j lands at
-    * position i*n + j. Bits are disjoint, so OR assembles the Z value. */
+    * position i*n + j. Bits are disjoint, so OR assembles the Z value.
+    *
+    * The interleaved width must stay BELOW the long sign bit: position 63
+    * would invert the sort order for high ranks, and Java's mod-64 shift
+    * wraps silently past it, scrambling the Morton curve for wide clusterBy
+    * lists. Rather than reject wide lists, per-column resolution coarsens
+    * (keeping the HIGH-order rank bits) so bits·n ≤ 63 always holds. */
   def zvalue(ranked: Seq[Column]): Column = {
     val n = ranked.size
+    require(n >= 1, "zvalue needs at least one cluster column")
+    val bits = math.min(Bits, 63 / n)
+    require(bits >= 1,
+      s"zvalue: $n cluster columns cannot interleave within 63 bits")
     val parts = for {
-      (r, j) <- ranked.zipWithIndex
-      i <- 0 until Bits
+      (r0, j) <- ranked.zipWithIndex
+      r = shiftright(r0, Bits - bits)
+      i <- 0 until bits
     } yield shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * n + j)
     parts.reduce(_.bitwiseOR(_))
   }

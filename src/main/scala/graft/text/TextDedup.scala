@@ -42,8 +42,14 @@ object TextDedup {
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIterations: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // materialize the pair input ONCE before the symmetric union: each union
+    // branch is a separate subtree, so an un-materialized `pairs` plan (e.g.
+    // the whole LSH+verify pipeline of nearDupPairs composed lazily) would
+    // execute in full twice before clustering even starts
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint()
+    val edges = p
+      .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(lvl)
     // `cur` is always the PERSISTED frame of the latest round (the changed
     // count materializes it before the previous round's cache is released —
@@ -170,11 +176,15 @@ object TextDedup {
     // only full-corpus hash scan
     val candIds = cands.select(col("id_a").as(idCol))
       .unionAll(cands.select(col("id_b").as(idCol))).distinct()
+    // ...and materialize the pruned shingle table ONCE: it is joined on both
+    // the id_a and id_b sides below, and without a cut the full-corpus
+    // Spread + semi-join + md5 pipeline would execute twice
     val sh = graft.core.Spread.up(df)
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         graft.functions.TextTokenExpressions
           .shingleHash48(col(textCol), shingleK, distinct = true).as("__sh"))
+      .localCheckpoint()
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")

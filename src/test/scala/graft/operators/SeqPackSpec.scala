@@ -38,6 +38,17 @@ class SeqPackSpec extends SparkSpec {
     assert(packed.count() == 500L)
   }
 
+  test("null costs are rejected loudly (no silent bin skew, no NPE)") {
+    // an all-null partition makes sum() NULL (NPE in the offsets pass);
+    // scattered nulls silently skew budgets — both must fail loud instead
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
+      .toDF("doc_id", "cost")
+    val e = intercept[IllegalArgumentException] {
+      SeqPack.packBins(df, "doc_id", "cost", budget = 100L, partitions = 2)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("a document larger than the budget gets its own bin boundary") {
     val df = Seq((1L, 10L), (2L, 5000L), (3L, 10L)).toDF("doc_id", "cost")
     val bins = SeqPack.packBins(df, "doc_id", "cost", budget = 100L,

@@ -114,6 +114,23 @@ class SimilaritySpec extends SparkSpec {
     assert(msg2.contains("64-dim"), msg2)
   }
 
+  test("mass-duplicate embeddings trip the hot-bucket guard loudly") {
+    // a degenerate corpus concentrates one LSH bucket; the within-bucket
+    // self-join would go O(bucket²) on one reducer — the guard must fail
+    // fast at call time, naming the bound, instead of OOM-ing mid-shuffle
+    val vecs = (1L to 50L).map(i => (i, Seq(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 4, dim = 4, maxBucket = 10)
+    }
+    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+    // with an adequate bound the same corpus still produces all pairs
+    val ok = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, dim = 4)
+    assert(ok.count() == 50L * 49 / 2)
+  }
+
   test("zero vectors are excluded (no NaN cosine)") {
     val vecs = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 1f)))

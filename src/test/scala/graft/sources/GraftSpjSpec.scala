@@ -65,6 +65,62 @@ class GraftSpjSpec extends SparkSpec {
     assert(rows == plain)
   }
 
+  test("runtime filtering preserves the advertised group count (empty groups)") {
+    // BatchScanExec demands the source "preserve the original partitioning
+    // during runtime filtering": a runtime filter that drops every file of
+    // one partition value must yield an EMPTY group, not a shorter list
+    import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val dir = tmpDir("spj")
+    mkTables(dir)
+    val sess = spjSession()
+    SparkSession.setActiveSession(sess)
+    try {
+      val t = CowTable(sess, dir + "/a",
+        TableConfig("a", Seq("id"), partitionKey = Some("seg")))
+      val m = t.manifest(t.currentVersion)
+      val scan = new GraftScan(
+        java.nio.file.Paths.get(dir + "/a"), m, t.read().schema, Nil)
+      val advertised = scan.outputPartitioning() match {
+        case k: org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning => k.numPartitions()
+        case p => fail(s"expected KeyGroupedPartitioning, got $p")
+      }
+      assert(advertised == 5)
+      val segLit = new V2Literal[org.apache.spark.unsafe.types.UTF8String] {
+        override def value() =
+          org.apache.spark.unsafe.types.UTF8String.fromString("seg3")
+        override def dataType() = org.apache.spark.sql.types.StringType
+      }
+      scan.filter(Array(new Predicate("=",
+        Array(Expressions.column("seg"), segLit))))
+      val parts = scan.planInputPartitions()
+      assert(parts.length == advertised,
+        s"group count changed under runtime filtering: ${parts.length}")
+      val groups = parts.collect { case g: GraftGroupedPartition => g }
+      assert(groups.count(_.files.nonEmpty) == 1,
+        groups.map(g => g.partitionValues -> g.files.size).toSeq.toString)
+    } finally SparkSession.setActiveSession(spark)
+  }
+
+  test("DPP join over a grouped scan stays correct (no partitioning error)") {
+    val dir = tmpDir("spj")
+    mkTables(dir)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    import sess.implicits._
+    // storage-backed dim: a Seq-backed one constant-folds and leaves no
+    // selective predicate for the dynamic-pruning subquery
+    (0 until 5).map(i => (s"seg$i", s"d$i")).toDF("seg2", "label")
+      .write.mode("overwrite").parquet(dir + "/dim")
+    val dim = sess.read.parquet(dir + "/dim").filter($"label" === "d3")
+    val j = sess.read.format("graft").load(dir + "/a")
+      .join(dim, $"seg" === $"seg2")
+    val planned = j.queryExecution.executedPlan.toString
+    assert(planned.toLowerCase.contains("dynamicpruning"), planned)
+    assert(j.count() == 40L) // 200 rows / 5 segs
+  }
+
   test("null partition values group and join correctly") {
     val dir = tmpDir("spj")
     import spark.implicits._

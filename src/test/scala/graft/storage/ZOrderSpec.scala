@@ -65,6 +65,18 @@ class ZOrderSpec extends SparkSpec {
     assert(t.read().count() == 4096L)
   }
 
+  test("wide clusterBy lists coarsen instead of wrapping the sign bit") {
+    // 9 columns × 8 bits would put bits at positions ≥ 63 (Java shifts are
+    // mod-64): zvalue must coarsen per-column resolution, keeping z-values
+    // non-negative and order-preserving
+    val df = (0L until 256L).map(Tuple1(_)).toDF("r")
+    val z = df.select($"r", ZOrder.zvalue(Seq.fill(9)(col("r"))).as("z"))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(z.forall(_ >= 0L), z.filter(_ < 0L).take(3).mkString(","))
+    assert(z.sliding(2).forall(p => p(0) <= p(1)), "non-monotone z")
+    assert(z.distinct.length >= 64, s"over-coarsened: ${z.distinct.length}")
+  }
+
   test("string cluster columns are rejected loudly") {
     val dir = tmpDir("zorder")
     val t = grid(dir)
