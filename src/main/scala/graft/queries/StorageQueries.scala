@@ -474,6 +474,46 @@ object StorageQueries {
           |""".stripMargin)
     },
 
+    // SQL MERGE **WITH SCHEMA EVOLUTION** — the reference's core CDC shape
+    // end-to-end in SQL: the initial load carries NO CDC columns; the first
+    // CDC batch ADDS `timestamp` and `last_applied_date` and the target
+    // gains them as part of the MERGE (the batch adds last_applied_date at
+    // src/hudi/hudi-cdc-load.py:94-95; Delta autoMerge
+    // src/delta/delta-initial-load.py:33). Routed through the catalog's
+    // alterTable(AddColumn) by Spark's ResolveMergeIntoSchemaEvolution;
+    // untouched rows null-fill the evolved columns at read. Must converge
+    // to the same state as q27/q85/q89: oracle is q27's verbatim.
+    Q("q104_merge_schema_evolution", cdcOracleSql) { (s, d) =>
+      val root = tableDir("q104")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", root)
+      initialSnapshot(sess, d).createOrReplaceTempView("q104_init")
+      sess.sql(
+        """CREATE TABLE lake.default.user_state
+          |OPTIONS (primaryKey 'user_id') AS SELECT * FROM q104_init
+          |""".stripMargin)
+      val batch = CdcDedup.latestPerKeyStrict(
+        cdcBatch(sess, d), Seq("user_id"), "timestamp", Seq("event_id"))
+      batch.filter(col("Op") =!= "D").drop("Op")
+        .withColumn("last_applied_date", lit(auditTs).cast("timestamp"))
+        .createOrReplaceTempView("q104_upsert")
+      batch.filter(col("Op") === "D").createOrReplaceTempView("q104_delete")
+      sess.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO lake.default.user_state t
+          |USING q104_upsert s ON s.user_id = t.user_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      sess.sql(
+        """MERGE INTO lake.default.user_state t
+          |USING q104_delete s ON s.user_id = t.user_id
+          |WHEN MATCHED THEN DELETE
+          |""".stripMargin)
+      sess.table("lake.default.user_state")
+    },
+
     // STORAGE-PARTITIONED JOIN (Iceberg-style SPJ): two graft tables
     // hive-partitioned on event_type report KeyGroupedPartitioning, so
     // with v2 bucketing on, Spark aligns their partitions and the join

@@ -188,7 +188,16 @@ final class GraftTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      // opts `MERGE WITH SCHEMA EVOLUTION` into the analyzer's
+      // ResolveMergeIntoSchemaEvolution: source-only columns become
+      // alterTable(AddColumn) TableChanges against the owning catalog (the
+      // reference's CDC batch ADDS last_applied_date and the target gains
+      // it — src/hudi/hudi-cdc-load.py:94-95, Delta autoMerge
+      // src/delta/delta-initial-load.py:33). Evolution stays opt-in per
+      // statement; a plain MERGE with an unknown column is still an
+      // analysis error, and non-ADD changes are rejected by alterTable.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = mOpt.getOrElse(throw new IllegalArgumentException(

@@ -76,6 +76,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "B", 9L -> "I"), got)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only column lands (CDC pattern)") {
+    // the reference's CDC batch ADDS last_applied_date and the target gains
+    // the column (reference: src/hudi/hudi-cdc-load.py:94-95, Delta autoMerge
+    // src/delta/delta-initial-load.py:33) — in SQL this is Spark 4's
+    // MERGE WITH SCHEMA EVOLUTION, which routes through alterTable(AddColumn)
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.se (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.se VALUES (1, 'a'), (2, 'b')")
+    sess.sql("SELECT * FROM VALUES (CAST(2 AS BIGINT), 'B', DATE'2024-03-01'), " +
+      "(CAST(9 AS BIGINT), 'I', DATE'2024-03-01') " +
+      "AS s(id, v, last_applied_date)").createOrReplaceTempView("se_src")
+    sess.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO lake.default.se t
+        |USING se_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = sess.table("lake.default.se").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDate(2).toString)))
+    assert(got.toSeq == Seq(
+      (1L, "a", None),                    // untouched row null-fills
+      (2L, "B", Some("2024-03-01")),
+      (9L, "I", Some("2024-03-01"))), got.toSeq)
+    // plain MERGE (no evolution clause) never evolves: Spark ignores extra
+    // source columns for SET */INSERT *, and the table schema must not
+    // silently gain them
+    sess.sql(
+      """MERGE INTO lake.default.se t USING
+        |(SELECT id, v, last_applied_date, 1 AS surprise FROM se_src) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(!sess.table("lake.default.se").columns.contains("surprise"))
+    // lossy/retype evolution is rejected loudly, not silently coerced
+    sess.sql("SELECT CAST(2 AS BIGINT) AS id, 3.14 AS v")
+      .createOrReplaceTempView("se_bad")
+    intercept[Exception] {
+      sess.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO lake.default.se t
+          |USING se_bad s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+  }
+
   test("CTAS through the catalog, partitioned create via PARTITIONED BY") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
