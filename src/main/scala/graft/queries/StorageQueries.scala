@@ -421,22 +421,28 @@ object StorageQueries {
     // rewritten along a Morton curve over (l_orderkey, l_linenumber) — a
     // dataChange=false reorganization that gives every file a tight
     // hyper-rectangle of the key space (both columns' stats sharpened at
-    // once; probe-count and carried-file behavior asserted in ZOrderSpec).
-    // Oracle = the untouched row set: reorganization must preserve content
-    // exactly.
+    // once; probe-count and carried-file behavior asserted in ZOrderSpec) —
+    // then AGAIN over (l_returnflag, l_orderkey): a STRING leading cluster
+    // column via one-pass sampled range ids, the reference's natural
+    // clustering key shape (its partition key is the string `category`,
+    // cdk.json:71). Oracle = the untouched row set: both reorganizations
+    // must preserve content exactly.
     Q("q94_zorder_optimize",
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  l_extendedprice
         |FROM lineitem WHERE l_orderkey <= 1000
         |""".stripMargin) { (s, d) =>
       val base = tableDir("q94")
       CowTable.deleteRecursively(java.nio.file.Paths.get(base))
       val li = t(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_extendedprice")
         .filter(col("l_orderkey") <= 1000)
       val tbl = CowTable(s, base,
         TableConfig("li_z", Seq("l_orderkey", "l_linenumber")))
       tbl.create(li.repartition(8))
       tbl.optimize()
+      tbl.optimize(Seq("l_returnflag", "l_orderkey"))
       tbl.read()
     },
 
@@ -620,6 +626,9 @@ object StorageQueries {
         |  'update_postimage' AS _change_type
         |FROM customer WHERE c_custkey % 17 = 0
         |UNION ALL
+        |SELECT c_custkey, c_acctbal, CAST(2 AS INT), 'update_preimage'
+        |FROM customer WHERE c_custkey % 17 = 0
+        |UNION ALL
         |SELECT c_custkey,
         |  CASE WHEN c_custkey % 17 = 0 THEN round(c_acctbal + 50, 2)
         |       ELSE c_acctbal END,
@@ -655,6 +664,9 @@ object StorageQueries {
         |UNION ALL
         |SELECT c_custkey, round(c_acctbal + 50, 2), CAST(2 AS INT),
         |  'update_postimage'
+        |FROM customer WHERE c_custkey % 17 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, CAST(2 AS INT), 'update_preimage'
         |FROM customer WHERE c_custkey % 17 = 0
         |UNION ALL
         |SELECT c_custkey,
@@ -802,6 +814,13 @@ object StorageQueries {
          |       ELSE 'update_postimage' END AS _change_type
          |FROM ups u LEFT JOIN init i ON i.user_id = u.user_id
          |UNION ALL
+         |SELECT i.user_id, i.event_id, i.event_type, i.value,
+         |  CAST(NULL AS TIMESTAMP) AS "timestamp",
+         |  CAST(NULL AS TIMESTAMP) AS last_applied_date,
+         |  CAST(2 AS INT) AS _commit_version,
+         |  'update_preimage' AS _change_type
+         |FROM init i JOIN ups u ON u.user_id = i.user_id
+         |UNION ALL
          |SELECT d.user_id, d.event_id, d.event_type, d.value,
          |  CAST(NULL AS TIMESTAMP) AS "timestamp",
          |  CAST(NULL AS TIMESTAMP) AS last_applied_date,
@@ -816,7 +835,8 @@ object StorageQueries {
       CdcPipeline.applyBatch(tbl,
         cdcBatch(s, d).filter(col("user_id") % 5 === 0 && col("user_id") < 500),
         auditTs = lit(auditTs).cast("timestamp"))
-      tbl.readChangeFeed(1, tbl.currentVersion)
+      // _commit_timestamp is wall-clock (un-oracle-able) — drop it here
+      tbl.readChangeFeed(1, tbl.currentVersion).drop("_commit_timestamp")
     },
 
     // §2.2 strict dedup (the precombine tie-break path,

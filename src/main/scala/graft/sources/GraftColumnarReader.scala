@@ -134,6 +134,10 @@ object GraftColumnarPartitionReader {
       case FloatType => raw.toFloat
       case BooleanType => raw.toBoolean
       case DateType => DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(raw))
+      // micros-since-epoch text — the synthetic `_commit_timestamp` CDF
+      // constant (timestamp PARTITION keys remain unsupported: their hive
+      // path rendering is formatted text, rejected below via NumberFormat)
+      case TimestampType => raw.toLong
       case d: DecimalType => Decimal(BigDecimal(raw), d.precision, d.scale)
       case other => throw new UnsupportedOperationException(
         s"graft reader: partition column type ${other.simpleString}")

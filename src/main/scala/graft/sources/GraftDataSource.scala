@@ -80,10 +80,13 @@ class GraftDataSource extends TableProvider
 }
 
 object GraftTable {
-  /** Change-feed read schema: the table's columns plus the two CDF
-    * metadata columns every feed row carries. */
+  /** Change-feed read schema: the table's columns plus the CDF metadata
+    * columns every feed row carries (Delta's contract: version, commit
+    * timestamp, change type). */
   def withCdfColumns(base: StructType): StructType = base
     .add("_commit_version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)
+    .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType,
       nullable = false)
     .add("_change_type", org.apache.spark.sql.types.StringType,
       nullable = false)

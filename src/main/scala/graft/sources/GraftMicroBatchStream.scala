@@ -178,7 +178,8 @@ final class GraftMicroBatchStream(
               .filter(_.getFileName.toString.endsWith(".parquet"))
               .toSeq.sortBy(_.toString)
           }.map(p => GraftInputPartition(p.toString,
-            Map("_commit_version" -> v.toString)))
+            Map("_commit_version" -> v.toString,
+              "_commit_timestamp" -> (m.commitTimeMs * 1000L).toString)))
         case None =>
           val parentPaths: Set[String] =
             if (m.parent <= 0) Set.empty
@@ -194,6 +195,7 @@ final class GraftMicroBatchStream(
             GraftInputPartition(root.resolve(e.path).toString,
               GraftScan.hivePathValues(e.path) ++ Map(
                 "_commit_version" -> v.toString,
+                "_commit_timestamp" -> (m.commitTimeMs * 1000L).toString,
                 "_change_type" -> "insert")))
       }
     }.toArray

@@ -1,6 +1,7 @@
 package graft.storage
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import graft.operators.MergeEngine
@@ -234,7 +235,14 @@ final class CowTable private[storage] (
             val updates = merged.join(sKeys, config.primaryKey, "left_semi")
               .join(tKeys, config.primaryKey, "left_semi")
               .withColumn("_change_type", lit("update_postimage"))
-            val cdc = writeCdc(inserts.unionByName(updates), parent + 1)
+            // updated rows ALSO record their pre-merge image (Delta's CDF
+            // contract — consumers pair update_preimage/update_postimage);
+            // an evolved-in column null-fills on the preimage side, which
+            // predates it
+            val preimages = target.join(sKeys, config.primaryKey, "left_semi")
+              .withColumn("_change_type", lit("update_preimage"))
+            val cdc = writeCdc(inserts.unionByName(updates)
+              .unionByName(preimages, allowMissingColumns = true), parent + 1)
             writeVersion(merged, merged.schema, untouched, parent,
               cdcDir = cdc)
           } finally merged.unpersist()
@@ -273,9 +281,9 @@ final class CowTable private[storage] (
     * back — SURVEY.md §7.5 north-star op). Returns the new version (or the
     * current one when there is nothing to compact).
     *
-    * SHUFFLE-FREE on unpartitioned tables: small files are size-bin-packed
-    * driver-side (pure metadata), each bin `coalesce(1)`s its files into one
-    * output partition, and the bins write in parallel — no Exchange, no
+    * SHUFFLE-FREE: small files are size-bin-packed driver-side (pure
+    * metadata), each bin `coalesce(1)`s its files into one output
+    * partition, and the bins write in parallel — no Exchange, no
     * repartition of every small-file byte through one global shuffle (at
     * 100 TB a year of CDC sprawl compacts at IO cost, not shuffle cost).
     * Bins are built over files ORDERED BY minKey, so range-clustered inputs
@@ -284,8 +292,9 @@ final class CowTable private[storage] (
     * parallelism matches a cluster's scheduler, not a single union plan
     * (Spark 4 zips same-partitioned union children into ONE partition, which
     * would serialize the rewrite AND fold all bins into one file).
-    * Partitioned tables keep the hive re-layout path (the write's
-    * partitionBy clusters per value). */
+    * PARTITIONED tables bin-pack within each hive partition directory and
+    * write into the same escaped `pk=value` segment — identical per-bin
+    * Exchange-free jobs, `targetPartitions` applying per partition value. */
   def compact(smallBytes: Long = 32L << 20, targetPartitions: Int = 1,
       partitionValue: Option[String] = None): Int = {
     val parent = currentVersion
@@ -310,30 +319,53 @@ final class CowTable private[storage] (
     val (small, large) = m.files.partition(e => inScope(e) &&
       java.nio.file.Files.size(root.resolve(e.path)) < smallBytes)
     if (small.size <= 1) return parent // nothing to fold
-    if (config.partitionKey.isDefined) {
-      val compacted = readFiles(m, small).repartition(targetPartitions)
-      return writeVersion(compacted, structFromJson(m.schemaJson), large,
-        parent, dataChange = false)
-    }
     val schema = structFromJson(m.schemaJson)
-    val bins = compactionBins(m, small, targetPartitions)
     val verSeg = f"v${parent + 1}%05d-" + java.util.UUID.randomUUID
       .toString.replace("-", "").substring(0, 8)
     val verDir = root.resolve(verSeg)
+    // bins to rewrite, each tagged with the output subdirectory it folds
+    // into. PARTITIONED tables bin-pack WITHIN each hive partition dir (the
+    // escaped `pk=value` path segment is reused verbatim for the output, so
+    // partition-value pruning keeps working) — the same Exchange-free
+    // per-bin rewrite as the flat path, NOT a global repartition of every
+    // small-file byte through one shuffle. A partition value with a single
+    // small file carries over untouched (rewriting it is pure wasted IO).
+    val (binned: Seq[(String, Vector[FileEntry])], carryExtra: Seq[FileEntry]) =
+      config.partitionKey match {
+        case None => (compactionBins(m, small, targetPartitions)
+          .map("" -> _), Nil)
+        case Some(pk) =>
+          def seg(e: FileEntry): Option[String] =
+            e.path.split('/').dropRight(1).find(_.startsWith(pk + "="))
+          // a file without a path-borne value (flat pre-partitioning
+          // layout) cannot be re-laid-out without a shuffle — carry it
+          val (seggable, flat) = small.partition(e => seg(e).isDefined)
+          val groups = seggable.groupBy(e => seg(e).get).toSeq.sortBy(_._1)
+          val (multi, single) = groups.partition(_._2.size > 1)
+          (multi.flatMap { case (sg, fs) =>
+            compactionBins(m, fs, targetPartitions).map(sg -> _)
+          }, flat ++ single.flatMap(_._2))
+      }
+    if (binned.isEmpty) return parent
     // one independent scan→coalesce(1)→write job per bin, submitted in
     // parallel (Spark schedules concurrent jobs from multiple threads);
-    // each job's plan is Exchange-free by construction
+    // each job's plan is Exchange-free by construction. Partition columns
+    // live in the directory name, never in the file (hive contract), so
+    // the bin frame drops them before writing.
     import scala.collection.parallel.CollectionConverters._
     withStatFriendlyTimestamps {
-      bins.zipWithIndex.par.foreach { case (b, i) =>
+      binned.zipWithIndex.par.foreach { case ((sg, b), i) =>
+        val outDir =
+          if (sg.isEmpty) verDir.resolve(f"bin-$i%04d")
+          else verDir.resolve(sg).resolve(f"bin-$i%04d")
         compactionBinFrame(m, b)
-          .write.mode("overwrite")
-          .parquet(verDir.resolve(f"bin-$i%04d").toString)
+          .drop(config.partitionKey.toSeq: _*)
+          .write.mode("overwrite").parquet(outDir.toString)
       }
     }
     val freshC = statFiles(verDir, schema)
     if (config.bloomIndex) writeBlooms(verDir, freshC, schema)
-    commitAt(parent, freshC, large, schema, dataChange = false)
+    commitAt(parent, freshC, large ++ carryExtra, schema, dataChange = false)
   }
 
   /** OPTIMIZE ZORDER (Delta/Hudi clustering surface): rewrite the current
@@ -347,12 +379,14 @@ final class CowTable private[storage] (
     *
     * A reorganization commit (`dataChange=false`): same rows, new layout —
     * the change feed and the streaming source skip it. Cost: one
-    * approxQuantile pass (skew-robust 8-bit range ids per column, see
-    * [[ZOrder]]) + one range-exchange write; at 100 TB it runs per
-    * partition-era or post-compaction, not per commit. Numeric, date, and
-    * timestamp columns only — a string leading key should use
-    * `clusterByKey` range clustering instead (quantiles over strings don't
-    * exist in one pass).
+    * approxQuantile pass for the numeric-family columns (skew-robust 8-bit
+    * range ids, see [[ZOrder]]) plus one hash-sampled distinct-value pass
+    * per STRING column (deterministic value sample sorted in Spark's UTF-8
+    * order → evenly-spaced split literals — the one-pass string range id
+    * that lets the reference's string `category` key
+    * (/root/reference/cdk.json:71) cluster), then one range-exchange write;
+    * at 100 TB it runs per partition-era or post-compaction, not per
+    * commit.
     *
     * @param targetPartitions output file count (0 ⇒ keep the current count)
     */
@@ -366,23 +400,32 @@ final class CowTable private[storage] (
     val missing = clusterBy.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"optimize: cluster columns not in table: ${missing.mkString(", ")}")
-    val casted = clusterBy.map { k =>
+    val stringCols = clusterBy.filter(k =>
+      df.schema(k).dataType == org.apache.spark.sql.types.StringType)
+    val numericCols = clusterBy.filterNot(stringCols.contains)
+    val casted = numericCols.map { k =>
       val dt = df.schema(k).dataType
       val ok = dt.isInstanceOf[NumericType] ||
         dt == org.apache.spark.sql.types.TimestampType ||
         dt == org.apache.spark.sql.types.DateType
-      require(ok, s"graft optimize: z-order needs numeric/date/timestamp " +
-        s"columns; $k is ${dt.simpleString} (use clusterByKey range " +
-        "clustering for string keys)")
+      require(ok, s"graft optimize: z-order needs numeric/date/timestamp/" +
+        s"string columns; $k is ${dt.simpleString}")
       s"__zr_$k" -> keyStatColumn(col(k), dt).cast("double")
     }
     val tmp = casted.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     val probes = (1 until (1 << ZOrder.Bits)).map(_.toDouble / (1 << ZOrder.Bits)).toArray
-    val splits = tmp.stat.approxQuantile(
-      casted.map(_._1).toArray, probes, 0.001)
-    val ranked = casted.zip(splits).map { case ((n, _), sp) =>
-      ZOrder.rankColumn(col(n), sp.toSeq.distinct.sorted)
-    }
+    val numSplits: Map[String, org.apache.spark.sql.Column] =
+      if (casted.isEmpty) Map.empty
+      else casted.map(_._1).zip(tmp.stat.approxQuantile(
+        casted.map(_._1).toArray, probes, 0.001)).map { case (n, sp) =>
+        n -> ZOrder.rankColumn(col(n), sp.toSeq.distinct.sorted)
+      }.toMap
+    val strSplits: Map[String, org.apache.spark.sql.Column] = stringCols.map { k =>
+      k -> ZOrder.rankStringColumn(col(k),
+        stringRangeSplits(df, k, m.files.map(_.rows).sum))
+    }.toMap
+    val ranked = clusterBy.map(k =>
+      if (stringCols.contains(k)) strSplits(k) else numSplits(s"__zr_$k"))
     val nOut =
       if (targetPartitions > 0) targetPartitions
       else math.max(1, m.files.size)
@@ -396,6 +439,35 @@ final class CowTable private[storage] (
     val out = shaped.drop("__z").drop(casted.map(_._1): _*)
     writeVersion(out, structFromJson(m.schemaJson), Nil, parent,
       dataChange = false, preshaped = true)
+  }
+
+  /** One-pass range splits for a STRING cluster column: a deterministic
+    * hash-based VALUE sample (xxhash64 of the value, so every occurrence of
+    * a value samples identically — a frequency-capped dictionary, mass
+    * duplicates count once) is collected bounded to the driver, sorted in
+    * Spark's binary UTF-8 order (NOT Java's UTF-16 compareTo — ranks must be
+    * monotone under the engine's own `<=`), and 255 evenly-spaced split
+    * literals are drawn. Skew in the sampled value SET is what the quantiles
+    * see; that is the right skew measure for file-layout clustering. */
+  private[storage] def stringRangeSplits(
+      df: DataFrame, k: String, totalRows: Long,
+      buckets: Int = 1 << ZOrder.Bits): Seq[String] = {
+    val targetSample = 20000L
+    val mod = math.max(1L, totalRows / targetSample)
+    val vals = df.select(col(k).cast("string").as("__v"))
+      .where(col("__v").isNotNull &&
+        pmod(xxhash64(col("__v")), lit(mod)) === 0)
+      .distinct().limit(65536)
+      .collect().map(_.getString(0))
+      .sorted(CowTable.utf8Ordering)
+    if (vals.isEmpty) Nil
+    else (1 until buckets)
+      .map(i => vals(((i.toLong * vals.length) / buckets).toInt))
+    // splits are deliberately NOT deduplicated: with few distinct values a
+    // repeated split literal counts once per repeat in the rank comparison,
+    // spreading ranks across the full 8-bit space — otherwise the column's
+    // high rank bits are constant zero and the interleave is silently
+    // dominated by the other cluster columns
   }
 
   /** Size-balanced compaction bins: first-fit packing of `small` (ordered by
@@ -530,10 +602,11 @@ final class CowTable private[storage] (
   }
 
   /** Full change-data-feed with DELETE TOMBSTONES (Delta CDF parity): every
-    * row carries `_commit_version` plus `_change_type` ∈
-    * {`insert`, `update_postimage`, `delete`} — the surface an incremental
-    * consumer of the reference's delete path needs (a plain added-files feed
-    * surfaces deletes only as absences; the reference's MERGE delete,
+    * row carries `_commit_version` + `_commit_timestamp` plus
+    * `_change_type` ∈ {`insert`, `update_preimage`, `update_postimage`,
+    * `delete`} — the surface an incremental consumer of the reference's
+    * delete path needs (a plain added-files feed surfaces deletes only as
+    * absences; the reference's MERGE delete,
     * /root/reference/src/iceberg/iceberg-cdc-load.py:147-150, removes rows a
     * real CDF must hand downstream as tombstones).
     *
@@ -541,7 +614,8 @@ final class CowTable private[storage] (
     * commit, each side O(changed files) — never a snapshot scan:
     *   - added files' rows vs removed files' rows (the pre-images),
     *     null-safe-joined on the primary key;
-    *   - both present  → `update_postimage` (post-image values),
+    *   - both present  → an `update_preimage` row (old values) AND an
+    *     `update_postimage` row (new values), Delta's paired contract;
     *   - added only    → `insert`,
     *   - removed only  → `delete` (PRE-image values — the tombstone carries
     *     the last row state, like Delta's `_change_type='delete'`).
@@ -563,6 +637,7 @@ final class CowTable private[storage] (
       if (fromVersion == 0) Nil else manifest(fromVersion).files
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val m = manifest(v)
+      val ts = new java.sql.Timestamp(m.commitTimeMs)
       val out = if (!m.dataChange) None
       else if (m.cdcDir.isDefined) {
         // materialized change rows (TableConfig.changeDataFeed): read them
@@ -573,7 +648,8 @@ final class CowTable private[storage] (
           (if (cdc.columns.contains(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name))
         Some(cdc.select(cols ++ Seq(
-          lit(v).as("_commit_version"), col("_change_type")): _*))
+          lit(v).as("_commit_version"),
+          lit(ts).as("_commit_timestamp"), col("_change_type")): _*))
       } else {
         val prevSet = prevFiles.map(_.path).toSet
         val curSet = m.files.map(_.path).toSet
@@ -586,14 +662,24 @@ final class CowTable private[storage] (
           val cond = keys.map(k => col(s"a.$k") <=> col(s"r.$k"))
             .reduce(_ && _)
           val aPresent = col(s"a.$marker").isNotNull
-          val cols = schema.fields.toSeq.map(f =>
-            when(aPresent, col(s"a.${f.name}"))
-              .otherwise(col(s"r.${f.name}")).as(f.name))
-          Some(a.join(r, cond, "full_outer").select(cols ++ Seq(
-            lit(v).as("_commit_version"),
-            when(!aPresent, "delete")
-              .when(col(s"r.$marker").isNotNull, "update_postimage")
-              .otherwise("insert").as("_change_type")): _*))
+          val rPresent = col(s"r.$marker").isNotNull
+          // a matched key emits TWO rows (pre + post image — same contract
+          // as the materialized path), so the row set is built as an array
+          // per join row and exploded: still one join, no double execution
+          def image(side: String, tpe: String) = struct(
+            schema.fields.toSeq.map(f => col(s"$side.${f.name}").as(f.name)) :+
+              lit(tpe).as("_change_type"): _*)
+          val rows = when(!aPresent, array(image("r", "delete")))
+            .when(!rPresent, array(image("a", "insert")))
+            .otherwise(array(image("r", "update_preimage"),
+              image("a", "update_postimage")))
+          Some(a.join(r, cond, "full_outer")
+            .select(explode(rows).as("__c"))
+            .select(schema.fields.toSeq.map(f =>
+              col(s"__c.${f.name}").as(f.name)) ++ Seq(
+              lit(v).as("_commit_version"),
+              lit(ts).as("_commit_timestamp"),
+              col("__c._change_type").as("_change_type")): _*))
         }
       }
       prevFiles = m.files
@@ -602,6 +688,7 @@ final class CowTable private[storage] (
     if (parts.isEmpty)
       conform(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         schema).withColumn("_commit_version", lit(0))
+        .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
         .withColumn("_change_type", lit(""))
         .limit(0)
     else unionBounded(parts)
@@ -662,8 +749,20 @@ final class CowTable private[storage] (
     * is live and survives. Old manifests are kept (O(files) metadata —
     * [[history]] stays complete); their data may be gone, so time travel
     * below the advanced [[earliestReadableVersion]] low-water mark is
-    * rejected rather than failing mid-scan. Returns the deleted paths. */
-  def vacuum(retainLast: Int = 2): Seq[String] = {
+    * rejected rather than failing mid-scan. Returns the deleted paths.
+    *
+    * Also sweeps ORPHANS: version directories (and `_cdc/` children) that
+    * no committed manifest references — the litter of CAS losers on
+    * create/overwrite races (a loser's files are never referenced; without
+    * a sweep a long-lived busy table slowly leaks storage, exactly why
+    * Delta's VACUUM collects unreferenced files). Reference-checking alone
+    * cannot distinguish a dead loser from an IN-FLIGHT writer's directory
+    * (rebased appends commit files under their original attempt's dir
+    * name), so orphans are age-guarded: only directories last modified more
+    * than `orphanOlderThanMs` ago are swept — Delta's retention discipline.
+    */
+  def vacuum(retainLast: Int = 2,
+      orphanOlderThanMs: Long = 6L * 3600 * 1000): Seq[String] = {
     val cur = currentVersion
     require(cur > 0, s"table ${config.tableName} does not exist")
     require(retainLast >= 1, "must retain at least the current version")
@@ -692,7 +791,32 @@ final class CowTable private[storage] (
       manifest(v).cdcDir.foreach(d =>
         CowTable.deleteRecursively(root.resolve(d)))
     }
-    doomed
+    doomed ++ sweepOrphans(cur, orphanOlderThanMs)
+  }
+
+  /** Unreferenced version dirs + `_cdc/` children older than the age guard
+    * (see [[vacuum]]). Returns the swept root-relative dir paths. */
+  private def sweepOrphans(cur: Int, olderThanMs: Long): Seq[String] = {
+    val refSegs: Set[String] = (1 to cur).iterator.flatMap { v =>
+      val m = manifest(v)
+      m.files.iterator.map(_.path.takeWhile(_ != '/')) ++ m.cdcDir.iterator
+    }.toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def sweep(dir: Path, rel: String => String): Seq[String] = {
+      if (!Files.isDirectory(dir)) return Nil
+      val it = Files.list(dir)
+      try it.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d+-.*") &&
+          !refSegs(rel(p.getFileName.toString)) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .map { p =>
+          CowTable.deleteRecursively(p)
+          rel(p.getFileName.toString)
+        }
+      finally it.close()
+    }
+    sweep(root, identity) ++ sweep(root.resolve("_cdc"), "_cdc/" + _)
   }
 
   // ---- internals ----------------------------------------------------------

@@ -33,6 +33,16 @@ object ZOrder {
     coalesce(size(filter(arr, s => s <= c)).cast("long"), lit(0L))
   }
 
+  /** 0..splits.size rank of a STRING column among its sorted split literals
+    * (engine-side binary UTF-8 `<=`, matching how the splits were sorted);
+    * nulls rank 0. Same codegen'd literal-array-comparison shape as
+    * [[rankColumn]] — no UDF, no shuffle. */
+  def rankStringColumn(c: Column, splits: Seq[String]): Column =
+    if (splits.isEmpty) lit(0L)
+    else coalesce(
+      size(filter(array(splits.map(lit): _*), s => s <= c)).cast("long"),
+      lit(0L))
+
   /** Bit-interleave the per-column ranks: bit i of column j lands at
     * position i*n + j. Bits are disjoint, so OR assembles the Z value.
     *

@@ -140,10 +140,20 @@ class GraftStreamSourceSpec extends SparkSpec {
       .as[(Long, String, Int, String)].collect().toSet
     val expected =
       (1L to 5L).map(i => (i, s"name$i", 1, "insert")).toSet ++ Set(
+        (3L, "name3", 2, "update_preimage"),
         (3L, "NEW3", 2, "update_postimage"),
         (9L, "nine", 2, "insert"),
         (1L, "name1", 3, "delete")) // preimage
     assert(got == expected, got)
+    // _commit_timestamp rides every feed row, monotone with the version
+    val ts = spark.table(sink)
+      .select("_commit_version", "_commit_timestamp")
+      .as[(Int, java.sql.Timestamp)].collect()
+    assert(ts.forall(_._2 != null))
+    val byV = ts.groupBy(_._1).view.mapValues(_.map(_._2.getTime).distinct)
+    assert(byV.values.forall(_.size == 1), byV.toMap.toString)
+    assert(byV.toSeq.sortBy(_._1).map(_._2.head).sliding(2)
+      .forall(p => p.size < 2 || p(0) <= p(1)))
   }
 
   test("readChangeFeed on a non-CDF table fails loudly at a rewrite") {

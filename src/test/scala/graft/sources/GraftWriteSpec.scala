@@ -292,6 +292,29 @@ class GraftWriteSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent"))
     assert(t.read().as[(Long, String)].collect().toSet ==
       Set((99L, "over-a")))
+
+    // the loser's never-committed version dir is an ORPHAN on disk — a
+    // busy table would leak storage without a sweep. vacuum collects it
+    // (age guard relaxed for the test) and every read stays green.
+    def verDirs() = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.matches("v\\d+-.*"))
+          .map(_.getFileName.toString).toSet
+      } finally s.close()
+    }
+    assert(verDirs().size == 3, verDirs()) // create + winner + loser orphan
+    val swept = t.vacuum(retainLast = 10, orphanOlderThanMs = 0L)
+    assert(swept.size == 1, swept)
+    assert(verDirs().size == 2, verDirs())
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((99L, "over-a")))
+    assert(t.readVersion(1).count() == 1) // retained history still readable
+    // the winner's commit is untouched by a SECOND sweep (idempotent)
+    assert(t.vacuum(retainLast = 10, orphanOlderThanMs = 0L).isEmpty)
   }
 
   test("writeStream sink: per-epoch CAS commits, exactly-once on replay") {

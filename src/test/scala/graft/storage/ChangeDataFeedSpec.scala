@@ -24,8 +24,12 @@ class ChangeDataFeedSpec extends SparkSpec {
     val feed = t.readChangeFeed(1, 3)
       .select("id", "v", "_commit_version", "_change_type")
       .as[(Long, String, Int, String)].collect().toSet
-    // ROW-exact: rewritten files' untouched neighbors never appear
+    // ROW-exact: rewritten files' untouched neighbors never appear;
+    // updates carry PAIRED pre/post images (Delta's CDF contract)
     assert(feed == Set(
+      (10L, "v10", 2, "update_preimage"),
+      (20L, "v20", 2, "update_preimage"),
+      (30L, "v30", 2, "update_preimage"),
       (10L, "V10", 2, "update_postimage"),
       (20L, "V20", 2, "update_postimage"),
       (30L, "V30", 2, "update_postimage"),
@@ -56,8 +60,8 @@ class ChangeDataFeedSpec extends SparkSpec {
     val feed = t.readChangeFeed(1, 4)
       .select("id", "_commit_version", "_change_type")
       .as[(Long, Int, String)].collect().toSet
-    assert(feed == Set((60L, 2, "insert"), (60L, 4, "update_postimage")),
-      feed)
+    assert(feed == Set((60L, 2, "insert"), (60L, 4, "update_preimage"),
+      (60L, 4, "update_postimage")), feed)
   }
 
   test("vacuum removes expired commits' change dirs, keeps recent ones") {
@@ -86,6 +90,7 @@ class ChangeDataFeedSpec extends SparkSpec {
       .select("id", "v", "w", "_change_type")
       .as[(Long, String, Option[Double], String)].collect().toSet
     assert(feed == Set(
+      (2L, "b", None, "update_preimage"), // predates w: null-fills
       (2L, "B", Some(9.5), "update_postimage"),
       (3L, "c", Some(1.0), "insert")), feed)
   }

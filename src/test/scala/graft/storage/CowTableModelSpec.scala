@@ -70,6 +70,7 @@ class CowTableModelSpec extends SparkSpec {
         case (k, v, w, _, "insert" | "update_postimage") =>
           replay(k) = (v, w)
         case (k, _, _, _, "delete") => replay.remove(k)
+        case (_, _, _, _, "update_preimage") => // paired old image: no-op
         case other => fail(s"unexpected feed row $other")
       }
     assert(replay.toMap == model.toMap,

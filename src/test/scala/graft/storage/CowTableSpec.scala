@@ -177,6 +177,38 @@ class CowTableSpec extends SparkSpec {
     }, ranges.toString)
   }
 
+  test("partitioned compaction: per-partition bins, no Exchange, layout kept") {
+    val dir = tmpDir("cow")
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")))
+    t.create(Seq((1L, "A", "x1"), (2L, "B", "y1")).toDF("id", "seg", "name"))
+    t.upsert(Seq((3L, "A", "x2"), (4L, "B", "y2")).toDF("id", "seg", "name"))
+    t.upsert(Seq((5L, "A", "x3"), (6L, "B", "y3")).toDF("id", "seg", "name"))
+    val before = t.manifest(t.currentVersion)
+    assert(before.files.count(_.path.contains("seg=A")) == 3)
+    // the per-bin frame the partitioned branch writes is Exchange-free —
+    // the global-repartition fallback must be gone
+    val segA = before.files.filter(_.path.contains("seg=A"))
+    val frame = t.compactionBinFrame(before,
+      t.compactionBins(before, segA, 1).head)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"partitioned compaction shuffles:\n$plan")
+    val v = t.compact()
+    val after = t.manifest(v).files
+    assert(after.count(_.path.contains("seg=A")) == 1, after.map(_.path))
+    assert(after.count(_.path.contains("seg=B")) == 1, after.map(_.path))
+    assert(!t.manifest(v).dataChange)
+    // rows, values, and partition pruning all survive the re-layout
+    assert(t.read().as[(Long, String, String)].collect().toSet == Set(
+      (1L, "A", "x1"), (2L, "B", "y1"), (3L, "A", "x2"),
+      (4L, "B", "y2"), (5L, "A", "x3"), (6L, "B", "y3")))
+    assert(t.read().filter(col("seg") === "A").count() == 3)
+    // DSv2 read agrees and still partition-prunes on the new layout
+    val dsv2 = spark.read.format("graft").load(dir + "/t")
+      .filter(col("seg") === "B")
+    assert(dsv2.count() == 3)
+  }
+
   test("change feed over many commits: bounded plan width, identical content") {
     val (t, _) = freshTable()
     spark.conf.set("graft.feedChunkCommits", "8")
@@ -505,8 +537,10 @@ class CowTableSpec extends SparkSpec {
     t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "name")) // v2: upd 2, ins 4
     t.delete(Seq(Tuple1(1L)).toDF("id"))                    // v3: del 1
     val feed = t.readChangeFeed(1, t.currentVersion)
+      .select("id", "name", "_commit_version", "_change_type")
       .as[(Long, String, Int, String)].collect().toSet
     assert(feed == Set(
+      (2L, "b", 2, "update_preimage"),
       (2L, "B2", 2, "update_postimage"),
       (4L, "d", 2, "insert"),
       (1L, "a", 3, "delete")), s"got $feed")
@@ -515,17 +549,21 @@ class CowTableSpec extends SparkSpec {
     t.compact(smallBytes = Long.MaxValue, targetPartitions = 1)
     assert(t.readChangeFeed(3, t.currentVersion).count() == 0)
     assert(t.readChangeFeed(1, t.currentVersion)
+      .select("id", "name", "_commit_version", "_change_type")
       .as[(Long, String, Int, String)].collect().toSet == feed)
     // a rollback to v1 surfaces the restored row as insert, the rolled-away
     // upserts as delete/update back to v1 state
     val v5 = t.rollbackTo(1)
     val roll = t.readChangeFeed(4, v5)
+      .select("id", "name", "_commit_version", "_change_type")
       .as[(Long, String, Int, String)].collect().toSet
     // id 3 shows as unchanged-value churn: the compacted v4 file co-located
     // it with the others (the documented file-granularity caveat)
     assert(roll == Set(
       (1L, "a", v5, "insert"),
+      (2L, "B2", v5, "update_preimage"),
       (2L, "b", v5, "update_postimage"),
+      (3L, "c", v5, "update_preimage"),
       (3L, "c", v5, "update_postimage"),
       (4L, "d", v5, "delete")), s"got $roll")
   }

@@ -77,13 +77,42 @@ class ZOrderSpec extends SparkSpec {
     assert(z.distinct.length >= 64, s"over-coarsened: ${z.distinct.length}")
   }
 
-  test("string cluster columns are rejected loudly") {
+  test("string cluster columns z-order via one-pass sampled range ids") {
+    // the reference's natural clustering key is the string `category`
+    // (cdk.json:71) — string columns must cluster, not reject
     val dir = tmpDir("zorder")
-    val t = grid(dir)
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("cat", "id")))
+    val cats = (0 until 64).map(i => f"cat$i%03d")
+    t.create((0L until 4096L).map(i => (cats((i % 64).toInt), i, s"v$i"))
+      .toDF("cat", "id", "payload").repartition(8))
+    val before = t.manifest(t.currentVersion)
+    // hash-scattered: every file's [min,max] admits any category probe
+    assert(CowTable.filesContainingAny(before, Seq("cat031"), 0).size == 8)
+    val v = t.optimize(Seq("cat", "id"))
+    val after = t.manifest(v)
+    assert(after.files.size == 8, after.files.map(_.path))
+    // a 2-column interleave constrains each file to ~half the cat space;
+    // probe four spread categories: none may hit all files, and the mean
+    // must clearly beat the unclustered 8/8
+    val probes = Seq("cat005", "cat021", "cat037", "cat053")
+      .map(c => CowTable.filesContainingAny(after, Seq(c), 0).size)
+    assert(probes.forall(_ <= 6) && probes.sum <= 20,
+      s"string z-order probes hit $probes of 8 files: " +
+        after.files.map(e => (e.minKey, e.maxKey)))
+    // reorganization preserves content exactly
+    assert(t.read().as[(String, Long, String)].collect().toSet ==
+      (0L until 4096L).map(i => (cats((i % 64).toInt), i, s"v$i")).toSet)
+    assert(!after.dataChange)
+  }
+
+  test("unsupported cluster column types are rejected loudly") {
+    val dir = tmpDir("zorder")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
+    t.create(Seq((1L, true), (2L, false)).toDF("id", "flag"))
     val e = intercept[IllegalArgumentException] {
-      t.optimize(Seq("payload"))
+      t.optimize(Seq("flag"))
     }
-    assert(e.getMessage.contains("clusterByKey"), e.getMessage)
+    assert(e.getMessage.contains("boolean"), e.getMessage)
   }
 
   test("hive-partitioned tables keep their layout, curve-ordered within") {
