@@ -95,18 +95,89 @@ object Similarity {
     Seq.fill(nLists)(Seq.fill(dim)(math.round(rnd.nextGaussian() * 1000)))
   }
 
+  /** Data-trained IVF coarse centroids: Lloyd's k-means over a BOUNDED
+    * deterministic sample of the corpus — the balanced-list path for real
+    * (skewed, clustered) embeddings, where [[ivfCentroids]]'s
+    * data-independent gaussians concentrate most rows in few lists and
+    * probe cost degenerates toward a full scan.
+    *
+    * Scale shape: ONE distributed pass ranks rows by a content hash and
+    * takes the lowest `maxSample` (deterministic — membership is a pure
+    * function of vector content, not partitioning), then every Lloyd
+    * iteration runs driver-side over ≤`maxSample` vectors: training cost is
+    * independent of corpus size, and no per-iteration Spark job touches the
+    * corpus. Centroids are quantized to the same integer-thousandths
+    * contract as [[ivfCentroids]], so list assignment in [[ivfTopK]] stays
+    * integer-exact and engine-reproducible given the trained centroids.
+    * Empty clusters reseed to the farthest sample point (deterministic
+    * tie-break), so all `nLists` lists stay live. */
+  def trainIvfCentroids(
+      vectors: DataFrame, vecCol: String, nLists: Int, dim: Int,
+      iters: Int = 5, seed: Long = 7L, maxSample: Int = 4096): Seq[Seq[Long]] = {
+    require(nLists > 0 && iters >= 0 && maxSample >= nLists,
+      s"trainIvfCentroids: need maxSample >= nLists > 0 (got $nLists, $maxSample)")
+    val sample: Array[Array[Long]] = vectors
+      .select(quantVec(col(vecCol)).as("__qv"))
+      .filter(size(col("__qv")) === dim)
+      .withColumn("__h", xxhash64(col("__qv")))
+      .orderBy(col("__h")).limit(maxSample)
+      .select(col("__qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(sample.length >= nLists,
+      s"trainIvfCentroids: corpus has only ${sample.length} usable " +
+        s"$dim-dim vectors, need at least nLists=$nLists")
+    def d2(a: Array[Long], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    // seeded init: nLists distinct sample points (hash order is already
+    // content-shuffled, so a seeded index draw is an unbiased spread)
+    val rnd = new scala.util.Random(seed)
+    var cents: Array[Array[Double]] = rnd.shuffle(sample.indices.toVector)
+      .take(nLists).map(i => sample(i).map(_.toDouble)).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < nLists) {
+          val d = d2(v, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c))
+        else { // reseed dead list: farthest point from its nearest centroid
+          val far = sample.maxBy(v => cents.map(d2(v, _)).min)
+          far.map(_.toDouble)
+        }
+      }.toArray
+    }
+    cents.map(_.map(math.round).toSeq).toSeq
+  }
+
   /** IVF approximate top-k: corpus rows live in their nearest-centroid list
     * (argmax of 2·(qv·c) − ‖c‖², integer-exact ⇔ nearest in L2); each query
     * probes its `nProbe` nearest lists; candidates are exact-rescored with
-    * the quantized cosine. O(N/nLists · nProbe) candidates per query. */
+    * the quantized cosine. O(N/nLists · nProbe) candidates per query.
+    * `centroids` plugs in [[trainIvfCentroids]]' data-trained quantizer;
+    * default stays the seeded-gaussian [[ivfCentroids]] (replayable by a
+    * data-independent oracle). */
   def ivfTopK(
       vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(nLists, dim, seed)
+    centroids.foreach(cs => require(cs.nonEmpty && cs.forall(_.size == dim),
+      s"ivfTopK: every supplied centroid must be $dim-dim"))
+    val cents = centroids.getOrElse(ivfCentroids(nLists, dim, seed))
     val cdf = cents.zipWithIndex
       .map { case (c, i) => (i.toLong, c, c.map(x => x * x).sum) }
       .toDF("cid", "cv", "cn2")

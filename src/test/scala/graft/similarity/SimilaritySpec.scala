@@ -89,6 +89,46 @@ class SimilaritySpec extends SparkSpec {
       s"mean IVF recall ${recalls.sum / recalls.size} too low")
   }
 
+  test("trained centroids beat gaussian ones on skewed clustered embeddings") {
+    // tight, far-apart clusters OFFSET from the origin — the shape real
+    // embedding corpora have and data-independent gaussian centroids serve
+    // worst (most rows collapse into few lists)
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.tabulate(5)(ci =>
+      Seq.fill(16)(rnd.nextGaussian() * 0.3 + (ci + 2.0)))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 40
+    } yield (ci * 100L + j,
+      c.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 100 === 0)
+    def recall(centroids: Option[Seq[Seq[Long]]]): Double = {
+      val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 5)
+        .as[(Long, Long, Double, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5,
+        nLists = 5, nProbe = 1, dim = 16, centroids = centroids)
+        .as[(Long, Long, Double, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.keys.toSeq.map(q =>
+        (ivf.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size)
+      rs.sum / rs.size
+    }
+    val trained = Similarity.trainIvfCentroids(
+      vecs, "embedding", nLists = 5, dim = 16)
+    // determinism: retraining yields bit-identical centroids
+    assert(trained == Similarity.trainIvfCentroids(
+      vecs, "embedding", nLists = 5, dim = 16))
+    val rTrained = recall(Some(trained))
+    val rGauss = recall(None)
+    // k-means puts one centroid per true cluster: single-probe recall is
+    // near-perfect, while data-independent gaussians split/merge clusters
+    assert(rTrained >= 0.9, s"trained recall $rTrained")
+    assert(rTrained >= rGauss,
+      s"trained $rTrained worse than gaussian $rGauss")
+  }
+
   test("mismatched embedding dimensions fail loud, never mis-rank") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f, 0f)),
