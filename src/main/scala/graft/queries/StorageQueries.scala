@@ -543,6 +543,35 @@ object StorageQueries {
       sess.table("lake.default.user_state")
     },
 
+    // SHALLOW CLONE (Delta CLONE re-expressed): fork a customer table by
+    // hard links (zero data copy, stats carried verbatim — CowTableSpec
+    // asserts inode sharing), then dedup/filter/mutate THE FORK: upsert a
+    // +100 balance for every nation-3 customer and delete nation 7. The
+    // result is the fork's final state; the untouched source is asserted
+    // bit-identical in the spec. This is the experiment-branch primitive a
+    // training pipeline wants: fork the corpus, repack the fork, keep the
+    // original. Oracle replays the fork's mutations in SQL.
+    Q("q105_shallow_clone",
+      """SELECT c_custkey,
+        |  CASE WHEN c_nationkey = 3 THEN round(c_acctbal + 100, 2)
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_nationkey
+        |FROM customer WHERE c_nationkey <> 7
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q105")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val c = t(s, d, "customer")
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+      val src = CowTable(s, base + "/src",
+        TableConfig("cust", Seq("c_custkey")))
+      src.create(c)
+      val fork = src.shallowClone(base + "/fork", Some("cust_fork"))
+      fork.upsert(c.filter(col("c_nationkey") === 3)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)))
+      fork.delete(c.filter(col("c_nationkey") === 7).select("c_custkey"))
+      fork.read()
+    },
+
     // STORAGE-PARTITIONED JOIN (Iceberg-style SPJ): two graft tables
     // hive-partitioned on event_type report KeyGroupedPartitioning, so
     // with v2 bucketing on, Spark aligns their partitions and the join

@@ -742,6 +742,54 @@ final class CowTable private[storage] (
       "commit_time_ms")
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... CLONE` re-expressed): fork the
+    * current snapshot into `destDir` at ZERO data-copy cost. Every live data
+    * file (and bloom sidecar) is hard-linked into the clone root under its
+    * original root-relative path — O(files) metadata ops, no bytes moved, so
+    * a 100 TB table forks in seconds; the manifest is copied with the
+    * source's per-file stats VERBATIM (no footer re-stat, the other O(files)
+    * cost). Safe because COW discipline never mutates a data file in place:
+    * the shared inodes are immutable, every write on either side creates
+    * new files, and each root owns its own directory entries — vacuum or
+    * delete on one side never perturbs the other. The clone starts a fresh
+    * history at version 1 (its change feed replays the snapshot as inserts,
+    * its time travel starts at the fork), carrying the source's durable
+    * table properties. A destination on another filesystem (no hard links
+    * possible) degrades to a per-file copy — same result, real IO.
+    *
+    * This is the experiment-branch primitive a training pipeline wants:
+    * fork the corpus, dedup/filter/repack the fork, keep the original
+    * bit-identical. */
+  def shallowClone(destDir: String, cloneName: Option[String] = None)
+      : CowTable = {
+    val cur = currentVersion
+    require(cur > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(cur)
+    val destRoot = Paths.get(destDir).toAbsolutePath
+    require(!Files.exists(destRoot.resolve("_manifests")),
+      s"shallowClone: destination $destDir already holds a table")
+    require(destRoot != root, "shallowClone: destination is the source")
+    val cfg = m.tableConfig(cloneName.getOrElse(config.tableName))
+    val dest = new CowTable(spark, destDir, cfg)
+    def linkInto(rel: String): Unit = {
+      val src = root.resolve(rel)
+      val dst = destRoot.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch { // cross-device / unsupported-FS: copy is the correct fallback
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    m.files.foreach { e =>
+      linkInto(e.path)
+      if (cfg.bloomIndex && Files.exists(root.resolve(e.path + ".bloom")))
+        linkInto(e.path + ".bloom")
+    }
+    dest.commitAt(0, m.files, Nil, structFromJson(m.schemaJson))
+    dest
+  }
+
   /** Physically delete data files referenced ONLY by versions older than the
     * last `retainLast` ones (the VACUUM of Delta/Iceberg `expire_snapshots`).
     * Copy-on-write shares files across versions, so this is reachability-

@@ -698,4 +698,42 @@ class CowTableSpec extends SparkSpec {
     assert(t.earliestReadableVersion == 1)
     assert(t.readVersion(1).count() == 1)
   }
+
+  test("shallowClone: zero-copy fork, fully isolated from the source") {
+    val dir = tmpDir("cow")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    t.create((1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"))
+    t.upsert(Seq((1L, "N1")).toDF("id", "name"))
+    val c = t.shallowClone(dir + "/fork", Some("t_fork"))
+
+    // same rows, fresh single-commit history, stats carried verbatim
+    assert(c.read().as[(Long, String)].collect().toSet ==
+      t.read().as[(Long, String)].collect().toSet)
+    assert(c.currentVersion == 1 && c.config.tableName == "t_fork")
+    assert(c.manifest(1).files.toSet == t.manifest(2).files.toSet)
+
+    // zero-copy: every cloned file shares the source file's inode
+    def ino(root: String, rel: String): Any = java.nio.file.Files
+      .getAttribute(java.nio.file.Paths.get(root).resolve(rel), "unix:ino")
+    assert(c.manifest(1).files.forall(e =>
+      ino(dir + "/fork", e.path) == ino(dir + "/src", e.path)))
+
+    // writes diverge: mutate the fork, the source is bit-identical
+    val before = t.read().as[(Long, String)].collect().toSet
+    c.upsert(Seq((2L, "FORKED"), (99L, "new")).toDF("id", "name"))
+    c.delete(Seq(Tuple1(3L)).toDF("id"))
+    assert(t.read().as[(Long, String)].collect().toSet == before)
+    assert(c.read().filter($"id" === 2L).as[(Long, String)].head()._2
+      == "FORKED")
+
+    // vacuum on the fork drops ITS directory entries only — the source's
+    // links keep the shared inodes alive
+    c.vacuum(retainLast = 1)
+    assert(t.read().as[(Long, String)].collect().toSet == before)
+
+    // a second clone into an occupied destination fails loud
+    assertThrows[IllegalArgumentException] {
+      t.shallowClone(dir + "/fork")
+    }
+  }
 }
