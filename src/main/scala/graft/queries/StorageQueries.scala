@@ -640,6 +640,35 @@ object StorageQueries {
           |""".stripMargin)
     },
 
+    // `$partitions` metadata table (Iceberg parity): per-partition-value
+    // file/row/byte rollup of the current snapshot as one O(files) manifest
+    // fold — zero jobs, zero data IO. The skew-and-small-file dashboard
+    // (which partition needs `compact`, which value is hot) as plain SQL.
+    // Oracle recomputes per-partition row counts from the data; file/byte
+    // columns are layout-dependent so the query projects value+rows.
+    Q("q106_partitions_meta",
+      """SELECT event_type AS partition_value, COUNT(*) AS row_count
+        |FROM events GROUP BY event_type
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q106")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type", "user_id", "value")
+      val tbl = CowTable(s, lake + "/ev",
+        TableConfig("ev", Seq("event_id"), partitionKey = Some("event_type")))
+      tbl.create(ev)
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      graft.storage.LakeRegistry.register(lake,
+        TableConfig("ev", Seq("event_id"), partitionKey = Some("event_type")),
+        lake + "/ev")
+      sess.sql(
+        """SELECT partition_value, row_count
+          |FROM lake.default.`ev$partitions`
+          |""".stripMargin)
+    },
+
     // GENERAL DATA SKIPPING (statsColumns): the events log keyed by
     // event_id carries extra per-file [min,max] stats on the ts column
     // (footer-read only, no extra commit IO — the Delta

@@ -48,6 +48,13 @@ object GraftMetadataTables {
     StructField("max_key2", StringType, nullable = true),
     StructField("partition_value", StringType, nullable = true)))
 
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition_value", StringType, nullable = true),
+    StructField("file_count", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("avg_file_bytes", LongType, nullable = false)))
+
   /** The metadata table for suffix `kind`, or None for an unknown suffix. */
   def table(warehouse: String, e: LakeRegistry.Entry, root: Path,
       kind: String): Option[Table] = kind match {
@@ -56,6 +63,9 @@ object GraftMetadataTables {
     case "files" => Some(new MetaTable(
       s"${e.table_name}$$files", FilesSchema,
       () => fileRows(e, root)))
+    case "partitions" => Some(new MetaTable(
+      s"${e.table_name}$$partitions", PartitionsSchema,
+      () => partitionRows(root)))
     case _ => None
   }
 
@@ -92,6 +102,31 @@ object GraftMetadataTables {
           .map(UTF8String.fromString).orNull
       )): InternalRow
     }.toArray
+  }
+
+  /** Per-partition-value rollup of the current snapshot (Iceberg
+    * `$partitions` parity): file/row/byte totals plus mean file size — the
+    * small-file-sprawl and skew dashboard (which partition needs `compact`,
+    * which value is hot) as one O(files) manifest fold, no jobs. An
+    * unpartitioned table reports a single NULL-valued row. */
+  private def partitionRows(root: Path): Array[InternalRow] = {
+    val cur = CowTable.currentVersionAt(root)
+    if (cur == 0) return Array.empty
+    val m = CowTable.manifestAt(root, cur)
+    def bytesOf(f: graft.storage.FileEntry): Long =
+      if (f.bytes > 0) f.bytes
+      else scala.util.Try(
+        java.nio.file.Files.size(root.resolve(f.path))).getOrElse(0L)
+    m.files.groupBy(f => GraftScan.pathPartValue(m.partitionKey, f))
+      .toSeq.sortBy(_._1.getOrElse(""))
+      .map { case (pv, fs) =>
+        val bytes = fs.map(bytesOf).sum
+        new GenericInternalRow(Array[Any](
+          pv.map(UTF8String.fromString).orNull,
+          fs.size.toLong, fs.map(_.rows).sum, bytes,
+          bytes / fs.size
+        )): InternalRow
+      }.toArray
   }
 
   /** Read-only driver-local table: rows materialize per scan (fresh

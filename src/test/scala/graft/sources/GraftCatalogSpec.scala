@@ -192,6 +192,30 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       sess.table("lake.default.`h$nope`").collect()
     }
+
+    // $partitions on an UNPARTITIONED table: one NULL-valued rollup row
+    val parts = sess.sql(
+      "SELECT partition_value, file_count, row_count, bytes, avg_file_bytes " +
+        "FROM lake.default.`h$partitions`").collect()
+    assert(parts.length == 1 && parts.head.isNullAt(0))
+    assert(parts.head.getLong(2) == 3L)
+    assert(parts.head.getLong(3) > 0L && parts.head.getLong(4) > 0L)
+  }
+
+  test("$partitions metadata table rolls up per hive partition value") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.pp (id BIGINT, seg STRING) " +
+      "USING graft PARTITIONED BY (seg) OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.pp VALUES " +
+      "(1, 'a'), (2, 'a'), (3, 'a'), (4, 'b')")
+    val parts = sess.sql(
+      "SELECT partition_value, file_count, row_count " +
+        "FROM lake.default.`pp$partitions` ORDER BY partition_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.map(p => p._1 -> p._3).toSeq == Seq("a" -> 3L, "b" -> 1L),
+      parts.toSeq)
+    assert(parts.forall(_._2 >= 1L))
   }
 
   test("CALL procedures: compact / optimize / vacuum / rollback via SQL") {
