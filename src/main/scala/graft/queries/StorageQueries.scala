@@ -572,6 +572,34 @@ object StorageQueries {
       fork.read()
     },
 
+    // Plain SQL UPDATE + DELETE statements (the row-level surface beyond
+    // MERGE — Spark plans them through SupportsRowLevelOperations onto the
+    // same pruned COW rewrite): raise every nation-5 balance 10%, drop
+    // nation 9, read the final state. Oracle replays both statements.
+    Q("q107_sql_update_delete",
+      """SELECT c_custkey,
+        |  CASE WHEN c_nationkey = 5 THEN round(c_acctbal * 1.1, 2)
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_nationkey
+        |FROM customer WHERE c_nationkey <> 9
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q107")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", root)
+      t(sess, d, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+        .createOrReplaceTempView("q107_cust")
+      sess.sql(
+        """CREATE TABLE lake.default.cust OPTIONS (primaryKey 'c_custkey')
+          |AS SELECT * FROM q107_cust
+          |""".stripMargin)
+      sess.sql("UPDATE lake.default.cust " +
+        "SET c_acctbal = round(c_acctbal * 1.1, 2) WHERE c_nationkey = 5")
+      sess.sql("DELETE FROM lake.default.cust WHERE c_nationkey = 9")
+      sess.table("lake.default.cust")
+    },
+
     // STORAGE-PARTITIONED JOIN (Iceberg-style SPJ): two graft tables
     // hive-partitioned on event_type report KeyGroupedPartitioning, so
     // with v2 bucketing on, Spark aligns their partitions and the join
