@@ -600,6 +600,38 @@ object StorageQueries {
       sess.table("lake.default.cust")
     },
 
+    // CHECK CONSTRAINTS (Delta ADD CONSTRAINT invariants): the table
+    // declares `o_totalprice > 0; o_orderkey >= 0` via SQL OPTIONS; every
+    // write path validates (batch API pre-write, connector at commit over
+    // the fresh files only — O(batch), never the table). Violations fail
+    // loud naming the constraint (CheckConstraintsSpec); this query proves
+    // the PASSING path end-to-end: constrained CTAS + constrained INSERT,
+    // read back. Oracle = the inserted rows.
+    Q("q108_check_constraints",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q108")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", root)
+      t(sess, d, "orders").select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView("q108_orders")
+      sess.sql(
+        """CREATE TABLE lake.default.ord
+          |OPTIONS (primaryKey 'o_orderkey',
+          |  checkConstraints 'o_totalprice > 0; o_orderkey >= 0')
+          |AS SELECT * FROM q108_orders WHERE o_orderkey % 2 = 0
+          |""".stripMargin)
+      sess.sql(
+        """INSERT INTO lake.default.ord
+          |SELECT * FROM q108_orders WHERE o_orderkey % 2 = 1
+          |""".stripMargin)
+      sess.table("lake.default.ord")
+    },
+
     // STORAGE-PARTITIONED JOIN (Iceberg-style SPJ): two graft tables
     // hive-partitioned on event_type report KeyGroupedPartitioning, so
     // with v2 bucketing on, Spark aligns their partitions and the join

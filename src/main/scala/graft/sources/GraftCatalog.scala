@@ -167,8 +167,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val cdf = Seq(Option(properties.get("changeDataFeed")),
       Option(properties.get(TableCatalog.OPTION_PREFIX + "changeDataFeed")))
       .flatten.headOption.exists(_.trim.toBoolean)
+    // ';'-separated (constraints themselves may contain commas)
+    val constraints = Seq(Option(properties.get("checkConstraints")),
+      Option(properties.get(TableCatalog.OPTION_PREFIX + "checkConstraints")))
+      .flatten.headOption
+      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
-      bloomIndex = bloom, statsColumns = statsCols, changeDataFeed = cdf)
+      bloomIndex = bloom, statsColumns = statsCols, changeDataFeed = cdf,
+      checkConstraints = constraints)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(Paths.get(_)).getOrElse(rootOf(
         LakeRegistry.Entry(ident.name(), ident.name(), primaryKey,

@@ -292,6 +292,10 @@ final class GraftStreamingWrite(
           CowTable.structFromJson(tbl.manifest(parent).schemaJson)
         else writeSchema // first epoch CREATES the table
       val fresh = tbl.statListedFiles(files, schema)
+      // constraints validate the freshly written epoch files pre-commit; a
+      // violation leaves them unreferenced (same inert state as an abort)
+      tbl.enforceConstraintsOnFiles(fresh, schema,
+        s"streaming epoch $epochId")
       val carry = if (parent == 0) Nil else tbl.manifest(parent).files
       try {
         tbl.commitAt(parent, fresh, carry, schema,
@@ -366,6 +370,10 @@ final class GraftBatchWrite(
     // schema when this write CREATES the table (CTAS / first write)
     val schema = if (parent > 0) tableSchema else writeSchema
     val fresh = tbl.statListedFiles(files, schema)
+    // CHECK constraints validate the freshly written files BEFORE the CAS
+    // commit — one parallel scan of the new data only; a violation throws
+    // with the files still unreferenced (the caller's abort deletes them)
+    tbl.enforceConstraintsOnFiles(fresh, schema, "connector write")
     // BLIND-APPEND conflict resolution (Delta WriteSerializable): an
     // INSERT INTO that loses the CAS re-reads the winner's state and
     // re-commits on top — its files were written to a writer-unique dir and

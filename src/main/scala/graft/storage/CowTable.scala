@@ -88,12 +88,14 @@ final case class CommitManifest(
     changeDataFeed: Boolean = false,
     precombineKey: Option[String] = None,
     clusterByKey: Boolean = false,
-    maxRecordsPerFile: Long = 0L) {
+    maxRecordsPerFile: Long = 0L,
+    checkConstraints: Seq[String] = Nil) {
 
   /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
   def tableConfig(name: String): TableConfig = TableConfig(
     name, primaryKey, partitionKey, precombineKey, clusterByKey,
-    maxRecordsPerFile, bloomIndex, statsColumns, changeDataFeed)
+    maxRecordsPerFile, bloomIndex, statsColumns, changeDataFeed,
+    checkConstraints)
 }
 
 /** A concurrent writer committed the same version first. The losing commit
@@ -189,13 +191,56 @@ final class CowTable private[storage] (
     * src/hudi/hudi-initial-load.py:69-104). Fails if the table exists. */
   def create(df: DataFrame): Int = {
     require(currentVersion == 0, s"table ${config.tableName} already exists")
+    enforceConstraints(df, "create")
     writeVersion(df, df.schema, carryOver = Nil, parent = 0)
   }
 
   /** Full-snapshot overwrite (reference Delta path sink mode=overwrite,
     * src/delta/delta-initial-load.py:61-78). */
-  def overwrite(df: DataFrame): Int =
+  def overwrite(df: DataFrame): Int = {
+    enforceConstraints(df, "overwrite")
     writeVersion(df, df.schema, carryOver = Nil, parent = currentVersion)
+  }
+
+  /** Validate [[TableConfig.checkConstraints]] against a write batch in ONE
+    * short-circuiting pass (all constraints evaluated per row as a bool
+    * array; the first violating row is fetched with its per-constraint
+    * verdicts, so the error names exactly which constraints failed).
+    * False OR NULL violates — Delta invariant semantics. A batch missing a
+    * column a constraint references fails analysis loudly (can't verify ⇒
+    * reject — the safe direction). Cost when constraints are configured:
+    * one extra job over the BATCH only — never the table. */
+  private[graft] def enforceConstraints(
+      df: DataFrame, context: String): Unit = {
+    if (config.checkConstraints.isEmpty) return
+    val checks = config.checkConstraints
+      .map(c => coalesce(expr(c).cast("boolean"), lit(false)))
+    val bad = df
+      .select(array(checks: _*).as("__ok"),
+        to_json(struct(df.columns.map(col): _*)).as("__row"))
+      .filter(array_contains(col("__ok"), false))
+      .head(1)
+    bad.headOption.foreach { r =>
+      val failed = config.checkConstraints.zip(r.getSeq[Boolean](0))
+        .collect { case (c, false) => c }
+      throw new IllegalArgumentException(
+        s"table ${config.tableName}: CHECK constraint(s) " +
+          s"[${failed.mkString("; ")}] violated during $context by row " +
+          r.getString(1))
+    }
+  }
+
+  /** [[enforceConstraints]] over freshly WRITTEN files (the DSv2 connector
+    * validates at commit time, when rows exist only as new parquet): one
+    * parallel scan of the new files, hive partition values re-attached so
+    * constraints may reference the partition column. */
+  private[graft] def enforceConstraintsOnFiles(
+      files: Seq[FileEntry], schema: StructType, context: String): Unit = {
+    if (config.checkConstraints.isEmpty || files.isEmpty) return
+    val m = CommitManifest(0, 0, schema.json, config.primaryKey,
+      config.partitionKey, keyNumeric = false, rowCount = 0L, files = files)
+    enforceConstraints(readFiles(m, files), context)
+  }
 
   /** MERGE ... WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *
     * against the current snapshot, as a pruned copy-on-write rewrite:
@@ -207,6 +252,7 @@ final class CowTable private[storage] (
     */
   def upsert(source: DataFrame, assertUniqueKeys: Boolean = false): Int = {
     if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
+    enforceConstraints(source, "upsert")
     val parent = currentVersion
     if (parent == 0) return writeVersion(source, source.schema, Nil, 0)
     val m = manifest(parent)
@@ -1280,7 +1326,8 @@ final class CowTable private[storage] (
       changeDataFeed = config.changeDataFeed,
       precombineKey = config.precombineKey,
       clusterByKey = config.clusterByKey,
-      maxRecordsPerFile = config.maxRecordsPerFile)
+      maxRecordsPerFile = config.maxRecordsPerFile,
+      checkConstraints = config.checkConstraints)
     commitManifest(m)
     v
   }

@@ -41,10 +41,11 @@ object LakeRegistry {
       max_records_per_file: Long,
       bloom_index: Boolean = false,
       stats_columns: Seq[String] = Nil,
-      change_data_feed: Boolean = false) {
+      change_data_feed: Boolean = false,
+      check_constraints: Seq[String] = Nil) {
     def config: TableConfig = TableConfig(table_name, primary_key,
       partition_key, precombine_key, cluster_by_key, max_records_per_file,
-      bloom_index, stats_columns, change_data_feed)
+      bloom_index, stats_columns, change_data_feed, check_constraints)
   }
 
   private def legacyFile(lakeDir: String): Path =
@@ -81,7 +82,7 @@ object LakeRegistry {
     val e = Entry(config.tableName, r, config.primaryKey,
       config.partitionKey, config.precombineKey, config.clusterByKey,
       config.maxRecordsPerFile, config.bloomIndex, config.statsColumns,
-      config.changeDataFeed)
+      config.changeDataFeed, config.checkConstraints)
     Files.createDirectories(Paths.get(lakeDir))
     var attempts = 0
     while (true) {

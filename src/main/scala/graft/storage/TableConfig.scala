@@ -57,6 +57,16 @@ final case class TableConfig(
       * rewritten neighbors) and join-free per commit. Costs one extra write
       * of O(changed rows) per mutation. Commits made without the flag (or
       * through the DSv2 row-level path) fall back to the file-diff join. */
-    changeDataFeed: Boolean = false) {
+    changeDataFeed: Boolean = false,
+    /** CHECK constraints (Delta `ADD CONSTRAINT` invariants): SQL boolean
+      * expressions every written row must satisfy — a row where one
+      * evaluates false OR NULL rejects the whole write loudly, naming the
+      * constraint and a violating row. Enforced on every path: the batch
+      * API validates the incoming batch pre-write; the DSv2 connector
+      * (INSERT/CTAS/streaming epochs) validates the freshly written files
+      * at commit time — one parallel scan of the NEW data only, no shuffle,
+      * so cost is O(batch) regardless of table size. Durable: carried in
+      * manifests like the other properties, so later writers inherit it. */
+    checkConstraints: Seq[String] = Nil) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
 }
