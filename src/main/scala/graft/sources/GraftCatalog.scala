@@ -203,6 +203,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val cur = t.currentVersion
     require(cur > 0, s"graft: ${ident.name()} has no commits")
     val m = t.manifest(cur)
+    // the manifest's stored properties are the durable truth (the registry
+    // entry may lag a property commit made by another session)
+    var cfg = CowTable.configAt(t.root, e.config)
     var schema = CowTable.structFromJson(m.schemaJson)
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -213,13 +216,54 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"graft: column $colName already exists in ${ident.name()}")
         schema = schema.add(colName, add.dataType(), nullable = true)
+      case sp: TableChange.SetProperty =>
+        cfg = applyProperty(cfg, sp.property, Some(sp.value))
+      case rp: TableChange.RemoveProperty =>
+        cfg = applyProperty(cfg, rp.property, None)
       case other => throw new UnsupportedOperationException(
-        s"graft: unsupported ALTER TABLE change $other — only ADD COLUMN " +
-          "evolves a graft table's schema in place")
+        s"graft: unsupported ALTER TABLE change $other — ADD COLUMN " +
+          "evolves the schema; SET/UNSET TBLPROPERTIES adjusts behavior " +
+          "properties")
     }
-    t.commitAt(parent = cur, fresh = Nil, carryOver = m.files,
+    // ADD CONSTRAINT semantics (Delta parity): a newly introduced CHECK
+    // constraint must hold on the EXISTING snapshot — one full validation
+    // scan, loud failure, nothing committed on violation
+    val newConstraints =
+      cfg.checkConstraints.filterNot(e.config.checkConstraints.contains)
+    val updated = CowTable(SparkSession.active, rootOf(e).toString, cfg)
+    if (newConstraints.nonEmpty)
+      CowTable(SparkSession.active, rootOf(e).toString,
+        cfg.copy(checkConstraints = newConstraints))
+        .enforceConstraints(t.read(), "ALTER TABLE ADD CONSTRAINT")
+    updated.commitAt(parent = cur, fresh = Nil, carryOver = m.files,
       schema = schema, dataChange = false)
+    if (cfg != e.config) LakeRegistry.register(warehouse, cfg, e.root)
     loadTable(ident)
+  }
+
+  /** Durable behavior properties adjustable post-create via
+    * `ALTER TABLE ... SET/UNSET TBLPROPERTIES`. Layout-defining config
+    * (primaryKey, partitionKey, clusterByKey) is immutable — changing it
+    * would invalidate every existing file's stats and placement. New
+    * `statsColumns`/`bloomIndex` apply to FUTURE files only; older files
+    * simply lack the stats and are never skipped on them (the documented
+    * degrade-safe direction). */
+  private def applyProperty(
+      cfg: graft.storage.TableConfig, key: String,
+      value: Option[String]): graft.storage.TableConfig = key match {
+    case "checkConstraints" => cfg.copy(checkConstraints = value
+      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    case "changeDataFeed" =>
+      cfg.copy(changeDataFeed = value.exists(_.trim.toBoolean))
+    case "statsColumns" => cfg.copy(statsColumns = value
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    case "bloomIndex" => cfg.copy(bloomIndex = value.exists(_.trim.toBoolean))
+    case "maxRecordsPerFile" =>
+      cfg.copy(maxRecordsPerFile = value.map(_.trim.toLong).getOrElse(0L))
+    case "precombineKey" => cfg.copy(precombineKey = value.map(_.trim))
+    case other => throw new UnsupportedOperationException(
+      s"graft: table property '$other' is not alterable (layout-defining " +
+        "config — primaryKey, partitionKey, clusterByKey — is immutable)")
   }
 
   override def dropTable(ident: Identifier): Boolean =

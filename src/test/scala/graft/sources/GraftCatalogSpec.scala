@@ -202,6 +202,54 @@ class GraftCatalogSpec extends SparkSpec {
     assert(parts.head.getLong(3) > 0L && parts.head.getLong(4) > 0L)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES adjusts durable behavior in place") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.tp (id BIGINT, v DOUBLE) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.tp VALUES (1, 1.0), (2, 2.0)")
+
+    // ADD CONSTRAINT (Delta parity): new constraint validates existing
+    // data first — a violated one rejects and commits nothing
+    intercept[Exception] {
+      sess.sql("ALTER TABLE lake.default.tp " +
+        "SET TBLPROPERTIES ('checkConstraints' = 'v > 1.5')")
+    }
+    sess.sql("ALTER TABLE lake.default.tp " +
+      "SET TBLPROPERTIES ('checkConstraints' = 'v > 0')")
+    // the new constraint binds future connector writes...
+    intercept[Exception] {
+      sess.sql("INSERT INTO lake.default.tp VALUES (3, -1.0)")
+    }
+    sess.sql("INSERT INTO lake.default.tp VALUES (3, 3.0)")
+    assert(sess.table("lake.default.tp").count() == 3)
+    // ...and fresh writers opening the table from its root alone
+    val root = java.nio.file.Paths.get(lake).resolve("tp")
+    val inherited = CowTable.configAt(root, TableConfig("tp", Seq("id")))
+    assert(inherited.checkConstraints == Seq("v > 0"))
+
+    // UNSET lifts it
+    sess.sql("ALTER TABLE lake.default.tp " +
+      "UNSET TBLPROPERTIES ('checkConstraints')")
+    sess.sql("INSERT INTO lake.default.tp VALUES (4, -4.0)")
+    assert(sess.table("lake.default.tp").count() == 4)
+
+    // changeDataFeed toggles on mid-life: the NEXT mutation materializes
+    sess.sql("ALTER TABLE lake.default.tp " +
+      "SET TBLPROPERTIES ('changeDataFeed' = 'true')")
+    val t = CowTable(spark, root.toString,
+      CowTable.configAt(root, TableConfig("tp", Seq("id"))))
+    import spark.implicits._
+    t.upsert(Seq((1L, 10.0)).toDF("id", "v"))
+    assert(t.manifest(t.currentVersion).cdcDir.isDefined)
+
+    // layout-defining properties stay immutable, loudly
+    intercept[Exception] {
+      sess.sql("ALTER TABLE lake.default.tp " +
+        "SET TBLPROPERTIES ('primaryKey' = 'v')")
+    }
+  }
+
   test("$partitions metadata table rolls up per hive partition value") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
