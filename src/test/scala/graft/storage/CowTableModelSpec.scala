@@ -36,7 +36,15 @@ class CowTableModelSpec extends SparkSpec {
     t.create(df(init))
     init.foreach { case (k, v, w) => model(k) = (v, w) }
 
+    // mid-sequence SHALLOW CLONE probe: fork at a random step, snapshot the
+    // model; after the original keeps mutating, the fork must still equal
+    // the frozen model (fork isolation across every subsequent op)
+    val cloneAtStep = 2 + rnd.nextInt(5)
+    var clone: Option[(CowTable, Map[Long, (String, Long)])] = None
+
     (1 to 8).foreach { step =>
+      if (step == cloneAtStep)
+        clone = Some((t.shallowClone(dir + "/fork"), model.toMap))
       rnd.nextInt(4) match {
         case 0 | 1 => // upsert
           val batch = randRows(1 + rnd.nextInt(10))
@@ -75,6 +83,14 @@ class CowTableModelSpec extends SparkSpec {
       }
     assert(replay.toMap == model.toMap,
       s"seed=$seed: feed replay diverges from final state")
+
+    // the fork still equals the model AS OF the fork point
+    clone.foreach { case (c, frozen) =>
+      val got = c.read().as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == frozen,
+        s"seed=$seed: shallow clone diverged from its fork-point state")
+    }
   }
 
   test("random op sequences match the model (seeds 1-3)") { runSeed(1) }
