@@ -229,6 +229,10 @@ final class GraftRowLevelBatchWrite(
     val tbl = CowTable(spark, root.toString,
       m.tableConfig(root.getFileName.toString))
     val fresh = tbl.statListedFiles(files, tableSchema)
+    // CHECK constraints bind SQL MERGE/UPDATE too: validate the rewritten
+    // files (modified rows + their carried file-mates) before the commit —
+    // a violating SET clause throws with the files still unreferenced
+    tbl.enforceConstraintsOnFiles(fresh, tableSchema, "row-level write")
     val scanned = op.scannedFiles.getOrElse(Nil).map(_.path).toSet
     val carry = m.files.filterNot(f => scanned(f.path))
     tbl.commitAt(parent, fresh, carry, tableSchema)

@@ -79,5 +79,16 @@ class CheckConstraintsSpec extends SparkSpec {
       CowTable(spark, lake + "/c", inherited)
         .upsert(Seq((4L, -1.0)).toDF("id", "v"))
     }
+
+    // the row-level SQL path (UPDATE / MERGE rewrites) is bound too
+    val badUpd = intercept[Exception] {
+      sess.sql("UPDATE lake.default.c SET v = -5.0 WHERE id = 1")
+    }
+    assert(badUpd.getMessage.contains("v >= 0") ||
+      Option(badUpd.getCause).exists(_.getMessage.contains("v >= 0")),
+      badUpd.getMessage)
+    assert(sess.table("lake.default.c").filter("v < 0").count() == 0)
+    sess.sql("UPDATE lake.default.c SET v = 9.0 WHERE id = 1")
+    assert(sess.table("lake.default.c").filter("v = 9.0").count() == 1)
   }
 }
