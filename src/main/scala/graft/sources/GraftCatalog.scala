@@ -270,9 +270,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     isDefaultNs(ident.namespace()) &&
       LakeRegistry.unregister(warehouse, ident.name())
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft: RENAME TABLE is not supported (re-register under a new name)")
+  /** `ALTER TABLE ... RENAME TO`: catalog-entry swap only — the table root
+    * and every data file stay in place (zero bytes moved at any scale). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireNs(oldIdent.namespace()); requireNs(newIdent.namespace())
+    if (entryFor(oldIdent).isEmpty) throw new NoSuchTableException(oldIdent)
+    if (entryFor(newIdent).isDefined)
+      throw new TableAlreadyExistsException(newIdent)
+    LakeRegistry.rename(warehouse, oldIdent.name(), newIdent.name())
+  }
 
   // ---- CALL procedures: table maintenance as SQL -------------------------
 

@@ -127,6 +127,37 @@ object LakeRegistry {
     false // unreachable
   }
 
+  /** Rename a table's catalog entry (data files and root dir untouched —
+    * the entry keeps pointing at the same root, so at 100 TB a rename moves
+    * zero bytes; Iceberg/Delta RENAME is the same catalog-only operation).
+    * One CAS commit swaps the entry atomically: the old name disappears and
+    * the new appears in the same catalog version — no window where both or
+    * neither resolve. Fails loudly if `to` is taken or `from` is absent. */
+  def rename(lakeDir: String, from: String, to: String): Unit = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = currentCatalogVersion(lakeDir)
+      val cur = entries(lakeDir)
+      val e = cur.find(_.table_name == from).getOrElse(
+        throw new IllegalArgumentException(
+          s"rename: table $from is not registered in $lakeDir"))
+      require(!cur.exists(_.table_name == to),
+        s"rename: table $to already exists in $lakeDir")
+      val merged = cur.filterNot(_.table_name == from) :+
+        e.copy(table_name = to)
+      val tmp = Files.createTempFile(Paths.get(lakeDir), "_catalog", ".tmp")
+      Files.writeString(tmp, Serialization.write(merged.sortBy(_.table_name)))
+      try {
+        Files.createLink(versionFile(lakeDir, base + 1), tmp)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempts < 64 =>
+          () // lost the CAS: re-read and retry
+      } finally Files.deleteIfExists(tmp)
+    }
+  }
+
   /** Open a registered table (resolving its relative root). */
   def open(spark: SparkSession, lakeDir: String, name: String): CowTable = {
     val e = entries(lakeDir).find(_.table_name == name).getOrElse(

@@ -250,6 +250,30 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE RENAME TO swaps the catalog entry, moves no data") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.rn (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.rn VALUES (1, 'a'), (2, 'b')")
+    val rootBefore = java.nio.file.Paths.get(lake).resolve("rn")
+    assert(java.nio.file.Files.isDirectory(rootBefore))
+    sess.sql("ALTER TABLE lake.default.rn RENAME TO default.rn2")
+    // new name resolves to the SAME root (no data moved); old name is gone
+    assert(sess.table("lake.default.rn2").count() == 2)
+    assert(java.nio.file.Files.isDirectory(rootBefore))
+    intercept[Exception] { sess.table("lake.default.rn").collect() }
+    // writes keep working under the new name
+    sess.sql("INSERT INTO lake.default.rn2 VALUES (3, 'c')")
+    assert(sess.table("lake.default.rn2").count() == 3)
+    // renaming onto a taken name fails loud
+    sess.sql("CREATE TABLE lake.default.other (id BIGINT) " +
+      "OPTIONS (primaryKey 'id')")
+    intercept[Exception] {
+      sess.sql("ALTER TABLE lake.default.rn2 RENAME TO default.other")
+    }
+  }
+
   test("$partitions metadata table rolls up per hive partition value") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
