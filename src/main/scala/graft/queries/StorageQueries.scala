@@ -791,6 +791,45 @@ object StorageQueries {
           col("_commit_version"), col("_change_type"))
     },
 
+    // BATCH CONNECTOR CHANGE FEED (Delta spark.read.option(readChangeFeed)
+    // parity): q99's change set read through the DSv2 scan instead of the
+    // API — partitions are the materialized _cdc files plus append files
+    // with constant metadata columns, windowed by startingVersion/
+    // endingVersion. Same oracle as q99: the read path changes, the
+    // semantics must not.
+    Q("q109_batch_cdf_scan",
+      """SELECT c_custkey, round(c_acctbal + 50, 2) AS c_acctbal,
+        |  CAST(2 AS INT) AS _commit_version,
+        |  'update_postimage' AS _change_type
+        |FROM customer WHERE c_custkey % 17 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, CAST(2 AS INT), 'update_preimage'
+        |FROM customer WHERE c_custkey % 17 = 0
+        |UNION ALL
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 17 = 0 THEN round(c_acctbal + 50, 2)
+        |       ELSE c_acctbal END,
+        |  CAST(3 AS INT), 'delete'
+        |FROM customer WHERE c_custkey % 23 = 0
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q109")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val c = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      val tbl = CowTable(s, base,
+        TableConfig("cust_cdf", Seq("c_custkey"), changeDataFeed = true))
+      tbl.create(c)                                                  // v1
+      tbl.upsert(c.filter(col("c_custkey") % 17 === 0)               // v2
+        .withColumn("c_acctbal", round(col("c_acctbal") + 50, 2)))
+      tbl.delete(c.filter(col("c_custkey") % 23 === 0)               // v3
+        .select("c_custkey"))
+      s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "3")
+        .load(base)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("_commit_version"), col("_change_type"))
+    },
+
     // STREAMING CHANGE FEED: readStream.format(graft)
     // .option(readChangeFeed) tails the SAME history as q99 and emits
     // create-inserts, update postimages, and preimage delete tombstones

@@ -218,7 +218,9 @@ final class GraftTable(
         .exists(_.trim.toBoolean),
       maxCommitsPerBatch = Option(options.get("maxCommitsPerBatch"))
         .map(_.trim.toInt),
-      readChangeFeed = cdfRead)
+      readChangeFeed = cdfRead,
+      endingVersion = Option(options.get("endingVersion"))
+        .map(_.trim.toInt))
     new GraftScanBuilder(root, m, schema(), columnar, streamOpts)
   }
 
@@ -564,12 +566,33 @@ final class GraftScan(
       s" statsColFilters=${extraBounds.size}" +
       s" columnar=$columnar"
 
+  /** Batch CDF read (Delta `spark.read.option("readChangeFeed","true")`
+    * parity): `startingVersion` (exclusive-from, default 0) to
+    * `endingVersion` (inclusive, default the scan's resolved version — so
+    * `versionAsOf` caps the feed). Partitions come from the shared
+    * change-feed planner: materialized `_cdc` files for mutation commits,
+    * added data files (constant `insert` columns) for appends; rewrites
+    * without change files fail loudly. Pushed filters stay residual, so
+    * skipping never affects feed exactness. */
   override def toBatch: Batch = {
-    if (streamOpts.readChangeFeed) throw new UnsupportedOperationException(
-      "graft: readChangeFeed is a STREAMING read option " +
-        "(spark.readStream.format(\"graft\").option(\"readChangeFeed\"," +
-        "\"true\")) — for a batch feed use CowTable.readChangeFeed")
-    this
+    if (!streamOpts.readChangeFeed) return this
+    val endV = streamOpts.endingVersion.getOrElse(m.version)
+    val startV = streamOpts.startingVersion
+    require(startV >= 0 && endV <= CowTable.currentVersionAt(root) &&
+      startV <= endV,
+      s"graft: bad change-feed range ($startV, $endV] for $root")
+    val earliest = CowTable.earliestReadableAt(root)
+    require(startV + 1 >= earliest,
+      s"graft: change-feed start $startV predates the earliest readable " +
+        s"version $earliest (older history was vacuumed)")
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        GraftCdf.partitions(root, startV, endV, "graft batch feed",
+          "re-read from a retained version via " +
+            "option(\"startingVersion\", ...)")
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftReaderFactory(required, columnar)
+    }
   }
 
   /** Incremental micro-batch read over the commit log (see

@@ -26,7 +26,11 @@ final case class GraftStreamOptions(
       * materialized `_cdc` rows (I/U/D with preimage deletes). Requires
       * mutating commits to carry change files
       * ([[graft.storage.TableConfig.changeDataFeed]]). */
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    /** BATCH change-feed reads only: the inclusive upper version of the
+      * feed range (Delta's `endingVersion`). None = the scan's resolved
+      * version (current, or `versionAsOf`). */
+    endingVersion: Option[Int] = None)
 
 /** Stream position = "all commits ≤ `version` processed". Commits are the
   * table's atomic units of change, so a (start, end] version range
@@ -148,21 +152,48 @@ final class GraftMicroBatchStream(
       }
     }
 
-  /** Change-feed partitions for commits (start, end]: per commit, either
-    * its materialized `_cdc` files (physical `_change_type`, constant
-    * `_commit_version`) or — for pure-append commits — its added data files
-    * with BOTH metadata columns riding as constants. A rewrite commit
-    * without change files fails loudly: its per-row changes were never
-    * recorded and cannot be reconstructed file-wise. */
-  private def cdfPartitions(startV: Int, endV: Int): Array[InputPartition] =
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (opts.readChangeFeed)
+      GraftCdf.partitions(root, s, e, "graft stream",
+        "restart the change-feed stream from a retained version via " +
+          "option(\"startingVersion\", ...)")
+    else addedFiles(s, e).map { case (_, entry) =>
+      GraftInputPartition(
+        root.resolve(entry.path).toString,
+        GraftScan.hivePathValues(entry.path))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, columnar)
+
+  override def commit(end: Offset): Unit = () // engine-side checkpointing
+  override def stop(): Unit = ()
+}
+
+/** Change-feed partition planning shared by the STREAMING source and the
+  * BATCH `option("readChangeFeed","true")` scan: for commits (start, end],
+  * either a commit's materialized `_cdc` files (physical `_change_type`,
+  * constant `_commit_version`/`_commit_timestamp`) or — for pure-append
+  * commits — its added data files with all metadata columns riding as
+  * partition constants. A rewrite commit without change files fails
+  * loudly: its per-row changes were never recorded and cannot be
+  * reconstructed file-wise (the API's `CowTable.readChangeFeed` can — via
+  * the file-diff join — but a file-partition scan cannot). O(manifests in
+  * range) driver metadata, no data IO at planning. */
+private[sources] object GraftCdf {
+  def partitions(root: Path, startV: Int, endV: Int,
+      who: String, remediation: String): Array[InputPartition] =
     ((startV + 1) to endV).flatMap { v =>
       val m =
         try CowTable.manifestAt(root, v)
         catch {
           case e: Exception => throw new IllegalStateException(
-            s"graft stream: commit v$v of $root is unreadable (vacuumed " +
-              "or corrupt history?) — restart the change-feed stream from " +
-              "a retained version via option(\"startingVersion\", ...)", e)
+            s"$who: commit v$v of $root is unreadable (vacuumed or " +
+              s"corrupt history?) — $remediation", e)
         }
       if (!m.dataChange) Nil
       else m.cdcDir match {
@@ -170,9 +201,8 @@ final class GraftMicroBatchStream(
           import scala.jdk.CollectionConverters._
           val cdcPath = root.resolve(dir)
           if (!Files.isDirectory(cdcPath)) throw new IllegalStateException(
-            s"graft stream: commit v$v's change files ($dir) were vacuumed " +
-              "— restart the change-feed stream from a retained version " +
-              "via option(\"startingVersion\", ...)")
+            s"$who: commit v$v's change files ($dir) were vacuumed — " +
+              remediation)
           scala.util.Using.resource(Files.walk(cdcPath)) {
             _.iterator().asScala
               .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -186,7 +216,7 @@ final class GraftMicroBatchStream(
             else CowTable.manifestAt(root, m.parent).files.map(_.path).toSet
           val removed = parentPaths -- m.files.map(_.path).toSet
           if (removed.nonEmpty) throw new IllegalStateException(
-            s"graft stream: commit v$v of $root rewrote files without " +
+            s"$who: commit v$v of $root rewrote files without " +
               "materialized change rows — create the table with " +
               "TableConfig(changeDataFeed = true) so mutations record " +
               "their exact changes, or read appends only (drop the " +
@@ -199,22 +229,4 @@ final class GraftMicroBatchStream(
                 "_change_type" -> "insert")))
       }
     }.toArray
-
-  override def planInputPartitions(
-      start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].version
-    val e = end.asInstanceOf[GraftOffset].version
-    if (opts.readChangeFeed) cdfPartitions(s, e)
-    else addedFiles(s, e).map { case (_, entry) =>
-      GraftInputPartition(
-        root.resolve(entry.path).toString,
-        GraftScan.hivePathValues(entry.path))
-    }.toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, columnar)
-
-  override def commit(end: Offset): Unit = () // engine-side checkpointing
-  override def stop(): Unit = ()
 }

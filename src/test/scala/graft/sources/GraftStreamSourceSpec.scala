@@ -174,17 +174,19 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(msg.contains("changeDataFeed"), msg)
   }
 
-  test("readChangeFeed is rejected for batch reads") {
+  test("batch readChangeFeed serves a create as its insert load") {
+    // (full batch-CDF behavior — windows, API parity, rewrite rejection —
+    // is pinned in ChangeDataFeedSpec; this pins the plain-append shape
+    // through the same partitions the streaming source uses)
     val dir = tmpDir("gstream")
     CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
       .create(rows(1, 3))
-    val e = intercept[Exception] {
-      spark.read.format("graft").option("readChangeFeed", "true")
-        .load(dir + "/src").collect()
-    }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(m => String.valueOf(m.getMessage)).mkString(" | ")
-    assert(msg.contains("STREAMING"), msg)
+    val got = spark.read.format("graft").option("readChangeFeed", "true")
+      .load(dir + "/src")
+      .select("id", "_commit_version", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1L, 1, "insert"), (2L, 1, "insert"),
+      (3L, 1, "insert")), got)
   }
 
   test("file skipping applies when bounds reach the stream (API path)") {

@@ -80,6 +80,55 @@ class ChangeDataFeedSpec extends SparkSpec {
     assert(java.nio.file.Files.isDirectory(v4cdc), "live cdc dir deleted")
   }
 
+  test("batch connector CDF read matches the API feed, windowed by options") {
+    val dir = tmpDir("cdf")
+    val t = CowTable(spark, dir + "/t", cfg)
+    t.create((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))        // v1
+    t.upsert(Seq((5L, "V5"), (31L, "v31")).toDF("id", "v"))            // v2
+    t.delete(Seq(Tuple1(7L)).toDF("id"))                               // v3
+
+    def feed(opts: Map[String, String]) = opts.foldLeft(
+      spark.read.format("graft").option("readChangeFeed", "true")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(dir + "/t")
+
+    // full feed (insert load + changes) equals the API feed row-for-row
+    val viaScan = feed(Map.empty)
+      .select("id", "v", "_commit_version", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    val viaApi = t.readChangeFeed(0, 3)
+      .select("id", "v", "_commit_version", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(viaScan == viaApi)
+    // _commit_timestamp rides along as a real column
+    assert(feed(Map.empty).select("_commit_timestamp")
+      .distinct().count() == 3)
+
+    // startingVersion/endingVersion window the feed (Delta option names)
+    val windowed = feed(Map("startingVersion" -> "1", "endingVersion" -> "2"))
+      .select("id", "_commit_version", "_change_type")
+      .as[(Long, Int, String)].collect().toSet
+    assert(windowed == Set((5L, 2, "update_preimage"),
+      (5L, 2, "update_postimage"), (31L, 2, "insert")), windowed)
+
+    // versionAsOf caps the default end
+    assert(feed(Map("versionAsOf" -> "2", "startingVersion" -> "1"))
+      .select("_commit_version").distinct()
+      .as[Int].collect().toSeq == Seq(2))
+
+    // a mutation commit WITHOUT materialized change files fails loud
+    val plain = CowTable(spark, dir + "/p", TableConfig("p", Seq("id")))
+    plain.create(Seq((1L, "a")).toDF("id", "v"))
+    plain.upsert(Seq((1L, "b")).toDF("id", "v"))
+    val err = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(dir + "/p").collect()
+    }
+    assert(err.getMessage.contains("changeDataFeed") ||
+      Option(err.getCause).exists(_.getMessage.contains("changeDataFeed")),
+      err.getMessage)
+  }
+
   test("precombine upstream + schema evolution still feed exactly") {
     val dir = tmpDir("cdf")
     val t = CowTable(spark, dir + "/t", cfg)
