@@ -49,11 +49,16 @@ object GraftProcedures {
       })
       case "optimize" => Some(proc("optimize",
         Seq(in("table", StringType),
-          in("cluster_by", StringType, Some("''"))),
+          in("cluster_by", StringType, Some("''")),
+          in("partition_value", StringType, Some("''"))),
         resultSchema = versionResult) { args =>
         val t = open(str(args, 0))
         val cols = str(args, 1).split(",").map(_.trim).filter(_.nonEmpty)
-        val v = if (cols.isEmpty) t.optimize() else t.optimize(cols.toSeq)
+        val scope = Option(args.getUTF8String(2))
+          .map(_.toString).filter(_.nonEmpty)
+        val v =
+          if (cols.isEmpty) t.optimize(partitionValue = scope)
+          else t.optimize(cols.toSeq, partitionValue = scope)
         Array[Any](v)
       })
       case "vacuum" => Some(proc("vacuum",

@@ -353,17 +353,9 @@ final class CowTable private[storage] (
     // recent partition sprawls while the cold ones are already folded, and
     // touching them again is pure wasted IO. Files outside the scope carry
     // over untouched.
-    def inScope(e: FileEntry): Boolean = partitionValue.forall { v =>
-      config.partitionKey.exists { pk =>
-        e.path.split('/').dropRight(1).find(_.startsWith(pk + "="))
-          .map(seg => org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(
-              seg.substring(pk.length + 1)))
-          .contains(v)
-      }
-    }
-    val (small, large) = m.files.partition(e => inScope(e) &&
-      java.nio.file.Files.size(root.resolve(e.path)) < smallBytes)
+    val (small, large) = m.files.partition(e =>
+      inPartitionScope(e, partitionValue) &&
+        java.nio.file.Files.size(root.resolve(e.path)) < smallBytes)
     if (small.size <= 1) return parent // nothing to fold
     val schema = structFromJson(m.schemaJson)
     val verSeg = f"v${parent + 1}%05d-" + java.util.UUID.randomUUID
@@ -414,6 +406,21 @@ final class CowTable private[storage] (
     commitAt(parent, freshC, large ++ carryExtra, schema, dataChange = false)
   }
 
+  /** Does `e` live in the named hive partition value (None = everything)?
+    * Path-borne, hive-unescaped — the scope test behind partition-scoped
+    * [[compact]] and [[optimize]]. */
+  private def inPartitionScope(
+      e: FileEntry, partitionValue: Option[String]): Boolean =
+    partitionValue.forall { v =>
+      config.partitionKey.exists { pk =>
+        e.path.split('/').dropRight(1).find(_.startsWith(pk + "="))
+          .map(seg => org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              seg.substring(pk.length + 1)))
+          .contains(v)
+      }
+    }
+
   /** OPTIMIZE ZORDER (Delta/Hudi clustering surface): rewrite the current
     * snapshot ordered along a Morton curve over `clusterBy` (default: the
     * stat-tracked key columns), so every output file covers a small
@@ -432,17 +439,28 @@ final class CowTable private[storage] (
     * that lets the reference's string `category` key
     * (/root/reference/cdk.json:71) cluster), then one range-exchange write;
     * at 100 TB it runs per partition-era or post-compaction, not per
-    * commit.
+    * commit — and `partitionValue` scopes the rewrite to ONE hive
+    * partition ("z-order yesterday's partition"): only that partition's
+    * files (and rows) are read, quantiled, and rewritten, everything else
+    * carries over untouched, so the cost is O(hot partition), not
+    * O(table).
     *
     * @param targetPartitions output file count (0 ⇒ keep the current count)
+    * @param partitionValue   restrict the rewrite to this hive partition
     */
   def optimize(clusterBy: Seq[String] = config.primaryKey.take(2),
-      targetPartitions: Int = 0): Int = {
+      targetPartitions: Int = 0,
+      partitionValue: Option[String] = None): Int = {
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
     require(clusterBy.nonEmpty, "optimize needs >=1 cluster column")
+    require(partitionValue.isEmpty || config.partitionKey.isDefined,
+      s"table ${config.tableName} is not partitioned")
     val m = manifest(parent)
-    val df = readVersion(parent)
+    val (scoped, carried) = m.files.partition(e =>
+      inPartitionScope(e, partitionValue))
+    if (scoped.isEmpty) return parent
+    val df = readFiles(m, scoped)
     val missing = clusterBy.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"optimize: cluster columns not in table: ${missing.mkString(", ")}")
@@ -468,13 +486,13 @@ final class CowTable private[storage] (
       }.toMap
     val strSplits: Map[String, org.apache.spark.sql.Column] = stringCols.map { k =>
       k -> ZOrder.rankStringColumn(col(k),
-        stringRangeSplits(df, k, m.files.map(_.rows).sum))
+        stringRangeSplits(df, k, scoped.map(_.rows).sum))
     }.toMap
     val ranked = clusterBy.map(k =>
       if (stringCols.contains(k)) strSplits(k) else numSplits(s"__zr_$k"))
     val nOut =
       if (targetPartitions > 0) targetPartitions
-      else math.max(1, m.files.size)
+      else math.max(1, scoped.size)
     val shaped = config.partitionKey match {
       // hive layout survives; the curve orders rows WITHIN each partition
       case Some(pk) => tmp.withColumn("__z", ZOrder.zvalue(ranked))
@@ -483,7 +501,7 @@ final class CowTable private[storage] (
         .repartitionByRange(nOut, col("__z"))
     }
     val out = shaped.drop("__z").drop(casted.map(_._1): _*)
-    writeVersion(out, structFromJson(m.schemaJson), Nil, parent,
+    writeVersion(out, structFromJson(m.schemaJson), carried, parent,
       dataChange = false, preshaped = true)
   }
 

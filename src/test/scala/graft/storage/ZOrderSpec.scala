@@ -126,4 +126,33 @@ class ZOrderSpec extends SparkSpec {
     assert(m.files.forall(e => e.path.contains("seg=")), m.files.map(_.path))
     assert(t.read().count() == 1000L)
   }
+
+  test("partition-scoped optimize rewrites ONE partition, carries the rest") {
+    val dir = tmpDir("zorder")
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("t", Seq("a", "b"), partitionKey = Some("seg")))
+    t.create((0L until 1000L).map(i => (i % 10, i / 10, if (i % 2 == 0) "X" else "Y"))
+      .toDF("a", "b", "seg").repartition(4))
+    val before = t.manifest(t.currentVersion)
+    val yBefore = before.files.filter(_.path.contains("seg=Y")).map(_.path)
+    val v = t.optimize(Seq("a", "b"), partitionValue = Some("X"))
+    val m = t.manifest(v)
+    // the cold partition's files carried over byte-identically
+    assert(m.files.filter(_.path.contains("seg=Y")).map(_.path).sorted ==
+      yBefore.sorted)
+    // the hot partition was rewritten (new version-dir paths)
+    val xAfter = m.files.filter(_.path.contains("seg=X")).map(_.path)
+    assert(xAfter.nonEmpty && xAfter.forall(p =>
+      !before.files.map(_.path).contains(p)), xAfter)
+    // reorganization: same rows, dataChange=false
+    assert(!m.dataChange)
+    assert(t.read().count() == 1000L)
+    assert(t.read().filter($"seg" === "X").count() == 500L)
+    // scoping an unpartitioned table is rejected loudly
+    val u = CowTable(spark, dir + "/u", TableConfig("u", Seq("a")))
+    u.create(Seq((1L, "x")).toDF("a", "p"))
+    assertThrows[IllegalArgumentException] {
+      u.optimize(Seq("a"), partitionValue = Some("X"))
+    }
+  }
 }
