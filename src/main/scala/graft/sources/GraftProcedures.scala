@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
 
-  val All: Seq[String] = Seq("compact", "optimize", "vacuum", "rollback")
+  val All: Seq[String] =
+    Seq("compact", "optimize", "vacuum", "rollback", "clone")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -73,6 +74,22 @@ object GraftProcedures {
         Seq(in("table", StringType), in("version", IntegerType)),
         resultSchema = versionResult) { args =>
         Array[Any](open(str(args, 0)).rollbackTo(args.getInt(1)))
+      })
+      // CALL lake.clone('src', 'fork'): SHALLOW CLONE as SQL — hard-linked
+      // zero-copy fork registered in the lake catalog under the new name,
+      // immediately queryable as lake.default.<fork>
+      case "clone" => Some(proc("clone",
+        Seq(in("table", StringType), in("new_table", StringType)),
+        resultSchema = versionResult) { args =>
+        val newName = str(args, 1)
+        require(!LakeRegistry.entries(warehouse)
+          .exists(_.table_name == newName),
+          s"clone: table $newName already exists in the lake catalog")
+        val src = open(str(args, 0))
+        val dest = java.nio.file.Paths.get(warehouse).resolve(newName)
+        val forked = src.shallowClone(dest.toString, Some(newName))
+        LakeRegistry.register(warehouse, forked.config, dest.toString)
+        Array[Any](forked.currentVersion)
       })
       case _ => None
     }

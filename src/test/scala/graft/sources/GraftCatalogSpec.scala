@@ -250,6 +250,23 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL clone: zero-copy fork registered and queryable via SQL") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.src (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.src VALUES (1, 'a'), (2, 'b')")
+    val v = sess.sql("CALL lake.clone('src', 'fork')").head().getInt(0)
+    assert(v == 1)
+    assert(sess.table("lake.default.fork").count() == 2)
+    // fork and source diverge independently
+    sess.sql("INSERT INTO lake.default.fork VALUES (3, 'c')")
+    assert(sess.table("lake.default.fork").count() == 3)
+    assert(sess.table("lake.default.src").count() == 2)
+    // cloning onto a taken name fails loud
+    intercept[Exception] { sess.sql("CALL lake.clone('src', 'fork')") }
+  }
+
   test("ALTER TABLE RENAME TO swaps the catalog entry, moves no data") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
