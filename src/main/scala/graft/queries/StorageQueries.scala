@@ -55,7 +55,11 @@ object StorageQueries {
     .newKeySet[String]()
   private def feedFixtureCfg = TableConfig("user_state", Seq("user_id"),
     precombineKey = Some("event_id"), maxRecordsPerFile = 1L)
-  private[queries] def feedFixture(s: SparkSession, d: String): CowTable = {
+  private[queries] def feedFixture(s: SparkSession, d: String): CowTable =
+    feedFixtureBuilt.synchronized { // one builder; a peer waits, then reuses
+      feedFixtureUnsafe(s, d)
+    }
+  private def feedFixtureUnsafe(s: SparkSession, d: String): CowTable = {
     val base = tableDir("q75q80_feed")
     if (feedFixtureBuilt.add(s"$d|$base")) {
       val tbl = CowTable.replace(s, base, feedFixtureCfg,

@@ -544,6 +544,16 @@ final class GraftScan(
     * add-file sizes / Iceberg manifests). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
+    // a change-feed read's volume is the CHANGE history, not the snapshot —
+    // reporting snapshot stats could under-size it into a broadcast. Unknown
+    // is the safe answer (Spark falls back to conf defaults).
+    if (streamOpts.readChangeFeed)
+      return new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     val rowCount = kept.map(_.rows).sum
     val sizeBytes = kept.map { e =>
       if (e.bytes > 0L) e.bytes
@@ -624,6 +634,10 @@ final class GraftScan(
     * runtime filtering); group MEMBERS come from the current `kept`, so a
     * fully-pruned value shows up as an empty group. */
   private def keyGroups: Option[Seq[(String, Seq[FileEntry])]] = {
+    // a change-feed batch plans its OWN partitions (GraftCdf) — advertising
+    // snapshot-derived key groups here would promise a partitioning the
+    // feed scan does not deliver (wrong SPJ co-location, wrong join output)
+    if (streamOpts.readChangeFeed) return None
     val pk = m.partitionKey.getOrElse(return None)
     val bucketing = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
