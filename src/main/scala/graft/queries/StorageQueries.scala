@@ -61,14 +61,19 @@ object StorageQueries {
     }
   private def feedFixtureUnsafe(s: SparkSession, d: String): CowTable = {
     val base = tableDir("q75q80_feed")
-    if (feedFixtureBuilt.add(s"$d|$base")) {
-      val tbl = CowTable.replace(s, base, feedFixtureCfg,
-        initialSnapshot(s, d)
-          .filter(col("user_id") % 5 === 0 && col("user_id") < 500))
-      CdcPipeline.applyBatch(tbl,
-        cdcBatch(s, d).filter(col("user_id") % 5 === 0 && col("user_id") < 500),
-        auditTs = lit(auditTs).cast("timestamp"))
-      tbl
+    val key = s"$d|$base"
+    if (feedFixtureBuilt.add(key)) {
+      try {
+        val tbl = CowTable.replace(s, base, feedFixtureCfg,
+          initialSnapshot(s, d)
+            .filter(col("user_id") % 5 === 0 && col("user_id") < 500))
+        CdcPipeline.applyBatch(tbl,
+          cdcBatch(s, d).filter(col("user_id") % 5 === 0 && col("user_id") < 500),
+          auditTs = lit(auditTs).cast("timestamp"))
+        tbl
+      } catch { // failed build must not poison the memo: retry rebuilds
+        case e: Throwable => feedFixtureBuilt.remove(key); throw e
+      }
     } else CowTable(s, base, feedFixtureCfg)
   }
 
@@ -798,9 +803,9 @@ object StorageQueries {
     // BATCH CONNECTOR CHANGE FEED (Delta spark.read.option(readChangeFeed)
     // parity): q99's change set read through the DSv2 scan instead of the
     // API — partitions are the materialized _cdc files plus append files
-    // with constant metadata columns, windowed by startingVersion/
-    // endingVersion. Same oracle as q99: the read path changes, the
-    // semantics must not.
+    // with constant metadata columns, windowed by the INCLUSIVE
+    // startingVersion/endingVersion options (Delta's convention). Same
+    // oracle as q99: the read path changes, the semantics must not.
     Q("q109_batch_cdf_scan",
       """SELECT c_custkey, round(c_acctbal + 50, 2) AS c_acctbal,
         |  CAST(2 AS INT) AS _commit_version,
@@ -828,7 +833,7 @@ object StorageQueries {
         .select("c_custkey"))
       s.read.format("graft")
         .option("readChangeFeed", "true")
-        .option("startingVersion", "1").option("endingVersion", "3")
+        .option("startingVersion", "2").option("endingVersion", "3")
         .load(base)
         .select(col("c_custkey"), col("c_acctbal"),
           col("_commit_version"), col("_change_type"))

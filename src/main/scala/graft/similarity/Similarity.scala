@@ -150,13 +150,23 @@ object Similarity {
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      cents = cents.indices.map { c =>
-        if (counts(c) > 0) sums(c).map(_ / counts(c))
-        else { // reseed dead list: farthest point from its nearest centroid
-          val far = sample.maxBy(v => cents.map(d2(v, _)).min)
-          far.map(_.toDouble)
+      // live lists first; then reseed each dead list to the point farthest
+      // from ALL centroids chosen SO FAR (including earlier reseeds), so
+      // two lists dying in one iteration get DISTINCT new centroids —
+      // duplicates would tie every assignment to the lower index and leave
+      // the higher list dead forever
+      val next = new Array[Array[Double]](nLists)
+      cents.indices.foreach { c =>
+        if (counts(c) > 0) next(c) = sums(c).map(_ / counts(c))
+      }
+      cents.indices.foreach { c =>
+        if (counts(c) == 0) {
+          val placed = next.filter(_ != null)
+          next(c) = sample.maxBy(v => placed.map(d2(v, _)).min)
+            .map(_.toDouble)
         }
-      }.toArray
+      }
+      cents = next
     }
     cents.map(_.map(math.round).toSeq).toSeq
   }

@@ -135,9 +135,19 @@ object GraftColumnarPartitionReader {
       case BooleanType => raw.toBoolean
       case DateType => DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(raw))
       // micros-since-epoch text — the synthetic `_commit_timestamp` CDF
-      // constant (timestamp PARTITION keys remain unsupported: their hive
-      // path rendering is formatted text, rejected below via NumberFormat)
-      case TimestampType => raw.toLong
+      // constant. Genuine timestamp PARTITION keys remain unsupported
+      // (their hive path rendering is formatted text, not micros) and must
+      // fail with a nameable error, not a bare NumberFormatException.
+      case TimestampType =>
+        try raw.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new UnsupportedOperationException(
+              s"graft reader: timestamp PARTITION columns are not " +
+                s"supported (got path value '$raw'; only micros-encoded " +
+                "change-feed constants are) — partition on a date or " +
+                "string column instead")
+        }
       case d: DecimalType => Decimal(BigDecimal(raw), d.precision, d.scale)
       case other => throw new UnsupportedOperationException(
         s"graft reader: partition column type ${other.simpleString}")

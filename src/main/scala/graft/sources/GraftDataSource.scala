@@ -577,17 +577,23 @@ final class GraftScan(
       s" columnar=$columnar"
 
   /** Batch CDF read (Delta `spark.read.option("readChangeFeed","true")`
-    * parity): `startingVersion` (exclusive-from, default 0) to
-    * `endingVersion` (inclusive, default the scan's resolved version — so
-    * `versionAsOf` caps the feed). Partitions come from the shared
-    * change-feed planner: materialized `_cdc` files for mutation commits,
-    * added data files (constant `insert` columns) for appends; rewrites
-    * without change files fail loudly. Pushed filters stay residual, so
-    * skipping never affects feed exactness. */
+    * parity): `startingVersion` (INCLUSIVE, Delta's convention; default =
+    * from the first commit) to `endingVersion` (inclusive, default the
+    * scan's resolved version — `versionAsOf` caps the feed, and an
+    * explicit `endingVersion` past the pin is rejected as contradictory).
+    * Partitions come from the shared change-feed planner: materialized
+    * `_cdc` files for mutation commits, added data files (constant
+    * `insert` columns) for appends; rewrites without change files fail
+    * loudly. Pushed filters stay residual, so skipping never affects feed
+    * exactness. */
   override def toBatch: Batch = {
     if (!streamOpts.readChangeFeed) return this
     val endV = streamOpts.endingVersion.getOrElse(m.version)
-    val startV = streamOpts.startingVersion
+    require(endV <= m.version,
+      s"graft: endingVersion $endV is beyond the read version " +
+        s"${m.version} of $root (versionAsOf pins the feed's end)")
+    // inclusive option → the planner's exclusive-from offset
+    val startV = math.max(0, streamOpts.startingVersion - 1)
     require(startV >= 0 && endV <= CowTable.currentVersionAt(root) &&
       startV <= endV,
       s"graft: bad change-feed range ($startV, $endV] for $root")

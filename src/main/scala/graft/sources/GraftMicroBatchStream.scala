@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.StructType
 /** Streaming-read options parsed by [[GraftScanBuilder]] from the
   * `readStream` option map. */
 final case class GraftStreamOptions(
-    /** Commits ≤ this version are NOT streamed (offset semantics: "already
-      * processed"). Default 0 = stream the table from its first commit. */
+    /** First version whose changes ARE read — INCLUSIVE, Delta's
+      * `startingVersion` convention for both streaming and batch feed
+      * reads. Default 0 ⇒ from the table's first commit. */
     startingVersion: Int = 0,
     /** Stream the ADDED files of rewrite commits (upsert/delete/overwrite)
       * instead of failing — rewritten files re-emit their carried rows, so
@@ -83,7 +84,9 @@ final class GraftMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     pinnedEnd = Some(CowTable.currentVersionAt(root))
 
-  override def initialOffset(): Offset = GraftOffset(opts.startingVersion)
+  // the INCLUSIVE option becomes the exclusive "already processed" offset
+  override def initialOffset(): Offset =
+    GraftOffset(math.max(0, opts.startingVersion - 1))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

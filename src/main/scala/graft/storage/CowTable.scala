@@ -191,25 +191,23 @@ final class CowTable private[storage] (
     * src/hudi/hudi-initial-load.py:69-104). Fails if the table exists. */
   def create(df: DataFrame): Int = {
     require(currentVersion == 0, s"table ${config.tableName} already exists")
-    enforceConstraints(df, "create")
     writeVersion(df, df.schema, carryOver = Nil, parent = 0)
   }
 
   /** Full-snapshot overwrite (reference Delta path sink mode=overwrite,
     * src/delta/delta-initial-load.py:61-78). */
-  def overwrite(df: DataFrame): Int = {
-    enforceConstraints(df, "overwrite")
+  def overwrite(df: DataFrame): Int =
     writeVersion(df, df.schema, carryOver = Nil, parent = currentVersion)
-  }
 
-  /** Validate [[TableConfig.checkConstraints]] against a write batch in ONE
+  /** Validate [[TableConfig.checkConstraints]] against a row set in ONE
     * short-circuiting pass (all constraints evaluated per row as a bool
     * array; the first violating row is fetched with its per-constraint
     * verdicts, so the error names exactly which constraints failed).
-    * False OR NULL violates — Delta invariant semantics. A batch missing a
-    * column a constraint references fails analysis loudly (can't verify ⇒
-    * reject — the safe direction). Cost when constraints are configured:
-    * one extra job over the BATCH only — never the table. */
+    * False OR NULL violates — Delta invariant semantics. Every write path
+    * validates the WRITTEN files pre-commit ([[writeVersion]] for the API,
+    * the connector commits for SQL/streaming), so a violation always
+    * leaves only unreferenced files. Cost when constraints are configured:
+    * one extra parallel scan of the NEW data only — never the table. */
   private[graft] def enforceConstraints(
       df: DataFrame, context: String): Unit = {
     if (config.checkConstraints.isEmpty) return
@@ -252,7 +250,6 @@ final class CowTable private[storage] (
     */
   def upsert(source: DataFrame, assertUniqueKeys: Boolean = false): Int = {
     if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
-    enforceConstraints(source, "upsert")
     val parent = currentVersion
     if (parent == 0) return writeVersion(source, source.schema, Nil, 0)
     val m = manifest(parent)
@@ -485,8 +482,7 @@ final class CowTable private[storage] (
         n -> ZOrder.rankColumn(col(n), sp.toSeq.distinct.sorted)
       }.toMap
     val strSplits: Map[String, org.apache.spark.sql.Column] = stringCols.map { k =>
-      k -> ZOrder.rankStringColumn(col(k),
-        stringRangeSplits(df, k, scoped.map(_.rows).sum))
+      k -> ZOrder.rankStringColumn(col(k), stringRangeSplits(df, k))
     }.toMap
     val ranked = clusterBy.map(k =>
       if (stringCols.contains(k)) strSplits(k) else numSplits(s"__zr_$k"))
@@ -505,23 +501,26 @@ final class CowTable private[storage] (
       dataChange = false, preshaped = true)
   }
 
-  /** One-pass range splits for a STRING cluster column: a deterministic
-    * hash-based VALUE sample (xxhash64 of the value, so every occurrence of
-    * a value samples identically — a frequency-capped dictionary, mass
-    * duplicates count once) is collected bounded to the driver, sorted in
-    * Spark's binary UTF-8 order (NOT Java's UTF-16 compareTo — ranks must be
-    * monotone under the engine's own `<=`), and 255 evenly-spaced split
-    * literals are drawn. Skew in the sampled value SET is what the quantiles
-    * see; that is the right skew measure for file-layout clustering. */
+  /** One-pass range splits for a STRING cluster column: the DISTINCT value
+    * set (map-side-combined — mass duplicates collapse before the shuffle),
+    * capped to a bounded deterministic sample by ranking values on their
+    * content hash and taking the lowest 65536 (a TakeOrdered, so both
+    * membership and order are pure functions of the value set — identical
+    * across runs and partitionings; a plain `limit` would keep whichever
+    * partitions answered first). Low-cardinality columns — the common
+    * clustering shape, e.g. the reference's string `category` key — fall
+    * under the cap and are sampled EXACTLY, never thinned to nothing.
+    * Collected values sort in Spark's binary UTF-8 order (NOT Java's UTF-16
+    * compareTo — ranks must be monotone under the engine's own `<=`), and
+    * 255 evenly-spaced split literals are drawn. */
   private[storage] def stringRangeSplits(
-      df: DataFrame, k: String, totalRows: Long,
+      df: DataFrame, k: String,
       buckets: Int = 1 << ZOrder.Bits): Seq[String] = {
-    val targetSample = 20000L
-    val mod = math.max(1L, totalRows / targetSample)
     val vals = df.select(col(k).cast("string").as("__v"))
-      .where(col("__v").isNotNull &&
-        pmod(xxhash64(col("__v")), lit(mod)) === 0)
-      .distinct().limit(65536)
+      .where(col("__v").isNotNull)
+      .distinct()
+      .orderBy(xxhash64(col("__v")), col("__v"))
+      .limit(65536)
       .collect().map(_.getString(0))
       .sorted(CowTable.utf8Ordering)
     if (vals.isEmpty) Nil
@@ -871,10 +870,13 @@ final class CowTable private[storage] (
     * cannot distinguish a dead loser from an IN-FLIGHT writer's directory
     * (rebased appends commit files under their original attempt's dir
     * name), so orphans are age-guarded: only directories last modified more
-    * than `orphanOlderThanMs` ago are swept — Delta's retention discipline.
+    * than `orphanOlderThanMs` ago are swept — Delta's retention discipline,
+    * with Delta's 7-day default (a long-running compaction or bulk load can
+    * legitimately hold an uncommitted version dir for hours; sweeping it
+    * mid-flight would silently drop its rows at commit).
     */
   def vacuum(retainLast: Int = 2,
-      orphanOlderThanMs: Long = 6L * 3600 * 1000): Seq[String] = {
+      orphanOlderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val cur = currentVersion
     require(cur > 0, s"table ${config.tableName} does not exist")
     require(retainLast >= 1, "must retain at least the current version")
@@ -1228,6 +1230,12 @@ final class CowTable private[storage] (
     withStatFriendlyTimestamps { sized.parquet(verDir.toString) }
     val fresh = statFiles(verDir, schema)
     if (config.bloomIndex) writeBlooms(verDir, fresh, schema)
+    // CHECK constraints validate the WRITTEN files pre-commit (one parallel
+    // scan of the new data, same shape as the connector paths) — validating
+    // the input plan instead would compute it twice AND let a
+    // non-deterministic source slip unvalidated rows into the write.
+    // Reorganizations (dataChange=false) carry already-validated rows.
+    if (dataChange) enforceConstraintsOnFiles(fresh, schema, "write")
     commitAt(parent, fresh, carryOver, schema, dataChange, cdcDir = cdcDir)
   }
 

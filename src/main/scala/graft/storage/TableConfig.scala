@@ -61,12 +61,13 @@ final case class TableConfig(
     /** CHECK constraints (Delta `ADD CONSTRAINT` invariants): SQL boolean
       * expressions every written row must satisfy — a row where one
       * evaluates false OR NULL rejects the whole write loudly, naming the
-      * constraint and a violating row. Enforced on every path: the batch
-      * API validates the incoming batch pre-write; the DSv2 connector
-      * (INSERT/CTAS/streaming epochs) validates the freshly written files
-      * at commit time — one parallel scan of the NEW data only, no shuffle,
-      * so cost is O(batch) regardless of table size. Durable: carried in
-      * manifests like the other properties, so later writers inherit it. */
+      * constraint and a violating row. Every path — batch API, DSv2
+      * connector (INSERT/CTAS/MERGE/UPDATE), streaming epochs — validates
+      * the freshly WRITTEN files before the commit: one parallel scan of
+      * the NEW data only (never the table, never a second run of the input
+      * plan), and a violation leaves only unreferenced files. Durable:
+      * carried in manifests like the other properties, so later writers
+      * inherit it. */
     checkConstraints: Seq[String] = Nil) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
 }

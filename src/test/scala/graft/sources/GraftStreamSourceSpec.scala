@@ -86,8 +86,9 @@ class GraftStreamSourceSpec extends SparkSpec {
     t.create(rows(1, 10))    // v1
     t.upsert(rows(11, 20))   // v2
     t.upsert(rows(21, 30))   // v3
+    // startingVersion is INCLUSIVE (Delta convention): start AT v2
     drain(dir + "/src", dir + "/dst", dir + "/ckpt",
-      Map("startingVersion" -> "1", "maxCommitsPerBatch" -> "1"))
+      Map("startingVersion" -> "2", "maxCommitsPerBatch" -> "1"))
     assert(dstIds(dir + "/dst") == (11L to 30L).toSet)
     // one commit per micro-batch ⇒ the sink committed one epoch per source
     // commit: dst history has exactly 2 data commits

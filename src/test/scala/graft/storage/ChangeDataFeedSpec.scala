@@ -104,15 +104,16 @@ class ChangeDataFeedSpec extends SparkSpec {
     assert(feed(Map.empty).select("_commit_timestamp")
       .distinct().count() == 3)
 
-    // startingVersion/endingVersion window the feed (Delta option names)
-    val windowed = feed(Map("startingVersion" -> "1", "endingVersion" -> "2"))
+    // startingVersion/endingVersion window the feed — both INCLUSIVE,
+    // Delta's convention (startingVersion=2 includes v2's changes)
+    val windowed = feed(Map("startingVersion" -> "2", "endingVersion" -> "2"))
       .select("id", "_commit_version", "_change_type")
       .as[(Long, Int, String)].collect().toSet
     assert(windowed == Set((5L, 2, "update_preimage"),
       (5L, 2, "update_postimage"), (31L, 2, "insert")), windowed)
 
     // versionAsOf caps the default end
-    assert(feed(Map("versionAsOf" -> "2", "startingVersion" -> "1"))
+    assert(feed(Map("versionAsOf" -> "2", "startingVersion" -> "2"))
       .select("_commit_version").distinct()
       .as[Int].collect().toSeq == Seq(2))
 
