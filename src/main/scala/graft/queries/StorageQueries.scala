@@ -839,6 +839,72 @@ object StorageQueries {
           col("_commit_version"), col("_change_type"))
     },
 
+    // ALTER TABLE RENAME COLUMN (Delta column-mapping semantics): the
+    // rename is METADATA-ONLY — every data file keeps its original
+    // physical column name, the manifest records logical→physical, and a
+    // 100 TB table renames in one manifest write. The query proves the
+    // full SQL surface follows: rename, then UPDATE + INSERT through the
+    // connector under the NEW name, read back. Oracle replays the
+    // mutations with the renamed output column.
+    Q("q110_rename_column",
+      """SELECT c_custkey,
+        |  CASE WHEN c_nationkey = 5 THEN round(c_acctbal * 1.05, 2)
+        |       ELSE c_acctbal END AS balance,
+        |  c_nationkey
+        |FROM customer
+        |UNION ALL
+        |SELECT -1, 999.99, 999
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q110")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", root)
+      t(sess, d, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+        .createOrReplaceTempView("q110_cust")
+      sess.sql(
+        """CREATE TABLE lake.default.cust OPTIONS (primaryKey 'c_custkey')
+          |AS SELECT * FROM q110_cust
+          |""".stripMargin)
+      sess.sql(
+        "ALTER TABLE lake.default.cust RENAME COLUMN c_acctbal TO balance")
+      sess.sql("UPDATE lake.default.cust " +
+        "SET balance = round(balance * 1.05, 2) WHERE c_nationkey = 5")
+      sess.sql(
+        "INSERT INTO lake.default.cust VALUES (-1, 999.99, 999)")
+      sess.table("lake.default.cust")
+    },
+
+    // ALTER TABLE DROP COLUMN + re-ADD under the same name: the drop is
+    // metadata-only (bytes stay in the files, unread); the physical slot
+    // burns in the manifest, so the re-added column maps to a FRESH
+    // physical name and old bytes can NEVER resurrect — pre-drop rows read
+    // NULL, post-re-add writes read back. The failure mode this design
+    // exists to kill is silent data resurrection, the reason Delta gates
+    // drops behind column mapping.
+    Q("q111_drop_readd_column",
+      """SELECT c_custkey, c_nationkey,
+        |  CASE WHEN c_nationkey = 3 THEN 'refreshed' END AS c_mktsegment
+        |FROM customer
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q111")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", root)
+      t(sess, d, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+        .createOrReplaceTempView("q111_cust")
+      sess.sql(
+        """CREATE TABLE lake.default.cust OPTIONS (primaryKey 'c_custkey')
+          |AS SELECT * FROM q111_cust
+          |""".stripMargin)
+      sess.sql("ALTER TABLE lake.default.cust DROP COLUMN c_mktsegment")
+      sess.sql("ALTER TABLE lake.default.cust ADD COLUMN c_mktsegment STRING")
+      sess.sql("UPDATE lake.default.cust SET c_mktsegment = 'refreshed' " +
+        "WHERE c_nationkey = 3")
+      sess.table("lake.default.cust")
+    },
+
     // STREAMING CHANGE FEED: readStream.format(graft)
     // .option(readChangeFeed) tails the SAME history as q99 and emits
     // create-inserts, update postimages, and preimage delete tombstones

@@ -207,6 +207,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // entry may lag a property commit made by another session)
     var cfg = CowTable.configAt(t.root, e.config)
     var schema = CowTable.structFromJson(m.schemaJson)
+    // RENAME/DROP COLUMN: metadata-only commits through the column-mapping
+    // API (physical file names never change — zero data rewritten; the
+    // mapping entry or schema removal is the whole commit). Each applies
+    // its own manifest version; mixing with other ALTER changes in one
+    // statement is rejected (Spark sends one change per statement anyway).
+    val renames = changes.collect { case c: TableChange.RenameColumn => c }
+    val drops = changes.collect { case c: TableChange.DeleteColumn => c }
+    if (renames.nonEmpty || drops.nonEmpty) {
+      require(renames.size + drops.size == changes.size,
+        "graft: RENAME/DROP COLUMN cannot be combined with other ALTER " +
+          "TABLE changes in one statement")
+      renames.foreach { rn =>
+        require(rn.fieldNames().length == 1,
+          s"graft: nested RENAME COLUMN is not supported " +
+            s"(${rn.fieldNames().mkString(".")})")
+        t.renameColumn(rn.fieldNames()(0), rn.newName())
+      }
+      drops.foreach { d =>
+        require(d.fieldNames().length == 1,
+          s"graft: nested DROP COLUMN is not supported " +
+            s"(${d.fieldNames().mkString(".")})")
+        t.dropColumn(d.fieldNames()(0))
+      }
+      // a renamed/dropped statsColumn changes the durable config — refresh
+      // the registry entry from the new manifest
+      LakeRegistry.register(warehouse,
+        CowTable.configAt(t.root, e.config), e.root)
+      return loadTable(ident)
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -235,8 +264,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       CowTable(SparkSession.active, rootOf(e).toString,
         cfg.copy(checkConstraints = newConstraints))
         .enforceConstraints(t.read(), "ALTER TABLE ADD CONSTRAINT")
+    // evolveMapping: an added column whose name collides with a dropped
+    // predecessor's burned physical slot gets a FRESH physical name here —
+    // old bytes can never resurrect under the new column
     updated.commitAt(parent = cur, fresh = Nil, carryOver = m.files,
-      schema = schema, dataChange = false)
+      schema = schema, dataChange = false,
+      mappingOpt = Some(CowTable.evolveMapping(Some(m), schema)))
     if (cfg != e.config) LakeRegistry.register(warehouse, cfg, e.root)
     loadTable(ident)
   }

@@ -321,8 +321,9 @@ final class GraftScanBuilder(
     * space [[graft.storage.CowTable.statValueString]] maps into). */
   private def statColBounds(f: Filter)
       : Seq[(Filter, String, Option[Any], Option[Any])] = {
-    def statted(c: String): Boolean =
-      c != m.primaryKey.head && m.files.exists(_.extra.contains(c))
+    def statted(c: String): Boolean = // extra is keyed by PHYSICAL name
+      c != m.primaryKey.head &&
+        m.files.exists(_.extra.contains(m.physicalName(c)))
     f match {
       case EqualTo(c, v) if statted(c) && v != null =>
         Seq((f, c, Some(v), Some(v)))
@@ -488,9 +489,11 @@ final class GraftScan(
         pathPartValue(e).forall(vs.contains))
     }
     // extra data-skipping stats: a file without stats for the column is
-    // kept (conservative); overlap checks use the declared type's space
+    // kept (conservative); overlap checks use the declared type's space.
+    // FileEntry.extra is keyed by PHYSICAL name (rename-stable), filters
+    // arrive logical — translate.
     extraBounds.foldLeft(parted) { case (fs, (c, num, lo, hi)) =>
-      fs.filter(e => e.extra.get(c)
+      fs.filter(e => e.extra.get(m.physicalName(c))
         .forall(r => CowTable.rangeOverlaps(r, lo, hi, num)))
     }
   }
@@ -607,7 +610,7 @@ final class GraftScan(
           "re-read from a retained version via " +
             "option(\"startingVersion\", ...)")
       override def createReaderFactory(): PartitionReaderFactory =
-        new GraftReaderFactory(required, columnar)
+        new GraftReaderFactory(required, columnar, m.columnMapping)
     }
   }
 
@@ -699,11 +702,24 @@ final class GraftScan(
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, columnar)
+    new GraftReaderFactory(required, columnar, m.columnMapping)
 }
 
-final class GraftReaderFactory(required: StructType, columnar: Boolean = true)
+final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
+    mapping: Map[String, String] = Map.empty)
   extends PartitionReaderFactory {
+
+  /** COLUMN MAPPING: files (data and `_cdc` alike) store PHYSICAL names,
+    * Spark asks for LOGICAL ones — the per-file readers get the requested
+    * schema with names translated. Spark consumes rows/batches POSITIONALLY
+    * against the scan's `readSchema()` (which stays logical), so renaming
+    * here is invisible above the scan. Reserved feed columns and path-borne
+    * partition keys are rename-fenced ⇒ identity, so partition-value maps
+    * keyed by path names keep matching. */
+  private val physRequired: StructType =
+    if (mapping.isEmpty) required
+    else StructType(required.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
 
   /** Per-scan (not per-file) decision — Spark requires all partitions of a
     * scan in the same mode. Flat primitive schemas (the connector's only
@@ -714,11 +730,11 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true)
     org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
     case g: GraftGroupedPartition =>
       new GraftConcatReader(g.files.map(f => () =>
-        new GraftColumnarPartitionReader(f, required, g.partitionValues,
+        new GraftColumnarPartitionReader(f, physRequired, g.partitionValues,
           capacity = 4096): PartitionReader[
             org.apache.spark.sql.vectorized.ColumnarBatch]))
     case gp: GraftInputPartition =>
-      new GraftColumnarPartitionReader(gp.filePath, required,
+      new GraftColumnarPartitionReader(gp.filePath, physRequired,
         gp.partitionValues, capacity = 4096)
   }
 
@@ -726,10 +742,10 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true)
     org.apache.spark.sql.catalyst.InternalRow] = p match {
     case g: GraftGroupedPartition =>
       new GraftConcatReader(g.files.map(f => () =>
-        new GraftPartitionReader(f, required, g.partitionValues)
+        new GraftPartitionReader(f, physRequired, g.partitionValues)
           : PartitionReader[org.apache.spark.sql.catalyst.InternalRow]))
     case gp: GraftInputPartition =>
-      new GraftPartitionReader(gp.filePath, required, gp.partitionValues)
+      new GraftPartitionReader(gp.filePath, physRequired, gp.partitionValues)
   }
 }
 

@@ -170,8 +170,27 @@ final class GraftMicroBatchStream(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, columnar)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // COLUMN MAPPING: resolve the stream's (logical) required columns via
+    // the CURRENT manifest — physical names are rename-stable, so one
+    // mapping covers every commit in range. A column renamed or dropped
+    // since the stream analyzed its schema no longer resolves — fail loudly
+    // (Delta likewise demands a restart on mid-stream schema changes)
+    // rather than silently null-filling it forever.
+    val cur = CowTable.currentVersionAt(root)
+    val mapping = if (cur == 0) Map.empty[String, String] else {
+      val m = CowTable.manifestAt(root, cur)
+      val live = CowTable.structFromJson(m.schemaJson).fieldNames.toSet
+      val gone = required.fieldNames.filterNot(c =>
+        live(c) || CowTable.reservedColumns(c))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"graft stream: column(s) ${gone.mkString(", ")} were renamed or " +
+          s"dropped from $root after this stream started — restart the " +
+          "stream so it re-resolves the table schema")
+      m.columnMapping
+    }
+    new GraftReaderFactory(required, columnar, mapping)
+  }
 
   override def commit(end: Offset): Unit = () // engine-side checkpointing
   override def stop(): Unit = ()

@@ -168,7 +168,7 @@ final class GraftRowLevelScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, mapping = m.columnMapping)
 }
 
 final class GraftRowLevelWriteBuilder(
@@ -218,7 +218,8 @@ final class GraftRowLevelBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root.toString, verSeg, writeSchema.json,
+    new GraftWriterFactory(root.toString, verSeg,
+      GraftParquetIO.physicalSchema(writeSchema, m.columnMapping).json,
       m.partitionKey)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -228,11 +229,12 @@ final class GraftRowLevelBatchWrite(
     val spark = SparkSession.active
     val tbl = CowTable(spark, root.toString,
       m.tableConfig(root.getFileName.toString))
-    val fresh = tbl.statListedFiles(files, tableSchema)
+    val fresh = tbl.statListedFiles(files, tableSchema, m.columnMapping)
     // CHECK constraints bind SQL MERGE/UPDATE too: validate the rewritten
     // files (modified rows + their carried file-mates) before the commit —
     // a violating SET clause throws with the files still unreferenced
-    tbl.enforceConstraintsOnFiles(fresh, tableSchema, "row-level write")
+    tbl.enforceConstraintsOnFiles(fresh, tableSchema, "row-level write",
+      m.columnMapping)
     val scanned = op.scannedFiles.getOrElse(Nil).map(_.path).toSet
     val carry = m.files.filterNot(f => scanned(f.path))
     tbl.commitAt(parent, fresh, carry, tableSchema)

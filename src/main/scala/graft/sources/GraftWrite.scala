@@ -57,6 +57,15 @@ import org.apache.spark.sql.types._
   */
 object GraftParquetIO {
 
+  /** Rename a write schema's fields LOGICAL → PHYSICAL (column mapping);
+    * identity when no mapping is active. Rows stay positional — only the
+    * parquet field names change. */
+  def physicalSchema(schema: StructType,
+      mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
   /** Smallest byte width whose two's complement can hold any `precision`-
     * digit unscaled value (the standard parquet fixed-len decimal sizing). */
   private def minBytesForPrecision(precision: Int): Int = {
@@ -265,10 +274,20 @@ final class GraftStreamingWrite(
     CowTable(spark, root.toString, CowTable.configAt(root,
       TableConfig(root.getFileName.toString, primaryKey, partitionKey)))
 
+  /** Mapping captured at STREAM START: every epoch's files are written with
+    * these physical names. A rename committed mid-stream would desynchronize
+    * factory and manifest — the per-epoch commit re-checks and fails loudly
+    * (restart the stream), never committing files under stale names. */
+  private val startMapping: Map[String, String] = {
+    val v = CowTable.currentVersionAt(root)
+    if (v > 0) CowTable.manifestAt(root, v).columnMapping else Map.empty
+  }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(root.toString, queryId, writeSchema.json,
+    new GraftStreamingWriterFactory(root.toString, queryId,
+      GraftParquetIO.physicalSchema(writeSchema, startMapping).json,
       partitionKey)
 
   override def commit(
@@ -291,11 +310,23 @@ final class GraftStreamingWrite(
         if (parent > 0)
           CowTable.structFromJson(tbl.manifest(parent).schemaJson)
         else writeSchema // first epoch CREATES the table
-      val fresh = tbl.statListedFiles(files, schema)
+      val mapping =
+        if (parent > 0) tbl.manifest(parent).columnMapping
+        else Map.empty[String, String]
+      // mid-stream rename fence: the epoch's files carry startMapping's
+      // physical names — a diverged current mapping would mis-bind them
+      val writeCols = writeSchema.fieldNames.toSet
+      if (mapping.view.filterKeys(writeCols).toMap !=
+          startMapping.view.filterKeys(writeCols).toMap)
+        throw new IllegalStateException(
+          s"graft streaming sink: columns of $root were renamed while the " +
+            "stream was running — restart the stream so its writers pick " +
+            "up the new column mapping")
+      val fresh = tbl.statListedFiles(files, schema, mapping)
       // constraints validate the freshly written epoch files pre-commit; a
       // violation leaves them unreferenced (same inert state as an abort)
       tbl.enforceConstraintsOnFiles(fresh, schema,
-        s"streaming epoch $epochId")
+        s"streaming epoch $epochId", mapping)
       val carry = if (parent == 0) Nil else tbl.manifest(parent).files
       try {
         tbl.commitAt(parent, fresh, carry, schema,
@@ -353,9 +384,16 @@ final class GraftBatchWrite(
   private val verSeg = f"v${parent + 1}%05d-" +
     java.util.UUID.randomUUID.toString.replace("-", "").substring(0, 8)
 
+  /** COLUMN MAPPING of the parent manifest: files store PHYSICAL names
+    * (rename-stable), the aligned query output carries logical ones. */
+  private val mapping: Map[String, String] =
+    if (parent > 0) CowTable.manifestAt(root, parent).columnMapping
+    else Map.empty
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root.toString, verSeg, writeSchema.json,
+    new GraftWriterFactory(root.toString, verSeg,
+      GraftParquetIO.physicalSchema(writeSchema, mapping).json,
       partitionKey)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -369,11 +407,11 @@ final class GraftBatchWrite(
     // live table (Spark already aligned the query output to it); the query
     // schema when this write CREATES the table (CTAS / first write)
     val schema = if (parent > 0) tableSchema else writeSchema
-    val fresh = tbl.statListedFiles(files, schema)
+    val fresh = tbl.statListedFiles(files, schema, mapping)
     // CHECK constraints validate the freshly written files BEFORE the CAS
     // commit — one parallel scan of the new data only; a violation throws
     // with the files still unreferenced (the caller's abort deletes them)
-    tbl.enforceConstraintsOnFiles(fresh, schema, "connector write")
+    tbl.enforceConstraintsOnFiles(fresh, schema, "connector write", mapping)
     // BLIND-APPEND conflict resolution (Delta WriteSerializable): an
     // INSERT INTO that loses the CAS re-reads the winner's state and
     // re-commits on top — its files were written to a writer-unique dir and

@@ -89,13 +89,41 @@ final case class CommitManifest(
     precombineKey: Option[String] = None,
     clusterByKey: Boolean = false,
     maxRecordsPerFile: Long = 0L,
-    checkConstraints: Seq[String] = Nil) {
+    checkConstraints: Seq[String] = Nil,
+    /** COLUMN MAPPING (Delta name-mapping analog): logical column name →
+      * stable PHYSICAL name, for columns whose user-facing name diverged
+      * from the name stored in data files via `RENAME COLUMN`, or whose
+      * natural name was already burned by a DROPPED predecessor. Identity
+      * entries are omitted; empty ⇔ logical names ARE the physical names
+      * (every pre-mapping manifest). Physical names never change after
+      * allocation — that is what makes rename/drop metadata-only at any
+      * scale, and what keeps a re-added column from resurrecting a dropped
+      * predecessor's bytes. */
+    columnMapping: Map[String, String] = Map.empty,
+    /** Every physical name ever allocated in this table's history (monotone
+      * append; survives the column's drop) — the allocation fence that
+      * forces a NEW column whose name collides with any historical physical
+      * slot onto a fresh physical name. Empty on pre-mapping manifests ⇒
+      * derived from the schema (no rename/drop ever happened, so the schema
+      * names are the complete history). */
+    usedPhysicalNames: Seq[String] = Nil) {
 
   /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
   def tableConfig(name: String): TableConfig = TableConfig(
     name, primaryKey, partitionKey, precombineKey, clusterByKey,
     maxRecordsPerFile, bloomIndex, statsColumns, changeDataFeed,
     checkConstraints)
+
+  /** The name of `logical`'s column in data files (identity unless mapped). */
+  def physicalName(logical: String): String =
+    columnMapping.getOrElse(logical, logical)
+
+  /** Complete physical-name history: the stored fence plus (for pre-mapping
+    * manifests, where the fence is empty) every live column's physical name. */
+  def effectiveUsedPhysical: Seq[String] =
+    (usedPhysicalNames ++
+      CowTable.structFromJson(schemaJson).fieldNames.map(physicalName) ++
+      columnMapping.values).distinct
 }
 
 /** A concurrent writer committed the same version first. The losing commit
@@ -199,6 +227,104 @@ final class CowTable private[storage] (
   def overwrite(df: DataFrame): Int =
     writeVersion(df, df.schema, carryOver = Nil, parent = currentVersion)
 
+  /** Columns rename/drop must not touch: table-mechanics columns whose
+    * LOGICAL name is load-bearing (key stats, hive paths, precombine
+    * ordering) — fencing them keeps logical == physical for every pruning
+    * and layout path (Delta similarly blocks partition-column renames
+    * without a rewrite). */
+  private def structuralColumns: Set[String] =
+    (config.primaryKey ++ config.partitionKey ++ config.precombineKey).toSet
+
+  /** Conservative "does this CHECK constraint mention column `c`" probe:
+    * word-boundary match on the raw SQL text. False positives only block an
+    * ALTER with a clear message (drop the constraint first) — never corrupt. */
+  private def constraintMentions(c: String): Seq[String] =
+    config.checkConstraints.filter(
+      _.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(c)}\\b.*"))
+
+  /** ALTER TABLE RENAME COLUMN, METADATA-ONLY (Delta column-mapping
+    * semantics): the user-facing name changes; the PHYSICAL name in every
+    * data/change file stays what it always was, recorded in the manifest's
+    * [[CommitManifest.columnMapping]] — zero data rewritten, so a 100 TB
+    * table renames in one manifest write. All reads (snapshot, time travel,
+    * change feed, constraints) resolve logical → physical at plan time.
+    * Renaming primary-key / partition / precombine columns is fenced (their
+    * logical names are load-bearing in stats and hive paths); so are
+    * columns referenced by CHECK constraints (drop the constraint first —
+    * Delta's rule) and reserved feed columns. */
+  def renameColumn(from: String, to: String): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val schema = structFromJson(m.schemaJson)
+    require(schema.fieldNames.contains(from),
+      s"table ${config.tableName}: no column $from")
+    require(!schema.fieldNames.contains(to),
+      s"table ${config.tableName}: column $to already exists")
+    require(!structuralColumns.contains(from),
+      s"table ${config.tableName}: cannot rename $from — primary-key/" +
+        "partition/precombine columns are structural (rewrite the table " +
+        "into a new config instead)")
+    require(!CowTable.reservedColumns.contains(to),
+      s"table ${config.tableName}: $to is a reserved change-feed name")
+    val mentioned = constraintMentions(from)
+    require(mentioned.isEmpty,
+      s"table ${config.tableName}: cannot rename $from — referenced by " +
+        s"CHECK constraint(s) [${mentioned.mkString("; ")}]; drop them first")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val phys = m.physicalName(from)
+    val mapping = (m.columnMapping - from) ++
+      (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    commitManifest(m.copy(
+      version = parent + 1, parent = parent,
+      schemaJson = newSchema.json,
+      dataChange = false, // same rows — feed/stream consumers skip it
+      commitTimeMs = clockMs(),
+      columnMapping = mapping,
+      usedPhysicalNames = m.effectiveUsedPhysical,
+      statsColumns = m.statsColumns.map(n => if (n == from) to else n),
+      streamQueryId = None, streamEpochId = None, cdcDir = None))
+    parent + 1
+  }
+
+  /** ALTER TABLE DROP COLUMN, METADATA-ONLY: the column leaves the logical
+    * schema; its bytes stay untouched in existing files (COW never rewrites
+    * in place) and simply stop being read. The physical name stays BURNED
+    * in [[CommitManifest.usedPhysicalNames]] forever: a later ADD COLUMN
+    * with the same name allocates a fresh physical slot, so old bytes can
+    * never resurrect under the new column — the failure mode that makes
+    * naive parquet-level drops unsafe. Structural and constraint-referenced
+    * columns are fenced like [[renameColumn]]. */
+  def dropColumn(name: String): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val schema = structFromJson(m.schemaJson)
+    require(schema.fieldNames.contains(name),
+      s"table ${config.tableName}: no column $name")
+    require(!structuralColumns.contains(name),
+      s"table ${config.tableName}: cannot drop $name — primary-key/" +
+        "partition/precombine columns are structural")
+    val mentioned = constraintMentions(name)
+    require(mentioned.isEmpty,
+      s"table ${config.tableName}: cannot drop $name — referenced by " +
+        s"CHECK constraint(s) [${mentioned.mkString("; ")}]; drop them first")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    require(newSchema.fields.nonEmpty,
+      s"table ${config.tableName}: cannot drop the last column")
+    commitManifest(m.copy(
+      version = parent + 1, parent = parent,
+      schemaJson = newSchema.json,
+      dataChange = false,
+      commitTimeMs = clockMs(),
+      columnMapping = m.columnMapping - name,
+      usedPhysicalNames = m.effectiveUsedPhysical, // burns the physical slot
+      statsColumns = m.statsColumns.filterNot(_ == name),
+      streamQueryId = None, streamEpochId = None, cdcDir = None))
+    parent + 1
+  }
+
   /** Validate [[TableConfig.checkConstraints]] against a row set in ONE
     * short-circuiting pass (all constraints evaluated per row as a bool
     * array; the first violating row is fetched with its per-constraint
@@ -233,10 +359,12 @@ final class CowTable private[storage] (
     * parallel scan of the new files, hive partition values re-attached so
     * constraints may reference the partition column. */
   private[graft] def enforceConstraintsOnFiles(
-      files: Seq[FileEntry], schema: StructType, context: String): Unit = {
+      files: Seq[FileEntry], schema: StructType, context: String,
+      mapping: Map[String, String] = Map.empty): Unit = {
     if (config.checkConstraints.isEmpty || files.isEmpty) return
     val m = CommitManifest(0, 0, schema.json, config.primaryKey,
-      config.partitionKey, keyNumeric = false, rowCount = 0L, files = files)
+      config.partitionKey, keyNumeric = false, rowCount = 0L, files = files,
+      columnMapping = mapping)
     enforceConstraints(readFiles(m, files), context)
   }
 
@@ -284,10 +412,14 @@ final class CowTable private[storage] (
             // predates it
             val preimages = target.join(sKeys, config.primaryKey, "left_semi")
               .withColumn("_change_type", lit("update_preimage"))
+            // one mapping resolution feeds BOTH writes — the CDC files and
+            // the data files must agree on evolved-in columns' physical names
+            val mapEv = CowTable.evolveMapping(Some(m), merged.schema)
             val cdc = writeCdc(inserts.unionByName(updates)
-              .unionByName(preimages, allowMissingColumns = true), parent + 1)
+              .unionByName(preimages, allowMissingColumns = true), parent + 1,
+              mapEv._1)
             writeVersion(merged, merged.schema, untouched, parent,
-              cdcDir = cdc)
+              cdcDir = cdc, mappingOpt = Some(mapEv))
           } finally merged.unpersist()
         }
     }
@@ -310,7 +442,8 @@ final class CowTable private[storage] (
           val dKeys = deleteKeys
             .select(config.primaryKey.map(col): _*).distinct()
           writeCdc(target.join(dKeys, config.primaryKey, "left_semi")
-            .withColumn("_change_type", lit("delete")), parent + 1)
+            .withColumn("_change_type", lit("delete")), parent + 1,
+            m.columnMapping)
         }
         writeVersion(remaining, structFromJson(m.schemaJson), untouched,
           parent, cdcDir = cdc)
@@ -393,14 +526,20 @@ final class CowTable private[storage] (
         val outDir =
           if (sg.isEmpty) verDir.resolve(f"bin-$i%04d")
           else verDir.resolve(sg).resolve(f"bin-$i%04d")
-        compactionBinFrame(m, b)
+        val frame = compactionBinFrame(m, b)
           .drop(config.partitionKey.toSeq: _*)
-          .write.mode("overwrite").parquet(outDir.toString)
+        // bin frames read back to LOGICAL names — restore physical on write
+        val physFrame =
+          if (m.columnMapping.isEmpty) frame
+          else frame.select(frame.columns.toSeq.map(c =>
+            col(c).as(m.physicalName(c))): _*)
+        physFrame.write.mode("overwrite").parquet(outDir.toString)
       }
     }
-    val freshC = statFiles(verDir, schema)
+    val freshC = statFiles(verDir, schema, m.columnMapping)
     if (config.bloomIndex) writeBlooms(verDir, freshC, schema)
-    commitAt(parent, freshC, large ++ carryExtra, schema, dataChange = false)
+    commitAt(parent, freshC, large ++ carryExtra, schema, dataChange = false,
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
   }
 
   /** Does `e` live in the named hive partition value (None = everything)?
@@ -707,9 +846,11 @@ final class CowTable private[storage] (
         // directly — row-exact, join-free. Columns conform to the feed
         // schema at toVersion (evolved-in columns null-fill).
         val cdc = spark.read.parquet(root.resolve(m.cdcDir.get).toString)
-        val cols = schema.fields.toSeq.map(f =>
-          (if (cdc.columns.contains(f.name)) col(f.name)
-           else lit(null).cast(f.dataType)).as(f.name))
+        val cols = schema.fields.toSeq.map { f =>
+          val p = mTo.physicalName(f.name) // change files store physical names
+          (if (cdc.columns.contains(p)) col(p)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }
         Some(cdc.select(cols ++ Seq(
           lit(v).as("_commit_version"),
           lit(ts).as("_commit_timestamp"), col("_change_type")): _*))
@@ -849,7 +990,8 @@ final class CowTable private[storage] (
       if (cfg.bloomIndex && Files.exists(root.resolve(e.path + ".bloom")))
         linkInto(e.path + ".bloom")
     }
-    dest.commitAt(0, m.files, Nil, structFromJson(m.schemaJson))
+    dest.commitAt(0, m.files, Nil, structFromJson(m.schemaJson),
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
     dest
   }
 
@@ -1154,17 +1296,22 @@ final class CowTable private[storage] (
         val df = spark.read
           .option("basePath", root.resolve(verSeg).toString)
           .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-        conform(df, schema)
+        conform(df, schema, m.columnMapping)
       }.reduce(_.union(_))
     }
   }
 
-  /** Project to exactly `schema`'s columns/order/types; absent columns become
-    * typed nulls (inferred hive-partition types are cast back too). */
-  private def conform(df: DataFrame, schema: StructType): DataFrame = {
+  /** Project to exactly `schema`'s columns/order/types, resolving each
+    * LOGICAL field through the column mapping to the PHYSICAL name files
+    * store; absent columns become typed nulls (both columns the file
+    * predates and physical slots of dropped predecessors vanish here —
+    * inferred hive-partition types are cast back too). */
+  private def conform(df: DataFrame, schema: StructType,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     val present = df.columns.toSet
     df.select(schema.fields.toSeq.map { f =>
-      (if (present(f.name)) col(f.name) else lit(null))
+      val p = mapping.getOrElse(f.name, f.name)
+      (if (present(p)) col(p) else lit(null))
         .cast(f.dataType).as(f.name)
     }: _*)
   }
@@ -1197,8 +1344,20 @@ final class CowTable private[storage] (
       carryOver: Seq[FileEntry], parent: Int,
       dataChange: Boolean = true,
       preshaped: Boolean = false,
-      cdcDir: Option[String] = None): Int = {
+      cdcDir: Option[String] = None,
+      mappingOpt: Option[(Map[String, String], Seq[String])] = None): Int = {
     val v = parent + 1
+    // COLUMN MAPPING: data files store PHYSICAL names. The mapping for this
+    // commit (inherited from the parent, extended for evolved-in columns)
+    // is resolved BEFORE the write so the rename-projection below and the
+    // manifest agree; callers that already resolved it (upsert — its CDC
+    // write needs the identical allocation) pass it in.
+    val (mapping, usedPhys) = mappingOpt.getOrElse(CowTable.evolveMapping(
+      if (parent >= 1) Some(manifest(parent)) else None, schema))
+    val physDf =
+      if (mapping.isEmpty) df
+      else df.select(schema.fields.toSeq.map(f =>
+        col(f.name).as(mapping.getOrElse(f.name, f.name))): _*)
     // Writer-UNIQUE data directory (Delta-style): two racing writers of the
     // same version can never clobber each other's files — the loser of the
     // manifest CAS leaves only unreferenced garbage, never a corrupted
@@ -1206,48 +1365,61 @@ final class CowTable private[storage] (
     val verSeg = f"v$v%05d" + "-" + java.util.UUID.randomUUID
       .toString.replace("-", "").substring(0, 8)
     val verDir = root.resolve(verSeg)
+    // partition/cluster keys are rename-fenced ⇒ logical == physical names
     val writer =
       // caller already distributed+ordered the rows (z-order optimize):
-      // re-shaping here would destroy that layout
+      // re-shaping here would destroy that layout (the rename projection
+      // above is narrow — it keeps the caller's distribution and order)
       if (preshaped) config.partitionKey match {
-        case Some(k) => df.write.mode("overwrite").partitionBy(k)
-        case None => df.write.mode("overwrite")
+        case Some(k) => physDf.write.mode("overwrite").partitionBy(k)
+        case None => physDf.write.mode("overwrite")
       }
       else config.partitionKey match {
         case Some(k) =>
-          df.repartition(col(k)).write.mode("overwrite").partitionBy(k)
+          physDf.repartition(col(k)).write.mode("overwrite").partitionBy(k)
         case None if config.clusterByKey =>
           // disjoint per-file key ranges ⇒ minimal touch sets for future merges
-          val n = math.max(1, df.rdd.getNumPartitions)
-          df.repartitionByRange(n, config.primaryKey.map(col): _*)
+          val n = math.max(1, physDf.rdd.getNumPartitions)
+          physDf.repartitionByRange(n, config.primaryKey.map(col): _*)
             .write.mode("overwrite")
-        case None => df.write.mode("overwrite")
+        case None => physDf.write.mode("overwrite")
       }
     val sized =
       if (config.maxRecordsPerFile > 0)
         writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
       else writer
     withStatFriendlyTimestamps { sized.parquet(verDir.toString) }
-    val fresh = statFiles(verDir, schema)
+    val fresh = statFiles(verDir, schema, mapping)
     if (config.bloomIndex) writeBlooms(verDir, fresh, schema)
     // CHECK constraints validate the WRITTEN files pre-commit (one parallel
     // scan of the new data, same shape as the connector paths) — validating
     // the input plan instead would compute it twice AND let a
     // non-deterministic source slip unvalidated rows into the write.
     // Reorganizations (dataChange=false) carry already-validated rows.
-    if (dataChange) enforceConstraintsOnFiles(fresh, schema, "write")
-    commitAt(parent, fresh, carryOver, schema, dataChange, cdcDir = cdcDir)
+    if (dataChange) enforceConstraintsOnFiles(fresh, schema, "write", mapping)
+    commitAt(parent, fresh, carryOver, schema, dataChange, cdcDir = cdcDir,
+      mappingOpt = Some((mapping, usedPhys)))
   }
 
   /** Write a mutation's exact change rows (schema + `_change_type`) to a
     * writer-unique `_cdc/` dir and return its root-relative path — called
     * just before the commit that will reference it, so a losing CAS leaves
     * only an unreferenced dir (same inertness argument as data files). */
-  private def writeCdc(changes: DataFrame, forVersion: Int): Option[String] = {
+  private def writeCdc(changes: DataFrame, forVersion: Int,
+      mapping: Map[String, String] = Map.empty): Option[String] = {
     val seg = f"_cdc/v$forVersion%05d-" + java.util.UUID.randomUUID
       .toString.replace("-", "").substring(0, 8)
+    // change files store PHYSICAL column names, same as data files —
+    // physical names are rename-stable, so a feed read AFTER a later
+    // rename still finds every pre-rename change column (writing logical
+    // names would silently null them instead). `_change_type` is reserved
+    // (never renameable), it passes through.
+    val phys =
+      if (mapping.isEmpty) changes
+      else changes.select(changes.columns.toSeq.map(c =>
+        col(c).as(mapping.getOrElse(c, c))): _*)
     withStatFriendlyTimestamps {
-      changes.write.mode("overwrite").parquet(root.resolve(seg).toString)
+      phys.write.mode("overwrite").parquet(root.resolve(seg).toString)
     }
     Some(seg)
   }
@@ -1326,8 +1498,34 @@ final class CowTable private[storage] (
       parent: Int, fresh: Seq[FileEntry], carryOver: Seq[FileEntry],
       schema: StructType, dataChange: Boolean = true,
       streamTxn: Option[(String, Long)] = None,
-      cdcDir: Option[String] = None): Int = {
+      cdcDir: Option[String] = None,
+      mappingOpt: Option[(Map[String, String], Seq[String])] = None): Int = {
     val v = parent + 1
+    // Inherit the parent's column mapping when the caller didn't resolve
+    // one. A caller that wrote files itself (the DSv2 commit path) writes
+    // LOGICAL names for new fields — if such a field's name collides with
+    // a historical physical slot, committing would mis-bind old bytes to
+    // the new column, so it must fail here, loudly, pre-CAS.
+    val (mapping, usedPhys) = mappingOpt.getOrElse {
+      if (parent < 1) (Map.empty[String, String], schema.fieldNames.toSeq)
+      else {
+        val pm = manifest(parent)
+        val parentFields =
+          structFromJson(pm.schemaJson).fieldNames.toSet
+        val fence = pm.effectiveUsedPhysical.toSet
+        val clash = schema.fieldNames
+          .filterNot(parentFields).filter(n => fence(n) &&
+            !pm.columnMapping.contains(n))
+        require(clash.isEmpty,
+          s"table ${config.tableName}: column(s) ${clash.mkString(", ")} " +
+            "reuse a physical name burned by a dropped/renamed predecessor" +
+            " — this write path cannot allocate mapped physical names; " +
+            "use the CowTable API (upsert/overwrite) for this commit")
+        (pm.columnMapping,
+          (pm.effectiveUsedPhysical ++
+            schema.fieldNames.filterNot(parentFields)).distinct)
+      }
+    }
     val entries = fresh ++ carryOver
     val m = CommitManifest(
       version = v,
@@ -1353,7 +1551,9 @@ final class CowTable private[storage] (
       precombineKey = config.precombineKey,
       clusterByKey = config.clusterByKey,
       maxRecordsPerFile = config.maxRecordsPerFile,
-      checkConstraints = config.checkConstraints)
+      checkConstraints = config.checkConstraints,
+      columnMapping = mapping,
+      usedPhysicalNames = usedPhys)
     commitManifest(m)
     v
   }
@@ -1410,15 +1610,20 @@ final class CowTable private[storage] (
 
   /** [[TableConfig.statsColumns]] present in the schema (keys excluded —
     * they are always statted), in the same (name, numeric, dtype) shape
-    * [[footerStat]] consumes. */
-  private def extraStatCols(schema: StructType)
+    * [[footerStat]] consumes. Names are PHYSICAL (what footers store and
+    * what [[FileEntry.extra]] is keyed by — physical keys survive renames,
+    * so pre-rename files keep skipping; the scan side translates). */
+  private def extraStatCols(schema: StructType,
+      mapping: Map[String, String])
       : Seq[(String, Boolean, Option[DataType])] =
     config.statsColumns.distinct
       .filterNot(config.primaryKey.take(2).contains)
       .flatMap(k => schema.find(_.name == k))
-      .map(f => (f.name, statKeyNumeric(f.dataType), Some(f.dataType)))
+      .map(f => (mapping.getOrElse(f.name, f.name),
+        statKeyNumeric(f.dataType), Some(f.dataType)))
 
-  private[graft] def statFiles(verDir: Path, schema: StructType): Seq[FileEntry] = {
+  private[graft] def statFiles(verDir: Path, schema: StructType,
+      mapping: Map[String, String] = Map.empty): Seq[FileEntry] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(verDir)) return Nil
     val parquetFiles = scala.util.Using.resource(Files.walk(verDir)) {
@@ -1435,7 +1640,7 @@ final class CowTable private[storage] (
     if (keyDt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
       return scanStats(verDir)
     val cols = statCols(schema)
-    val extras = extraStatCols(schema)
+    val extras = extraStatCols(schema, mapping)
     // footer reads are independent driver-side IO — do them in parallel
     // (a commit touching hundreds of files would otherwise serialize
     // hundreds of file opens)
@@ -1460,7 +1665,8 @@ final class CowTable private[storage] (
     * message-carried row counts with no min/max (stat-less ⇒ always treated
     * as touched by pruning). */
   private[graft] def statListedFiles(
-      files: Seq[(String, Long)], schema: StructType): Seq[FileEntry] = {
+      files: Seq[(String, Long)], schema: StructType,
+      mapping: Map[String, String] = Map.empty): Seq[FileEntry] = {
     if (files.isEmpty) return Nil
     val keyDt = schema.find(_.name == config.primaryKey.head).map(_.dataType)
     def fallback = files.map { case (p, n) => FileEntry(p, n, None, None) }
@@ -1468,7 +1674,7 @@ final class CowTable private[storage] (
       fallback
     else {
       val cols = statCols(schema)
-      val extras = extraStatCols(schema)
+      val extras = extraStatCols(schema, mapping)
       import scala.collection.parallel.CollectionConverters._
       Try(files.par.map { case (p, _) =>
         footerStat(root.resolve(p), cols, extras)
@@ -1601,8 +1807,39 @@ object CowTable {
   implicit private[storage] val formats: Formats =
     Serialization.formats(NoTypeHints)
 
+  /** Names the change feed stamps onto rows — user columns may not take
+    * them over via RENAME (a feed read could no longer tell them apart). */
+  private[graft] val reservedColumns: Set[String] =
+    Set("_change_type", "_commit_version", "_commit_timestamp")
+
   private[graft] def structFromJson(json: String): StructType =
     DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** Resolve the column mapping for a commit writing `schema`: inherit the
+    * parent's mapping, then allocate a physical name for every NEW logical
+    * field — the field's own name when no historical physical slot burned
+    * it, else a fresh `name_N` (deterministic given the fence). Returns
+    * (mapping, full physical-name fence to store). */
+  private[graft] def evolveMapping(
+      parent: Option[CommitManifest], schema: StructType)
+      : (Map[String, String], Seq[String]) = parent match {
+    case None => (Map.empty, schema.fieldNames.toSeq)
+    case Some(pm) =>
+      val parentFields = structFromJson(pm.schemaJson).fieldNames.toSet
+      var mapping = pm.columnMapping
+      val used = scala.collection.mutable.LinkedHashSet(
+        pm.effectiveUsedPhysical: _*)
+      schema.fieldNames.filterNot(parentFields).foreach { n =>
+        if (!used(n)) used += n // physical = logical, no mapping entry
+        else {
+          var i = 2
+          while (used(s"${n}_$i")) i += 1
+          mapping += n -> s"${n}_$i"
+          used += s"${n}_$i"
+        }
+      }
+      (mapping, used.toSeq)
+  }
 
   /** Static manifest access (no SparkSession needed — pure file IO): the
     * entry point the DSv2 connector's driver-side planning uses. */

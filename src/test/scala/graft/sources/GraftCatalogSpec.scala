@@ -159,9 +159,10 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT id, extra FROM lake.default.a ORDER BY id").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
     assert(got.toSeq == Seq(1L -> None, 2L -> None, 3L -> Some(2.5)), got.toSeq)
-    // everything else stays loudly unsupported
+    // RENAME/DROP COLUMN are supported via column mapping
+    // (ColumnMappingSqlSpec); a retype still fails loudly
     intercept[Exception] {
-      sess.sql("ALTER TABLE lake.default.a DROP COLUMN v")
+      sess.sql("ALTER TABLE lake.default.a ALTER COLUMN v TYPE INT")
     }
   }
 
