@@ -190,13 +190,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)`: a METADATA-ONLY commit — same files,
-    * widened schema (`dataChange=false`; the change feed and streaming
-    * source skip it). Files predating the column null-fill it at read, the
-    * behavior both connector readers already implement for merge-evolved
-    * schemas. Anything beyond top-level nullable ADDs (drop, rename,
-    * retype, reposition) is rejected loudly: those require rewriting or
-    * re-mapping physical files. */
+  /** `ALTER TABLE ... ADD/RENAME/DROP COLUMN(S)` and `SET/UNSET
+    * TBLPROPERTIES`: each a METADATA-ONLY commit — same files,
+    * `dataChange=false` (the change feed and streaming source skip it).
+    * ADD widens the schema; files predating the column null-fill it at
+    * read, the behavior both connector readers already implement for
+    * merge-evolved schemas. RENAME and DROP go through the column-mapping
+    * API ([[graft.storage.CowTable.renameColumn]]/[[
+    * graft.storage.CowTable.dropColumn]]) — physical file names never
+    * change, so zero data is rewritten. Retype and reposition are rejected
+    * loudly: those genuinely require rewriting physical files. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val e = entryFor(ident).getOrElse(throw new NoSuchTableException(ident))
     val t = CowTable(SparkSession.active, rootOf(e).toString, e.config)

@@ -717,9 +717,7 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
     * partition keys are rename-fenced ⇒ identity, so partition-value maps
     * keyed by path names keep matching. */
   private val physRequired: StructType =
-    if (mapping.isEmpty) required
-    else StructType(required.fields.map(f =>
-      f.copy(name = mapping.getOrElse(f.name, f.name))))
+    GraftParquetIO.physicalSchema(required, mapping)
 
   /** Per-scan (not per-file) decision — Spark requires all partitions of a
     * scan in the same mode. Flat primitive schemas (the connector's only

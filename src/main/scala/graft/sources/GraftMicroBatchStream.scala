@@ -170,13 +170,26 @@ final class GraftMicroBatchStream(
     }.toArray
   }
 
+  /** COLUMN MAPPING at stream start: the physical binding each required
+    * (logical) column had when this run began. Captured once so a
+    * mid-stream rename SWAP or DROP+re-ADD — which keeps the logical name
+    * live but rebinds it to a different physical slot — is detected by a
+    * binding comparison, not just a liveness check (liveness alone would
+    * silently read the WRONG column's bytes). */
+  private val startMapping: Map[String, String] = {
+    val v = CowTable.currentVersionAt(root)
+    if (v == 0) Map.empty else CowTable.manifestAt(root, v).columnMapping
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // COLUMN MAPPING: resolve the stream's (logical) required columns via
     // the CURRENT manifest — physical names are rename-stable, so one
-    // mapping covers every commit in range. A column renamed or dropped
-    // since the stream analyzed its schema no longer resolves — fail loudly
-    // (Delta likewise demands a restart on mid-stream schema changes)
-    // rather than silently null-filling it forever.
+    // mapping covers every commit in range. A column renamed, dropped, or
+    // REBOUND (rename swap / drop+re-add reusing the logical name) since
+    // the stream started no longer resolves to its original physical slot
+    // — fail loudly (Delta likewise demands a restart on mid-stream schema
+    // changes) rather than silently emitting another column's bytes or
+    // null-filling forever.
     val cur = CowTable.currentVersionAt(root)
     val mapping = if (cur == 0) Map.empty[String, String] else {
       val m = CowTable.manifestAt(root, cur)
@@ -187,6 +200,14 @@ final class GraftMicroBatchStream(
         s"graft stream: column(s) ${gone.mkString(", ")} were renamed or " +
           s"dropped from $root after this stream started — restart the " +
           "stream so it re-resolves the table schema")
+      val rebound = required.fieldNames.filterNot(CowTable.reservedColumns)
+        .filter(c => m.columnMapping.getOrElse(c, c) !=
+          startMapping.getOrElse(c, c))
+      if (rebound.nonEmpty) throw new IllegalStateException(
+        s"graft stream: column(s) ${rebound.mkString(", ")} of $root were " +
+          "rebound (renamed over / dropped and re-added) after this " +
+          "stream started — restart the stream so it re-resolves the " +
+          "table schema")
       m.columnMapping
     }
     new GraftReaderFactory(required, columnar, mapping)

@@ -313,9 +313,20 @@ final class GraftStreamingWrite(
       val mapping =
         if (parent > 0) tbl.manifest(parent).columnMapping
         else Map.empty[String, String]
-      // mid-stream rename fence: the epoch's files carry startMapping's
-      // physical names — a diverged current mapping would mis-bind them
+      // mid-stream rename/drop fence: the epoch's files carry
+      // startMapping's physical names for every writeSchema column — a
+      // diverged current mapping would mis-bind them, and a column DROPPED
+      // since the stream started would make its incoming data silently
+      // unreadable (the commit schema no longer carries it). Delta likewise
+      // fails mid-stream schema changes and demands a restart.
       val writeCols = writeSchema.fieldNames.toSet
+      val live = schema.fieldNames.toSet
+      val dropped = writeCols.filterNot(live)
+      if (dropped.nonEmpty)
+        throw new IllegalStateException(
+          s"graft streaming sink: column(s) ${dropped.mkString(", ")} of " +
+            s"$root were dropped while the stream was running — restart " +
+            "the stream so it re-resolves the table schema")
       if (mapping.view.filterKeys(writeCols).toMap !=
           startMapping.view.filterKeys(writeCols).toMap)
         throw new IllegalStateException(
@@ -418,8 +429,12 @@ final class GraftBatchWrite(
     // depend on nothing, so carrying the winner's files is always sound.
     // Overwrites and creates stay single-winner: they assert a table STATE,
     // not a delta, and a rebase would silently drop the winner's commit.
-    // A winner that changed the SCHEMA aborts the rebase (the appended
-    // files were aligned to the old one).
+    // A winner that changed the SCHEMA or the COLUMN MAPPING aborts the
+    // rebase: the appended files were aligned to the old schema and carry
+    // the old mapping's physical names. Schema equality alone is not
+    // enough — a DROP+re-ADD or a rename swap can restore an identical
+    // logical schema while rebinding physical slots, which would make the
+    // appended files read back NULL (burned slot) or column-swapped.
     var base = parent
     var attempts = 0
     while (true) {
@@ -435,13 +450,13 @@ final class GraftBatchWrite(
           val blindAppend = !overwrite && parent > 0
           if (!blindAppend || attempts > 8) throw e
           val now = CowTable.currentVersionAt(root)
-          val winnerSchema =
-            CowTable.structFromJson(CowTable.manifestAt(root, now).schemaJson)
-          if (winnerSchema != schema) throw new graft.storage
-            .ConcurrentWriteException(
-              s"concurrent writer changed the schema of $root while this " +
-                "append was in flight — re-run the append against the new " +
-                "schema")
+          val winner = CowTable.manifestAt(root, now)
+          val winnerSchema = CowTable.structFromJson(winner.schemaJson)
+          if (winnerSchema != schema || winner.columnMapping != mapping)
+            throw new graft.storage.ConcurrentWriteException(
+              s"concurrent writer changed the schema or column mapping of " +
+                s"$root while this append was in flight — re-run the " +
+                "append against the new table state")
           base = now
       }
     }

@@ -236,10 +236,15 @@ final class CowTable private[storage] (
     (config.primaryKey ++ config.partitionKey ++ config.precombineKey).toSet
 
   /** Conservative "does this CHECK constraint mention column `c`" probe:
-    * word-boundary match on the raw SQL text. False positives only block an
-    * ALTER with a clear message (drop the constraint first) — never corrupt. */
-  private def constraintMentions(c: String): Seq[String] =
-    config.checkConstraints.filter(
+    * word-boundary match on the raw SQL text. Reads the MANIFEST's durable
+    * constraints (the truth another session may have added after this
+    * instance was constructed) unioned with this instance's config, so a
+    * stale registry entry can never rename a constraint-referenced column
+    * out from under the constraint and brick later writes. False positives
+    * only block an ALTER with a clear message (drop the constraint first)
+    * — never corrupt. */
+  private def constraintMentions(m: CommitManifest, c: String): Seq[String] =
+    (m.checkConstraints ++ config.checkConstraints).distinct.filter(
       _.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(c)}\\b.*"))
 
   /** ALTER TABLE RENAME COLUMN, METADATA-ONLY (Delta column-mapping
@@ -259,15 +264,19 @@ final class CowTable private[storage] (
     val schema = structFromJson(m.schemaJson)
     require(schema.fieldNames.contains(from),
       s"table ${config.tableName}: no column $from")
-    require(!schema.fieldNames.contains(to),
+    // duplicate/reserved checks are CASE-INSENSITIVE: Spark's analyzer
+    // resolves case-insensitively, so a case-variant duplicate (V vs v)
+    // would make every later reference AMBIGUOUS — reject it here
+    require(!schema.fieldNames.exists(f =>
+        f != from && f.equalsIgnoreCase(to)),
       s"table ${config.tableName}: column $to already exists")
     require(!structuralColumns.contains(from),
       s"table ${config.tableName}: cannot rename $from — primary-key/" +
         "partition/precombine columns are structural (rewrite the table " +
         "into a new config instead)")
-    require(!CowTable.reservedColumns.contains(to),
+    require(!CowTable.reservedColumns.exists(_.equalsIgnoreCase(to)),
       s"table ${config.tableName}: $to is a reserved change-feed name")
-    val mentioned = constraintMentions(from)
+    val mentioned = constraintMentions(m, from)
     require(mentioned.isEmpty,
       s"table ${config.tableName}: cannot rename $from — referenced by " +
         s"CHECK constraint(s) [${mentioned.mkString("; ")}]; drop them first")
@@ -306,7 +315,7 @@ final class CowTable private[storage] (
     require(!structuralColumns.contains(name),
       s"table ${config.tableName}: cannot drop $name — primary-key/" +
         "partition/precombine columns are structural")
-    val mentioned = constraintMentions(name)
+    val mentioned = constraintMentions(m, name)
     require(mentioned.isEmpty,
       s"table ${config.tableName}: cannot drop $name — referenced by " +
         s"CHECK constraint(s) [${mentioned.mkString("; ")}]; drop them first")
@@ -336,8 +345,9 @@ final class CowTable private[storage] (
     * one extra parallel scan of the NEW data only — never the table. */
   private[graft] def enforceConstraints(
       df: DataFrame, context: String): Unit = {
-    if (config.checkConstraints.isEmpty) return
-    val checks = config.checkConstraints
+    val constraints = liveCheckConstraints
+    if (constraints.isEmpty) return
+    val checks = constraints
       .map(c => coalesce(expr(c).cast("boolean"), lit(false)))
     val bad = df
       .select(array(checks: _*).as("__ok"),
@@ -345,7 +355,7 @@ final class CowTable private[storage] (
       .filter(array_contains(col("__ok"), false))
       .head(1)
     bad.headOption.foreach { r =>
-      val failed = config.checkConstraints.zip(r.getSeq[Boolean](0))
+      val failed = constraints.zip(r.getSeq[Boolean](0))
         .collect { case (c, false) => c }
       throw new IllegalArgumentException(
         s"table ${config.tableName}: CHECK constraint(s) " +
@@ -361,7 +371,7 @@ final class CowTable private[storage] (
   private[graft] def enforceConstraintsOnFiles(
       files: Seq[FileEntry], schema: StructType, context: String,
       mapping: Map[String, String] = Map.empty): Unit = {
-    if (config.checkConstraints.isEmpty || files.isEmpty) return
+    if (liveCheckConstraints.isEmpty || files.isEmpty) return
     val m = CommitManifest(0, 0, schema.json, config.primaryKey,
       config.partitionKey, keyNumeric = false, rowCount = 0L, files = files,
       columnMapping = mapping)
@@ -1545,7 +1555,13 @@ final class CowTable private[storage] (
       streamQueryId = streamTxn.map(_._1),
       streamEpochId = streamTxn.map(_._2),
       cdcDir = cdcDir,
-      statsColumns = config.statsColumns,
+      // durable union (parent manifest ∪ config), pruned to live columns —
+      // a stale instance can neither erase a renamed stats column nor
+      // persist one the schema no longer carries
+      statsColumns =
+        (if (parent < 1) config.statsColumns
+         else (manifest(parent).statsColumns ++ config.statsColumns).distinct)
+          .filter(schema.fieldNames.contains),
       bloomIndex = config.bloomIndex,
       changeDataFeed = config.changeDataFeed,
       precombineKey = config.precombineKey,
@@ -1608,7 +1624,20 @@ final class CowTable private[storage] (
       (k, dt.exists(statKeyNumeric), dt)
     }
 
-  /** [[TableConfig.statsColumns]] present in the schema (keys excluded —
+  /** The statsColumns in force for the NEXT write: the current manifest's
+    * durable list (authoritative post-create — RENAME COLUMN rewrites it,
+    * ALTER TBLPROPERTIES mutates it) unioned with this instance's config
+    * (so a config-declared list still takes effect on a table created
+    * before it). Reading the manifest here is what keeps a long-lived
+    * instance collecting stats for a column it knew as `amt` after another
+    * path renamed it to `total`. */
+  private def liveStatsColumns: Seq[String] = {
+    val v = currentVersion
+    if (v == 0) config.statsColumns
+    else (manifest(v).statsColumns ++ config.statsColumns).distinct
+  }
+
+  /** Live statsColumns present in the schema (keys excluded —
     * they are always statted), in the same (name, numeric, dtype) shape
     * [[footerStat]] consumes. Names are PHYSICAL (what footers store and
     * what [[FileEntry.extra]] is keyed by — physical keys survive renames,
@@ -1616,7 +1645,7 @@ final class CowTable private[storage] (
   private def extraStatCols(schema: StructType,
       mapping: Map[String, String])
       : Seq[(String, Boolean, Option[DataType])] =
-    config.statsColumns.distinct
+    liveStatsColumns
       .filterNot(config.primaryKey.take(2).contains)
       .flatMap(k => schema.find(_.name == k))
       .map(f => (mapping.getOrElse(f.name, f.name),
