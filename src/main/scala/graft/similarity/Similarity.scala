@@ -120,7 +120,10 @@ object Similarity {
       .select(quantVec(col(vecCol)).as("__qv"))
       .filter(size(col("__qv")) === dim)
       .withColumn("__h", xxhash64(col("__qv")))
-      .orderBy(col("__h")).limit(maxSample)
+      // secondary tie-break on the vector itself: on a hash collision at
+      // the limit cutoff, membership must not depend on partition order
+      // (same discipline as CowTable.stringRangeSplits)
+      .orderBy(col("__h"), col("__qv")).limit(maxSample)
       .select(col("__qv")).collect()
       .map(_.getSeq[Long](0).toArray)
     require(sample.length >= nLists,

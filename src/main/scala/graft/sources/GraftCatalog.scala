@@ -171,7 +171,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val constraints = Seq(Option(properties.get("checkConstraints")),
       Option(properties.get(TableCatalog.OPTION_PREFIX + "checkConstraints")))
       .flatten.headOption
-      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(parseConstraints)
       .getOrElse(Nil)
     val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
       bloomIndex = bloom, statsColumns = statsCols, changeDataFeed = cdf,
@@ -239,6 +239,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         CowTable.configAt(t.root, e.config), e.root)
       return loadTable(ident)
     }
+    // SET/UNSET of statsColumns or checkConstraints must REPLACE the
+    // manifest's durable list (commitAt's default is the parent∪config
+    // union, under which a narrowing SET / UNSET would silently
+    // re-inherit the old list forever) — track which were touched and
+    // pass the explicit replacement through commitAt's override params.
+    var statsTouched = false
+    var constraintsTouched = false
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -250,8 +257,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         schema = schema.add(colName, add.dataType(), nullable = true)
       case sp: TableChange.SetProperty =>
         cfg = applyProperty(cfg, sp.property, Some(sp.value))
+        if (sp.property == "statsColumns") statsTouched = true
+        if (sp.property == "checkConstraints") constraintsTouched = true
       case rp: TableChange.RemoveProperty =>
         cfg = applyProperty(cfg, rp.property, None)
+        if (rp.property == "statsColumns") statsTouched = true
+        if (rp.property == "checkConstraints") constraintsTouched = true
       case other => throw new UnsupportedOperationException(
         s"graft: unsupported ALTER TABLE change $other — ADD COLUMN " +
           "evolves the schema; SET/UNSET TBLPROPERTIES adjusts behavior " +
@@ -259,9 +270,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // ADD CONSTRAINT semantics (Delta parity): a newly introduced CHECK
     // constraint must hold on the EXISTING snapshot — one full validation
-    // scan, loud failure, nothing committed on violation
+    // scan, loud failure, nothing committed on violation. "New" is diffed
+    // against the MANIFEST's durable list (in `cfg` via configAt above),
+    // not the registry entry — a registry lagging another session's ADD
+    // must not trigger a redundant full-table validation scan.
+    val durableConstraints = m.checkConstraints
     val newConstraints =
-      cfg.checkConstraints.filterNot(e.config.checkConstraints.contains)
+      cfg.checkConstraints.filterNot(durableConstraints.contains)
     val updated = CowTable(SparkSession.active, rootOf(e).toString, cfg)
     if (newConstraints.nonEmpty)
       CowTable(SparkSession.active, rootOf(e).toString,
@@ -272,7 +287,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // old bytes can never resurrect under the new column
     updated.commitAt(parent = cur, fresh = Nil, carryOver = m.files,
       schema = schema, dataChange = false,
-      mappingOpt = Some(CowTable.evolveMapping(Some(m), schema)))
+      mappingOpt = Some(CowTable.evolveMapping(Some(m), schema)),
+      statsColumnsOpt = if (statsTouched) Some(cfg.statsColumns) else None,
+      checkConstraintsOpt =
+        if (constraintsTouched) Some(cfg.checkConstraints) else None)
     if (cfg != e.config) LakeRegistry.register(warehouse, cfg, e.root)
     loadTable(ident)
   }
@@ -284,11 +302,46 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `statsColumns`/`bloomIndex` apply to FUTURE files only; older files
     * simply lack the stats and are never skipped on them (the documented
     * degrade-safe direction). */
+  /** Split the `checkConstraints` property on ';' — QUOTE-AWARE: a ';'
+    * inside a SQL string literal (`c <> 'a;b'`, including the doubled-quote
+    * escape `'it''s;ok'`) or a back-quoted identifier does not split, so
+    * such constraints survive intact instead of being silently split into
+    * two invalid fragments at CREATE/SET TBLPROPERTIES. An unterminated
+    * quote is rejected loudly at DDL time ([[functions.expr]] is too
+    * lenient to catch it at parse time — it would otherwise explode on the
+    * first write). */
+  private[sources] def parseConstraints(raw: String): Seq[String] = {
+    val frags = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0 // 0 = top level, else the open quote char (' or `)
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (quote == 0 && ch == ';') { frags += cur.result(); cur.clear() }
+      else {
+        if (quote == 0 && (ch == '\'' || ch == '`')) quote = ch
+        else if (quote == ch) {
+          // doubled quote inside a literal is the SQL escape, stay open
+          if (i + 1 < raw.length && raw.charAt(i + 1) == ch) {
+            cur += ch; i += 1
+          } else quote = 0
+        }
+        cur += ch
+      }
+      i += 1
+    }
+    frags += cur.result()
+    require(quote == 0,
+      s"graft: checkConstraints value has an unterminated $quote-quoted " +
+        s"section: $raw")
+    frags.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   private def applyProperty(
       cfg: graft.storage.TableConfig, key: String,
       value: Option[String]): graft.storage.TableConfig = key match {
     case "checkConstraints" => cfg.copy(checkConstraints = value
-      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+      .map(parseConstraints).getOrElse(Nil))
     case "changeDataFeed" =>
       cfg.copy(changeDataFeed = value.exists(_.trim.toBoolean))
     case "statsColumns" => cfg.copy(statsColumns = value

@@ -334,6 +334,19 @@ final class CowTable private[storage] (
     parent + 1
   }
 
+  /** The CHECK constraints in force for the NEXT write: the current
+    * manifest's durable list (authoritative post-create — ADD CONSTRAINT
+    * commits append to it) unioned with this instance's config, so
+    * GraftCatalog's ADD-CONSTRAINT validation (which passes the new
+    * constraint via a temp config) still validates it before it is
+    * durable, and a long-lived instance picks up constraints another
+    * session added after this instance was constructed. */
+  private def liveCheckConstraints: Seq[String] = {
+    val v = currentVersion
+    if (v == 0) config.checkConstraints
+    else (manifest(v).checkConstraints ++ config.checkConstraints).distinct
+  }
+
   /** Validate [[TableConfig.checkConstraints]] against a row set in ONE
     * short-circuiting pass (all constraints evaluated per row as a bool
     * array; the first violating row is fetched with its per-constraint
@@ -1509,7 +1522,9 @@ final class CowTable private[storage] (
       schema: StructType, dataChange: Boolean = true,
       streamTxn: Option[(String, Long)] = None,
       cdcDir: Option[String] = None,
-      mappingOpt: Option[(Map[String, String], Seq[String])] = None): Int = {
+      mappingOpt: Option[(Map[String, String], Seq[String])] = None,
+      statsColumnsOpt: Option[Seq[String]] = None,
+      checkConstraintsOpt: Option[Seq[String]] = None): Int = {
     val v = parent + 1
     // Inherit the parent's column mapping when the caller didn't resolve
     // one. A caller that wrote files itself (the DSv2 commit path) writes
@@ -1557,17 +1572,30 @@ final class CowTable private[storage] (
       cdcDir = cdcDir,
       // durable union (parent manifest ∪ config), pruned to live columns —
       // a stale instance can neither erase a renamed stats column nor
-      // persist one the schema no longer carries
+      // persist one the schema no longer carries. `statsColumnsOpt` is the
+      // deliberate-narrowing escape hatch: ALTER TBLPROPERTIES passes the
+      // full replacement list so UNSET / a narrowing SET actually lands
+      // (the union would silently re-inherit the old list forever).
       statsColumns =
-        (if (parent < 1) config.statsColumns
-         else (manifest(parent).statsColumns ++ config.statsColumns).distinct)
+        statsColumnsOpt.getOrElse(
+          if (parent < 1) config.statsColumns
+          else (manifest(parent).statsColumns ++ config.statsColumns).distinct)
           .filter(schema.fieldNames.contains),
       bloomIndex = config.bloomIndex,
       changeDataFeed = config.changeDataFeed,
       precombineKey = config.precombineKey,
       clusterByKey = config.clusterByKey,
       maxRecordsPerFile = config.maxRecordsPerFile,
-      checkConstraints = config.checkConstraints,
+      // same durable-union discipline as statsColumns: a stale session's
+      // write must not erase a constraint another session added (its
+      // enforcement already unions via liveCheckConstraints — the manifest
+      // it publishes has to agree, or the NEXT reader loses the constraint).
+      // ALTER TBLPROPERTIES passes the replacement list so UNSET works.
+      checkConstraints =
+        checkConstraintsOpt.getOrElse(
+          if (parent < 1) config.checkConstraints
+          else (manifest(parent).checkConstraints ++
+            config.checkConstraints).distinct),
       columnMapping = mapping,
       usedPhysicalNames = usedPhys)
     commitManifest(m)

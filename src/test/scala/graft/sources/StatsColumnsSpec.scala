@@ -71,4 +71,47 @@ class StatsColumnsSpec extends SparkSpec {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("files=4/4"), plan)
   }
+
+  test("cross-session: a stale writer keeps collecting stats for a column " +
+    "another session declared after it opened the table") {
+    val dir = tmpDir("stats")
+    // session A opens the table with NO statsColumns in its config
+    // (stats column is BIGINT — double footer stats are deliberately
+    // unusable: NaN/Infinity make parquet double min/max untrustworthy)
+    val a = CowTable(spark, dir + "/t", TableConfig("ev", Seq("id")))
+    a.create(Seq((1L, 10L)).toDF("id", "v"))
+    // session B declares statsColumns durably (SQL TBLPROPERTIES path uses
+    // the same commitAt override; here the API-level equivalent)
+    val b = CowTable(spark, dir + "/t",
+      TableConfig("ev", Seq("id"), statsColumns = Seq("v")))
+    b.upsert(Seq((2L, 20L)).toDF("id", "v"))
+    assert(b.manifest(b.currentVersion).statsColumns == Seq("v"))
+    // A's next write (config still statsColumns-free) must keep the durable
+    // declaration AND stat its fresh files on v
+    a.upsert(Seq((3L, 30L)).toDF("id", "v"))
+    val m = a.manifest(a.currentVersion)
+    assert(m.statsColumns == Seq("v"), m.statsColumns)
+    val fresh = m.files.find(_.minKey.contains("3"))
+    assert(fresh.exists(_.extra.contains("v")), m.files)
+  }
+
+  test("UNSET TBLPROPERTIES('statsColumns') durably stops stats collection") {
+    val lake = tmpDir("stats")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.sv (id BIGINT, v DOUBLE) " +
+      "OPTIONS (primaryKey 'id', statsColumns 'v')")
+    sess.sql("INSERT INTO lake.default.sv VALUES (1, 1.0)")
+    val t = CowTable(spark, lake + "/sv", TableConfig("sv", Seq("id")))
+    assert(t.manifest(t.currentVersion).statsColumns == Seq("v"))
+    sess.sql("ALTER TABLE lake.default.sv UNSET TBLPROPERTIES ('statsColumns')")
+    assert(t.manifest(t.currentVersion).statsColumns.isEmpty)
+    // the removal survives subsequent writes (no silent re-inherit from a
+    // parent manifest) and new files stop carrying v stats
+    sess.sql("INSERT INTO lake.default.sv VALUES (2, 2.0)")
+    val m = t.manifest(t.currentVersion)
+    assert(m.statsColumns.isEmpty, m.statsColumns)
+    assert(m.files.filter(_.rows == 1L).exists(e => !e.extra.contains("v")))
+  }
 }

@@ -91,4 +91,98 @@ class CheckConstraintsSpec extends SparkSpec {
     sess.sql("UPDATE lake.default.c SET v = 9.0 WHERE id = 1")
     assert(sess.table("lake.default.c").filter("v = 9.0").count() == 1)
   }
+
+  test("cross-session: a stale writer enforces AND preserves a constraint " +
+    "another session added after it opened the table") {
+    val lake = tmpDir("chk")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.x (id BIGINT, v DOUBLE) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.x VALUES (1, 1.0)")
+
+    // session A opens the table BEFORE the constraint exists — its config
+    // carries no constraints and is never refreshed
+    val a = CowTable(spark, lake + "/x", TableConfig("x", Seq("id")))
+    assert(a.currentVersion == 2)
+
+    // session B adds the constraint (durable property commit)
+    sess.sql("ALTER TABLE lake.default.x " +
+      "SET TBLPROPERTIES ('checkConstraints' = 'v >= 0')")
+
+    // A's next write must enforce B's constraint (liveCheckConstraints
+    // reads the manifest at write time, not construction time)
+    intercept[IllegalArgumentException] {
+      a.upsert(Seq((2L, -1.0)).toDF("id", "v"))
+    }
+    // ... and A's SUCCESSFUL write must not erase it from the manifest
+    // (commitAt's durable parent∪config union)
+    a.upsert(Seq((2L, 2.0)).toDF("id", "v"))
+    val after = CowTable.configAt(a.root, TableConfig("x", Seq("id")))
+    assert(after.checkConstraints == Seq("v >= 0"),
+      s"constraint lost after stale write: ${after.checkConstraints}")
+    // still enforced on the NEXT reader's write
+    intercept[Exception] {
+      sess.sql("INSERT INTO lake.default.x VALUES (3, -7.0)")
+    }
+  }
+
+  test("UNSET TBLPROPERTIES drops constraints durably; narrowing SET " +
+    "replaces rather than unioning") {
+    val lake = tmpDir("chk")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.u (id BIGINT, v DOUBLE) " +
+      "OPTIONS (primaryKey 'id', checkConstraints 'v >= 0; id > 0')")
+    sess.sql("INSERT INTO lake.default.u VALUES (1, 1.0)")
+    intercept[Exception] {
+      sess.sql("INSERT INTO lake.default.u VALUES (2, -1.0)")
+    }
+    // narrowing SET: only id > 0 survives
+    sess.sql("ALTER TABLE lake.default.u " +
+      "SET TBLPROPERTIES ('checkConstraints' = 'id > 0')")
+    sess.sql("INSERT INTO lake.default.u VALUES (2, -1.0)") // v<0 now fine
+    intercept[Exception] {
+      sess.sql("INSERT INTO lake.default.u VALUES (-3, 1.0)") // id>0 kept
+    }
+    // full UNSET: everything goes, durably — also for a fresh API writer
+    sess.sql("ALTER TABLE lake.default.u UNSET TBLPROPERTIES ('checkConstraints')")
+    sess.sql("INSERT INTO lake.default.u VALUES (-3, -1.0)")
+    val t = CowTable(spark, lake + "/u", TableConfig("u", Seq("id")))
+    assert(CowTable.configAt(t.root, TableConfig("u", Seq("id")))
+      .checkConstraints.isEmpty)
+    t.upsert(Seq((-4L, -4.0)).toDF("id", "v")) // no constraint anywhere
+    assert(t.read().count() == 4)
+  }
+
+  test("a literal ';' inside a constraint's string constant does not " +
+    "split the constraint (quote-aware delimiter)") {
+    val lake = tmpDir("chk")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.s (id BIGINT, c STRING) " +
+      "OPTIONS (primaryKey 'id', " +
+      "checkConstraints \"c <> 'a;b'; id > 0\")")
+    sess.sql("INSERT INTO lake.default.s VALUES (1, 'a'), (2, 'b')")
+    intercept[Exception] { // the ';'-holding literal IS the constraint
+      sess.sql("INSERT INTO lake.default.s VALUES (3, 'a;b')")
+    }
+    intercept[Exception] { // ... and the fragment AFTER the ';' also binds
+      sess.sql("INSERT INTO lake.default.s VALUES (-4, 'z')")
+    }
+    assert(sess.table("lake.default.s").count() == 2)
+    // an unterminated quote is rejected loudly at DDL time
+    val bad = intercept[Exception] {
+      sess.sql("CREATE TABLE lake.default.s2 (id BIGINT, c STRING) " +
+        "OPTIONS (primaryKey 'id', checkConstraints \"c <> 'a\")")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(bad).exists(_.contains("unterminated")),
+      msgs(bad).mkString(" | "))
+  }
 }
