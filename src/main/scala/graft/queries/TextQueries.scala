@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.text.{TextDedup, TextFunctions, TextStats}
+import graft.text.{Contamination, Redact, Repetition, Sampling, TextDedup, TextFunctions, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -408,5 +408,121 @@ object TextQueries {
         |""".stripMargin) { (s, d) =>
       TextDedup.dedupExact(docs(s, d), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")
+    },
+
+    // PII REDACTION: regex scrub of emails/phones/IPs with audit counts.
+    // The corpus has no organic PII, so the fixture plants a deterministic
+    // mix per doc_id on BOTH sides (same string algebra in Spark and SQL);
+    // the redaction itself — ordered, digit-free placeholders, counts from
+    // the ORIGINAL text — is the operator under test. Pure projection.
+    Q("q112_pii_redact",
+      raw"""WITH p AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |    '@example.com' ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+           |  CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' ||
+           |    CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS pii
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(pii,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(pii,
+           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(pii,
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(pii,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |    '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+           |FROM p
+           |""".stripMargin) { (s, d) =>
+      val pii = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0, " call 555-123-4567").otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(""))
+      docs(s, d).select(col("doc_id"), pii.as("__pii"))
+        .select(col("doc_id"),
+          Redact.countEmails(col("__pii")).as("n_emails"),
+          Redact.countPhones(col("__pii")).as("n_phones"),
+          Redact.countIpv4(col("__pii")).as("n_ips"),
+          Redact.redactPii(col("__pii")).as("redacted"))
+    },
+
+    // REPETITION SIGNALS (Gopher-style quality heuristics): longest
+    // identical-token run + top-bigram share, each a single-pass O(1)-state
+    // fold inside the row (see Repetition scaladoc) — the oracle replays
+    // them relationally (RLE via the row_number-difference trick).
+    Q("q113_repetition_signals",
+      raw"""WITH t AS (SELECT doc_id,
+           |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(toks) AS tok,
+           |  generate_subscripts(toks, 1) AS i FROM t),
+           |r AS (SELECT doc_id, tok, i - ROW_NUMBER()
+           |  OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp FROM u),
+           |runs AS (SELECT doc_id, count(*) AS rl FROM r
+           |  GROUP BY doc_id, tok, grp),
+           |mr AS (SELECT doc_id, max(rl) AS max_token_run FROM runs
+           |  GROUP BY doc_id),
+           |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2
+           |    THEN []::VARCHAR[]
+           |    ELSE list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1]) END) AS bg FROM t),
+           |bc AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+           |tb AS (SELECT doc_id, max(n) AS top_bigram_n FROM bc
+           |  GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(mr.max_token_run AS BIGINT) AS max_token_run,
+           |  CAST(coalesce(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           |  CASE WHEN len(toks) < 2 THEN 0.0
+           |    ELSE floor(CAST(coalesce(tb.top_bigram_n, 0) AS DOUBLE) /
+           |      CAST(len(toks) - 1 AS DOUBLE) * 10000 + 0.5) / 10000
+           |  END AS top_bigram_frac
+           |FROM t JOIN mr USING (doc_id) LEFT JOIN tb USING (doc_id)
+           |""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        Repetition.maxTokenRun(col("text")).as("max_token_run"),
+        Repetition.topBigramCount(col("text")).as("top_bigram_n"),
+        Repetition.topBigramFraction(col("text")).as("top_bigram_frac"))
+    },
+
+    // BENCHMARK CONTAMINATION: distinct word-3-gram hashes shared with the
+    // benchmark subset (doc_id % 97 = 0 stands in for an eval set). The
+    // benchmark side is DISTINCT-reduced and BROADCAST — at 100 TB the
+    // corpus side never shuffles for the join (see Contamination scaladoc).
+    Q("q114_contamination",
+      raw"""WITH t AS (SELECT doc_id,
+           |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |s AS (SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+           |    ELSE list_transform(range(1, len(toks)-1),
+           |      i -> array_to_string(toks[i:i+2], ' ')) END)) AS sh FROM t),
+           |h AS (SELECT doc_id,
+           |  ${hash48Sql("sh")} AS hv FROM s),
+           |bench AS (SELECT DISTINCT hv FROM h WHERE doc_id % 97 = 0)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM h JOIN bench USING (hv) WHERE doc_id % 97 <> 0
+           |GROUP BY doc_id
+           |""".stripMargin) { (s, d) =>
+      Contamination.ngramOverlap(docs(s, d), "doc_id", "text",
+        isBench = col("doc_id") % 97 === 0, k = 3)
+    },
+
+    // MIXTURE-STRATIFIED SAMPLING: exact per-source caps in deterministic
+    // (md5(id), id) order — domain-mixture control for a data release. The
+    // hex sort key compares identically in both engines.
+    Q("q115_stratified_sample",
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 12
+        |""".stripMargin) { (s, d) =>
+      Sampling.stratifiedCap(docs(s, d), "source", "doc_id", cap = 12)
+        .select("doc_id", "source", "rn")
     })
 }

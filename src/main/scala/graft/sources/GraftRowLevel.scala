@@ -235,9 +235,19 @@ final class GraftRowLevelBatchWrite(
     // a violating SET clause throws with the files still unreferenced
     tbl.enforceConstraintsOnFiles(fresh, tableSchema, "row-level write",
       m.columnMapping)
-    val scanned = op.scannedFiles.getOrElse(Nil).map(_.path).toSet
-    val carry = m.files.filterNot(f => scanned(f.path))
-    tbl.commitAt(parent, fresh, carry, tableSchema)
+    val scannedPaths = op.scannedFiles.getOrElse(Nil).map(_.path).toSet
+    val carry = m.files.filterNot(f => scannedPaths(f.path))
+    op.scannedFiles match {
+      // Snapshot-isolation rebase on CAS loss (same contract as CowTable
+      // upsert/delete): winners that provably touched a disjoint key range
+      // are carried forward; anything unprovable fails loud. The op's key
+      // footprint = stat ranges of what it scanned + what it wrote.
+      case Some(scanned) =>
+        tbl.commitRowLevelRebased(parent, fresh, carry, tableSchema,
+          scannedPaths, scanned ++ fresh)
+      // no planned scan ⇒ no provable read set ⇒ keep plain fail-fast CAS
+      case None => tbl.commitAt(parent, fresh, carry, tableSchema)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -132,6 +132,20 @@ final case class CommitManifest(
 final class ConcurrentWriteException(msg: String)
   extends RuntimeException(msg)
 
+/** What a row-level write (upsert/delete/SQL MERGE) READ, for the
+  * snapshot-isolation rebase on commit conflict: the file paths it rewrote
+  * plus its key footprint — either the exact source batch (`source`; its
+  * key set decides disjointness vs a winner's added files) or, when the
+  * source is no longer available at commit time (the DSv2 row-level path),
+  * the stat ranges of the files it read and wrote (`footprint`): every key
+  * the op read, updated, deleted, or inserted lies inside a touched file's
+  * range or a fresh output file's range, so a winner-added file whose
+  * range misses ALL of them is provably non-interacting. */
+private[graft] final case class RebaseCtx(
+    touchedPaths: Set[String],
+    source: Option[org.apache.spark.sql.DataFrame],
+    footprint: Seq[FileEntry] = Nil)
+
 /** Minimal copy-on-write transactional table on plain parquet — the engine's
   * re-expression of the reference's open-table-format layer
   * (reference: src/hudi/hudi-initial-load.py:69-104 bulk create,
@@ -401,16 +415,25 @@ final class CowTable private[storage] (
     */
   def upsert(source: DataFrame, assertUniqueKeys: Boolean = false): Int = {
     if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
-    val parent = currentVersion
+    upsertFrom(currentVersion, source)
+  }
+
+  /** [[upsert]] against an explicit snapshot version — the commit rebases
+    * ([[commitWithRebase]]) or fails loud if versions landed after it.
+    * Package-private: specs use it to simulate a writer whose snapshot went
+    * stale mid-operation (the thing that actually happens on a cluster). */
+  private[storage] def upsertFrom(parent: Int, source: DataFrame): Int = {
     if (parent == 0) return writeVersion(source, source.schema, Nil, 0)
     val m = manifest(parent)
     pruneFiles(m, source) match {
       case None => parent // empty batch: no-op, no empty commit
       case Some((touched, untouched)) =>
+        val rb = Some(RebaseCtx(touched.map(_.path).toSet, Some(source)))
         val target = readFiles(m, touched)
         val merged0 = MergeEngine.upsert(target, source, config.primaryKey)
         if (!config.changeDataFeed)
-          writeVersion(merged0, merged0.schema, untouched, parent)
+          writeVersion(merged0, merged0.schema, untouched, parent,
+            rebase = rb)
         else {
           // ROW-exact changes from the merge's own inputs: merged rows with
           // a key in the source split insert/update by target membership;
@@ -442,7 +465,7 @@ final class CowTable private[storage] (
               .unionByName(preimages, allowMissingColumns = true), parent + 1,
               mapEv._1)
             writeVersion(merged, merged.schema, untouched, parent,
-              cdcDir = cdc, mappingOpt = Some(mapEv))
+              cdcDir = cdc, mappingOpt = Some(mapEv), rebase = rb)
           } finally merged.unpersist()
         }
     }
@@ -451,8 +474,10 @@ final class CowTable private[storage] (
   /** MERGE ... WHEN MATCHED THEN DELETE: anti-join rewrite of only the files
     * whose key range overlaps the delete set
     * (reference: src/iceberg/iceberg-cdc-load.py:147-150). */
-  def delete(deleteKeys: DataFrame): Int = {
-    val parent = currentVersion
+  def delete(deleteKeys: DataFrame): Int = deleteFrom(currentVersion, deleteKeys)
+
+  /** [[delete]] against an explicit snapshot version (see [[upsertFrom]]). */
+  private[storage] def deleteFrom(parent: Int, deleteKeys: DataFrame): Int = {
     require(parent > 0, s"table ${config.tableName} does not exist")
     val m = manifest(parent)
     pruneFiles(m, deleteKeys) match {
@@ -469,7 +494,8 @@ final class CowTable private[storage] (
             m.columnMapping)
         }
         writeVersion(remaining, structFromJson(m.schemaJson), untouched,
-          parent, cdcDir = cdc)
+          parent, cdcDir = cdc,
+          rebase = Some(RebaseCtx(touched.map(_.path).toSet, Some(deleteKeys))))
     }
   }
 
@@ -1368,7 +1394,8 @@ final class CowTable private[storage] (
       dataChange: Boolean = true,
       preshaped: Boolean = false,
       cdcDir: Option[String] = None,
-      mappingOpt: Option[(Map[String, String], Seq[String])] = None): Int = {
+      mappingOpt: Option[(Map[String, String], Seq[String])] = None,
+      rebase: Option[RebaseCtx] = None): Int = {
     val v = parent + 1
     // COLUMN MAPPING: data files store PHYSICAL names. The mapping for this
     // commit (inherited from the parent, extended for evolved-in columns)
@@ -1420,8 +1447,115 @@ final class CowTable private[storage] (
     // non-deterministic source slip unvalidated rows into the write.
     // Reorganizations (dataChange=false) carry already-validated rows.
     if (dataChange) enforceConstraintsOnFiles(fresh, schema, "write", mapping)
-    commitAt(parent, fresh, carryOver, schema, dataChange, cdcDir = cdcDir,
-      mappingOpt = Some((mapping, usedPhys)))
+    commitWithRebase(parent, fresh, carryOver, schema, dataChange,
+      cdcDir = cdcDir, mappingOpt = Some((mapping, usedPhys)),
+      rebase = rebase)
+  }
+
+  /** Commit `fresh` + carry-over, REBASING onto concurrent winners instead
+    * of failing when the conflict is provably disjoint (Delta
+    * WriteSerializable's logical rebase, decided from manifests alone —
+    * zero data re-read or re-written, which is the whole point at 100 TB
+    * where re-executing a large merge costs minutes):
+    *
+    *  - every winner must leave schema, column mapping, and CHECK
+    *    constraints untouched (our fresh files were validated and
+    *    physically named under the old ones);
+    *  - no winner may have removed/rewritten a file this op READ
+    *    (`touchedPaths`) — that would make the merge's inputs stale;
+    *  - no winner-ADDED file may possibly contain one of the op's source
+    *    keys (the exact key-set prune, [[pruneFiles]], re-run against just
+    *    the added files) — otherwise carrying both the winner's file and
+    *    our merged output could duplicate or shadow a key. This is
+    *    stats-conservative: a reorganization whose bins span wide key
+    *    ranges can flag a false overlap and fall back to the loud failure;
+    *    never the reverse.
+    *
+    * On pass: carry-over is recomputed from the WINNER's file set (so a
+    * winner's rewrite of files this op never read — a compaction of cold
+    * partitions, another key range's merge — is carried forward verbatim)
+    * and the commit retries at the new head, looping (bounded) if yet
+    * another writer lands first. Ops that read the whole table
+    * (create/overwrite/compact/optimize) pass no [[RebaseCtx]] and keep the
+    * loud fail-fast contract. */
+  /** [[commitWithRebase]] for the DSv2 row-level path (SQL MERGE / UPDATE /
+    * DELETE), where the source batch is gone by commit time: the key
+    * footprint is the stat-range union of the files the op scanned plus the
+    * files it wrote (see [[RebaseCtx]] for why that bounds every key the op
+    * could interact with). Stats-conservative where the exact-key probe is
+    * exact — a wide-range winner file forces the loud failure, never a
+    * wrong rebase. */
+  private[graft] def commitRowLevelRebased(
+      parent: Int, fresh: Seq[FileEntry], carry: Seq[FileEntry],
+      schema: StructType, touchedPaths: Set[String],
+      footprint: Seq[FileEntry]): Int =
+    commitWithRebase(parent, fresh, carry, schema, dataChange = true,
+      cdcDir = None, mappingOpt = None,
+      rebase = Some(RebaseCtx(touchedPaths, None, footprint)))
+
+  private def commitWithRebase(
+      parent0: Int, fresh: Seq[FileEntry], carry0: Seq[FileEntry],
+      schema: StructType, dataChange: Boolean,
+      cdcDir: Option[String],
+      mappingOpt: Option[(Map[String, String], Seq[String])],
+      rebase: Option[RebaseCtx]): Int = {
+    val base = if (parent0 >= 1) Some(manifest(parent0)) else None
+    var parent = parent0
+    var carry = carry0
+    var attempts = 0
+    val maxAttempts = spark.conf.get("graft.commitRetries", "5").toInt
+    while (true) {
+      try return commitAt(parent, fresh, carry, schema, dataChange,
+        cdcDir = cdcDir, mappingOpt = mappingOpt)
+      catch {
+        case e: ConcurrentWriteException =>
+          val ctx = rebase.getOrElse(throw e)
+          attempts += 1
+          val head = currentVersion
+          if (attempts > maxAttempts || head <= parent || base.isEmpty)
+            throw e
+          val b = base.get
+          var wv = parent + 1
+          while (wv <= head) {
+            val wm = manifest(wv)
+            // structural schema comparison (catalogString elides
+            // nullability): a merge output's nullability drift (joins relax
+            // it) is not a schema CHANGE
+            if (structFromJson(wm.schemaJson).catalogString !=
+                structFromJson(b.schemaJson).catalogString ||
+              wm.columnMapping != b.columnMapping ||
+              wm.checkConstraints != b.checkConstraints)
+              throw new ConcurrentWriteException(
+                s"version $wv of table ${config.tableName} changed the " +
+                  "table's schema/mapping/constraints concurrently — " +
+                  "cannot rebase; re-read the table and retry")
+            val prevPaths = manifest(wv - 1).files.map(_.path).toSet
+            val removed = prevPaths -- wm.files.map(_.path).toSet
+            if ((removed & ctx.touchedPaths).nonEmpty)
+              throw new ConcurrentWriteException(
+                s"version $wv of table ${config.tableName} rewrote file(s) " +
+                  "this operation read — its inputs are stale; re-read " +
+                  "the table and retry")
+            val added = wm.files.filterNot(f => prevPaths(f.path))
+            val mayOverlap = added.nonEmpty && (ctx.source match {
+              case Some(src) =>
+                pruneFiles(wm.copy(files = added), src).exists(_._1.nonEmpty)
+              case None =>
+                CowTable.keyRangesOverlap(added, ctx.footprint, wm.keyNumeric)
+            })
+            if (mayOverlap)
+              throw new ConcurrentWriteException(
+                s"version $wv of table ${config.tableName} added file(s) " +
+                  "that may contain this operation's keys — cannot prove " +
+                  "disjointness; re-read the table and retry")
+            wv += 1
+          }
+          carry = manifest(head).files.filterNot(f =>
+            ctx.touchedPaths(f.path))
+          parent = head
+      }
+    }
+    -1 // unreachable
   }
 
   /** Write a mutation's exact change rows (schema + `_change_type`) to a
@@ -2067,4 +2201,33 @@ object CowTable {
     (a: String, b: String) =>
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Can any of `added`'s first-key [min,max] ranges intersect any of
+    * `footprint`'s? Missing stats on either side count as unbounded
+    * (⇒ overlap) — the conservative direction: a false "overlap" costs a
+    * retry, a false "disjoint" would corrupt a rebase. */
+  private[graft] def keyRangesOverlap(
+      added: Seq[FileEntry], footprint: Seq[FileEntry],
+      numeric: Boolean): Boolean = {
+    def rng(e: FileEntry): Option[(String, String)] =
+      for { mn <- e.minKey; mx <- e.maxKey } yield (mn, mx)
+    if (footprint.isEmpty) added.nonEmpty // no provable footprint: assume
+    else {
+      val fr = footprint.map(rng)
+      added.exists { a =>
+        rng(a) match {
+          case None => true
+          case Some((amn, amx)) => fr.exists {
+            case None => true
+            case Some((fmn, fmx)) =>
+              if (numeric)
+                !(BigDecimal(amx) < BigDecimal(fmn) ||
+                  BigDecimal(fmx) < BigDecimal(amn))
+              else
+                !(utf8Ordering.lt(amx, fmn) || utf8Ordering.lt(fmx, amn))
+          }
+        }
+      }
+    }
+  }
 }

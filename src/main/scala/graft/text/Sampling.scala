@@ -39,4 +39,25 @@ object Sampling {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Deterministic stratified downsample (mixture control): keep the first
+    * `cap` rows of each stratum in (md5-of-id, id) order, tagged with their
+    * in-stratum rank `rn`. Exact per-stratum counts — the tool for hitting
+    * a target domain/source mixture — at the cost of one window partitioned
+    * by the stratum key. Strata (sources/domains) number in the thousands
+    * against dozens of cores, rank state is O(1) per partition, and rows
+    * past `cap` are discarded by the very next filter, so the window is the
+    * cheapest exact formulation. (When approximate proportions suffice,
+    * prefer a shuffle-free hash-threshold filter: `hashBucket(id) < pct`.)
+    * The hex-string sort key compares identically in every engine — the
+    * DuckDB oracle replays the exact selection. */
+  def stratifiedCap(
+      df: DataFrame, strataCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"stratifiedCap: cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+  }
 }

@@ -1,0 +1,172 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolation rebase for row-level commits: a writer whose
+  * snapshot went stale mid-merge re-commits WITHOUT re-reading or
+  * re-writing data when the winners are provably disjoint (manifest-only
+  * proof), and keeps the loud [[ConcurrentWriteException]] whenever
+  * disjointness can't be shown. `upsertFrom`/`deleteFrom` pin the stale
+  * snapshot the way a slow cluster-side writer would hold one. */
+class ConcurrentRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(dir: String, cfg: TableConfig = TableConfig("t", Seq("id")))
+      : CowTable = {
+    val t = CowTable(spark, dir + "/t", cfg)
+    // four range-disjoint files so per-file key stats can prove disjointness
+    t.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id"))
+    t
+  }
+
+  test("disjoint concurrent upserts: the stale writer rebases, both land") {
+    val t = mk(tmpDir("rb"))
+    val v1 = t.currentVersion
+    t.upsert(Seq((98L, "B98"), (99L, "B99")).toDF("id", "v")) // winner: v2
+    val v = t.upsertFrom(v1, Seq((1L, "A1"), (2L, "A2")).toDF("id", "v"))
+    assert(v == 3, "stale writer must land as v3 via rebase")
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got(1L) == "A1" && got(2L) == "A2")
+    assert(got(98L) == "B98" && got(99L) == "B99")
+    assert(got(50L) == "v50" && got.size == 100)
+  }
+
+  test("rebase chains across several winners") {
+    val t = mk(tmpDir("rb"))
+    val v1 = t.currentVersion
+    t.upsert(Seq((98L, "B98")).toDF("id", "v"))            // v2
+    t.upsert(Seq((97L, "C97")).toDF("id", "v"))            // v3
+    val v = t.upsertFrom(v1, Seq((2L, "A2")).toDF("id", "v"))
+    assert(v == 4)
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got(2L) == "A2" && got(97L) == "C97" && got(98L) == "B98")
+  }
+
+  test("overlapping file rewrite fails loud (stale read)") {
+    val t = mk(tmpDir("rb"))
+    val v1 = t.currentVersion
+    t.upsert(Seq((2L, "B2")).toDF("id", "v")) // winner rewrites A's file
+    val e = intercept[ConcurrentWriteException] {
+      t.upsertFrom(v1, Seq((1L, "A1")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("rewrote file"), e.getMessage)
+    // nothing half-landed: the winner's row is intact, A's row unchanged
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got(2L) == "B2" && got(1L) == "v1")
+  }
+
+  test("same NEW key inserted by both writers fails loud (no dup key)") {
+    val t = mk(tmpDir("rb"))
+    val v1 = t.currentVersion
+    t.upsert(Seq((500L, "B500")).toDF("id", "v")) // brand-new key, new file
+    val e = intercept[ConcurrentWriteException] {
+      t.upsertFrom(v1, Seq((500L, "A500")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("may contain"), e.getMessage)
+    assert(t.read().filter($"id" === 500L).count() == 1)
+  }
+
+  test("disjoint NEW keys from both writers rebase cleanly") {
+    val t = mk(tmpDir("rb"))
+    val v1 = t.currentVersion
+    t.upsert(Seq((500L, "B500")).toDF("id", "v"))
+    val v = t.upsertFrom(v1, Seq((900L, "A900")).toDF("id", "v"))
+    assert(v == 3)
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got(500L) == "B500" && got(900L) == "A900" && got.size == 102)
+  }
+
+  test("concurrent schema change blocks the rebase") {
+    val t = mk(tmpDir("rb"))
+    val v1 = t.currentVersion
+    // winner evolves the schema (adds a column via schema-merging upsert)
+    t.upsert(Seq((98L, "B98", 1L)).toDF("id", "v", "extra"))
+    val e = intercept[ConcurrentWriteException] {
+      t.upsertFrom(v1, Seq((1L, "A1")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
+  test("delete rebases over a disjoint upsert; CDF rows carry the " +
+    "rebased version") {
+    val dir = tmpDir("rb")
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("t", Seq("id"), changeDataFeed = true))
+    t.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id"))
+    val v1 = t.currentVersion
+    t.upsert(Seq((99L, "B99")).toDF("id", "v"))                // v2
+    val v = t.deleteFrom(v1, Seq(Tuple1(2L)).toDF("id"))       // rebased v3
+    assert(v == 3)
+    assert(t.read().filter($"id" === 2L).count() == 0)
+    assert(t.read().filter($"id" === 99L).as[(Long, String)].head()._2
+      == "B99")
+    val feed = t.readChangeFeed(2, 3)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(feed == Set((2L, "delete", 3)), feed)
+  }
+
+  test("footprint (row-level SQL path) rebase: disjoint winner carried, " +
+    "range overlap fails loud") {
+    val t = mk(tmpDir("rb"))
+    val m1 = t.manifest(1)
+    val schema = CowTable.structFromJson(m1.schemaJson)
+    val f0 = m1.files.minBy(_.minKey.get.toLong) // keys 1..25
+    // winner rewrites the LAST file (keys 76..100) — disjoint from f0
+    t.upsert(Seq((99L, "B99")).toDF("id", "v"))  // v2
+    // loser simulates a SQL MERGE that rewrote only f0 (here: "rewrote" it
+    // to itself — commit mechanics are what's under test), footprint = f0
+    val v = t.commitRowLevelRebased(1, Seq(f0),
+      m1.files.filterNot(_ eq f0), schema, Set(f0.path), Seq(f0))
+    assert(v == 3)
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got(99L) == "B99" && got(1L) == "v1" && got.size == 100)
+
+    // a winner whose ADDED file's range intersects the footprint blocks it:
+    // manifest-level winner adding stats [10,10] under a NEW path (the
+    // rebase must fail before any read, so the path never resolves)
+    val m3 = t.manifest(3)
+    t.commitAt(3, Seq(f0.copy(path = "vfake/part-0.parquet",
+      minKey = Some("10"), maxKey = Some("10"))), m3.files, schema) // v4
+    val e = intercept[ConcurrentWriteException] {
+      t.commitRowLevelRebased(3, Seq(f0), m3.files.filterNot(_ eq f0),
+        schema, Set(f0.path), Seq(f0))
+    }
+    assert(e.getMessage.contains("may contain"), e.getMessage)
+  }
+
+  test("keyRangesOverlap: numeric vs utf8, missing stats conservative") {
+    def e(mn: String, mx: String) =
+      FileEntry("p", 1L, Some(mn), Some(mx))
+    assert(!CowTable.keyRangesOverlap(
+      Seq(e("26", "50")), Seq(e("1", "25")), numeric = true))
+    assert(CowTable.keyRangesOverlap(
+      Seq(e("25", "50")), Seq(e("1", "25")), numeric = true))
+    // "9" > "10" as strings: numeric=false must compare as UTF8 text
+    assert(!CowTable.keyRangesOverlap(
+      Seq(e("a", "b")), Seq(e("c", "d")), numeric = false))
+    assert(CowTable.keyRangesOverlap(
+      Seq(e("b", "c")), Seq(e("a", "b")), numeric = false))
+    // missing stats on either side ⇒ overlap (conservative)
+    assert(CowTable.keyRangesOverlap(
+      Seq(FileEntry("p", 1L, None, None)), Seq(e("1", "2")), numeric = true))
+    assert(CowTable.keyRangesOverlap(
+      Seq(e("1", "2")), Seq(FileEntry("p", 1L, None, None)), numeric = true))
+    // empty footprint: assume interaction (no proof available)
+    assert(CowTable.keyRangesOverlap(Seq(e("1", "2")), Nil, numeric = true))
+  }
+
+  test("ops without a rebase context keep the fail-fast contract") {
+    val t = mk(tmpDir("rb"))
+    val m = t.manifest(t.currentVersion)
+    t.upsert(Seq((98L, "B98")).toDF("id", "v")) // bump the head
+    // a raw stale commit (no RebaseCtx) must still fail loud
+    intercept[ConcurrentWriteException] {
+      t.commitAt(1, Nil, m.files,
+        CowTable.structFromJson(m.schemaJson), dataChange = false)
+    }
+  }
+}
