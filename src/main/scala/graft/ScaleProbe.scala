@@ -52,12 +52,15 @@ object ScaleProbe {
         $"l_orderkey" + lit(i.toLong * 100000000L))
     }.reduce(_ unionByName _)
 
+    // (label, data, target file count) — file count GROWS with the data
+    // (as it would on a real lake); the probe claim is that small-batch
+    // mutation latency does NOT
     val scales = Seq(
-      ("sf0.01", () => lineitem(sf001)),
-      ("sf0.1", () => lineitem(sf01)),
-      ("sf0.1x8", () => rep8(sf01)))
+      ("sf0.01", () => lineitem(sf001), 8),
+      ("sf0.1", () => lineitem(sf01), 32),
+      ("sf0.1x8", () => rep8(sf01), 256))
 
-    for ((name, mk) <- scales) {
+    for ((name, mk, nParts) <- scales) {
       val root = s"$out/$name"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -65,17 +68,18 @@ object ScaleProbe {
       }
       rm(new java.io.File(root))
       val t = CowTable(spark, s"$root/li",
-        TableConfig("li", Seq("l_orderkey", "l_linenumber"),
-          maxRecordsPerFile = 250000L))
+        TableConfig("li", Seq("l_orderkey", "l_linenumber")))
       val df = mk()
       val (_, tCreate) = time {
-        t.create(df.repartitionByRange(32, $"l_orderkey"))
+        t.create(df.repartitionByRange(nParts, $"l_orderkey"))
       }
       val nFiles = t.manifest(t.currentVersion).files.size
       val rows = t.manifest(t.currentVersion).rowCount
 
-      // small-batch upsert: 1000 rows spread over ~100 orderkeys
-      val batch = df.filter($"l_orderkey" % 6000 === 0).limit(1000)
+      // small-batch upsert: a contiguous ~2000-orderkey slice (a realistic
+      // CDC batch: hot recent keys), pruning to a few files at any scale
+      val batch = df.filter($"l_orderkey".between(3000, 5000))
+        .limit(1000)
         .withColumn("l_quantity", $"l_quantity" + 1).cache()
       batch.count()
       val (_, tUpsert) = time { t.upsert(batch) }
@@ -85,17 +89,17 @@ object ScaleProbe {
         m.files.count(f => !prev(f.path))
       }
 
-      // small-batch delete: ~50 orderkeys
-      val dk = df.filter($"l_orderkey" % 12000 === 0)
+      // tail change-feed read of that upsert commit
+      val vu = t.currentVersion
+      val (nChanges, tFeed) = time {
+        t.readChangeFeed(vu - 1, vu).count()
+      }
+
+      // small-batch delete, same locality
+      val dk = df.filter($"l_orderkey".between(8000, 9000))
         .select("l_orderkey", "l_linenumber").limit(500).cache()
       dk.count()
       val (_, tDelete) = time { t.delete(dk) }
-
-      // tail change-feed read (last commit only)
-      val v = t.currentVersion
-      val (nChanges, tFeed) = time {
-        t.readChangeFeed(v - 1, v).count()
-      }
 
       println(s"""{"probe":"$name","rows":$rows,"files":$nFiles,""" +
         s""""create_sec":${f"$tCreate%.2f"},""" +

@@ -34,7 +34,18 @@ final case class FileEntry(
       * [min, max] in stat-string space. Absent column ⇒ no stats ⇒ that
       * file is never skipped on it (pre-upgrade manifests degrade safely).
       */
-    extra: Map[String, ColRange] = Map.empty) {
+    extra: Map[String, ColRange] = Map.empty,
+    /** The comma-joined cluster-column signature this file was Z-ORDERED
+      * under, set by [[CowTable.optimize]] on its output files and carried
+      * verbatim while the file survives commits untouched. Lets OPTIMIZE
+      * run INCREMENTALLY — only files not yet clustered under the requested
+      * signature rewrite, so repeated OPTIMIZE on a growing table costs
+      * O(files added since last run), not O(table) (the liquid-clustering
+      * amortization; at 100 TB a full re-cluster per run is not viable).
+      * Merge/compaction outputs are unset (they reorganize rows), so
+      * touched data naturally re-enters the next OPTIMIZE. Absent on
+      * pre-upgrade manifests ⇒ never clustered (degrades to a full run). */
+    zorderBy: Option[String] = None) {
   /** Stat bounds of key column `i` (0 or 1). */
   def bounds(i: Int): (Option[String], Option[String]) =
     if (i == 0) (minKey, maxKey) else (minKey2, maxKey2)
@@ -635,15 +646,26 @@ final class CowTable private[storage] (
     */
   def optimize(clusterBy: Seq[String] = config.primaryKey.take(2),
       targetPartitions: Int = 0,
-      partitionValue: Option[String] = None): Int = {
+      partitionValue: Option[String] = None,
+      full: Boolean = false): Int = {
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
     require(clusterBy.nonEmpty, "optimize needs >=1 cluster column")
     require(partitionValue.isEmpty || config.partitionKey.isDefined,
       s"table ${config.tableName} is not partitioned")
     val m = manifest(parent)
-    val (scoped, carried) = m.files.partition(e =>
+    val (inScope, carried0) = m.files.partition(e =>
       inPartitionScope(e, partitionValue))
+    // INCREMENTAL by default: files already clustered under this exact
+    // signature carry over untouched — repeated OPTIMIZE costs O(new files)
+    // (see [[FileEntry.zorderBy]]). `full = true` forces a whole re-cluster
+    // (tightest interleaving, e.g. after heavy churn left many clustered
+    // groups whose z-ranges overlap).
+    val sig = clusterBy.mkString(",")
+    val (alreadyClustered, scoped) =
+      if (full) (Nil, inScope)
+      else inScope.partition(_.zorderBy.contains(sig))
+    val carried = carried0 ++ alreadyClustered
     if (scoped.isEmpty) return parent
     val df = readFiles(m, scoped)
     val missing = clusterBy.filterNot(df.columns.contains)
@@ -686,7 +708,7 @@ final class CowTable private[storage] (
     }
     val out = shaped.drop("__z").drop(casted.map(_._1): _*)
     writeVersion(out, structFromJson(m.schemaJson), carried, parent,
-      dataChange = false, preshaped = true)
+      dataChange = false, preshaped = true, fileTag = Some(sig))
   }
 
   /** One-pass range splits for a STRING cluster column: the DISTINCT value
@@ -1395,7 +1417,8 @@ final class CowTable private[storage] (
       preshaped: Boolean = false,
       cdcDir: Option[String] = None,
       mappingOpt: Option[(Map[String, String], Seq[String])] = None,
-      rebase: Option[RebaseCtx] = None): Int = {
+      rebase: Option[RebaseCtx] = None,
+      fileTag: Option[String] = None): Int = {
     val v = parent + 1
     // COLUMN MAPPING: data files store PHYSICAL names. The mapping for this
     // commit (inherited from the parent, extended for evolved-in columns)
@@ -1439,7 +1462,9 @@ final class CowTable private[storage] (
         writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
       else writer
     withStatFriendlyTimestamps { sized.parquet(verDir.toString) }
-    val fresh = statFiles(verDir, schema, mapping)
+    val fresh0 = statFiles(verDir, schema, mapping)
+    val fresh = fileTag.fold(fresh0)(t =>
+      fresh0.map(_.copy(zorderBy = Some(t))))
     if (config.bloomIndex) writeBlooms(verDir, fresh, schema)
     // CHECK constraints validate the WRITTEN files pre-commit (one parallel
     // scan of the new data, same shape as the connector paths) — validating

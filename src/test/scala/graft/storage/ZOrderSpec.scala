@@ -155,4 +155,41 @@ class ZOrderSpec extends SparkSpec {
       u.optimize(Seq("a"), partitionValue = Some("X"))
     }
   }
+
+  test("OPTIMIZE is incremental: clustered files carry, new files rewrite") {
+    val dir = tmpDir("zorder")
+    val t = grid(dir)
+    val v2 = t.optimize(Seq("a", "b"))
+    val m2 = t.manifest(v2)
+    assert(m2.files.forall(_.zorderBy.contains("a,b")), "outputs tagged")
+
+    // a second identical OPTIMIZE is a METADATA no-op: zero files rewritten
+    assert(t.optimize(Seq("a", "b")) == v2)
+
+    // churn: an upsert rewrites some files (their outputs lose the tag)
+    t.upsert(Seq((5L, 5L, "NEW")).toDF("a", "b", "payload"))
+    val m3 = t.manifest(t.currentVersion)
+    val untagged = m3.files.filterNot(_.zorderBy.contains("a,b"))
+    assert(untagged.nonEmpty, "merge outputs must re-enter clustering")
+    val stillTagged = m3.files.filter(_.zorderBy.contains("a,b")).map(_.path)
+
+    // incremental OPTIMIZE rewrites ONLY the untagged files
+    val v4 = t.optimize(Seq("a", "b"))
+    val m4 = t.manifest(v4)
+    assert(stillTagged.forall(p => m4.files.exists(_.path == p)),
+      "already-clustered files carried byte-identically")
+    assert(m4.files.forall(_.zorderBy.contains("a,b")))
+    assert(t.read().count() == 4096L)
+    assert(t.read().filter($"a" === 5L && $"b" === 5L)
+      .as[(Long, Long, String)].head()._3 == "NEW")
+
+    // a DIFFERENT signature does not reuse the old tag
+    val v5 = t.optimize(Seq("a"))
+    assert(v5 > v4)
+    assert(t.manifest(v5).files.forall(_.zorderBy.contains("a")))
+
+    // full=true forces a whole re-cluster even when everything is tagged
+    val v6 = t.optimize(Seq("a"), full = true)
+    assert(v6 > v5)
+  }
 }
