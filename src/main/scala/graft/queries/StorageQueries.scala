@@ -980,6 +980,56 @@ object StorageQueries {
       sess.table("lake.default.ord")
     },
 
+    // INCREMENTAL OPTIMIZE (liquid-clustering amortization): repeated
+    // `CALL lake.optimize` rewrites ONLY files added since the last
+    // clustering — outputs carry a zorderBy signature tag in the manifest,
+    // tagged files carry over untouched, and an optimize with nothing new
+    // is a metadata no-op. A nightly OPTIMIZE on a growing 100 TB table
+    // costs O(new files), not O(table); `full => true` forces the whole
+    // re-cluster when churn has degraded the curve. Oracle = exact content
+    // through create → optimize → no-op optimize → upsert → incremental
+    // optimize → full optimize (all reorganizations content-preserving,
+    // the upsert the only dataChange).
+    Q("q116_incremental_optimize",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey BETWEEN 100 AND 300 THEN o_totalprice + 100
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q116")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cfg = TableConfig("oi", Seq("o_orderkey"))
+      val tbl = CowTable(s, lake + "/oi", cfg)
+      tbl.create(o.repartition(8))
+      graft.storage.LakeRegistry.register(lake, cfg, lake + "/oi")
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      sess.sql("CALL lake.optimize('oi', 'o_custkey,o_orderkey')")
+        .collect()                                          // v2: all tagged
+      val v2 = tbl.currentVersion
+      require(tbl.manifest(v2).files.forall(_.zorderBy.nonEmpty),
+        "optimize outputs must carry the cluster-signature tag")
+      sess.sql("CALL lake.optimize('oi', 'o_custkey,o_orderkey')")
+        .collect()                                          // metadata no-op
+      require(tbl.currentVersion == v2,
+        "a second identical OPTIMIZE must not rewrite anything")
+      tbl.upsert(o.filter(col("o_orderkey").between(100, 300))
+        .withColumn("o_totalprice", col("o_totalprice") + 100)) // churn
+      val tagged = tbl.manifest(tbl.currentVersion).files
+        .filter(_.zorderBy.nonEmpty).map(_.path).toSet
+      sess.sql("CALL lake.optimize('oi', 'o_custkey,o_orderkey')")
+        .collect()                                          // incremental
+      val m4 = tbl.manifest(tbl.currentVersion)
+      require(tagged.forall(p => m4.files.exists(_.path == p)),
+        "already-clustered files must carry through incremental OPTIMIZE")
+      sess.sql("CALL lake.optimize('oi', 'o_custkey,o_orderkey', '', true)")
+        .collect()                                          // full re-cluster
+      tbl.read()
+    },
+
     // TIMESTAMP AS OF: commit times stamped by an injected deterministic
     // clock; reading strictly between the two commit timestamps must resolve
     // to v1 — the pre-merge snapshot (the Delta/Iceberg timestamp-travel

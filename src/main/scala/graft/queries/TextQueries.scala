@@ -190,6 +190,41 @@ object TextQueries {
       TextDedup.nearDupPairs(docs(s, d), "doc_id", "text")
     },
 
+    // INCREMENTAL NEAR-DUP (corpus-growth shape): the corpus's MinHash band
+    // index is PERSISTED as a lake table (appended per ingested batch);
+    // deduping a new batch shingles ONLY the batch, bucket-joins its bands
+    // against the store, and exact-verifies candidate docs alone — the
+    // 100 TB corpus's text is never rescanned, only its (id, band, key)
+    // index rows and the few candidate docs. Oracle: identical signature
+    // pipeline with candidates restricted to corpus×batch.
+    Q("q117_incremental_neardup",
+      s"""WITH $sigCte,
+         |hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
+         |cands AS (SELECT DISTINCT l.doc_id AS id_corpus, r.doc_id AS id_new
+         |      FROM bands l JOIN bands r
+         |        ON l.band = r.band AND l.band_key = r.band_key
+         |       AND l.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
+         |SELECT id_corpus, id_new,
+         |  CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE) AS jaccard
+         |FROM cands JOIN hd a ON a.doc_id = id_corpus
+         |            JOIN hd b ON b.doc_id = id_new
+         |WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE) >= 0.5
+         |""".stripMargin) { (s, d) =>
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 3 =!= 0)
+      val batch = all.filter(col("doc_id") % 3 === 0)
+      // the persisted signature store: band index keyed by doc id, the
+      // state an incremental ingest pipeline appends to per batch
+      val storeTbl = graft.storage.CowTable.replace(s,
+        StorageQueries.tableDir("q117_sigstore"),
+        graft.storage.TableConfig("sig_store", Seq("doc_id")),
+        TextDedup.minhashBands(corpus, "doc_id", "text"))
+      TextDedup.incrementalNearDupPairs(
+        storeTbl.read(), corpus, batch, "doc_id", "text")
+    },
+
     // Near-dup pairs confirmed by character-level edit distance: the LSH +
     // Jaccard candidates re-scored with levenshtein and a length-normalized
     // similarity — the second-stage verifier a dedup pipeline runs before

@@ -48,18 +48,24 @@ object GraftProcedures {
             targetPartitions = args.getInt(2), partitionValue = scope)
         Array[Any](v)
       })
+      // `full` (default false) forces a whole re-cluster; the default is
+      // INCREMENTAL — files already z-ordered under the same signature
+      // carry over untouched, so a nightly `CALL lake.optimize(t)` on a
+      // growing table costs O(files added since last run), not O(table)
       case "optimize" => Some(proc("optimize",
         Seq(in("table", StringType),
           in("cluster_by", StringType, Some("''")),
-          in("partition_value", StringType, Some("''"))),
+          in("partition_value", StringType, Some("''")),
+          in("full", BooleanType, Some("false"))),
         resultSchema = versionResult) { args =>
         val t = open(str(args, 0))
         val cols = str(args, 1).split(",").map(_.trim).filter(_.nonEmpty)
         val scope = Option(args.getUTF8String(2))
           .map(_.toString).filter(_.nonEmpty)
+        val full = !args.isNullAt(3) && args.getBoolean(3)
         val v =
-          if (cols.isEmpty) t.optimize(partitionValue = scope)
-          else t.optimize(cols.toSeq, partitionValue = scope)
+          if (cols.isEmpty) t.optimize(partitionValue = scope, full = full)
+          else t.optimize(cols.toSeq, partitionValue = scope, full = full)
         Array[Any](v)
       })
       case "vacuum" => Some(proc("vacuum",

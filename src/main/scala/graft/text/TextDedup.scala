@@ -195,6 +195,64 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL near-dup: dedup a new batch against an existing corpus
+    * WITHOUT rescanning it. `store` is the corpus's persisted band table
+    * ([[minhashBands]] output, appended batch-by-batch as the corpus grows
+    * — e.g. a COW table keyed by doc id); only the NEW batch is shingled
+    * and banded here. Candidates come from a bucket join of the batch's
+    * bands against the store — at 100 TB the corpus side contributes one
+    * shuffle of its (id, band, key) index rows, never its text — and the
+    * exact-Jaccard verify re-shingles ONLY candidate docs on each side
+    * (semi-join prune into `corpusDocs`, a by-id point lookup a key-stated
+    * lake table prunes to a few files). Returns (id_corpus, id_new,
+    * jaccard ≥ threshold). Both sides' buckets are bounded loudly: a hot
+    * bucket would explode the join quadratically on one reducer. */
+  def incrementalNearDupPairs(
+      store: DataFrame, corpusDocs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 1 << 20): DataFrame = {
+    val nb = minhashBands(batch, idCol, textCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = try {
+      assertBoundedBuckets(nb, Seq("band", "band_key"), maxBucket,
+        "Exact-dedup the batch first (dedupExact), or raise maxBucket.")
+      // the store side is only checked WHERE the batch probes it — a full
+      // store sweep would defeat the incremental shape. (Appends keep the
+      // store guarded batch-by-batch; this bounds legacy/merged buckets.)
+      assertBoundedBuckets(
+        store.join(nb.select("band", "band_key").distinct(),
+          Seq("band", "band_key"), "left_semi"),
+        Seq("band", "band_key"), maxBucket,
+        "Compact or exact-dedup the signature store, or raise maxBucket.")
+      store.select(col(idCol).as("id_corpus"), col("band"), col("band_key"))
+        .join(nb.select(col(idCol).as("id_new"), col("band"),
+          col("band_key")), Seq("band", "band_key"))
+        .filter(col("id_corpus") =!= col("id_new"))
+        .select("id_corpus", "id_new").distinct()
+        .localCheckpoint()
+    } finally nb.unpersist(blocking = false)
+    def shingled(docs: DataFrame, side: String) =
+      graft.core.Spread.up(docs)
+        .join(cands.select(col(side).as(idCol)).distinct(),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as(side),
+          graft.functions.TextTokenExpressions
+            .shingleHash48(col(textCol), shingleK, distinct = true)
+            .as(s"__sh_$side"))
+        .localCheckpoint()
+    cands
+      .join(shingled(corpusDocs, "id_corpus"), "id_corpus")
+      .join(shingled(batch, "id_new"), "id_new")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_id_corpus"), col("__sh_id_new")))
+          .cast("double") /
+          size(array_union(col("__sh_id_corpus"), col("__sh_id_new")))
+            .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_corpus", "id_new", "jaccard")
+  }
+
   /** (id, simhash) — 48-bit frequency-weighted SimHash per document. Near
     * duplicates have small Hamming distance; bucket by bit-slices of the
     * simhash for the scale path (same banding idea as minhash). */

@@ -66,6 +66,35 @@ class TextDedupSpec extends SparkSpec {
       maxBucket = 100).count() == 0)
   }
 
+  test("incrementalNearDupPairs: batch-vs-store pairs match the batch " +
+    "operator's cross-split subset; corpus-side store is probe-only") {
+    val all = docs.union(Seq((5L, base)).toDF("doc_id", "text"))
+    val corpus = all.filter($"doc_id" <= 3)
+    val batch = all.filter($"doc_id" > 3)
+    val store = TextDedup.minhashBands(corpus, "doc_id", "text")
+    val inc = TextDedup.incrementalNearDupPairs(
+      store, corpus, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    // full-batch operator over everything, restricted to corpus×batch
+    val full = TextDedup.nearDupPairs(all, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a <= 3 && b > 3 }.toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.contains((1L, 5L, 1.0)) && inc.contains((2L, 5L, 1.0)))
+    assert(!inc.exists { case (_, n, _) => n == 4L }) // unrelated stays out
+
+    // hot store bucket: guarded loudly even though only probed buckets count
+    val hotStore = TextDedup.minhashBands(
+      (10L to 400L).map(i => (i, base)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.incrementalNearDupPairs(hotStore, corpus,
+        Seq((900L, base)).toDF("doc_id", "text"), "doc_id", "text",
+        maxBucket = 100)
+    }
+    assert(e.getMessage.contains("maxBucket"), e.getMessage)
+  }
+
   test("simhash: near-dups land close in Hamming space, unrelated far") {
     val sh = TextDedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
