@@ -27,8 +27,10 @@ object RangeJoin {
       payload: Seq[(String, String)]): DataFrame = {
     require(upperSec >= lowerSec, "empty range window")
     val spanUs = math.max((upperSec - lowerSec) * 1000000L, 1L)
-    val lUs = unix_micros(col(leftTs))
-    val rUs = unix_micros(col(rightTs))
+    // NTZ-tolerant micros (EventTime): binning + the range predicate use
+    // one consistent micros rendering per side, so NTZ input joins exactly
+    val lUs = EventTime.micros(left, leftTs)
+    val rUs = EventTime.micros(right, rightTs)
     // exact long floor-division (SQL `div` on x - pmod, pmod >= 0): the
     // double-promoting `/` + floor() is exact only while quotient*span stays
     // below 2^53 — an implicit bound this integer form removes outright
@@ -45,8 +47,8 @@ object RangeJoin {
         payload.map { case (in, out) => col(in).as(out) }: _*)
     l.join(r, keyCols :+ "__bin")
       .filter(col("__r_us").between(
-        unix_micros(col(leftTs)) + lowerSec * 1000000L,
-        unix_micros(col(leftTs)) + upperSec * 1000000L))
+        lUs + lowerSec * 1000000L,
+        lUs + upperSec * 1000000L))
       .drop("__bin", "__r_us")
   }
 }

@@ -26,10 +26,13 @@ object Sessionize {
       gapSeconds: Long): DataFrame = {
     val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prev = lag(unix_micros(col(tsCol)), 1).over(order)
+    // NTZ-tolerant micros (EventTime): gap math uses differences only, so
+    // the session bounds below keep the input column's own type untouched
+    val tsUs = EventTime.micros(events, tsCol)
+    val prev = lag(tsUs, 1).over(order)
     val newSession = when(
       prev.isNull ||
-        unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L, 1L)
+        tsUs - prev > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     events.withColumn("session_id", sum(newSession).over(run))
   }

@@ -344,6 +344,9 @@ final class GraftScanBuilder(
     fullSchema.find(_.name == c).map(_.dataType).exists {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.TimestampType => true
+      // NTZ stats live in wall-clock-micros space (statValueString maps a
+      // pushed LocalDateTime literal there) — numeric compare, never lexical
+      case org.apache.spark.sql.types.TimestampNTZType => true
       case org.apache.spark.sql.types.DateType => true
       case _ => false
     }

@@ -678,6 +678,7 @@ final class CowTable private[storage] (
       val dt = df.schema(k).dataType
       val ok = dt.isInstanceOf[NumericType] ||
         dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
         dt == org.apache.spark.sql.types.DateType
       require(ok, s"graft optimize: z-order needs numeric/date/timestamp/" +
         s"string columns; $k is ${dt.simpleString}")
@@ -1162,6 +1163,7 @@ final class CowTable private[storage] (
   private def statKeyNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
     case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.TimestampNTZType => true
     case org.apache.spark.sql.types.DateType => true
     case _ => false
   }
@@ -1171,6 +1173,16 @@ final class CowTable private[storage] (
       c: org.apache.spark.sql.Column, dt: DataType)
       : org.apache.spark.sql.Column = dt match {
     case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      // NTZ is a wall clock; its stat space is micros "as if UTC" — the
+      // raw INT64 the parquet footer stores and what statValueString maps
+      // a pushed LocalDateTime literal to. convert_timezone pins the
+      // NTZ→TIMESTAMP reinterpretation to UTC so the value is independent
+      // of the session time zone (a bare cast would shift by its offset).
+      unix_micros(convert_timezone(
+        lit("UTC"),
+        lit(spark.sessionState.conf.sessionLocalTimeZone), c)
+        .cast(org.apache.spark.sql.types.TimestampType))
     case org.apache.spark.sql.types.DateType => unix_date(c)
     case _ => c
   }
@@ -1922,8 +1934,12 @@ final class CowTable private[storage] (
         // read the column's logical-type annotation instead of assuming
         // (a millis stat compared in micros space mispruned by 1000x).
         // Unknown/NANOS/INT96 annotations => no usable stats for this file.
+        // Applies to NTZ the same way: its footer stat is the raw wall-clock
+        // INT64 in the annotated unit, normalized here to micros.
         val tsScale: Option[Long] =
-          if (!keyDt.contains(org.apache.spark.sql.types.TimestampType)) Some(1L)
+          if (!keyDt.exists(dt =>
+            dt == org.apache.spark.sql.types.TimestampType ||
+              dt == org.apache.spark.sql.types.TimestampNTZType)) Some(1L)
           else Try {
             import org.apache.parquet.schema.LogicalTypeAnnotation
             reader.getFooter.getFileMetaData.getSchema.getType(Seq(key): _*)
@@ -2103,6 +2119,14 @@ object CowTable {
     case d0: java.time.LocalDate => d0.toEpochDay.toString
     case i: java.time.Instant =>
       (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case ldt: java.time.LocalDateTime =>
+      // an NTZ literal pushed through DSv2 arrives as LocalDateTime; its
+      // stat space is wall-clock micros "as if UTC" (the raw footer INT64,
+      // same space keyStatColumn maps the column to). toEpochSecond floors
+      // and getNano is the non-negative within-second part, so pre-1970
+      // values stay exact.
+      (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L).toString
     case other => String.valueOf(other)
   }
 
