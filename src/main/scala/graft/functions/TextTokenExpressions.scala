@@ -122,6 +122,69 @@ private[graft] object TextTokenAlgebra {
     new GenericArrayData(buf.toArray)
   }
 
+  // --- single-pass repetition profile --------------------------------------
+
+  @inline private def sameSlice(
+      bytes: Array[Byte], s1: Int, e1: Int, s2: Int, e2: Int): Boolean = {
+    if (e1 - s1 != e2 - s2) return false
+    var i = 0
+    val len = e1 - s1
+    while (i < len) {
+      if (bytes(s1 + i) != bytes(s2 + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** struct(n_tokens, max_token_run, top_bigram_n) in ONE pass over the
+    * token offsets: longest run of consecutive identical tokens (byte-slice
+    * compare, no token materialization) and the count of the most frequent
+    * word bigram (exact-string keys — the same equivalence the
+    * array_sort-then-longest-run form computes, without the O(n log n)
+    * sort or the per-element interpreted fold). Bigram keys are the
+    * space-joined pair, which is injective over token pairs because tokens
+    * never contain ASCII whitespace. */
+  def repetitionProfile(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val offs = tokenOffsets(bytes)
+    val n = offs.length / 2
+    var best = 0L
+    var run = 0L
+    var t = 0
+    while (t < n) {
+      if (t > 0 && sameSlice(bytes,
+        offs(2 * t - 2), offs(2 * t - 1), offs(2 * t), offs(2 * t + 1)))
+        run += 1
+      else run = 1L
+      if (run > best) best = run
+      t += 1
+    }
+    var top = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
+      var i = 0
+      while (i < n - 1) {
+        val l1 = offs(2 * i + 1) - offs(2 * i)
+        val l2 = offs(2 * i + 3) - offs(2 * i + 2)
+        val bg = new Array[Byte](l1 + 1 + l2)
+        System.arraycopy(bytes, offs(2 * i), bg, 0, l1)
+        bg(l1) = 0x20
+        System.arraycopy(bytes, offs(2 * i + 2), bg, l1 + 1, l2)
+        val cell = counts.computeIfAbsent(
+          UTF8String.fromBytes(bg), _ => new Array[Long](1))
+        cell(0) += 1
+        if (cell(0) > top) top = cell(0)
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](n.toLong, best, top))
+  }
+
+  val repetitionType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("max_token_run", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false)))
+
   // --- single-pass token/quality profile -----------------------------------
 
   /** Stopword lists (must mirror graft.text.TextStats.stopwords). */
@@ -266,9 +329,24 @@ case class TextProfile(child: Expression) extends StringInputExpression {
   override def prettyName: String = "text_profile"
 }
 
+/** One-pass repetition-signal struct (see
+  * [[TextTokenAlgebra.repetitionProfile]]) — fused native form of the
+  * interpreted maxRunLength folds over tokens and sorted bigram arrays. */
+case class RepetitionProfile(child: Expression) extends StringInputExpression {
+  override def dataType: DataType = TextTokenAlgebra.repetitionType
+  override def nullSafeEval(input: Any): Any =
+    TextTokenAlgebra.repetitionProfile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    algebraCall(ctx, ev, (alg, s) => s"$alg.repetitionProfile($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "repetition_profile"
+}
+
 object TextTokenExpressions {
   def tokenHash48(text: Column): Column =
     ColumnBridge.toColumn(TokenHash48(ColumnBridge.toExpression(text)))
+  def repetitionProfile(text: Column): Column =
+    ColumnBridge.toColumn(RepetitionProfile(ColumnBridge.toExpression(text)))
   def shingleHash48(text: Column, k: Int, distinct: Boolean): Column =
     ColumnBridge.toColumn(
       ShingleHash48(ColumnBridge.toExpression(text), k, distinct))

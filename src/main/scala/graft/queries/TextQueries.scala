@@ -520,7 +520,9 @@ object TextQueries {
            |FROM t JOIN mr USING (doc_id) LEFT JOIN tb USING (doc_id)
            |""".stripMargin) { (s, d) =>
       docs(s, d).select(col("doc_id"),
-        TextStats.tokenCount(col("text")).as("n_tokens"),
+        // all four columns read the SAME fused profile struct — identical
+        // subexpressions are eliminated, so this is one pass per document
+        Repetition.profile(col("text")).getField("n_tokens").as("n_tokens"),
         Repetition.maxTokenRun(col("text")).as("max_token_run"),
         Repetition.topBigramCount(col("text")).as("top_bigram_n"),
         Repetition.topBigramFraction(col("text")).as("top_bigram_frac"))

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * consecutive identical tokens and (b) the share of all word bigrams
   * claimed by the single most frequent bigram.
   *
-  * Both are single-pass HOF folds over the token array of ONE row — no
-  * explode, no shuffle, state is O(1) per document — so the operator is a
-  * pure projection that scales with corpus bytes, not with any global
-  * structure. (A groupBy-per-bigram formulation would explode ~|tokens|
-  * rows per document through a shuffle; the fold never leaves the row.)
+  * Both are computed in ONE native pass over the row's UTF-8 bytes
+  * ([[graft.functions.RepetitionProfile]]) — no explode, no shuffle, state
+  * is O(tokens) per document — so the operator is a pure projection that
+  * scales with corpus bytes, not with any global structure. (A groupBy-
+  * per-bigram formulation would explode ~|tokens| rows per document
+  * through a shuffle; the profile never leaves the row. The earlier HOF
+  * formulation stayed in-row too but evaluated interpreted, ~4 array
+  * passes + an O(n log n) bigram sort per document.)
   */
 object Repetition {
 
@@ -31,21 +34,29 @@ object Repetition {
       },
       acc => acc.getField("b"))
 
+  /** One-pass native profile struct(n_tokens, max_token_run, top_bigram_n)
+    * — the codegen'd fused form ([[graft.functions.RepetitionProfile]]) of
+    * the three signals below. The HOF-fold forms cost ~4 interpreted array
+    * passes plus an O(n log n) bigram sort per row; the fused expression is
+    * one byte-level pass. Identical columns are subexpression-eliminated,
+    * so selecting all three signals still evaluates the profile once. */
+  def profile(text: Column): Column =
+    graft.functions.TextTokenExpressions.repetitionProfile(text)
+
   /** Longest token run of the document text. */
   def maxTokenRun(text: Column): Column =
-    maxRunLength(TextFunctions.tokens(text))
+    profile(text).getField("max_token_run")
 
   /** Occurrences of the most frequent word bigram (0 when fewer than two
-    * tokens). Equal bigrams are adjacent after an in-row sort, so the top
-    * count is exactly the longest run of the SORTED bigram array — reusing
-    * the same O(1)-state fold instead of a per-bigram groupBy. */
+    * tokens) — exact string equivalence, same result as the longest run of
+    * the SORTED bigram array. */
   def topBigramCount(text: Column): Column =
-    maxRunLength(array_sort(TextFunctions.wordShingles(text, 2)))
+    profile(text).getField("top_bigram_n")
 
   /** Fraction of all bigrams claimed by the top bigram, rounded to 4
     * decimals (engine-portable IEEE); 0.0 when the document has no bigram. */
   def topBigramFraction(text: Column): Column = {
-    val nBigrams = size(TextFunctions.tokens(text)) - 1
+    val nBigrams = profile(text).getField("n_tokens") - 1
     graft.core.Parity.round4(
       when(nBigrams < 1, lit(0.0))
         .otherwise(topBigramCount(text).cast("double") /
