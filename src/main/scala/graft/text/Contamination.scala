@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct-k-gram-hash rows of `df`: (idCol, __bench, __hv). */
+  /** Distinct-k-gram-hash rows of `df`: (idCol, __bench, __hv). Native
+    * fused tokenize→shingle→md5-48 ([[graft.functions.ShingleHash48]],
+    * distinct-on-hash = same hash SET as distinct-ing the shingle strings):
+    * the HOF form exploded shingle STRINGS and re-hashed them interpreted,
+    * ~2× the whole query's cost at sf0.1. */
   private def shingleHashes(
       df: DataFrame, idCol: String, textCol: String, isBench: Column,
       k: Int): DataFrame =
     df.select(col(idCol), isBench.as("__bench"),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), k)))
-          .as("__sh"))
-      .withColumn("__hv", TextFunctions.md5Hash48(col("__sh")))
+      explode(graft.functions.TextTokenExpressions
+        .shingleHash48(col(textCol), k, distinct = true)).as("__hv"))
 
   /** Per-document shared-k-gram counts against the benchmark subset
     * (`isBench` rows). Returns only contaminated documents:
