@@ -78,17 +78,19 @@ class NtzFenceSpec extends SparkSpec {
     assert(plan.contains("files=2/4"), plan)
   }
 
-  test("NTZ primary key: upsert prunes untouched files and stays exact") {
+  test("NTZ primary key: upsert prunes untouched files, CDF stays exact") {
     val dir = tmpDir("ntz")
     val mk = (d: Int) =>
       Seq.tabulate(100)(i =>
         (ldt(f"2024-01-$d%02d 00:00:00").plusMinutes(i), d * 1000L + i))
         .toDF("ts", "v")
-    val t = CowTable(spark, dir + "/t", TableConfig("ev", Seq("ts")))
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("ev", Seq("ts"), changeDataFeed = true))
     t.create(mk(1).union(mk(2)).union(mk(3)).union(mk(4))
       .repartitionByRange(4, $"ts"))
     assert(t.manifest(t.currentVersion).keyNumeric) // micros space, not text
     val before = t.manifest(t.currentVersion).files.map(_.path).toSet
+    val v0 = t.currentVersion
     t.upsert(Seq((ldt("2024-01-03 00:30:00"), 999999L)).toDF("ts", "v"))
     val after = t.manifest(t.currentVersion).files.map(_.path).toSet
     // exactly one file rewritten: NTZ keys prune numerically like TIMESTAMP
@@ -96,6 +98,13 @@ class NtzFenceSpec extends SparkSpec {
     val out = t.read()
     assert(out.count() == 400L)
     assert(out.filter($"v" === 999999L).count() == 1L)
+    // materialized CDF round-trips the NTZ key: exact I/U rows, NTZ schema
+    val feed = t.readChangeFeed(v0, t.currentVersion)
+    assert(feed.schema("ts").dataType == TimestampNTZType)
+    val post = feed.filter($"_change_type" === "update_postimage")
+    assert(post.count() == 1L)
+    assert(post.select($"ts".cast("string")).as[String].head()
+      == "2024-01-03 00:30:00")
   }
 
   test("Sessionize and RangeJoin accept NTZ event time directly") {
