@@ -586,8 +586,9 @@ object StorageQueries {
     // same pruned COW rewrite): raise every nation-5 balance 10%, drop
     // nation 9, read the final state. Oracle replays both statements.
     Q("q107_sql_update_delete",
-      """SELECT c_custkey,
-        |  CASE WHEN c_nationkey = 5 THEN round(c_acctbal * 1.1, 2)
+      s"""SELECT c_custkey,
+        |  CASE WHEN c_nationkey = 5
+        |       THEN ${graft.core.Parity.round2Sql("c_acctbal * 1.1")}
         |       ELSE c_acctbal END AS c_acctbal,
         |  c_nationkey
         |FROM customer WHERE c_nationkey <> 9
@@ -603,8 +604,12 @@ object StorageQueries {
         """CREATE TABLE lake.default.cust OPTIONS (primaryKey 'c_custkey')
           |AS SELECT * FROM q107_cust
           |""".stripMargin)
-      sess.sql("UPDATE lake.default.cust " +
-        "SET c_acctbal = round(c_acctbal * 1.1, 2) WHERE c_nationkey = 5")
+      // Parity floor-form on both sides: *1.1 puts 2-decimal balances on
+      // 3-decimal half boundaries where round() is engine-divergent (the
+      // exact class the sf0.1 stress verify caught on q110)
+      sess.sql("UPDATE lake.default.cust SET c_acctbal = " +
+        graft.core.Parity.round2Sql("c_acctbal * 1.1") +
+        " WHERE c_nationkey = 5")
       sess.sql("DELETE FROM lake.default.cust WHERE c_nationkey = 9")
       sess.table("lake.default.cust")
     },
@@ -846,9 +851,14 @@ object StorageQueries {
     // full SQL surface follows: rename, then UPDATE + INSERT through the
     // connector under the NEW name, read back. Oracle replays the
     // mutations with the renamed output column.
+    // portable floor-form rounding on BOTH sides (Parity.round2Sql):
+    // round(x, 2) disagrees between engines on half-boundary doubles
+    // (3888.7*1.05 → 4083.13 Spark vs 4083.14 DuckDB) — invisible at
+    // sf0.01, caught by the sf0.1 stress verify in round 10
     Q("q110_rename_column",
-      """SELECT c_custkey,
-        |  CASE WHEN c_nationkey = 5 THEN round(c_acctbal * 1.05, 2)
+      s"""SELECT c_custkey,
+        |  CASE WHEN c_nationkey = 5
+        |       THEN ${graft.core.Parity.round2Sql("c_acctbal * 1.05")}
         |       ELSE c_acctbal END AS balance,
         |  c_nationkey
         |FROM customer
@@ -868,8 +878,9 @@ object StorageQueries {
           |""".stripMargin)
       sess.sql(
         "ALTER TABLE lake.default.cust RENAME COLUMN c_acctbal TO balance")
-      sess.sql("UPDATE lake.default.cust " +
-        "SET balance = round(balance * 1.05, 2) WHERE c_nationkey = 5")
+      sess.sql("UPDATE lake.default.cust SET balance = " +
+        graft.core.Parity.round2Sql("balance * 1.05") +
+        " WHERE c_nationkey = 5")
       sess.sql(
         "INSERT INTO lake.default.cust VALUES (-1, 999.99, 999)")
       sess.table("lake.default.cust")
