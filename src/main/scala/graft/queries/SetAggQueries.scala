@@ -162,6 +162,50 @@ object SetAggQueries {
           graft.functions.KmvSketch.kmvDistinct(col("__h"), 64)
             .as("kmv_distinct"),
           count_distinct(col("__h")).as("n_exact"))
+    },
+
+    // Hash-sample quantile sketch (KmvSketch's quantile companion: O(k)
+    // state per group, deterministic membership = k smallest (hash, value)
+    // pairs, PERCENTILE_CONT over the sample). The oracle replays the
+    // identical sample via ROW_NUMBER <= k and the identical interpolation
+    // expression — an approximate operator with an EXACT oracle.
+    Q("q118_quantile_sketch",
+      s"""WITH h AS (SELECT event_type, value,
+         |    ${hash48Sql("CAST(event_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT event_type, value, ROW_NUMBER() OVER (
+         |    PARTITION BY event_type ORDER BY hv, value) AS rn FROM h),
+         |kk AS (SELECT event_type, value FROM s WHERE rn <= 512),
+         |v AS (SELECT event_type, value, ROW_NUMBER() OVER (
+         |      PARTITION BY event_type ORDER BY value) - 1 AS vi,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM kk),
+         |q AS (SELECT event_type, n,
+         |    MAX(CASE WHEN vi = CAST(floor(0.5 * (n-1)) AS BIGINT)
+         |        THEN value END) AS lo50,
+         |    MAX(CASE WHEN vi = CAST(ceil(0.5 * (n-1)) AS BIGINT)
+         |        THEN value END) AS hi50,
+         |    MAX(CASE WHEN vi = CAST(floor(0.95 * (n-1)) AS BIGINT)
+         |        THEN value END) AS lo95,
+         |    MAX(CASE WHEN vi = CAST(ceil(0.95 * (n-1)) AS BIGINT)
+         |        THEN value END) AS hi95
+         |  FROM v GROUP BY event_type, n)
+         |SELECT event_type,
+         |  ${Parity4("lo50 + (hi50 - lo50) * (0.5 * (n-1) - floor(0.5 * (n-1)))")}
+         |    AS p50_sketch,
+         |  ${Parity4("lo95 + (hi95 - lo95) * (0.95 * (n-1) - floor(0.95 * (n-1)))")}
+         |    AS p95_sketch
+         |FROM q
+         |""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("__h",
+          graft.text.TextFunctions.md5Hash48(col("event_id").cast("string")))
+        .groupBy("event_type")
+        .agg(graft.functions.QuantileSketch.sketchQuantiles(
+          col("__h"), col("value"), 512, Seq(0.5, 0.95)).as("__q"))
+        .select(col("event_type"),
+          graft.core.Parity.round4(col("__q").getItem(0)).as("p50_sketch"),
+          graft.core.Parity.round4(col("__q").getItem(1)).as("p95_sketch"))
     })
 
   private def Parity4(e: String): String = graft.core.Parity.round4Sql(e)
