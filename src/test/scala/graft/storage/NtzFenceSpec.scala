@@ -107,6 +107,27 @@ class NtzFenceSpec extends SparkSpec {
       == "2024-01-03 00:30:00")
   }
 
+  test("z-order OPTIMIZE clusters on an NTZ column") {
+    val dir = tmpDir("ntz")
+    val t = CowTable(spark, dir + "/t", TableConfig("ev", Seq("event_id")))
+    t.create(ntzFrame.repartition(4))
+    val v = t.currentVersion
+    t.optimize(clusterBy = Seq("ts"), targetPartitions = 4)
+    assert(t.currentVersion == v + 1)
+    val m = t.manifest(t.currentVersion)
+    assert(m.files.nonEmpty && m.files.forall(_.zorderBy.contains("ts")), m)
+    assert(t.read().count() == 400L)
+    // clustering actually happened: per-file ts ranges are disjoint-ish —
+    // each file's span is well under the full 4-day range random
+    // placement would give (the curve orders by wall-clock micros)
+    val spans = t.read().groupBy(input_file_name())
+      .agg((unix_micros(max($"ts".cast(TimestampType))) -
+        unix_micros(min($"ts".cast(TimestampType)))).as("span"))
+      .select("span").as[Long].collect()
+    val fullSpanUs = 4L * 24 * 3600 * 1000000
+    assert(spans.forall(_ < fullSpanUs / 2), spans.toSeq)
+  }
+
   test("Sessionize and RangeJoin accept NTZ event time directly") {
     val ntz = ntzFrame
     val ts = ntz.withColumn("ts", $"ts".cast(TimestampType))
