@@ -69,6 +69,31 @@ object MultimodalQueries {
       Multimodal.extractMeta(Multimodal.syntheticAssets(docs(s, d)))
     },
 
+    // FRAME SAMPLING (the video frame-sample shape, pure columnar): every
+    // stride-th fixed-size byte window of the payload via binary substring —
+    // no decode, no UDF. The oracle replays the identical byte windows in
+    // SQL; the testdata text is pure ASCII (verified: octet_length == length
+    // on every row), so DuckDB's char-based substring is byte-exact against
+    // Spark's byte-based binary substring — a future non-ASCII regeneration
+    // would fail the gate loudly, never silently.
+    Q("q119_frame_sample",
+      """WITH a AS (SELECT doc_id AS asset_id, text, length(text) AS n
+        |           FROM documents),
+        |c AS (SELECT asset_id, text,
+        |        unnest(range(0, CAST((n - 64) // 256 AS BIGINT) + 1))
+        |          AS chunk_idx
+        |      FROM a WHERE n >= 64)
+        |SELECT asset_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  hex(substring(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 64))
+        |    AS chunk_hex
+        |FROM c
+        |""".stripMargin) { (s, d) =>
+      Multimodal.sampleChunks(
+        Multimodal.syntheticAssets(docs(s, d)), chunkBytes = 64, stride = 4)
+        .select(col("asset_id"), col("chunk_idx"),
+          hex(col("chunk")).as("chunk_hex"))
+    },
+
     // REAL decode through the pluggable boundary: synthesized RIFF/WAVE
     // PCM-16 containers (closed-form samples keyed by doc_id) parsed back by
     // WavDecoder — magic/chunk-walk/fmt/sample extraction are genuine byte
