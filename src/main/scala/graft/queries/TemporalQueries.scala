@@ -222,5 +222,33 @@ object TemporalQueries {
       EventStreams.drainToMemory(
         s, sess => EventStreams.streamDedup(sess, src, schema),
         "q78_sink", base + "/ckpt", OutputMode.Append())
+    },
+
+    // CUSTOM KEYED STATE (mapGroupsWithState) with an exact oracle: running
+    // per-user count + DECIMAL-exact value total. Exact decimal addition is
+    // order-independent, and n_events is strictly monotone per key, so
+    // max_by(snapshot, n_events) is the final state no matter how
+    // AvailableNow batched the drain — the drained result equals the batch
+    // aggregate an external engine computes.
+    Q("q120_stream_state",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id
+        |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q120")
+      CowTable.deleteRecursively(Paths.get(base))
+      val src = base + "/src"
+      t(s, d, "events").select("event_id", "ts", "user_id", "value")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      EventStreams.drainToMemory(
+        s, sess => EventStreams.runningUserTotalsExact(sess, src, schema)
+          .toDF(),
+        "q120_sink", base + "/ckpt", OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("total_value"), col("n_events")).as("__total"))
+        .select(col("user_id"), col("n_events"),
+          col("__total").cast("double").as("total_value"))
     })
 }

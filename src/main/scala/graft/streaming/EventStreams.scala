@@ -123,6 +123,41 @@ object EventStreams {
       }
   }
 
+  final case class UserEventD(user_id: Long, value: BigDecimal)
+  final case class UserRunningStateD(n: Long, total: BigDecimal)
+  final case class UserSnapshotD(
+      user_id: Long, n_events: Long, total_value: BigDecimal)
+
+  /** ORACLE-EXACT running totals: same mapGroupsWithState shape as
+    * [[runningUserTotals]], but the value accumulates as DECIMAL — exact
+    * decimal addition is order-independent, so the emitted totals are
+    * deterministic under any partitioning/batching (a double-accumulating
+    * state folds in arrival order, whose last-ulp wobble an external engine
+    * cannot replay). Snapshots are per-batch; `n_events` is strictly
+    * monotone per key, so the final state is `max_by(snapshot, n_events)`
+    * regardless of how AvailableNow batched the input. */
+  def runningUserTotalsExact(
+      spark: SparkSession, dir: String, schema: StructType)
+      : Dataset[UserSnapshotD] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"),
+        col("value").cast("decimal(28,10)").as("value"))
+      .as[UserEventD]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[UserEventD],
+         state: GroupState[UserRunningStateD]) =>
+          val prev =
+            if (state.exists) state.get else UserRunningStateD(0L, BigDecimal(0))
+          var n = prev.n
+          var total = prev.total
+          events.foreach { e => n += 1; total += e.value }
+          state.update(UserRunningStateD(n, total))
+          UserSnapshotD(userId, n, total)
+      }
+  }
+
   /** Drain a stream into an in-memory table named `sink` (complete/update
     * mode per aggregation type) and return the result — the AvailableNow
     * test/drive harness for the two shapes.
