@@ -21,6 +21,13 @@ object TextQueries {
 
   /** whitespace tokens of `text` */
   private val toksSql = raw"string_split_regex(trim(text), '\s+')"
+  /** q121's source mixture (declared once — and BEFORE `all`, which
+    * captures it at object init — so the Spark filter and the oracle CASE
+    * inline the identical thresholds). */
+  private val MixRates = Seq(
+    "src0" -> 0.9, "src1" -> 0.7, "src2" -> 0.5, "src3" -> 0.3,
+    "src4" -> 0.1)
+
   private def hash48Sql(x: String) =
     s"('0x' || substr(md5($x), 1, 12))::BIGINT"
 
@@ -561,5 +568,23 @@ object TextQueries {
         |""".stripMargin) { (s, d) =>
       Sampling.stratifiedCap(docs(s, d), "source", "doc_id", cap = 12)
         .select("doc_id", "source", "rn")
+    },
+
+    // RATE-BASED MIXTURE SAMPLING (temperature-weighted source mixing):
+    // keep source s at its configured rate via the integer hash threshold
+    // md5-48(id) < floor(rate * 2^48) — shuffle-free (no window, unlike
+    // q115's exact caps), deterministic, and the thresholds are literal
+    // longs computed ONCE driver-side, so the oracle's comparison is
+    // bit-identical with zero per-row float arithmetic.
+    Q("q121_mixture_sample", {
+      val cases = MixRates.map { case (s, r) =>
+        s"WHEN '$s' THEN ${Sampling.rateThreshold(r)}" }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${hash48Sql("CAST(doc_id AS VARCHAR)")} <
+         |  CASE source $cases ELSE 0 END
+         |""".stripMargin
+    }) { (s, d) =>
+      Sampling.rateSample(docs(s, d), "source", "doc_id", MixRates.toMap)
+        .select("doc_id", "source")
     })
 }

@@ -60,4 +60,33 @@ object Sampling {
     df.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= cap)
   }
+
+  /** Integer threshold for [[rateSample]]: rate mapped onto the 48-bit hash
+    * space, floored ONCE driver-side — the literal long both the Spark
+    * filter and an external oracle compare against (no per-row float
+    * arithmetic to diverge). */
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    math.floor(rate * (1L << 48)).toLong
+  }
+
+  /** Shuffle-free per-stratum Bernoulli sampling at configured RATES (the
+    * temperature-weighted mixture shape: keep source s at rate w_s^α/Z):
+    * a row survives iff md5-48(id) < floor(rate_s · 2^48). Deterministic —
+    * membership is a pure function of the id, so reruns/repartitions keep
+    * the same rows and an external engine replays the exact integer
+    * comparison. Pure projection + filter: unlike [[stratifiedCap]] there
+    * is no window and no shuffle, which makes this the 100 TB default when
+    * proportions (not exact counts) are the target. Strata absent from
+    * `rates` are DROPPED (rate 0) — declare every source you keep. */
+  def rateSample(
+      df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "rateSample: empty rate map")
+    val h = TextFunctions.md5Hash48(col(idCol).cast("string"))
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(h < threshold)
+  }
 }

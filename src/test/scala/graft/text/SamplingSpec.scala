@@ -46,4 +46,22 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplit(df, "id", trainPct = 90, valPct = 20)
     }
   }
+
+  test("rateSample: deterministic, partition-independent, rate-accurate, " +
+    "shuffle-free; unmapped strata drop") {
+    val df = (1L to 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    def ids(parts: Int): Seq[Long] =
+      Sampling.rateSample(df.repartition(parts), "src", "id", rates)
+        .select("id").as[Long].collect().sorted.toSeq
+    val a = ids(1)
+    assert(a == ids(13)) // membership is a pure function of the id
+    val out = Sampling.rateSample(df, "src", "id", rates)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == 1000L) // rate 1.0 keeps everything
+    assert(!bySrc.contains("src2")) // rate 0.0 drops everything
+    assert(!bySrc.contains("src3")) // unmapped stratum drops
+    assert(math.abs(bySrc("src1") - 500L) < 100, bySrc) // ~rate 0.5
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
