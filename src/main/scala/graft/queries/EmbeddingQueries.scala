@@ -173,5 +173,36 @@ object EmbeddingQueries {
          |""".stripMargin
     }) { (s, d) =>
       Similarity.embeddingNearDupPairs(emb(s, d), "vec_id", "embedding", 0.4)
+    },
+
+    // DISTRIBUTED CENTROID UPDATE (the M-step of distributed k-means, per
+    // label): mean vector per group over the quantized space — integer sums
+    // are exact and order-independent, so the result is deterministic and
+    // oracle-replayable (unlike float accumulation). Plan shape at 100 TB:
+    // posexplode multiplies rows by dim, but hash-aggregate's map-side
+    // partial collapses each partition to (labels x dim) rows BEFORE the
+    // shuffle — the corpus never shuffles raw vectors, only per-partition
+    // partial sums (the complement of the driver-side bounded-sample
+    // trainIvfCentroids: this path updates centroids from ALL rows).
+    Q("q122_centroid_update",
+      s"""WITH u AS (SELECT label, unnest($qvSql) AS q,
+         |    generate_subscripts(embedding, 1) - 1 AS pos
+         |  FROM embeddings)
+         |SELECT label, CAST(pos AS BIGINT) AS pos,
+         |  count(*) AS n_vectors,
+         |  ${graft.core.Parity.round4Sql(
+             "CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_q
+         |FROM u GROUP BY label, pos
+         |""".stripMargin) { (s, d) =>
+      emb(s, d)
+        .select(col("label"),
+          posexplode(Similarity.quantVec(col("embedding")))
+            .as(Seq("pos", "q")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vectors"), sum(col("q")).as("__sum"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("n_vectors"),
+          graft.core.Parity.round4(col("__sum").cast("double") /
+            col("n_vectors").cast("double")).as("mean_q"))
     })
 }
