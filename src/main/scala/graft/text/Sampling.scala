@@ -84,9 +84,12 @@ object Sampling {
       rates: Map[String, Double]): DataFrame = {
     require(rates.nonEmpty, "rateSample: empty rate map")
     val h = TextFunctions.md5Hash48(col(idCol).cast("string"))
-    val threshold = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
-      when(col(strataCol) === s, lit(rateThreshold(r))).otherwise(acc)
-    }
-    df.filter(h < threshold)
+    // ONE map-literal lookup, not a folded CASE chain: a corpus mixture can
+    // declare thousands of sources, and a depth-N nested CASE would blow
+    // whole-stage codegen limits. A missing stratum looks up NULL, and
+    // `h < NULL` is NULL ⇒ the filter drops the row (the documented
+    // rate-0 default).
+    val thresholds = typedLit(rates.map { case (s, r) => s -> rateThreshold(r) })
+    df.filter(h < element_at(thresholds, col(strataCol)))
   }
 }
