@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.text.{Contamination, Redact, Repetition, Sampling, TextDedup, TextFunctions, TextStats}
+import graft.text.{Chunker, Contamination, Redact, Repetition, Sampling, TextDedup, TextFunctions, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -586,5 +586,28 @@ object TextQueries {
     }) { (s, d) =>
       Sampling.rateSample(docs(s, d), "source", "doc_id", MixRates.toMap)
         .select("doc_id", "source")
+    },
+
+    // TOKEN-WINDOW CHUNKING (context-window sample construction): 40-token
+    // windows at stride 20 (50% overlap), final window truncated. Pure
+    // projection + explode — no shuffle; the oracle replays the identical
+    // integer slicing (DuckDB list slices clamp exactly like Spark slice).
+    Q("q123_token_chunks",
+      raw"""WITH t AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |c AS (SELECT doc_id, toks,
+           |    unnest(range(0, CAST(greatest(
+           |      ceil((len(toks) - 40) / 20.0), 0) AS BIGINT) + 1))
+           |      AS chunk_idx
+           |  FROM t)
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |  array_to_string(toks[chunk_idx*20 + 1 : chunk_idx*20 + 40], ' ')
+           |    AS chunk_text,
+           |  CAST(len(toks[chunk_idx*20 + 1 : chunk_idx*20 + 40]) AS BIGINT)
+           |    AS n_chunk_tokens
+           |FROM c
+           |""".stripMargin) { (s, d) =>
+      Chunker.tokenWindows(docs(s, d), "doc_id", "text",
+        window = 40, stride = 20)
     })
 }

@@ -87,4 +87,25 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(g.filter(_._2 != "src0") == a.filter(_._2 != "src0"))
   }
+
+  test("tokenWindows: overlap, truncated tail, short/empty edges, no shuffle") {
+    val df = Seq(
+      (1L, (1 to 9).map(i => s"w$i").mkString(" ")), // 9 tokens
+      (2L, "only three tokens"),                     // shorter than window
+      (3L, "")                                       // one empty token
+    ).toDF("id", "t")
+    val out = Chunker.tokenWindows(df, "id", "t", window = 4, stride = 2)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // starts 0,2,4,6 (= ceil((9-4)/2)) — the last truncates to 3 tokens;
+    // no window fully contained in its predecessor
+    assert(out(1L).map(_._3) == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9"))
+    assert(out(1L).map(_._4) == Seq(4L, 4L, 4L, 3L))
+    assert(out(2L) == Seq((2L, 0L, "only three tokens", 3L)))
+    assert(out(3L) == Seq((3L, 0L, "", 1L))) // split("") = [""], like Spark
+    val plan = Chunker.tokenWindows(df, "id", "t", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
