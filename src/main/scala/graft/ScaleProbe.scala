@@ -154,6 +154,14 @@ object ScaleProbe {
         .map(_.bytes).max
       val baseMin = mLit.files.filter(e => basePaths(e.path))
         .map(_.bytes).min
+      // The midpoint threshold only separates litter from base when every
+      // base file outweighs every litter file; if earlier upserts left a
+      // base file smaller than the litter (possible at tiny SFs), the
+      // midpoint would leak litter or sweep base files and skew the
+      // compact_sec/compact_files evidence — fail loud instead.
+      assert(baseMin > litterMax,
+        s"litter compaction probe invalid: base min $baseMin <= litter " +
+          s"max $litterMax — threshold cannot separate the two populations")
       val thr = litterMax + math.max(1L, (baseMin - litterMax) / 2)
       val preCompact = t.currentVersion
       val (_, tCompact) = time {
@@ -172,8 +180,11 @@ object ScaleProbe {
         "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
       val preZ = t.currentVersion
       val (_, tZIncr) = time { t.optimize() }
-      val zIncrFiles = freshFiles(t.currentVersion)
-      val _ = preZ
+      // A fully signature-tagged table makes the incremental optimize a
+      // no-op WITHOUT a commit; freshFiles would then diff against the
+      // append commit and misreport the append's files as z-order cost.
+      val zIncrFiles =
+        if (t.currentVersion == preZ) 0 else freshFiles(t.currentVersion)
 
       println(s"""{"probe":"$name","rows":$rows,"files":$nFiles,""" +
         s""""create_sec":${f"$tCreate%.2f"},""" +

@@ -233,7 +233,7 @@ object TemporalQueries {
     Q("q120_stream_state",
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY user_id
+        |FROM events WHERE value IS NOT NULL GROUP BY user_id
         |""".stripMargin) { (s, d) =>
       val base = StorageQueries.tableDir("q120")
       CowTable.deleteRecursively(Paths.get(base))

@@ -2236,6 +2236,35 @@ object CowTable {
     t
   }
 
+  /** Materialize `df` at `root` ONLY when `contentSig` differs from the
+    * signature the previous materialization recorded (or no table exists
+    * yet) — idempotent caching for derived indexes (a near-dup signature
+    * store, a fixture) whose source a caller can summarize cheaply. The
+    * signature is the CALLER's summary of the SOURCE (e.g. row count +
+    * id-hash sum — columns far cheaper to scan than the data being
+    * derived); the stored data itself is never compared. On a signature
+    * hit `df` is not evaluated at all. The signature is durably recorded
+    * beside the manifests, so reuse works across JVMs, and an interrupted
+    * rebuild can't leave a stale hit: the signature file is deleted
+    * before the rebuild and rewritten only after `create` commits. */
+  def replaceIfChanged(
+      spark: SparkSession, root: String, config: TableConfig,
+      contentSig: String, df: => DataFrame): CowTable = {
+    val rootPath = Paths.get(root)
+    val sigPath = rootPath.resolve("_manifests").resolve("_content_sig")
+    val prior =
+      if (Files.exists(sigPath)) Some(Files.readString(sigPath).trim)
+      else None
+    if (prior.contains(contentSig) && currentVersionAt(rootPath) > 0)
+      apply(spark, root, config)
+    else {
+      Files.deleteIfExists(sigPath)
+      val t = replace(spark, root, config, df)
+      Files.writeString(sigPath, contentSig)
+      t
+    }
+  }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -141,6 +141,12 @@ object EventStreams {
       : Dataset[UserSnapshotD] = {
     import spark.implicits._
     spark.readStream.schema(schema).parquet(dir)
+      // Null fence: a null value row would NPE the BigDecimal accumulation
+      // below, and the oracle's count(*) counts rows a null-skipping sum
+      // ignores — drop nulls identically on both sides (oracle SQL filters
+      // `value IS NOT NULL`) so semantics agree if the testdata ever grows
+      // null values.
+      .filter(col("value").isNotNull)
       .select(col("user_id"),
         col("value").cast("decimal(28,10)").as("value"))
       .as[UserEventD]

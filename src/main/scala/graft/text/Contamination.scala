@@ -22,9 +22,11 @@ object Contamination {
 
   /** Distinct-k-gram-hash rows of `df`: (idCol, __bench, __hv). Native
     * fused tokenize→shingle→md5-48 ([[graft.functions.ShingleHash48]],
-    * distinct-on-hash = same hash SET as distinct-ing the shingle strings):
-    * the HOF form exploded shingle STRINGS and re-hashed them interpreted,
-    * ~2× the whole query's cost at sf0.1. */
+    * distinct on the 48-bit HASH — an intra-document collision between
+    * distinct shingles collapses to one row, so the oracle must distinct
+    * on the hash expression too, which q114's SQL does): the HOF form
+    * exploded shingle STRINGS and re-hashed them interpreted, ~2× the
+    * whole query's cost at sf0.1. */
   private def shingleHashes(
       df: DataFrame, idCol: String, textCol: String, isBench: Column,
       k: Int): DataFrame =
