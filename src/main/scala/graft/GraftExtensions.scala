@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.{AffineMinHashSig, ByteHistogram, DotProductLong, RollingHashWindows, SimHash48, WinnowMins}
+import graft.functions.{AffineMinHashSig, Bpe, BpeEncode, BpeVocab, ByteHistogram, DotProductLong, KmvSketch, QuantileSketch, RepetitionProfile, RollingHashWindows, ShingleHash48, SimHash48, TextProfile, TokenHash48, WinnowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Session-extension hook — the engine's analog of the reference's
   * `spark.sql.extensions` injection (Hudi/Iceberg/Delta all install one,
@@ -37,6 +38,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def arity(
       es: Seq[Expression], n: Int, name: String, sig: String): Unit =
     require(es.length == n, name, sig)
+
+  private def boolArg(e: Expression, name: String, sig: String): Boolean = {
+    require(e.foldable &&
+      e.dataType == org.apache.spark.sql.types.BooleanType, name, sig)
+    e.eval().asInstanceOf[Boolean]
+  }
+
+  private def doubleArg(e: Expression, name: String, sig: String): Double = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
+    // SQL fractional literals parse as DecimalType — accept them
+    require(e.foldable &&
+      (e.dataType.isInstanceOf[DecimalType] ||
+        Seq(DoubleType, FloatType, IntegerType, LongType)
+          .contains(e.dataType)),
+      name, sig)
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => require(false, name, sig); sys.error(s"unreachable $other")
+    }
+  }
 
   private def intArg(e: Expression, name: String, sig: String): Int = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -87,6 +109,67 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RollingHashWindows(es.head,
         intArg(es(1), "rolling_hash_windows", sig),
         intArg(es(2), "rolling_hash_windows", sig))
+    })
+
+    // ---- fused text expressions ----------------------------------------
+    register("token_hash48", { es =>
+      arity(es, 1, "token_hash48", "STRING")
+      TokenHash48(es.head)
+    })
+    register("shingle_hash48", { es =>
+      val sig = "STRING, INT literal [, BOOLEAN literal distinct]"
+      require(es.length == 2 || es.length == 3, "shingle_hash48", sig)
+      ShingleHash48(es.head, intArg(es(1), "shingle_hash48", sig),
+        distinct = es.length == 3 && boolArg(es(2), "shingle_hash48", sig))
+    })
+    register("text_profile", { es =>
+      arity(es, 1, "text_profile", "STRING")
+      TextProfile(es.head)
+    })
+    register("repetition_profile", { es =>
+      arity(es, 1, "repetition_profile", "STRING")
+      RepetitionProfile(es.head)
+    })
+    register("bpe_encode", { es =>
+      arity(es, 1, "bpe_encode", "STRING")
+      BpeEncode(es.head, BpeVocab.demo)
+    })
+
+    // ---- library operators whose core is a scalar column ---------------
+    // Builders may compose the public Column API and return the resulting
+    // (still unresolved) expression tree — same analysis path as any
+    // hand-built expression.
+    def colOf(e: Expression) = ColumnBridge.toColumn(e)
+
+    register("token_chunks", { es =>
+      val sig = "STRING, INT literal window, INT literal stride"
+      arity(es, 3, "token_chunks", sig)
+      ColumnBridge.toResolvableExpression(graft.text.Chunker.chunkStructs(
+        colOf(es.head),
+        intArg(es(1), "token_chunks", sig),
+        intArg(es(2), "token_chunks", sig)))
+    })
+    register("rate_keep", { es =>
+      arity(es, 2, "rate_keep", "id ANY, rate DOUBLE")
+      ColumnBridge.toResolvableExpression(
+        graft.text.Sampling.rateKeep(colOf(es.head), colOf(es(1))))
+    })
+
+    // ---- sketch aggregates (typed Aggregators surfaced in SQL) ---------
+    register("kmv_distinct", { es =>
+      val sig = "hash48 BIGINT, k INT literal"
+      arity(es, 2, "kmv_distinct", sig)
+      ColumnBridge.toResolvableExpression(KmvSketch.kmvDistinct(
+        colOf(es.head), intArg(es(1), "kmv_distinct", sig)))
+    })
+    register("quantile_sketch", { es =>
+      val sig =
+        "hash48 BIGINT, value DOUBLE, k INT literal, p DOUBLE literal..."
+      require(es.length >= 4, "quantile_sketch", sig)
+      val ps = es.drop(3).map(doubleArg(_, "quantile_sketch", sig))
+      ColumnBridge.toResolvableExpression(QuantileSketch.sketchQuantiles(
+        colOf(es.head), colOf(es(1)),
+        intArg(es(2), "quantile_sketch", sig), ps))
     })
   }
 }

@@ -124,6 +124,37 @@ object MultimodalQueries {
           col("bin"), col("n").cast("long").as("n"))
     },
 
+    // SECOND DECODED MODALITY through the same AssetDecoder seam: real
+    // 24-bit BMP container parsing (magic, header fields, row stride +
+    // padding walk) over deterministic closed-form fixtures — the oracle
+    // regenerates every pixel channel byte from the same formula and
+    // re-counts the 8-bin histogram, an independent replay of the decode.
+    Q("q126_decode_bmp",
+      """WITH s AS (SELECT doc_id AS asset_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS width,
+        |    CAST(2 + doc_id % 7 AS INT) AS height
+        |  FROM documents),
+        |px AS (SELECT asset_id, width, height,
+        |    (asset_id * 13 + x.i * 7 + y.j * 5 + c.k * 3) % 256 AS v
+        |  FROM s,
+        |    UNNEST(generate_series(0, width - 1)) AS x(i),
+        |    UNNEST(generate_series(0, height - 1)) AS y(j),
+        |    UNNEST(generate_series(0, 2)) AS c(k))
+        |SELECT asset_id, width, height,
+        |  CAST(v // 32 AS INT) AS bin, count(*) AS n
+        |FROM px GROUP BY 1, 2, 3, 4
+        |""".stripMargin) { (s, d) =>
+      val assets = graft.multimodal.BmpFixtures
+        .syntheticBmps(s, docs(s, d)).toDF()
+      Multimodal.decodeFeatures(s, assets, graft.multimodal.BmpDecoder)
+        .toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          posexplode(col("feature")).as(Seq("bin", "n")))
+        .filter(col("n") > 0)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("bin"), col("n").cast("long").as("n"))
+    },
+
     // Byte-distribution features through the native codegen'd expression —
     // exploded to scalars. With 16 buckets the bucket of a byte is exactly
     // its high nibble, so the oracle counts each hex digit at the odd

@@ -70,6 +70,16 @@ object Sampling {
     math.floor(rate * (1L << 48)).toLong
   }
 
+  /** Scalar keep-predicate of the rate sampler: true iff
+    * md5-48(id) < floor(rate · 2^48). The floor runs in the SAME double
+    * arithmetic as [[rateThreshold]] (one multiply, one floor), so a
+    * literal rate reproduces the driver-side threshold bit-for-bit while a
+    * per-row rate column (e.g. a CASE over sources) still works. Also the
+    * SQL surface: `rate_keep(id, rate)` via [[graft.GraftExtensions]]. */
+  def rateKeep(id: Column, rate: Column): Column =
+    TextFunctions.md5Hash48(id.cast("string")) <
+      floor(rate * lit((1L << 48).toDouble)).cast("long")
+
   /** Shuffle-free per-stratum Bernoulli sampling at configured RATES (the
     * temperature-weighted mixture shape: keep source s at rate w_s^α/Z):
     * a row survives iff md5-48(id) < floor(rate_s · 2^48). Deterministic —

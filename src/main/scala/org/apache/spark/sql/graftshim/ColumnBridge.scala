@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly CONVERT the Column's node tree to catalyst expressions
+    * (unresolved functions become `UnresolvedFunction`s the analyzer then
+    * resolves) instead of wrapping it in a lazy `ColumnNodeExpression`.
+    * Required when handing a Column-composed tree to a place that never
+    * runs the column-node conversion — e.g. a FunctionRegistry builder
+    * (the wrapper would survive to codegen and die Unevaluable there). */
+  def toResolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

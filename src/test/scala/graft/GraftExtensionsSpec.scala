@@ -47,6 +47,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
       intercept[org.apache.spark.sql.AnalysisException](
         s.sql("SELECT rolling_hash_windows(text, 4294967328, 8) FROM ext_t")
           .head())
+
+      // fused text expressions + library scalars in SQL
+      val row2 = s.sql(
+        """SELECT
+          |  size(token_hash48(text)) AS nth,
+          |  size(shingle_hash48(text, 2)) AS nsh,
+          |  text_profile(text).n_tokens AS nt,
+          |  repetition_profile(text).max_token_run AS run,
+          |  bpe_encode(text) AS bpe,
+          |  token_chunks(text, 2, 1) AS chunks,
+          |  rate_keep(id, CAST(1.0 AS DOUBLE)) AS keep_all,
+          |  rate_keep(id, CAST(0.0 AS DOUBLE)) AS keep_none
+          |FROM ext_t
+          |""".stripMargin).head()
+      assert(row2.getAs[Int]("nth") == 2 && row2.getAs[Int]("nsh") == 1)
+      assert(row2.getAs[Long]("nt") == 2L && row2.getAs[Long]("run") == 1L)
+      // "hello world" under the demo vocab: he+l+l+o  w+or+l+d
+      assert(row2.getSeq[Int](row2.fieldIndex("bpe")).length == 8)
+      // 2 tokens, window 2, stride 1: one window covers the whole text
+      assert(row2.getSeq[org.apache.spark.sql.Row](
+        row2.fieldIndex("chunks")).map(_.getString(0)) ==
+        Seq("hello world"))
+      assert(row2.getAs[Boolean]("keep_all") && !row2.getAs[Boolean]("keep_none"))
+
+      // sketch aggregates (typed Aggregators surfaced in SQL)
+      Seq.tabulate(100)(i => (i.toLong * 37 % 1000, i.toDouble))
+        .toDF("h", "v").createOrReplaceTempView("ext_agg")
+      val agg = s.sql(
+        """SELECT kmv_distinct(h, 200) AS nd,
+          |  quantile_sketch(h, v, 200, 0.0, 0.5, 1.0) AS qs
+          |FROM ext_agg
+          |""".stripMargin).head()
+      // k=200 > 100 rows: both sketches are exhaustive/exact
+      assert(agg.getAs[Double]("nd") == 100.0)
+      assert(agg.getSeq[Double](agg.fieldIndex("qs")) ==
+        Seq(0.0, 49.5, 99.0))
     } finally {
       // restore the shared session as default for other suites
       assert(base.sparkContext == s.sparkContext)
