@@ -28,6 +28,9 @@ object TextQueries {
     "src0" -> 0.9, "src1" -> 0.7, "src2" -> 0.5, "src3" -> 0.3,
     "src4" -> 0.1)
 
+  /** q127's query terms (declared before `all`, which captures them). */
+  private val BmQueryTerms = Seq("vector", "merge", "stream")
+
   private def hash48Sql(x: String) =
     s"('0x' || substr(md5($x), 1, 12))::BIGINT"
 
@@ -697,5 +700,84 @@ object TextQueries {
       graft.operators.SeqPack
         .packBins(counts, "doc_id", "n_bpe_tokens", budget = 512L)
         .select("doc_id", "n_bpe_tokens", "bin")
+    },
+
+    // BM25 TOP-K KEYWORD SEARCH: inverted-index scoring over the corpus —
+    // rational-idf BM25 with integer nano-unit contributions so the score
+    // is bit-exact and order-independent (see [[graft.text.Search]]).
+    // Broadcast |terms|-row df table; top-k via TakeOrderedAndProject
+    // (per-partition heaps, no global sort).
+    Q("q127_bm25_search",
+      graft.text.Search.bm25OracleSql(BmQueryTerms, k = 25)) { (s, d) =>
+      graft.text.Search.bm25TopK(docs(s, d), "doc_id", "text",
+        BmQueryTerms, k = 25)
+    },
+
+    // DUPLICATED-SPAN DETECTION (Lee et al., ACL'22, k-gram relaxation):
+    // maximal token spans covered by any corpus-repeated word 5-gram.
+    // One hash aggregate + join back on the 48-bit shingle hash (both
+    // engines group on the SAME hash), then per-document gaps-and-islands
+    // span merge — linear, never all-pairs (see [[graft.text.SpanDedup]]).
+    Q("q128_dup_spans",
+      raw"""WITH t AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |s AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+           |    ELSE list_transform(range(1, len(toks)-3),
+           |      i -> array_to_string(toks[i:i+4], ' ')) END AS sh FROM t),
+           |e AS (SELECT doc_id, unnest(range(0, len(sh))) AS pos,
+           |    unnest(list_transform(sh, x -> ${hash48Sql("x")})) AS h
+           |  FROM s),
+           |dup AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+           |p AS (SELECT doc_id, pos, pos - row_number()
+           |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM e JOIN dup USING (h))
+           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           |  CAST(count(*) AS BIGINT) AS n_dup_shingles
+           |FROM p GROUP BY doc_id, island
+           |""".stripMargin) { (s, d) =>
+      graft.text.SpanDedup.dupSpans(docs(s, d), "doc_id", "text", k = 5)
+    },
+
+    // WEIGHTED PRIORITY SAMPLING (Duffield/Lund/Thorup): per-language
+    // top-20 by deterministic priority w/u with w = n_chars and u the
+    // md5-48 uniform — longer documents win proportionally more often,
+    // membership is a pure function of the id, and the arithmetic is
+    // pow/ln-free so both engines reproduce every priority bit-for-bit
+    // (see [[Sampling.weightedPriority]]).
+    Q("q129_weighted_sample",
+      s"""WITH p AS (SELECT doc_id, lang, n_chars,
+         |    CAST(n_chars AS DOUBLE) * 281474976710656.0 /
+         |      (CAST(${hash48Sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |        + 1.0) AS wpri
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars, wpri, wrn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY wpri DESC, doc_id) AS wrn FROM p)
+         |WHERE wrn <= 20
+         |""".stripMargin) { (s, d) =>
+      Sampling.weightedPriority(docs(s, d), "lang", "doc_id", "n_chars",
+        k = 20)
+        .select("doc_id", "lang", "n_chars", "wpri", "wrn")
+    },
+
+    // SPACE-SAVING HEAVY-HITTER VOCABULARY: single-pass top-token counts
+    // with O(cap) state per partial — the vocabulary-head builder. cap 256
+    // ≥ the corpus vocabulary, so the sketch is in its EXACT regime and
+    // the oracle's exact group-by reproduces it (the eviction/overflow
+    // path is spec-tested, [[graft.functions.SpaceSaving]]).
+    Q("q130_vocab_heavy_hitters",
+      raw"""SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+           |FROM (SELECT lower(unnest(
+           |    string_split_regex(trim(text), '\s+'))) AS w FROM documents)
+           |WHERE len(w) > 0 GROUP BY w
+           |""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(explode(graft.text.TextFunctions.tokens(col("text")))
+          .as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("w", lower(col("w")))
+        .agg(graft.functions.SpaceSaving.topTokens(col("w"), 256).as("m"))
+        .select(explode(col("m")).as(Seq("token", "cnt")))
     })
 }

@@ -80,6 +80,33 @@ object Sampling {
     TextFunctions.md5Hash48(id.cast("string")) <
       floor(rate * lit((1L << 48).toDouble)).cast("long")
 
+  /** Deterministic WEIGHTED top-k per stratum — priority sampling
+    * (Duffield/Lund/Thorup, JACM'07): each row gets priority
+    * `w / u` with `u = (md5-48(id)+1) / 2^48` a deterministic uniform on
+    * (0, 1], and the k highest-priority rows per stratum survive. Rows
+    * with larger weight (e.g. char count — longer documents) win
+    * proportionally more often, yet membership is a pure function of the
+    * id: reruns, repartitions, and corpus appends never reshuffle the
+    * kept set, and an external engine replays the identical arithmetic
+    * (one multiply, one divide — both IEEE-correctly-rounded, no
+    * `pow`/`ln` whose libm rounding could diverge; this is why the
+    * Efraimidis–Spirakis `u^(1/w)` key is NOT used). The window is
+    * partitioned by the stratum (thousands of strata vs dozens of cores)
+    * with O(1) rank state and rows past k dropped by the next filter. */
+  def weightedPriority(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"weightedPriority: k must be positive, got $k")
+    val pri = col(weightCol).cast("double") * (1L << 48).toDouble /
+      (TextFunctions.md5Hash48(col(idCol).cast("string")).cast("double")
+        + 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("wpri").desc, col(idCol))
+    df.withColumn("wpri", pri)
+      .withColumn("wrn", row_number().over(w).cast("long"))
+      .filter(col("wrn") <= k)
+  }
+
   /** Shuffle-free per-stratum Bernoulli sampling at configured RATES (the
     * temperature-weighted mixture shape: keep source s at rate w_s^α/Z):
     * a row survives iff md5-48(id) < floor(rate_s · 2^48). Deterministic —

@@ -64,4 +64,42 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(bySrc("src1") - 500L) < 100, bySrc) // ~rate 0.5
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("weightedPriority: matches the reference priority formula, " +
+    "per-stratum k, partition-independent") {
+    val rows = (1L to 600L).map(i => (i, s"s${i % 3}", (i % 7 + 1) * 10))
+    val df = rows.toDF("id", "src", "w")
+    def run(parts: Int) =
+      Sampling.weightedPriority(df.repartition(parts), "src", "id", "w", 5)
+        .select("id", "src", "wrn").as[(Long, String, Long)]
+        .collect().toSet
+    val got = run(1)
+    assert(got == run(13)) // membership is a pure function of the ids
+    assert(got.groupBy(_._2).forall(_._2.size == 5))
+    // independent reference: priority = w * 2^48 / (md5-48(id) + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      rs.map { case (id, _, w) =>
+        (id, w.toDouble * (1L << 48).toDouble / (h48(id).toDouble + 1.0)) }
+        .sortBy { case (id, p) => (-p, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (id, src, i + 1L) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("weightedPriority: heavier rows win proportionally more often") {
+    // two strata-free groups of ids with weights 1 vs 9 — the kept set
+    // should skew hard toward the heavy rows
+    val df = (1L to 2000L).map(i => (i, "all", if (i <= 1000) 1 else 9))
+      .toDF("id", "src", "w")
+    val kept = Sampling.weightedPriority(df, "src", "id", "w", 200)
+      .select("id").as[Long].collect()
+    val heavy = kept.count(_ > 1000L)
+    assert(heavy > 140, s"heavy rows kept: $heavy of 200")
+  }
 }
