@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.functions.ByteHistogram
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Opaque binary payload + typed metadata. */
@@ -94,5 +94,34 @@ object Multimodal {
       decoder: AssetDecoder = FakeDecoder): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions(_.map(decoder.decode))
+  }
+
+  /** Raw PCM extraction (audio modality): the decoder's imperative scope
+    * ends at byte parsing — samples come back as an int array COLUMN, so
+    * every downstream feature (frame energies, statistics) is Catalyst
+    * array arithmetic, not UDF code. */
+  def decodePcm(
+      spark: SparkSession, assets: DataFrame): Dataset[AssetPcm] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions(_.map(WavDecoder.decodePcm))
+  }
+
+  /** Non-overlapping frame energies over an int-sample array: frame f is
+    * `sum(s²)` over samples `[f·frame, min((f+1)·frame, n))` — the last
+    * frame truncates. Samples are widened to LONG before squaring
+    * (a full-scale PCM-16 value squares to 2^30; a frame of them needs the
+    * wide accumulator), and the whole computation is per-row array math —
+    * no shuffle, no UDF, parallel with the scan. */
+  def frameEnergies(samples: Column, frame: Int): Column = {
+    require(frame > 0, s"frameEnergies: frame must be positive, got $frame")
+    when(size(samples) > 0,
+      transform(
+        // Column `/` is double division; values are non-negative so the
+        // int cast truncates — exactly the floor the frame count needs
+        sequence(lit(0), ((size(samples) - 1) / frame).cast("int")),
+        f => aggregate(
+          slice(samples, f * frame + 1, lit(frame)),
+          lit(0L), (acc, s) => acc + s.cast("long") * s)))
+      .otherwise(array().cast("array<bigint>"))
   }
 }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object WavDecoder extends AssetDecoder {
 
-  override def decode(a: Asset): AssetFeatures = {
+  /** Parsed container layout: everything after the chunk walk. */
+  private[multimodal] final case class WavLayout(
+      channels: Int, sampleRate: Int, dataOff: Int, dataLen: Int)
+
+  private def parseLayout(a: Asset): WavLayout = {
     val bytes = a.content
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"asset ${a.asset_id}: not a PCM-16 WAV ($why)")
@@ -64,20 +68,47 @@ object WavDecoder extends AssetDecoder {
     }
     if (channels < 0) fail("no fmt chunk")
     if (dataOff < 0) fail("no data chunk")
+    WavLayout(channels, sampleRate, dataOff, dataLen)
+  }
 
-    val nSamples = dataLen / 2
+  override def decode(a: Asset): AssetFeatures = {
+    val l = parseLayout(a)
+    val bb = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
+    val nSamples = l.dataLen / 2
     val hist = new Array[Float](8)
     var i = 0
     while (i < nSamples) {
-      val s = bb.getShort(dataOff + 2 * i).toInt // signed 16-bit
+      val s = bb.getShort(l.dataOff + 2 * i).toInt // signed 16-bit
       hist((s + 32768) >> 13) += 1f
       i += 1
     }
     AssetFeatures(a.asset_id, "audio",
-      width = sampleRate, height = channels,
-      n_frames = nSamples / channels, feature = hist)
+      width = l.sampleRate, height = l.channels,
+      n_frames = nSamples / l.channels, feature = hist)
+  }
+
+  /** Full sample extraction through the same chunk walk — raw signed
+    * 16-bit values, for downstream COLUMNAR feature math (frame energies
+    * etc.): the decoder's imperative scope stays exactly byte-parsing,
+    * everything after it is Catalyst-visible array arithmetic. */
+  def decodePcm(a: Asset): AssetPcm = {
+    val l = parseLayout(a)
+    val bb = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
+    val nSamples = l.dataLen / 2
+    val samples = new Array[Int](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = bb.getShort(l.dataOff + 2 * i).toInt
+      i += 1
+    }
+    AssetPcm(a.asset_id, l.sampleRate, l.channels, nSamples, samples)
   }
 }
+
+/** One decoded PCM payload: raw signed 16-bit samples as ints. */
+final case class AssetPcm(
+    asset_id: Long, sample_rate: Int, channels: Int, n_samples: Int,
+    samples: Array[Int])
 
 /** Deterministic WAV fixture synthesis — real container bytes from a closed
   * form an SQL oracle can replay: for seed k, `64 + k % 64` mono PCM-16

@@ -155,6 +155,39 @@ object MultimodalQueries {
           col("bin"), col("n").cast("long").as("n"))
     },
 
+    // AUDIO FRAME ENERGY: real WAV decode to raw PCM samples (decoder seam
+    // ends at byte parsing), then per-frame sum-of-squares as COLUMNAR
+    // array math — 32-sample non-overlapping frames, last frame truncated.
+    // Integer-exact (PCM-16 squares, LONG accumulator), so the oracle
+    // regenerates every sample from the fixture's closed form and re-sums.
+    Q("q131_frame_energy",
+      """WITH s AS (SELECT doc_id AS asset_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(64 + doc_id % 64 AS INT) AS n_samples
+        |  FROM documents),
+        |sam AS (SELECT asset_id, sample_rate, n_samples,
+        |    t.i // 32 AS frame_idx,
+        |    (asset_id * 31 + t.i * 7) % 65536 - 32768 AS v
+        |  FROM s, UNNEST(generate_series(0, n_samples - 1)) AS t(i))
+        |SELECT asset_id, sample_rate, n_samples,
+        |  CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_frame_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM sam GROUP BY 1, 2, 3, 4
+        |""".stripMargin) { (s, d) =>
+      val assets = graft.multimodal.WavFixtures
+        .syntheticWavs(s, docs(s, d)).toDF()
+      Multimodal.decodePcm(s, assets).toDF()
+        .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+          posexplode(Multimodal.frameEnergies(col("samples"), frame = 32))
+            .as(Seq("frame_idx", "energy")))
+        .withColumn("n_frame_samples",
+          least(col("n_samples") - col("frame_idx") * 32, lit(32))
+            .cast("long"))
+        .select("asset_id", "sample_rate", "n_samples", "frame_idx",
+          "n_frame_samples", "energy")
+    },
+
     // Byte-distribution features through the native codegen'd expression —
     // exploded to scalars. With 16 buckets the bucket of a byte is exactly
     // its high nibble, so the oracle counts each hex digit at the odd

@@ -779,5 +779,45 @@ object TextQueries {
         .withColumn("w", lower(col("w")))
         .agg(graft.functions.SpaceSaving.topTokens(col("w"), 256).as("m"))
         .select(explode(col("m")).as(Seq("token", "cnt")))
+    },
+
+    // STREAMING CORPUS INGEST (the LLM-data front door, end-to-end):
+    // documents + planted exact duplicates (doc_id+100001, same text)
+    // stream in as multi-file micro-batches; each batch is quality-scored,
+    // filtered (≥ 0.55), exact-deduped, and CONVERGENTLY merged into a COW
+    // table keyed on the 48-bit text hash — a row lands iff its hash is
+    // new or its doc_id beats the incumbent (min-id wins, commutative), so
+    // the final table state is a pure function of the input SET, not of
+    // micro-batch boundaries. The oracle replays score→filter→min-id-per-
+    // hash over the same unioned input in one batch query.
+    Q("q132_stream_corpus_ingest",
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |    UNION ALL SELECT doc_id + 100001, text FROM documents),
+         |q AS (SELECT doc_id, text,
+         |    $qualityScoreSql AS quality FROM u),
+         |f AS (SELECT doc_id, quality,
+         |    ${hash48Sql("text")} AS text_hash
+         |  FROM q WHERE quality >= 0.55),
+         |w AS (SELECT doc_id, quality, text_hash, row_number()
+         |    OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn FROM f)
+         |SELECT doc_id, text_hash, quality FROM w WHERE rn = 1
+         |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q132")
+      graft.storage.CowTable
+        .deleteRecursively(java.nio.file.Paths.get(base))
+      val src = base + "/src"
+      val dd = docs(s, d).select("doc_id", "text")
+      dd.unionAll(dd.select((col("doc_id") + 100001L).as("doc_id"),
+          col("text")))
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(src)
+      val tbl = graft.storage.CowTable(s, base + "/table",
+        graft.storage.TableConfig("corpus", Seq("text_hash")))
+      graft.streaming.CorpusIngest.runAvailableNow(s, tbl, src,
+        base + "/ckpt",
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"),
+        minQuality = 0.55)
+      tbl.read().select("doc_id", "text_hash", "quality")
     })
 }

@@ -77,4 +77,38 @@ class WavSpec extends SparkSpec {
       && r.n_frames == 64 + r.asset_id % 64
       && r.feature.sum == r.n_frames.toFloat))
   }
+
+  test("decodePcm extracts the exact sample values through the same walk") {
+    val samples = Array[Short](-32768, -1, 0, 12345, 32767)
+    val bytes = WavFixtures.pcm16Wav(rate = 16000, channels = 1, samples)
+    val p = WavDecoder.decodePcm(asset(bytes))
+    assert(p.sample_rate == 16000 && p.channels == 1 && p.n_samples == 5)
+    assert(p.samples.toSeq == samples.map(_.toInt).toSeq)
+    // histogram recomputed from the raw samples == decode()'s feature
+    val hist = new Array[Float](8)
+    p.samples.foreach(s => hist((s + 32768) >> 13) += 1f)
+    assert(hist.toSeq == WavDecoder.decode(asset(bytes)).feature.toSeq)
+    intercept[IllegalArgumentException] {
+      WavDecoder.decodePcm(asset("not a wav at all".getBytes))
+    }
+  }
+
+  test("frameEnergies: truncated last frame, exact sums, empty guard") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1, -2, 3, 4, 5)), // frames of 2: [1,-2] [3,4] [5]
+      (2L, Seq.empty[Int])
+    ).toDF("id", "samples")
+    val out = df.select(col("id"),
+      Multimodal.frameEnergies(col("samples"), frame = 2).as("e"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(5L, 25L, 25L))
+    assert(out(2L) == Seq.empty)
+    // full-scale PCM-16 values must not overflow the accumulator
+    val big = Seq((3L, Seq.fill(32)(-32768))).toDF("id", "samples")
+      .select(Multimodal.frameEnergies(col("samples"), 32).as("e"))
+      .as[Seq[Long]].head()
+    assert(big == Seq(32L * 32768L * 32768L))
+  }
 }
