@@ -34,16 +34,22 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Positioned k-gram hashes: `(doc_id, pos, h)` with pos 0-based. */
+  /** Positioned k-gram hashes: `(doc_id, pos, h)` with pos 0-based. Uses
+    * the fused native tokenize→shingle→md5-48 expression
+    * ([[graft.functions.TextTokenExpressions.shingleHash48]], order
+    * preserved so the array index IS the position) — the interpreted HOF
+    * shingle + per-string md5 path was 8× slower on the sf0.1 bench, and
+    * this plan evaluates the shingling twice (once under the duplicate
+    * aggregate, once under the join back). */
   def positionedShingleHashes(docsDf: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"spanDedup: k must be >= 2, got $k")
     docsDf
       .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.wordShingles(col(textCol), k))
-          .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        TextFunctions.md5Hash48(col("g")).as("h"))
+        posexplode(graft.functions.TextTokenExpressions
+          .shingleHash48(col(textCol), k, distinct = false))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
   }
 
   /** Maximal duplicated spans: `(doc_id, span_start, span_end,
