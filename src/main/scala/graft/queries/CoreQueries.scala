@@ -201,5 +201,25 @@ object CoreQueries {
         .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
+    },
+
+    // COLUMN PROFILING (pre-ingest data-quality report): per column, row/
+    // null/exact-distinct counts + native-typed min/max stringified — ONE
+    // aggregate pass, unpivoted to a row per column (see
+    // [[graft.operators.Profile]] for the Expand-based plan shape and the
+    // KMV swap-in for very wide tables).
+    Q("q135_profile_columns",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value,
+             |  CAST(max($c) AS VARCHAR) AS max_value
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\n")) { (s, d) =>
+      graft.operators.Profile.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     })
 }

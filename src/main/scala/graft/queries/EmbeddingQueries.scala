@@ -15,6 +15,9 @@ object EmbeddingQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.table(s, d, "embeddings")
 
+  /** q134's keyword arm (declared before `all`, which captures it). */
+  private val HybridTerms = Seq("join", "hash", "customer")
+
   /** DuckDB mirror of Similarity.quant. */
   private val qvSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
@@ -204,5 +207,64 @@ object EmbeddingQueries {
           col("n_vectors"),
           graft.core.Parity.round4(col("__sum").cast("double") /
             col("n_vectors").cast("double")).as("mean_q"))
+    },
+
+    // HYBRID RETRIEVAL (RAG-style rank fusion): BM25 keyword ranks over
+    // `documents` fused with exact-cosine vector ranks over `embeddings`
+    // (query = vec_id 0, ids aligned with doc_ids) via Reciprocal Rank
+    // Fusion, rrf = Σ 1/(60 + rank) — rank integers in, one division and
+    // one addition out, so the fused score is bit-exact cross-engine.
+    // Both arms are top-50; a doc missing from one arm contributes 0 from
+    // it. Scale: each arm is the already-bounded retrieval operator
+    // (broadcast df / TakeOrderedAndProject; quantized brute cosine), the
+    // fusion join touches ≤100 rows.
+    Q("q134_hybrid_retrieval",
+      s"""WITH ${graft.text.Search.bm25CteSql(HybridTerms)},
+         |tr AS (SELECT id, rank_t FROM (SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS BIGINT) AS rank_t FROM bm25_scored) WHERE rank_t <= 50),
+         |m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |  FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x))
+         |    AS BIGINT) > 0),
+         |q0 AS (SELECT * FROM n WHERE vec_id = 0),
+         |p AS (SELECT n.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(q0.qv, n.qv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS dot,
+         |    q0.n2 AS qn2, n.n2 AS cn2
+         |  FROM q0 CROSS JOIN n WHERE n.vec_id <> q0.vec_id),
+         |vr AS (SELECT id, rank_v FROM (SELECT neighbor_id AS id,
+         |    CAST(row_number() OVER (ORDER BY
+         |      CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) *
+         |        CAST(cn2 AS DOUBLE)) DESC, neighbor_id)
+         |      AS BIGINT) AS rank_v FROM p) WHERE rank_v <= 50),
+         |f AS (SELECT coalesce(tr.id, vr.id) AS id, rank_t, rank_v,
+         |    coalesce(1.0 / (60 + rank_t), 0.0) +
+         |    coalesce(1.0 / (60 + rank_v), 0.0) AS rrf
+         |  FROM tr FULL OUTER JOIN vr ON tr.id = vr.id)
+         |SELECT id, rank_t, rank_v, rrf FROM f
+         |ORDER BY rrf DESC, id LIMIT 20
+         |""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docsDf = Tables.table(s, d, "documents")
+      // rank window is global but over exactly the 50 surviving rows
+      val tr = graft.text.Search
+        .bm25TopK(docsDf, "doc_id", "text", HybridTerms, k = 50)
+        .withColumn("rank_t", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id").as("id"), col("rank_t"))
+      val e = emb(s, d)
+      val vr = Similarity
+        .cosineTopK(e, e.filter(col("vec_id") === 0), "vec_id",
+          "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("rank").as("rank_v"))
+      tr.join(vr, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+        .select("id", "rank_t", "rank_v", "rrf")
     })
 }

@@ -250,5 +250,36 @@ object TemporalQueries {
           max_by(col("total_value"), col("n_events")).as("__total"))
         .select(col("user_id"), col("n_events"),
           col("__total").cast("double").as("total_value"))
+    },
+
+    // SLIDING EVENT-TIME WINDOW FEATURES (per-event trailing aggregates —
+    // the classic activity-feature shape): for every event, the count and
+    // DECIMAL-exact value sum of the same user's events in the trailing
+    // hour, via a RANGE frame over int64 micros. RANGE (not ROWS) makes
+    // tied timestamps frame-identical, so the result is deterministic
+    // under any partitioning; the window shuffles once on user_id with
+    // O(frame) state per partition — the 100 TB shape for per-entity
+    // temporal features. NTZ-tolerant micros via operators/EventTime.
+    Q("q133_sliding_window_features",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP))
+        |    AS m, value FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE)
+        |    AS value_1h
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY m
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("m"))
+        .rangeBetween(-3600000000L, 0L)
+      ev.select(col("user_id"), col("event_id"),
+          graft.operators.EventTime.micros(ev, "ts").as("m"),
+          col("value"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).cast("long").as("n_1h"),
+          sum(col("value").cast("decimal(28,10)")).over(w)
+            .cast("double").as("value_1h"))
     })
 }

@@ -819,5 +819,29 @@ object TextQueries {
           .add("doc_id", "long").add("text", "string"),
         minQuality = 0.55)
       tbl.read().select("doc_id", "text_hash", "quality")
+    },
+
+    // CORPUS OUTLIER DETECTION: per-language length z-score screen with
+    // the |z| > 3/2 test done in EXACT integer arithmetic
+    // (4·(n·x − Σx)² > 9·(n·Σx² − (Σx)²) — no float threshold wobble; the
+    // rational threshold suits near-uniform metrics whose |z| never
+    // reaches 2) and the reported z one division over one sqrt of
+    // integers, bit-exact cross-engine. One tiny moments aggregate
+    // broadcast back — no window, no second data shuffle
+    // (see [[graft.text.Outliers]]).
+    Q("q136_outlier_docs",
+      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS s,
+        |    sum(n_chars * n_chars) AS ss FROM documents GROUP BY lang),
+        |j AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |    (st.n * d.n_chars - st.s) AS num,
+        |    (st.n * st.ss - st.s * st.s) AS dd
+        |  FROM documents d JOIN st USING (lang))
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(dd AS DOUBLE)) AS z
+        |FROM j WHERE num * num * 4 > 9 * dd
+        |""".stripMargin) { (s, d) =>
+      graft.text.Outliers
+        .zOutliers(docs(s, d), "lang", "n_chars", tNum = 3, tDen = 2)
+        .select("doc_id", "lang", "n_chars", "z")
     })
 }

@@ -90,11 +90,14 @@ object Search {
       .limit(k)
   }
 
-  /** DuckDB oracle for [[bm25TopK]] over the `documents` table — generated
-    * from the same constants so both engines inline identical literals. */
-  def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  /** Composable DuckDB CTE stack replaying [[bm25TopK]]'s scoring over
+    * the `documents` table — ends in `bm25_scored(doc_id, n_terms,
+    * score)`. Generated from the same constants so both engines inline
+    * identical literals; exposed separately so downstream oracles (rank
+    * fusion) can build on the scored set. */
+  def bm25CteSql(terms: Seq[String]): String = {
     val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
-    raw"""WITH occ AS (SELECT doc_id, lower(w) AS w FROM (
+    raw"""occ AS (SELECT doc_id, lower(w) AS w FROM (
          |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
          |    FROM documents) WHERE len(w) > 0),
          |doclen AS (SELECT doc_id, count(*) AS dl FROM occ GROUP BY doc_id),
@@ -112,11 +115,16 @@ object Search {
          |        $B * CAST(dl AS DOUBLE) / avgdl)) * 1e9 + 0.5) AS BIGINT)
          |      AS c
          |  FROM tf JOIN dfreq USING (w) JOIN doclen USING (doc_id)
-         |  CROSS JOIN corpus)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CROSS JOIN corpus),
+         |bm25_scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
          |  CAST(sum(c) AS DOUBLE) / 1e9 AS score
-         |FROM contrib GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $k
-         |""".stripMargin
+         |FROM contrib GROUP BY doc_id)""".stripMargin
   }
+
+  /** DuckDB oracle for [[bm25TopK]] over the `documents` table. */
+  def bm25OracleSql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25CteSql(terms)}
+       |SELECT doc_id, n_terms, score FROM bm25_scored
+       |ORDER BY score DESC, doc_id LIMIT $k
+       |""".stripMargin
 }
