@@ -154,6 +154,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ColumnBridge.toResolvableExpression(
         graft.text.Sampling.rateKeep(colOf(es.head), colOf(es(1))))
     })
+    register("frame_energies", { es =>
+      val sig = "samples ARRAY<INT>, frame INT literal"
+      arity(es, 2, "frame_energies", sig)
+      ColumnBridge.toResolvableExpression(
+        graft.multimodal.Multimodal.frameEnergies(
+          colOf(es.head), intArg(es(1), "frame_energies", sig)))
+    })
 
     // ---- sketch aggregates (typed Aggregators surfaced in SQL) ---------
     register("kmv_distinct", { es =>
@@ -170,6 +177,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ColumnBridge.toResolvableExpression(QuantileSketch.sketchQuantiles(
         colOf(es.head), colOf(es(1)),
         intArg(es(2), "quantile_sketch", sig), ps))
+    })
+    register("top_tokens", { es =>
+      val sig = "token STRING, cap INT literal"
+      arity(es, 2, "top_tokens", sig)
+      ColumnBridge.toResolvableExpression(
+        graft.functions.SpaceSaving.topTokens(
+          colOf(es.head), intArg(es(1), "top_tokens", sig)))
     })
   }
 }

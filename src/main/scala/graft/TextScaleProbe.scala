@@ -97,6 +97,19 @@ object TextScaleProbe {
         TextDedup.nearDupPairs(corpus, "doc_id", "text").count()
       }
 
+      // round-11 additions: duplicated-span detection (hash agg + join
+      // back + per-doc islands — must track corpus bytes, never pairs²)
+      // and BM25 search (two corpus aggregates + a bounded top-k — the
+      // per-query cost must track the corpus linearly).
+      val (nSpans, tSpans) = time {
+        graft.text.SpanDedup.dupSpans(corpus, "doc_id", "text", k = 5)
+          .count()
+      }
+      val (nHits, tBm25) = time {
+        graft.text.Search.bm25TopK(corpus, "doc_id", "text",
+          Seq("vector", "merge", "stream"), k = 25).count()
+      }
+
       // persisted store (build untimed — ingest appends incrementally),
       // then the constant-batch incremental dedup
       val root = s"$out/$name"
@@ -112,6 +125,8 @@ object TextScaleProbe {
         s""""base_docs":$base,""" +
         s""""bands_sec":${f"$tBands%.2f"},"max_bucket":$maxBucket,""" +
         s""""pairs_sec":${f"$tPairs%.2f"},"n_pairs":$nPairs,""" +
+        s""""spans_sec":${f"$tSpans%.2f"},"n_spans":$nSpans,""" +
+        s""""bm25_sec":${f"$tBm25%.2f"},"n_bm25_hits":$nHits,""" +
         s""""incr_sec":${f"$tIncr%.2f"},"n_incr_pairs":$nIncr}""")
       bands.unpersist(blocking = false)
       corpus.unpersist(blocking = false)

@@ -83,6 +83,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(agg.getAs[Double]("nd") == 100.0)
       assert(agg.getSeq[Double](agg.fieldIndex("qs")) ==
         Seq(0.0, 49.5, 99.0))
+
+      // round-11 additions: frame energies + space-saving heavy hitters
+      val r3 = s.sql(
+        """SELECT frame_energies(array(1, -2, 3, 4, 5), 2) AS fe
+          |FROM ext_t""".stripMargin).head()
+      assert(r3.getSeq[Long](r3.fieldIndex("fe")) == Seq(5L, 25L, 25L))
+      Seq("a", "b", "a", "c", "a", "b").toDF("w")
+        .createOrReplaceTempView("ext_w")
+      val tt = s.sql("SELECT top_tokens(w, 8) AS m FROM ext_w").head()
+      assert(tt.getMap[String, Long](tt.fieldIndex("m")) ==
+        Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      intercept[org.apache.spark.sql.AnalysisException](
+        s.sql("SELECT top_tokens(w) FROM ext_w").head())
     } finally {
       // restore the shared session as default for other suites
       assert(base.sparkContext == s.sparkContext)
