@@ -1214,5 +1214,33 @@ object StorageQueries {
       tbl.delete(c.filter(col("c_acctbal") < 0))
       tbl.compact(smallBytes = Long.MaxValue, targetPartitions = 1)
       tbl.read()
+    },
+
+    // SNAPSHOT RECONCILIATION DIFF: key-level added/removed/changed
+    // between two committed versions — the audit primitive CDC can't
+    // answer once the feed is compacted. O(changed files): common COW
+    // file paths are immutable ⇒ skipped wholesale; only files unique to
+    // one manifest are read and full-outer key-compared (neighbors
+    // rewritten verbatim compare equal and drop out). The oracle derives
+    // the expected labels logically from the same mutation set.
+    Q("q137_snapshot_diff",
+      """WITH c AS (SELECT c_custkey FROM customer)
+        |SELECT c_custkey + 1000000 AS c_custkey, 'added' AS change
+        |  FROM c WHERE c_custkey % 13 = 0
+        |UNION ALL SELECT c_custkey, 'removed' FROM c
+        |  WHERE c_custkey % 11 = 0
+        |UNION ALL SELECT c_custkey, 'changed' FROM c
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+        |""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val tbl = CowTable.replace(s, tableDir("q137"),
+        TableConfig("customer", Seq("c_custkey")), c.repartition(4))
+      tbl.upsert(c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 42, 2)))
+      tbl.upsert(c.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      tbl.delete(c.filter(col("c_custkey") % 11 === 0)
+        .select("c_custkey"))
+      tbl.diffSnapshots(1, tbl.currentVersion)
     })
 }

@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
 object GraftProcedures {
 
   val All: Seq[String] =
-    Seq("compact", "optimize", "vacuum", "rollback", "clone")
+    Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -97,6 +97,29 @@ object GraftProcedures {
         LakeRegistry.register(warehouse, forked.config, dest.toString)
         Array[Any](forked.currentVersion)
       })
+      // CALL lake.diff('t', 1, 4): snapshot reconciliation — one row per
+      // key whose row differs between the versions (added/removed/changed;
+      // composite keys joined with '|'). Reads only files unique to one
+      // manifest (CowTable.diffSnapshots); the result collects to the
+      // driver like every CALL — for a diff expected to be huge, use the
+      // DataFrame API directly.
+      case "diff" => Some(procRows("diff",
+        Seq(in("table", StringType),
+          in("from_version", IntegerType),
+          in("to_version", IntegerType)),
+        resultSchema = StructType(Seq(
+          StructField("key", StringType, nullable = true),
+          StructField("change", StringType, nullable = false)))) { args =>
+        val t = open(str(args, 0))
+        val d = t.diffSnapshots(args.getInt(1), args.getInt(2))
+        import org.apache.spark.sql.functions.{col, concat_ws}
+        d.select(
+          concat_ws("|", t.config.primaryKey.map(col): _*).as("key"),
+          col("change"))
+          .collect().map(r => Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))))
+      })
       case _ => None
     }
   }
@@ -119,6 +142,33 @@ object GraftProcedures {
     default.foreach(b.defaultValue)
     b.build()
   }
+
+  /** Multi-row variant of [[proc]]: body yields one Array[Any] per row. */
+  private def procRows(procName: String, params: Seq[ProcedureParameter],
+      resultSchema: StructType)(
+      body: InternalRow => Array[Array[Any]]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft $procName procedure"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft $procName procedure"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val out = body(input)
+            java.util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] =
+                out.map(new GenericInternalRow(_))
+              override def readSchema(): StructType = resultSchema
+              override def description(): String = s"graft $procName result"
+            }).iterator()
+          }
+        }
+    }
 
   private def proc(procName: String, params: Seq[ProcedureParameter],
       resultSchema: StructType)(

@@ -850,6 +850,69 @@ final class CowTable private[storage] (
     readFiles(m, changedFiles(fromVersion, toVersion))
   }
 
+  /** File sets read by [[diffSnapshots]]: the files present in exactly one
+    * of the two manifests. Package-private so specs can assert the
+    * O(changed-files) claim without timing heuristics. */
+  private[storage] def diffFileSets(
+      v1: Int, v2: Int): (Seq[FileEntry], Seq[FileEntry]) = {
+    val m1 = manifest(v1)
+    val m2 = manifest(v2)
+    val p1 = m1.files.map(_.path).toSet
+    val p2 = m2.files.map(_.path).toSet
+    (m1.files.filterNot(f => p2(f.path)), m2.files.filterNot(f => p1(f.path)))
+  }
+
+  /** Snapshot reconciliation DIFF between two committed versions: one row
+    * per primary key whose row differs, labeled `added` / `removed` /
+    * `changed` — the audit/repair primitive ("what did last night's
+    * pipeline actually do to this table?") that CDC can't answer once the
+    * feed is compacted or the range spans a clone.
+    *
+    * O(changed files), NOT O(table): under copy-on-write a data file is
+    * immutable once written, so any file path present in BOTH manifests is
+    * byte-identical and cannot contribute a difference — only files unique
+    * to one side are read, then a key-level full-outer compare runs on
+    * that subset. A compaction that rewrote rows verbatim reads its files
+    * but emits nothing (row contents compare equal). Keys resident only in
+    * common files never enter the join at all.
+    *
+    * Schema evolution between the versions is handled by name: the compare
+    * struct spans the UNION of both schemas' non-key columns (sorted by
+    * name), null-filling a column the other version lacks — so an
+    * evolved-in column with a non-null value reads as `changed`. */
+  def diffSnapshots(v1: Int, v2: Int): DataFrame = {
+    require(v1 >= 1 && v2 >= 1 && v1 <= currentVersion &&
+      v2 <= currentVersion, s"diffSnapshots: bad versions $v1, $v2")
+    val m1 = manifest(v1)
+    val m2 = manifest(v2)
+    val s1 = structFromJson(m1.schemaJson)
+    val s2 = structFromJson(m2.schemaJson)
+    val (only1, only2) = diffFileSets(v1, v2)
+    val keys = config.primaryKey
+    val dataTypes = (s1.fields ++ s2.fields)
+      .map(f => f.name -> f.dataType).toMap -- keys
+    val names = dataTypes.keys.toSeq.sorted
+    def sideStruct(df: DataFrame, schema: StructType): DataFrame = {
+      val cols = names.map { n =>
+        if (schema.fieldNames.contains(n)) col(n).cast(dataTypes(n)).as(n)
+        else lit(null).cast(dataTypes(n)).as(n)
+      }
+      df.select(keys.map(col) :+ struct(cols: _*).as("__row"): _*)
+    }
+    val a = sideStruct(readFiles(m1, only1), s1)
+      .withColumnRenamed("__row", "__a")
+    val b = sideStruct(readFiles(m2, only2), s2)
+      .withColumnRenamed("__row", "__b")
+    a.join(b, keys, "full_outer")
+      .withColumn("change",
+        when(col("__a").isNull, "added")
+          .when(col("__b").isNull, "removed")
+          .otherwise("changed"))
+      .filter(col("__a").isNull || col("__b").isNull ||
+        !(col("__a") <=> col("__b")))
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** [[readChanges]] plus a `_commit_version` column stamping each row with
     * the commit that added its file — what an upsert-applying consumer needs
     * to order multi-commit feeds (a key updated twice in the range appears

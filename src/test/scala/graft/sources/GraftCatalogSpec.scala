@@ -338,6 +338,21 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sess.sql("CALL lake.no_such_proc('p')") }
   }
 
+  test("CALL diff: snapshot reconciliation rows via SQL") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.dt (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.dt VALUES (1, 'a'), (2, 'b')") // v2
+    sess.sql("UPDATE lake.default.dt SET v = 'B' WHERE id = 2")       // v3
+    sess.sql("INSERT INTO lake.default.dt VALUES (3, 'c')")           // v4
+    sess.sql("DELETE FROM lake.default.dt WHERE id = 1")              // v5
+    val d = sess.sql("CALL lake.diff('dt', 2, 5)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d == Map("1" -> "removed", "2" -> "changed", "3" -> "added"), d)
+    assert(sess.sql("CALL lake.diff('dt', 2, 2)").count() == 0)
+  }
+
   test("partition-scoped compaction folds only the named partition") {
     import spark.implicits._
     val lake = tmpDir("cat")
