@@ -266,5 +266,68 @@ object EmbeddingQueries {
             coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)))
         .orderBy(col("rrf").desc, col("id")).limit(20)
         .select("id", "rank_t", "rank_v", "rrf")
+    },
+
+    // INCREMENTAL ANN (corpus-growth shape, the embedding counterpart of
+    // q117): the corpus's IVF index — (vec_id, cid, qv, n2), each vector in
+    // its nearest-centroid list with the quantized vector materialized —
+    // is PERSISTED as a lake table (appended per ingested batch; REUSED
+    // here via a corpus content signature). Answering a query batch
+    // centroid-assigns ONLY the batch (broadcast ≤nLists-row centroid
+    // table) and joins its nProbe lists against the index: the 100 TB
+    // embedding corpus is never rescanned — not for indexing the batch,
+    // not for scoring. Oracle: q55's replayable IVF pipeline restricted to
+    // corpus-side lists × batch-side probes.
+    Q("q139_incremental_ann", {
+      val cents = Similarity.ivfCentroids(8, 64)
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        s"(${i}, ${c.mkString("[", ",", "]")}::BIGINT[], ${c.map(x => x * x).sum})"
+      }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |      FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0),
+         |cents AS (SELECT * FROM (VALUES $values) AS t(cid, cv, cn2)),
+         |scored AS (SELECT n.vec_id, n.qv, n.n2, c.cid,
+         |    2*CAST(list_sum(list_transform(list_zip(n.qv, c.cv),
+         |      z -> z[1]*z[2])) AS BIGINT) - c.cn2 AS s
+         |  FROM n CROSS JOIN cents c),
+         |ranked AS (SELECT vec_id, qv, n2, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM scored),
+         |corpus AS (SELECT vec_id, qv, n2, cid FROM ranked
+         |  WHERE rn = 1 AND vec_id % 3 <> 0),
+         |probes AS (SELECT vec_id, qv, n2, cid FROM ranked
+         |  WHERE rn <= 2 AND vec_id % 3 = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS dot, q.n2 AS qn2, c.n2 AS cn2
+         |  FROM probes q JOIN corpus c ON c.cid = q.cid)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+         |               neighbor_id) AS BIGINT) AS rank
+         |  FROM p) WHERE rank <= 10
+         |""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") % 3 =!= 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      // content signature: vec_id-column-only scan (count + order-free
+      // bit_xor of id hashes), same membership discipline as q117
+      val sigRow = corpus
+        .select(xxhash64(col("vec_id")).as("__h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("x"))
+        .head()
+      val contentSig = s"${sigRow.getLong(0)}:${sigRow.get(1)}"
+      val idxTbl = graft.storage.CowTable.replaceIfChanged(s,
+        StorageQueries.tableDir("q139_annindex"),
+        graft.storage.TableConfig("ann_index", Seq("vec_id")),
+        contentSig,
+        Similarity.ivfIndex(corpus, "vec_id", "embedding"))
+      Similarity.ivfProbeIndex(
+        idxTbl.read(), batch, "vec_id", "embedding", 10)
     })
 }

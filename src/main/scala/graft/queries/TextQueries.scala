@@ -843,5 +843,16 @@ object TextQueries {
       graft.text.Outliers
         .zOutliers(docs(s, d), "lang", "n_chars", tNum = 3, tDen = 2)
         .select("doc_id", "lang", "n_chars", "z")
+    },
+
+    // CORPUS-UNIGRAM LM SCORING (CCNet-style perplexity filter signal):
+    // per-document mean token surprisal against the corpus unigram LM,
+    // with surprisal the INTEGER bit count floor(log2(total DIV cnt)) —
+    // length(bin(x))-1, no transcendental ln, so the score replays
+    // bit-for-bit cross-engine (see [[graft.text.LangModel]]). Scale:
+    // two linear hash aggregates + a (doc,term)⋈(term,cnt) shuffle join;
+    // the corpus text never reshuffles.
+    Q("q138_unigram_surprisal", graft.text.LangModel.unigramSurprisalSql) {
+      (s, d) => graft.text.LangModel.unigramSurprisal(docs(s, d), "doc_id", "text")
     })
 }

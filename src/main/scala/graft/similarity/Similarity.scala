@@ -186,28 +186,16 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
       seed: Long = 7L, centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    centroids.foreach(cs => require(cs.nonEmpty && cs.forall(_.size == dim),
-      s"ivfTopK: every supplied centroid must be $dim-dim"))
-    val cents = centroids.getOrElse(ivfCentroids(nLists, dim, seed))
-    val cdf = cents.zipWithIndex
-      .map { case (c, i) => (i.toLong, c, c.map(x => x * x).sum) }
-      .toDF("cid", "cv", "cn2")
-    def assign(df: DataFrame, keep: Int): DataFrame =
-      df.crossJoin(broadcast(cdf))
-        .withColumn("__s",
-          lit(2L) * dotQ(col("__qv"), col("cv")) - col("cn2"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("__id")).orderBy(col("__s").desc, col("cid"))))
-        .filter(col("__rn") <= keep)
-        .select(col("__id"), col("cid"), col("__qv"), col("__n2"))
-    val corpus = assign(prepared(vectors, idCol, vecCol)
-      .withColumnRenamed(idCol, "__id"), 1)
+    val cdf = centroidFrame(vectors.sparkSession,
+      resolvedCentroids(centroids, nLists, dim, seed))
+    val corpus = assignLists(
+      prepared(vectors, idCol, vecCol).withColumnRenamed(idCol, "__id"),
+      cdf, 1)
       .select(col("__id").as("neighbor_id"), col("cid"),
         col("__qv").as("__cqv"), col("__n2").as("__cn2"))
-    val probes = assign(prepared(queries, idCol, vecCol)
-      .withColumnRenamed(idCol, "__id"), nProbe)
+    val probes = assignLists(
+      prepared(queries, idCol, vecCol).withColumnRenamed(idCol, "__id"),
+      cdf, nProbe)
       .select(col("__id").as("query_id"), col("cid"),
         col("__qv").as("__qqv"), col("__n2").as("__qn2"))
     corpus.join(broadcast(probes), Seq("cid"))
@@ -222,6 +210,90 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
     // (each corpus row lives in exactly one list, so a pair joins at most
     // once even when the query probes several lists — no dedup needed)
+  }
+
+  private def resolvedCentroids(centroids: Option[Seq[Seq[Long]]],
+      nLists: Int, dim: Int, seed: Long): Seq[Seq[Long]] = {
+    centroids.foreach(cs => require(cs.nonEmpty && cs.forall(_.size == dim),
+      s"ivf: every supplied centroid must be $dim-dim"))
+    centroids.getOrElse(ivfCentroids(nLists, dim, seed))
+  }
+
+  private def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c, c.map(x => x * x).sum) }
+      .toDF("cid", "cv", "cn2")
+  }
+
+  /** Nearest `keep` centroid lists per row of a [[prepared]] frame
+    * (`__id`, `__qv`, `__n2`): one broadcast join against the ≤nLists-row
+    * centroid table, argmax of 2·(qv·c) − ‖c‖² (integer-exact ⇔ L2). */
+  private def assignLists(df: DataFrame, cdf: DataFrame,
+      keep: Int): DataFrame =
+    df.crossJoin(broadcast(cdf))
+      .withColumn("__s",
+        lit(2L) * dotQ(col("__qv"), col("cv")) - col("cn2"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__s").desc, col("cid"))))
+      .filter(col("__rn") <= keep)
+      .select(col("__id"), col("cid"), col("__qv"), col("__n2"))
+
+  /** IVF index rows for `vectors`: `(idCol, cid, qv, n2)` — each vector in
+    * its single nearest-centroid list, with the quantized vector and its
+    * squared norm MATERIALIZED so probes answer from the index alone.
+    *
+    * This is the persistable ANN state an incremental pipeline maintains:
+    * indexing a new batch is one broadcast-centroid pass over the BATCH
+    * (O(batch) — the already-indexed corpus is never touched, exactly the
+    * shape of [[graft.text.TextDedup.incrementalNearDupPairs]]'s band
+    * store), appended to the index lake table keyed on `idCol`. */
+  def ivfIndex(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 8, dim: Int = 64, seed: Long = 7L,
+      centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
+    val cdf = centroidFrame(vectors.sparkSession,
+      resolvedCentroids(centroids, nLists, dim, seed))
+    assignLists(
+      prepared(vectors, idCol, vecCol).withColumnRenamed(idCol, "__id"),
+      cdf, 1)
+      .select(col("__id").as(idCol), col("cid"),
+        col("__qv").as("qv"), col("__n2").as("n2"))
+  }
+
+  /** Approximate top-k over a PERSISTED [[ivfIndex]] table: queries are
+    * centroid-assigned (nProbe lists, broadcast centroid table), then
+    * joined to the index on `cid` and exact-rescored from the stored
+    * (qv, n2) — the raw embedding corpus is never rescanned. The query
+    * side is broadcast (bounded query batches); the index side only
+    * filters + projects, so list pruning pushes down to the index scan
+    * when the index table is clustered on `cid`. */
+  def ivfProbeIndex(
+      index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
+      seed: Long = 7L, centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
+    val cdf = centroidFrame(index.sparkSession,
+      resolvedCentroids(centroids, nLists, dim, seed))
+    val corpus = index.select(col(idCol).as("neighbor_id"), col("cid"),
+      col("qv").as("__cqv"), col("n2").as("__cn2"))
+    val probes = assignLists(
+      prepared(queries, idCol, vecCol).withColumnRenamed(idCol, "__id"),
+      cdf, nProbe)
+      .select(col("__id").as("query_id"), col("cid"),
+        col("__qv").as("__qqv"), col("__n2").as("__qn2"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotQ(col("__qqv"), col("__cqv")).cast("double") /
+          sqrt(col("__qn2").cast("double") * col("__cn2").cast("double")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates restricted to one

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-unigram language-model scoring — the CCNet-style "perplexity
+  * against a reference LM" quality signal (Wenzek et al., LREC 2020)
+  * re-expressed so the score is integer-exact and oracle-replayable.
+  *
+  * The reference LM here is the corpus itself: `p(w) = cnt(w) / total`.
+  * Per-token surprisal is the INTEGER bit count
+  * `floor(log2(total DIV cnt(w)))` — computed as
+  * `length(bin(total DIV cnt)) - 1`, pure integer arithmetic end-to-end
+  * (no transcendental `ln` whose last-ulp rounding differs across libm
+  * builds; see [[Search]] for the same discipline applied to BM25 idf).
+  * A document's score is the token-frequency-weighted sum of those bit
+  * counts and its mean; high mean-bits = rare-token-heavy (OCR noise,
+  * boilerplate hashes), low = common-token prose — the ranking signal a
+  * perplexity filter thresholds on.
+  *
+  * Scale shape (100 TB corpus):
+  *  - one tokenize pass → hash-aggregate to (doc, w, tf) and (w, cnt):
+  *    both map-side-combinable, linear, never all-pairs;
+  *  - the per-doc scoring join is (doc, w, tf) ⋈ (w, cnt) on `w` — the
+  *    corpus text itself never shuffles, only the distinct-(doc,term)
+  *    pairs; vocab is unbounded so this stays a shuffle join (AQE
+  *    broadcasts it when the vocab is small);
+  *  - the single-row total is a broadcast cross join.
+  */
+object LangModel {
+
+  /** Lowercased whitespace token occurrences: (doc_id, w). */
+  private def occurrences(docsDf: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docsDf.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("w", lower(col("w")))
+
+  /** Per-document unigram surprisal: (doc_id, n_tokens, total_bits,
+    * mean_bits). Documents with no tokens are absent (no LM evidence).
+    * `mean_bits` is Parity-rounded to 4 decimals for cross-engine hash
+    * stability; `total_bits` and `n_tokens` are exact integers. */
+  def unigramSurprisal(docsDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val occ = occurrences(docsDf, idCol, textCol)
+    val tf = occ.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val counts = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    // floor(log2(total DIV cnt)) as pure integer bit-length arithmetic
+    val bits = (length(bin(expr("total DIV cnt"))) - 1).cast("long")
+    tf.join(counts, "w") // shuffle join on w; corpus text never moves
+      .crossJoin(broadcast(total)) // 1 row
+      .withColumn("__bits", bits)
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("__bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        graft.core.Parity.round4(col("total_bits").cast("double") /
+          col("n_tokens").cast("double")).as("mean_bits"))
+  }
+
+  /** DuckDB replay of [[unigramSurprisal]] over the `documents` table —
+    * identical tokenization (see [[Search.bm25CteSql]]) and the same
+    * integer bit-length surprisal. */
+  def unigramSurprisalSql: String =
+    raw"""WITH occ AS (SELECT doc_id, lower(w) AS w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+         |    FROM documents) WHERE len(w) > 0),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM occ GROUP BY doc_id, w),
+         |counts AS (SELECT w, count(*) AS cnt FROM occ GROUP BY w),
+         |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+         |b AS (SELECT doc_id, tf,
+         |    CAST(length(format('{:b}', total // cnt)) - 1 AS BIGINT) AS bits
+         |  FROM tf JOIN counts USING (w) CROSS JOIN total)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+         |  ${graft.core.Parity.round4Sql(
+             "CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)")}
+         |    AS mean_bits
+         |FROM b GROUP BY doc_id
+         |""".stripMargin
+}

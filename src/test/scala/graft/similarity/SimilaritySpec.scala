@@ -89,6 +89,44 @@ class SimilaritySpec extends SparkSpec {
       s"mean IVF recall ${recalls.sum / recalls.size} too low")
   }
 
+  test("ivfProbeIndex over ivfIndex reproduces ivfTopK exactly") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (1L to 120L)
+      .map(i => (i, Seq.fill(16)((rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" % 3 =!= 0)
+    val batch = vecs.filter($"vec_id" % 3 === 0)
+    val direct = Similarity.ivfTopK(corpus, batch, "vec_id", "embedding", 5,
+      nLists = 4, nProbe = 2, dim = 16)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nLists = 4, dim = 16)
+    val viaIndex = Similarity.ivfProbeIndex(index, batch, "vec_id",
+      "embedding", 5, nLists = 4, nProbe = 2, dim = 16)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
+  test("ivfIndex is per-row independent: index(corpus)∪index(batch) ≡ index(corpus∪batch)") {
+    val rnd = new scala.util.Random(43)
+    val all = (1L to 90L)
+      .map(i => (i, Seq.fill(16)((rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val part1 = all.filter($"vec_id" <= 60)
+    val part2 = all.filter($"vec_id" > 60)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cid", $"n2").as[(Long, Long, Long)]
+        .collect().toSet
+    val whole = rows(Similarity.ivfIndex(all, "vec_id", "embedding",
+      nLists = 4, dim = 16))
+    val incremental =
+      rows(Similarity.ivfIndex(part1, "vec_id", "embedding",
+        nLists = 4, dim = 16)) ++
+        rows(Similarity.ivfIndex(part2, "vec_id", "embedding",
+          nLists = 4, dim = 16))
+    assert(incremental == whole && whole.size == 90)
+  }
+
   test("trained centroids beat gaussian ones on skewed clustered embeddings") {
     // tight, far-apart clusters OFFSET from the origin — the shape real
     // embedding corpora have and data-independent gaussian centroids serve
