@@ -315,13 +315,15 @@ object EmbeddingQueries {
       val e = emb(s, d)
       val corpus = e.filter(col("vec_id") % 3 =!= 0)
       val batch = e.filter(col("vec_id") % 3 === 0)
-      // content signature: vec_id-column-only scan (count + order-free
-      // bit_xor of id hashes), same membership discipline as q117
+      // content signature: SOURCE DIR + vec_id-column-only membership
+      // (count + order-free bit_xor of id hashes), same discipline as
+      // q117 — the dir matters because distinct SF dirs can carry the
+      // same ids with different vectors
       val sigRow = corpus
         .select(xxhash64(col("vec_id")).as("__h"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("x"))
         .head()
-      val contentSig = s"${sigRow.getLong(0)}:${sigRow.get(1)}"
+      val contentSig = s"$d|${sigRow.getLong(0)}:${sigRow.get(1)}"
       val idxTbl = graft.storage.CowTable.replaceIfChanged(s,
         StorageQueries.tableDir("q139_annindex"),
         graft.storage.TableConfig("ann_index", Seq("vec_id")),
@@ -329,5 +331,20 @@ object EmbeddingQueries {
         Similarity.ivfIndex(corpus, "vec_id", "embedding"))
       Similarity.ivfProbeIndex(
         idxTbl.read(), batch, "vec_id", "embedding", 10)
+    },
+
+    // DISTRIBUTED K-MEANS FIT (full Lloyd's, 3 rounds over the WHOLE
+    // corpus — the iterative extension of q122's single M-step): integer-
+    // exact assignment + Parity-floor mean re-quantization make the entire
+    // training trajectory deterministic, so the oracle replays all three
+    // rounds as unrolled CTEs and the final centroids, memberships and
+    // per-cluster inertia match bit-for-bit. Scale: each round is one
+    // broadcast-assign pass + a (cid,pos) hash agg collapsed map-side to
+    // ≤ k×dim partials; only k×dim longs ever reach the driver.
+    Q("q140_kmeans_fit",
+      graft.similarity.KMeans.fitSql(Similarity.ivfCentroids(8, 64), 3)) {
+      (s, d) =>
+        graft.similarity.KMeans.fit(emb(s, d), "vec_id", "embedding",
+          Similarity.ivfCentroids(8, 64), iters = 3)
     })
 }

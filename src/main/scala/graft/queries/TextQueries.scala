@@ -253,12 +253,12 @@ object TextQueries {
       val batch = all.filter(col("doc_id") % 3 === 0)
       // The persisted signature store: band index keyed by doc id, the
       // state an incremental ingest pipeline appends to per batch. REUSED
-      // across runs via a corpus content signature (membership: count +
-      // id-hash sum — an id-column-only scan, never the text; content
-      // mutation of a lake-table corpus goes through its own versioning),
-      // so the timed path is the true incremental shape: probe the
-      // persisted index, shingle only the batch. A changed corpus (e.g. a
-      // different SF dir) misses the signature and rebuilds.
+      // across runs via a corpus content signature: SOURCE DIR + member
+      // count + id-hash xor — an id-column-only scan, never the text
+      // (content mutation of a lake-table corpus goes through its own
+      // versioning). The source dir is part of the identity: two SF dirs
+      // can carry the SAME ids with DIFFERENT text (sf0.001 vs sf0.01 in
+      // the driver's testdata do), so ids alone would reuse a stale store.
       val sigRow = corpus
         .select(xxhash64(col("doc_id")).as("__h"))
         .agg(count(lit(1)).as("n"),
@@ -266,7 +266,7 @@ object TextQueries {
           // hash SUM trips ANSI arithmetic)
           expr("bit_xor(__h)").as("x"))
         .head()
-      val contentSig = s"${sigRow.getLong(0)}:${sigRow.get(1)}"
+      val contentSig = s"$d|${sigRow.getLong(0)}:${sigRow.get(1)}"
       val storeTbl = graft.storage.CowTable.replaceIfChanged(s,
         StorageQueries.tableDir("q117_sigstore"),
         graft.storage.TableConfig("sig_store", Seq("doc_id")),
