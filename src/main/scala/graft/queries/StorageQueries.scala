@@ -1190,6 +1190,27 @@ object StorageQueries {
           "c_name", "c_mktsegment")
     },
 
+    // Bloom-pruned semi-join (the runtime-filter shape: InjectRuntimeFilter
+    // / dynamic file pruning as an explicit operator): the filtered orders
+    // side folds into an m-bit bitset in ONE aggregate, the bitset rides
+    // the plan as a literal, and lineitem rows are Bloom-tested in a
+    // codegen'd projection BEFORE any shuffle — only positives (true
+    // matches + ~1e-10 FP) reach the exact leftsemi join. Result must be
+    // identical to the plain semi-join, so the oracle is the plain
+    // IN-subquery.
+    Q("q141_bloom_semijoin",
+      """SELECT l_orderkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 495000)
+        |""".stripMargin) { (s, d) =>
+      graft.operators.BloomJoin.semiJoin(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        t(s, d, "orders").filter(col("o_totalprice") > 495000)
+          .select("o_orderkey"),
+        "l_orderkey", "o_orderkey")
+    },
+
     // Skew-safe two-stage distinct count (value-salted) — must equal the
     // direct COUNT(DISTINCT) exactly; the salting is invisible in the result.
     Q("q50_salted_distinct",
