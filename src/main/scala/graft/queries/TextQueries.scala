@@ -854,5 +854,27 @@ object TextQueries {
     // the corpus text never reshuffles.
     Q("q138_unigram_surprisal", graft.text.LangModel.unigramSurprisalSql) {
       (s, d) => graft.text.LangModel.unigramSurprisal(docs(s, d), "doc_id", "text")
+    },
+
+    // TOP-K PER GROUP as a bounded mergeable aggregate ("best 3 docs per
+    // language by length"): the window row_number formulation shuffles
+    // EVERY row to its group's reducer and sorts; TopKAgg keeps a
+    // k-bounded ordered buffer in the map-side partial so only
+    // groups × k rows cross the wire. Deterministic (n_chars DESC,
+    // doc_id ASC), so the window oracle replays it exactly.
+    Q("q142_topk_per_group",
+      """SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rank
+        |FROM (SELECT lang, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |  FROM documents) WHERE rank <= 3
+        |""".stripMargin) { (s, d) =>
+      docs(s, d).groupBy("lang")
+        .agg(graft.functions.TopKAgg
+          .topK(col("n_chars").cast("long"), col("doc_id"), 3).as("t"))
+        .select(col("lang"), posexplode(col("t")).as(Seq("pos", "e")))
+        .select(col("lang"), col("e._2").as("doc_id"),
+          col("e._1").as("n_chars"),
+          (col("pos") + 1).cast("long").as("rank"))
     })
 }

@@ -44,8 +44,16 @@ object LangModel {
   def unigramSurprisal(docsDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val occ = occurrences(docsDf, idCol, textCol)
+    // the doc-term matrix is the pipeline's natural materialization point
+    // (CCNet materializes exactly this): checkpointing it eagerly means
+    // the corpus is tokenized ONCE — without it Catalyst re-derives the
+    // tf subtree in all three consumer branches (scoring join, vocab
+    // counts, grand total), i.e. three full corpus scans
     val tf = occ.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val counts = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // vocab counts and the grand total DERIVE from tf (cnt_w = Σ_doc tf):
+    // they re-aggregate the compact (doc, term) frame, not the corpus
+    val counts = tf.groupBy("w").agg(sum(col("tf")).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     // floor(log2(total DIV cnt)) as pure integer bit-length arithmetic
     val bits = (length(bin(expr("total DIV cnt"))) - 1).cast("long")
