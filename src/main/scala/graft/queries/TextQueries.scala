@@ -876,5 +876,21 @@ object TextQueries {
         .select(col("lang"), col("e._2").as("doc_id"),
           col("e._1").as("n_chars"),
           (col("pos") + 1).cast("long").as("rank"))
+    },
+
+    // EXACT set-similarity join (AllPairs/PPJoin prefix filtering): every
+    // pair with word-set Jaccard ≥ 9/10 — the zero-recall-loss complement
+    // of q40's MinHash-LSH, still never all-pairs (rarest-first prefixes
+    // bound the candidate join; the exact verify touches candidates
+    // only). Rational threshold ⇒ integer-exact boundary test. Probe
+    // subset doc_id % 7 = 0: the synthetic docs are heavily templated, so
+    // full-corpus high-threshold output would be pair-count-bound, not
+    // operator-bound.
+    Q("q143_exact_jaccard_join",
+      graft.text.PrefixJoin.jaccardJoinSql(9, 10, "doc_id % 7 = 0")) {
+      (s, d) =>
+      graft.text.PrefixJoin.jaccardJoin(
+        docs(s, d).filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", 9, 10)
     })
 }
