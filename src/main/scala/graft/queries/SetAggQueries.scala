@@ -206,6 +206,66 @@ object SetAggQueries {
         .select(col("event_type"),
           graft.core.Parity.round4(col("__q").getItem(0)).as("p50_sketch"),
           graft.core.Parity.round4(col("__q").getItem(1)).as("p95_sketch"))
+    },
+
+    // UNPIVOT (melt): wide measures → long (metric, val) — the standard
+    // reshape before per-metric aggregation/feature pipelines. Pure
+    // projection+explode (one output row per (row, metric)), no shuffle.
+    Q("q146_unpivot",
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_extendedprice AS DOUBLE) AS ep,
+        |    CAST(l_discount AS DOUBLE) AS di,
+        |    CAST(l_tax AS DOUBLE) AS tx
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT l_orderkey, l_linenumber, 'quantity' AS metric, q AS val
+        |  FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', ep
+        |  FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount', di FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'tax', tx FROM li
+        |""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"),
+            col("tax")),
+          "metric", "val")
+    },
+
+    // Offset/distribution window analytics in one pass: lag/lead,
+    // first_value, percent_rank, cume_dist share a single window spec →
+    // Catalyst plans ONE WindowExec (one shuffle+sort on the key). The
+    // rank ratios are IEEE divisions of identical integers on both
+    // engines, Parity-rounded for bit-stable compare.
+    Q("q147_window_analytics",
+      s"""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |              value FROM events)
+         |SELECT user_id, event_id,
+         |  lag(value) OVER w AS prev_value,
+         |  lead(value) OVER w AS next_value,
+         |  first_value(event_id) OVER w AS first_event,
+         |  ${Parity4("percent_rank() OVER w")} AS pr,
+         |  ${Parity4("cume_dist() OVER w")} AS cd
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("event_id")).over(w).as("first_event"),
+          graft.core.Parity.round4(percent_rank().over(w)).as("pr"),
+          graft.core.Parity.round4(cume_dist().over(w)).as("cd"))
     })
 
   private def Parity4(e: String): String = graft.core.Parity.round4Sql(e)

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Paths
 
 import graft.core.{Q, Tables}
-import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.operators.{AsOfJoin, GapFill, RangeJoin, Sessionize, SweepLine}
 import graft.storage.CowTable
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -281,5 +281,79 @@ object TemporalQueries {
           count(lit(1)).over(w).cast("long").as("n_1h"),
           sum(col("value").cast("decimal(28,10)")).over(w)
             .cast("double").as("value_1h"))
+    },
+
+    // Calendar gap-fill: per-user daily series over the user's own active
+    // span, missing days zero-filled. Spine generated per key with
+    // sequence+explode (distributed — see GapFill scaladoc).
+    Q("q144_gap_fill",
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |              AS day, value FROM events),
+        |daily AS (SELECT user_id, day, count(*) AS n_events,
+        |            sum(CAST(value AS DECIMAL(28,10))) AS v
+        |          FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |           FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |            CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |              CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds)
+        |SELECT s.user_id, s.day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  CAST(coalesce(d.v, 0) AS DOUBLE) AS total_value
+        |FROM spine s LEFT JOIN daily d
+        |  ON d.user_id = s.user_id AND d.day = s.day
+        |""".stripMargin) { (s, d) =>
+      GapFill.dailyResample(t(s, d, "events"), "user_id", "ts", col("value"))
+    },
+
+    // Daily session-concurrency profile: peak simultaneously-open 4h-gap
+    // sessions per day + count still open at day end. Scalable two-level
+    // prefix sum (see SweepLine scaladoc); the oracle replays the textbook
+    // single global running sum over every session boundary.
+    Q("q145_session_concurrency",
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id)) > 14400000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f),
+        |iv AS (SELECT min(ts) AS s0, max(ts) AS s1 FROM g
+        |       GROUP BY user_id, session_id),
+        |d AS (SELECT s0 AS t, 1 AS delta FROM iv
+        |      UNION ALL SELECT s1, -1 FROM iv),
+        |runs AS (SELECT CAST(t AS DATE) AS day, delta,
+        |           sum(delta) OVER (ORDER BY t, delta DESC
+        |             ROWS UNBOUNDED PRECEDING) AS run
+        |         FROM d),
+        |perday AS (SELECT day, sum(delta) AS tot, max(run) AS gpeak
+        |           FROM runs GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM perday),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM b),
+        |filled AS (SELECT s.day, coalesce(p.tot, 0) AS tot0, p.gpeak
+        |         FROM spine s LEFT JOIN perday p ON p.day = s.day),
+        |c AS (SELECT day, tot0, gpeak,
+        |        coalesce(sum(tot0) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cin
+        |      FROM filled)
+        |SELECT day, CAST(greatest(cin, coalesce(gpeak, cin)) AS BIGINT)
+        |    AS peak,
+        |  CAST(cin + tot0 AS BIGINT) AS open_end
+        |FROM c
+        |""".stripMargin) { (s, d) =>
+      val sessions = Sessionize.sessions(
+        t(s, d, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 14400L, valueCol = col("value"))
+      SweepLine.dailyConcurrency(sessions, "session_start", "session_end")
     })
 }

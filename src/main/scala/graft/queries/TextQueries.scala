@@ -76,6 +76,37 @@ object TextQueries {
        |        md5(array_to_string(sig[r.band*4+1 : r.band*4+4], ',')) AS band_key
        |      FROM g CROSS JOIN (SELECT range AS band FROM range(0,16)) r)""".stripMargin
 
+  /** Near-dup cluster graph CTEs (require `WITH RECURSIVE`): verified LSH
+    * pairs → symmetric edges → transitive closure. Shared by q77 (labels)
+    * and q148 (representatives). */
+  private val clusterGraphCtes =
+    s"""base AS (
+       |  SELECT id_a, id_b FROM (
+       |    WITH $sigCte,
+       |    hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
+       |    cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |          FROM bands l JOIN bands r
+       |            ON l.band = r.band AND l.band_key = r.band_key
+       |           AND l.doc_id < r.doc_id)
+       |    SELECT id_a, id_b FROM cands
+       |      JOIN hd a ON a.doc_id = id_a JOIN hd b ON b.doc_id = id_b
+       |      WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+       |            CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE)
+       |            >= 0.5)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM base
+       |          UNION SELECT id_b, id_a FROM base),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)""".stripMargin
+
+  /** Component-min label per clustered doc (the q77 result shape). */
+  private val clusterLabelsSelect =
+    """SELECT n.id AS doc_id,
+      |  least(n.id, (SELECT min(dst) FROM reach WHERE src = n.id))
+      |    AS cluster_id
+      |FROM (SELECT DISTINCT src AS id FROM edges) n""".stripMargin
+
   /** BPE oracle CTE stack (DuckDB needs `WITH RECURSIVE`): whitespace
     * words → per-word longest-match recursion (pure scalar CASE in the
     * recursive term — [[graft.functions.BpeVocab.advanceCaseSql]], no
@@ -406,32 +437,42 @@ object TextQueries {
     // min-label propagation; the oracle replays it as a recursive transitive
     // closure.
     Q("q77_neardup_clusters",
-      s"""WITH RECURSIVE base AS (
-         |  SELECT id_a, id_b FROM (
-         |    WITH $sigCte,
-         |    hd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM h),
-         |    cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |          FROM bands l JOIN bands r
-         |            ON l.band = r.band AND l.band_key = r.band_key
-         |           AND l.doc_id < r.doc_id)
-         |    SELECT id_a, id_b FROM cands
-         |      JOIN hd a ON a.doc_id = id_a JOIN hd b ON b.doc_id = id_b
-         |      WHERE CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
-         |            CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE)
-         |            >= 0.5)),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM base
-         |          UNION SELECT id_b, id_a FROM base),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
-         |SELECT n.id AS doc_id,
-         |  least(n.id, (SELECT min(dst) FROM reach WHERE src = n.id))
-         |    AS cluster_id
-         |FROM (SELECT DISTINCT src AS id FROM edges) n
+      s"""WITH RECURSIVE $clusterGraphCtes
+         |$clusterLabelsSelect
          |""".stripMargin) { (s, d) =>
       TextDedup.nearDupClusters(
         TextDedup.nearDupPairs(docs(s, d), "doc_id", "text"))
+    },
+
+    // Canonical-document selection per near-dup family: for each cluster,
+    // keep the longest member (ties → lowest doc_id) — the "which copy
+    // survives dedup" policy step. One map-side-combinable struct-max
+    // aggregate over the cluster labels (no per-cluster sort/window on the
+    // Spark side; the oracle uses the window form).
+    Q("q148_cluster_representatives",
+      s"""WITH RECURSIVE $clusterGraphCtes,
+         |labels AS ($clusterLabelsSelect),
+         |m AS (SELECT l.cluster_id, dd.doc_id, dd.n_chars,
+         |        count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+         |        row_number() OVER (PARTITION BY l.cluster_id
+         |          ORDER BY dd.n_chars DESC, dd.doc_id) AS rn
+         |      FROM labels l JOIN documents dd ON dd.doc_id = l.doc_id)
+         |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  doc_id AS rep_doc_id, n_chars AS rep_n_chars
+         |FROM m WHERE rn = 1
+         |""".stripMargin) { (s, d) =>
+      val clusters = TextDedup.nearDupClusters(
+        TextDedup.nearDupPairs(docs(s, d), "doc_id", "text"))
+      clusters.join(
+          docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("cluster_size"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("_negid")))
+            .as("_best"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (-col("_best")("_negid")).as("rep_doc_id"),
+          col("_best")("n_chars").as("rep_n_chars"))
     },
 
     // End-to-end corpus build — the canonical LLM-data pipeline composed
