@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.storage.{CowTable, TableConfig}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+
+/** Incrementally-maintained additive-aggregate materialized view over a
+  * [[CowTable]] base: `GROUP BY groupCols` with `COUNT(*)` + exact
+  * `SUM(measure)`s, kept current by applying the base's change feed as
+  * SIGNED deltas — insert/update_postimage count +, delete/update_preimage
+  * count − — so a refresh costs O(changed rows) + O(view groups), never a
+  * base rescan. The additive class (count/sum, and means as sum/count at
+  * read time) is exactly what's incrementally maintainable under deletes
+  * without auxiliary state; min/max are deliberately NOT offered (a delete
+  * of the current extremum forces a group rescan — the standard MV fence).
+  *
+  * Sums are carried as DECIMAL(28,10), so the incrementally-maintained
+  * state is BIT-EQUAL to a from-scratch recompute regardless of how many
+  * refreshes (and in what grouping order) produced it — what makes the MV
+  * oracle-checkable, and what double sums could never guarantee. The
+  * file-granularity pre/post churn of a COW rewrite cancels exactly for
+  * the same reason.
+  *
+  * Crash discipline (refresh = MV commit(s) THEN bookmark write, two
+  * non-atomic steps): the bookmark records the (baseVersion, mvVersion)
+  * pair they agreed on. A refresh that died between the two leaves
+  * `table.currentVersion != bookmarked mvVersion`; the next refresh heals
+  * by ROLLING THE VIEW BACK to the bookmarked version (metadata-only) and
+  * re-applying the feed from the bookmarked base version — exactly-once
+  * maintenance on top of at-least-once execution.
+  *
+  * Beyond-reference lakehouse capability (SURVEY.md §2.6 fence): the
+  * reference recomputes its Athena aggregates per query; Delta/Databricks
+  * ship this as materialized views over the change feed.
+  */
+final class MatView private (
+    spark: SparkSession,
+    val table: CowTable,
+    base: CowTable,
+    groupCols: Seq[String],
+    sumCols: Seq[String],
+    root: Path) {
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  private val bookmarkPath = root.resolve("_mv_bookmark")
+
+  private def sumName(c: String) = s"sum_$c"
+  private def dec(c: Column) = c.cast("decimal(28,10)")
+
+  import MatView.Mark
+  private def mark: Mark =
+    if (Files.exists(bookmarkPath))
+      Serialization.read[Mark](Files.readString(bookmarkPath))
+    else Mark(0, 0)
+  private def writeMark(m: Mark): Unit = {
+    Files.createDirectories(root)
+    val tmp = bookmarkPath.resolveSibling("_mv_bookmark.tmp")
+    Files.writeString(tmp, Serialization.write(m))
+    Files.move(tmp, bookmarkPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current view contents: groupCols + n_rows + sum_<c>... */
+  def read(): DataFrame = table.read()
+    .select((groupCols.map(col) :+ col("n_rows")) ++
+      sumCols.map(c => col(sumName(c))): _*)
+
+  /** Apply all base versions committed since the last refresh. Returns the
+    * number of base versions applied (0 = already current). */
+  def refresh(): Int = {
+    val m0 = mark
+    // crash healing: MV commits that never made it into the bookmark are
+    // undone, then re-derived from the feed
+    if (table.currentVersion != m0.mvVersion) {
+      if (m0.mvVersion > 0) {
+        table.rollbackTo(m0.mvVersion) // metadata-only restore
+        writeMark(Mark(m0.baseVersion, table.currentVersion))
+      } else {
+        // bootstrap crashed after create but before the first bookmark:
+        // wipe the half-born view and re-bootstrap from the feed
+        CowTable.deleteRecursively(root)
+      }
+    }
+    val healed = mark
+    val to = base.currentVersion
+    if (to == healed.baseVersion) return 0
+
+    val feed = base.readChangeFeed(healed.baseVersion, to)
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("matview: unknown change type "), col("_change_type"))))
+    val deltas = feed
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as("__d_n"),
+        sumCols.map(c => sum(dec(col(c)) * sign).as(s"__d_$c")): _*)
+
+    if (table.currentVersion == 0) {
+      // bootstrap: the feed from version 0 IS the full initial aggregate
+      table.create(deltas.select(
+        (groupCols.map(col) :+ col("__d_n").as("n_rows")) ++
+          sumCols.map(c =>
+            coalesce(col(s"__d_$c"), dec(lit(0))).as(sumName(c))): _*)
+        .filter(col("n_rows") > 0))
+    } else {
+      val state = table.read()
+      val joined = deltas.join(state, groupCols, "left")
+        .select((groupCols.map(col) :+
+          (coalesce(col("n_rows"), lit(0L)) + col("__d_n")).as("n_rows")) ++
+          sumCols.map(c =>
+            (coalesce(col(sumName(c)), dec(lit(0))) +
+              coalesce(col(s"__d_$c"), dec(lit(0)))).as(sumName(c))): _*)
+        .withColumn("n_rows",
+          when(col("n_rows") >= 0, col("n_rows"))
+            .otherwise(raise_error(
+              lit("matview: negative group count — feed out of order"))))
+        .localCheckpoint() // one evaluation; feeds both upsert and delete
+      val dead = joined.filter(col("n_rows") === 0).select(
+        groupCols.map(col): _*)
+      table.upsert(joined.filter(col("n_rows") > 0))
+      if (!dead.isEmpty) table.delete(dead)
+    }
+    writeMark(Mark(to, table.currentVersion))
+    to - healed.baseVersion
+  }
+}
+
+object MatView {
+  /** Durable refresh bookmark: the (base, view) version pair the last
+    * completed refresh agreed on. */
+  private final case class Mark(baseVersion: Int, mvVersion: Int)
+
+  /** Open (or lazily bootstrap on first refresh) an MV rooted at `root`,
+    * grouping `base` by `groupCols` with COUNT(*) + SUM over `sumCols`. */
+  def apply(
+      spark: SparkSession, root: String, base: CowTable,
+      groupCols: Seq[String], sumCols: Seq[String]): MatView = {
+    require(groupCols.nonEmpty, "matview needs at least one group column")
+    val cfg = TableConfig(
+      tableName = s"mv_${base.config.tableName}", primaryKey = groupCols)
+    val rootPath = Paths.get(root)
+    new MatView(spark, CowTable(spark, root, cfg), base, groupCols, sumCols,
+      rootPath)
+  }
+}

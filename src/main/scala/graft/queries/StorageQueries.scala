@@ -1263,5 +1263,38 @@ object StorageQueries {
       tbl.delete(c.filter(col("c_custkey") % 11 === 0)
         .select("c_custkey"))
       tbl.diffSnapshots(1, tbl.currentVersion)
+    },
+
+    // Incrementally-maintained materialized view (per-nation account
+    // aggregate): bootstrap refresh, then upsert + delete on the base
+    // applied as SIGNED change-feed deltas — O(changed rows), no base
+    // rescan. DECIMAL state makes the incremental result bit-equal to the
+    // oracle's from-scratch recompute of the final base snapshot.
+    Q("q150_incremental_matview",
+      """WITH c0 AS (SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT c_nationkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(bal AS DECIMAL(28,10))) AS DOUBLE) AS sum_acctbal
+        |FROM c0 GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q150")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val base = CowTable(s, root + "/base",
+        TableConfig("customer_base", Seq("c_custkey")))
+      base.create(cust.repartition(4))
+      val mv = graft.pipeline.MatView(s, root + "/mv", base,
+        Seq("c_nationkey"), Seq("c_acctbal"))
+      mv.refresh() // bootstrap
+      base.upsert(cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0))
+      base.delete(cust.filter(col("c_custkey") % 13 === 0)
+        .select("c_custkey"))
+      mv.refresh() // two incremental versions, delta-applied
+      mv.read().select(col("c_nationkey"), col("n_rows"),
+        col("sum_c_acctbal").cast("double").as("sum_acctbal"))
     })
 }

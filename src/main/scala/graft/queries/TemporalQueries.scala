@@ -204,6 +204,47 @@ object TemporalQueries {
         "q73_sink", base + "/ckpt", OutputMode.Append())
     },
 
+    // Stream-stream LEFT OUTER interval join: matched pairs exactly as q73,
+    // plus null-padded purchases with no click in the hour window — emitted
+    // only once the terminal watermark proves no match can still arrive.
+    // The one streaming join shape where the watermark fences OUTPUT rows;
+    // the oracle replays Spark's exact fence: the GLOBAL watermark is the
+    // min across both sides' watermark nodes (here the click side's, which
+    // trails), tracked in ms (hence the epoch-ms floor), minus the 2h delay.
+    Q("q149_stream_left_join",
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM ev
+        |      WHERE event_type = 'click'),
+        |wm AS (SELECT make_timestamp(CAST(floor(epoch_us(least(
+        |           (SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c)))
+        |         / 1000) * 1000 AS BIGINT)) - INTERVAL 2 HOUR AS w),
+        |m AS (SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts
+        |      FROM p JOIN c ON c.user_id = p.user_id
+        |        AND epoch_us(c.c_ts) >= epoch_us(p.p_ts) - 3600000000
+        |        AND epoch_us(c.c_ts) <= epoch_us(p.p_ts)),
+        |um AS (SELECT p.purchase_id, p.user_id, p.p_ts,
+        |         CAST(NULL AS BIGINT) AS click_id,
+        |         CAST(NULL AS TIMESTAMP) AS c_ts
+        |       FROM p, wm WHERE p.p_ts < wm.w AND NOT EXISTS (
+        |         SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |           AND epoch_us(c.c_ts) >= epoch_us(p.p_ts) - 3600000000
+        |           AND epoch_us(c.c_ts) <= epoch_us(p.p_ts)))
+        |SELECT * FROM m UNION ALL SELECT * FROM um
+        |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q149")
+      CowTable.deleteRecursively(Paths.get(base))
+      val src = base + "/src"
+      t(s, d, "events").select("event_id", "ts", "user_id", "event_type")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      EventStreams.drainToMemory(
+        s, sess => EventStreams.intervalJoinLeftOuter(sess, src, schema),
+        "q149_sink", base + "/ckpt", OutputMode.Append())
+    },
+
     // Streaming dedup with watermark-bounded state: first occurrence of each
     // (user, event_type, day) triple. Deterministic because the output IS
     // the key (payload projected away pre-dedup), so the drained result is

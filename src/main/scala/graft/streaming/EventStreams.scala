@@ -78,6 +78,36 @@ object EventStreams {
         col("click_id"), col("c_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: q73's inner join
+    * plus null-padded rows for purchases with NO click in the window.
+    * Outer semantics are where watermarks DO shape output (not just state):
+    * an unmatched purchase can only be emitted once the watermark proves no
+    * further match can arrive, i.e. once `p_ts` falls behind the terminal
+    * GLOBAL watermark (Spark takes the min across both sides' watermark
+    * nodes and tracks it in milliseconds) — purchases newer than that are
+    * withheld at drain end, and the q149 oracle replays exactly that fence.
+    * Matched pairs are emitted eagerly and carry no fence. */
+  def intervalJoinLeftOuter(
+      spark: SparkSession, dir: String, schema: StructType,
+      watermark: String = "2 hours", windowSec: Long = 3600L): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Streaming deduplication: first occurrence of each (user, event_type,
     * day) triple, with the watermarked day column itself part of the key so
     * state is evicted once the watermark passes it. Projected to exactly the

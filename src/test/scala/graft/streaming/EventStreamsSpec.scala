@@ -33,6 +33,31 @@ class EventStreamsSpec extends SparkSpec {
       (java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), "purchase", 1L, 5.0)))
   }
 
+  test("left-outer interval join: matches eager, nulls fenced by watermark") {
+    val dir = tmpDir("evt")
+    val df = Seq(
+      // (event_id, ts, user_id, event_type)
+      (10L, "2024-01-01 00:00:30", 1L, "click"),
+      (11L, "2024-01-01 00:10:00", 1L, "purchase"), // matched to click 10
+      (12L, "2024-01-01 01:00:00", 2L, "purchase"), // no click: old → null row
+      (13L, "2024-01-01 09:00:00", 2L, "purchase"), // no click: too new → withheld
+      (14L, "2024-01-01 10:00:00", 3L, "click")) // advances click watermark to 08:00
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select($"event_id", $"ts_s".cast("timestamp").as("ts"), $"user_id",
+        $"event_type")
+    df.write.parquet(dir + "/in")
+    val out = EventStreams.drainToMemory(spark,
+      sess => EventStreams.intervalJoinLeftOuter(
+        sess, dir + "/in", df.schema),
+      "loj", dir + "/ckpt", OutputMode.Append())
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // purchase 11 matched; purchase 12 unmatched and older than the global
+    // watermark (min(maxP,maxC) - 2h = 08:00) → null row; purchase 13 is
+    // newer than the watermark → withheld at drain end.
+    assert(out == Set((11L, Some(10L)), (12L, None)))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     val dir = tmpDir("evt")
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
