@@ -37,6 +37,35 @@ object SetAggQueries {
             .as("sum_qty"))
     },
 
+    // Explicit GROUPING SETS (the primitive ROLLUP/CUBE desugar to): an
+    // ASYMMETRIC set list neither of them can express — (flag,status),
+    // (flag), (mode) — one Expand pass, grouping flags disambiguate.
+    Q("q152_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, l_linenumber,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(l_linenumber) AS BIGINT) AS g_line,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linenumber))
+        |""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("q152_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, l_linenumber,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(l_linenumber) AS BIGINT) AS g_line,
+          |  count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM q152_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), (l_linenumber))
+          |""".stripMargin)
+    },
+
     // CUBE: all four grouping combinations in one pass (rollup's superset);
     // grouping flags disambiguate subtotal NULLs.
     Q("q79_cube",

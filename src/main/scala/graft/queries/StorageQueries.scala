@@ -1296,5 +1296,30 @@ object StorageQueries {
       mv.refresh() // two incremental versions, delta-applied
       mv.read().select(col("c_nationkey"), col("n_rows"),
         col("sum_c_acctbal").cast("double").as("sum_acctbal"))
+    },
+
+    // Partition-spec evolution (Iceberg contract): table created hive-
+    // partitioned by mktsegment, evolved to nationkey in a metadata-only
+    // commit; the post-evolution upsert rewrites its rows under the NEW
+    // layout while untouched files keep the old one — and a full read
+    // recovers both partition columns across both layouts.
+    Q("q153_partition_evolution",
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q153")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val cust = t(s, d, "customer")
+      val t0 = CowTable(s, root, TableConfig("customer", Seq("c_custkey"),
+        partitionKey = Some("c_mktsegment")))
+      t0.create(cust)
+      val t1 = t0.alterPartitionKey(Some("c_nationkey"))
+      t1.upsert(cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0))
+      t1.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
     })
 }

@@ -897,6 +897,15 @@ object TextQueries {
       (s, d) => graft.text.LangModel.unigramSurprisal(docs(s, d), "doc_id", "text")
     },
 
+    // Conditional (bigram) LM surprisal — q138's next fidelity step:
+    // per-position bits = floor(log2(ctx(w1) DIV cnt(w1,w2))) with the
+    // bigram-context denominator. Pairs built columnar (slice+zip — no
+    // positional self-join); only the compact (doc,w1,w2,tf) frame
+    // shuffles.
+    Q("q151_bigram_surprisal", graft.text.LangModel.bigramSurprisalSql) {
+      (s, d) => graft.text.LangModel.bigramSurprisal(docs(s, d), "doc_id", "text")
+    },
+
     // TOP-K PER GROUP as a bounded mergeable aggregate ("best 3 docs per
     // language by length"): the window row_number formulation shuffles
     // EVERY row to its group's reducer and sorts; TopKAgg keeps a

@@ -1033,6 +1033,36 @@ final class CowTable private[storage] (
     else unionBounded(parts)
   }
 
+  /** Iceberg-style PARTITION SPEC EVOLUTION: record a new hive partition
+    * key (or None = unpartitioned) in a METADATA-ONLY commit — no file is
+    * rewritten. Old-layout files keep carrying their partition value in
+    * the directory name ([[readFiles]] recovers it per version dir via
+    * basePath inference; the other partition column always lives in the
+    * file bytes, because each layout only drops ITS OWN key from files),
+    * new writes lay out under the new key, and any rewrite (upsert,
+    * compact) adopts the new spec for the rows it touches — Iceberg's
+    * exact evolution contract (spec changes apply to NEW data; old data
+    * keeps its layout until naturally rewritten). Partition-value-scoped
+    * compact/optimize on the new key skip old-layout files (no new-key
+    * path segment → carried untouched).
+    *
+    * Returns the handle to keep using — `this` is stale after the call. */
+  def alterPartitionKey(newKey: Option[String]): CowTable = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val schema = structFromJson(m.schemaJson)
+    newKey.foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"partition column $k is not in the table schema")
+    }
+    val evolved =
+      new CowTable(spark, rootDir, config.copy(partitionKey = newKey))
+        .withClock(clockMs)
+    evolved.commitAt(parent, Nil, m.files, schema, dataChange = false)
+    evolved
+  }
+
   /** Rollback: make `version` current again by committing a NEW version
     * whose file list is version's (metadata-only — no data is copied or
     * deleted, and the rolled-back versions stay time-travelable). */

@@ -68,6 +68,73 @@ object LangModel {
           col("n_tokens").cast("double")).as("mean_bits"))
   }
 
+  /** Lowercased, empty-filtered token ARRAY per doc (adjacency-preserving:
+    * the filter runs on the array, not post-explode, so bigram neighbors
+    * are the neighbors of the CLEANED sequence on both engines). */
+  private def tokenArray(textCol: org.apache.spark.sql.Column) =
+    filter(transform(TextFunctions.tokens(textCol), t => lower(t)),
+      t => length(t) > 0)
+
+  /** Per-document CONDITIONAL (bigram) surprisal — the next fidelity step
+    * after [[unigramSurprisal]]: per-position bits are
+    * `floor(log2(ctx(w1) DIV cnt(w1,w2)))` with `ctx(w1)` the count of
+    * bigram occurrences STARTING with w1 (the correct conditional
+    * denominator, not the unigram count). Same integer-exact bit-length
+    * discipline; same scale shape (bigram pairs built columnar via
+    * slice+zip — no positional self-join; corpus text never reshuffles;
+    * only the compact (doc, w1, w2, tf) frame moves). Docs with < 2
+    * tokens are absent (no bigram evidence). */
+  def bigramSurprisal(docsDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val withT = docsDf
+      .select(col(idCol).as("doc_id"), tokenArray(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = withT.select(col("doc_id"),
+      explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val tf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // tokenize/zip once (three consumer branches)
+    val counts = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("cnt"))
+    val ctx = counts.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    val bits = (length(bin(expr("ctx DIV cnt"))) - 1).cast("long")
+    tf.join(counts, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .withColumn("__bits", bits)
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("__bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        graft.core.Parity.round4(col("total_bits").cast("double") /
+          col("n_bigrams").cast("double")).as("mean_bits"))
+  }
+
+  /** DuckDB replay of [[bigramSurprisal]]: same cleaned token list, pairs
+    * via 1-based index unnest, same integer bit-length surprisal. */
+  def bigramSurprisalSql: String =
+    raw"""WITH lt AS (SELECT doc_id, list_filter(list_transform(
+         |      string_split_regex(trim(text), '\s+'), x -> lower(x)),
+         |      x -> len(x) > 0) AS toks FROM documents),
+         |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |        FROM lt WHERE len(toks) >= 2),
+         |pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM idx),
+         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs
+         |       GROUP BY doc_id, w1, w2),
+         |counts AS (SELECT w1, w2, count(*) AS cnt FROM pairs
+         |           GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM counts
+         |        GROUP BY w1),
+         |b AS (SELECT doc_id, tf,
+         |    CAST(length(format('{:b}', ctx // cnt)) - 1 AS BIGINT) AS bits
+         |  FROM tf JOIN counts USING (w1, w2) JOIN ctx USING (w1))
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+         |  ${graft.core.Parity.round4Sql(
+             "CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)")}
+         |    AS mean_bits
+         |FROM b GROUP BY doc_id
+         |""".stripMargin
+
   /** DuckDB replay of [[unigramSurprisal]] over the `documents` table —
     * identical tokenization (see [[Search.bm25CteSql]]) and the same
     * integer bit-length surprisal. */

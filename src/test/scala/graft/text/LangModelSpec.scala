@@ -54,4 +54,38 @@ class LangModelSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(a == b && a.size == 200)
   }
+
+  // ---- bigram ----
+
+  test("bigram: hand-computed conditional bits with the context denominator") {
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; ctx: a→3, b→2
+    // bits: (a,b) = log2(3 DIV 3)=0; (b,a) = log2(2)=1; (b,c) = 1
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = LangModel.bigramSurprisal(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(out == List(
+      (1L, 3L, 1L, 0.3333), // (a,b)x2 → 0 bits, (b,a) → 1 bit
+      (2L, 2L, 1L, 0.5))) // doc 3 absent: no bigram evidence
+  }
+
+  test("bigram: adjacency survives extra whitespace and case folding") {
+    val a = LangModel.bigramSurprisal(
+      Seq((1L, "Foo   bar\tfoo")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toList
+    // cleaned sequence [foo, bar, foo] → 2 bigrams, each unique:
+    // ctx(foo)=1 DIV 1 → 0 bits; ctx(bar)=1 DIV 1 → 0 bits
+    assert(a == List((1L, 2L, 0L, 0.0)))
+  }
+
+  test("bigram: partition-independent") {
+    val big = (1 to 120)
+      .map(i => (i.toLong, s"tok${i % 5} tok${i % 3} tok${i % 2} end"))
+      .toDF("doc_id", "text")
+    val a = LangModel.bigramSurprisal(big, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = LangModel.bigramSurprisal(big.repartition(9), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b && a.size == 120)
+  }
 }
