@@ -1321,5 +1321,36 @@ object StorageQueries {
         .withColumn("c_acctbal", col("c_acctbal") + 50.0))
       t1.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")
+    },
+
+    // Deletion-vector (merge-on-read) delete lifecycle: two DV deletes
+    // attach position sidecars WITHOUT rewriting any data file (asserted
+    // on the manifests), then purge materializes the subtraction in a
+    // rewrite-only commit. Final content must equal the plain filter.
+    Q("q154_deletion_vectors",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 9 <> 0 AND c_custkey % 11 <> 0
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q154")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val cust = t(s, d, "customer")
+      val tbl = CowTable(s, root, TableConfig("customer", Seq("c_custkey"),
+        changeDataFeed = true, deletionVectors = true))
+      tbl.create(cust.repartition(4))
+      val dataPaths = tbl.manifest(1).files.map(_.path).toSet
+      tbl.delete(cust.filter(col("c_custkey") % 9 === 0)
+        .select("c_custkey"))
+      tbl.delete(cust.filter(col("c_custkey") % 11 === 0)
+        .select("c_custkey"))
+      val m = tbl.manifest(tbl.currentVersion)
+      require(m.files.map(_.path).toSet == dataPaths,
+        "DV deletes must not rewrite data files")
+      require(m.files.exists(_.dvPath.isDefined), "expected live vectors")
+      val v = tbl.purgeDeletionVectors()
+      require(tbl.manifest(v).files.forall(_.dvPath.isEmpty),
+        "purge must clear every vector")
+      tbl.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
     })
 }

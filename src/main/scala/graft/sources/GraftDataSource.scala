@@ -384,7 +384,10 @@ final class GraftScanBuilder(
 }
 
 final case class GraftInputPartition(
-    filePath: String, partitionValues: Map[String, String])
+    filePath: String, partitionValues: Map[String, String],
+    /** Deletion-vector ref: (abs sidecar dir, root-relative file path) —
+      * the reader subtracts the file's marked positions at open. */
+    dv: Option[(String, String)] = None)
   extends InputPartition
 
 /** All of one partition VALUE's files as a single input partition — the
@@ -397,7 +400,9 @@ final case class GraftInputPartition(
   * right trade only when a join will exploit it. */
 final case class GraftGroupedPartition(
     files: Seq[String], partitionValues: Map[String, String],
-    keyRow: org.apache.spark.sql.catalyst.InternalRow)
+    keyRow: org.apache.spark.sql.catalyst.InternalRow,
+    /** Per-file deletion-vector refs keyed by abs file path. */
+    dv: Map[String, (String, String)] = Map.empty)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
@@ -560,7 +565,7 @@ final class GraftScan(
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.empty()
       }
-    val rowCount = kept.map(_.rows).sum
+    val rowCount = kept.map(_.liveRows).sum
     val sizeBytes = kept.map { e =>
       if (e.bytes > 0L) e.bytes
       else scala.util.Try(java.nio.file.Files.size(root.resolve(e.path)))
@@ -684,6 +689,9 @@ final class GraftScan(
           .UnknownPartitioning(kept.size)
     }
 
+  private def dvRef(e: FileEntry): Option[(String, String)] =
+    e.dvPath.map(p => (root.resolve(p).toString, e.path))
+
   override def planInputPartitions(): Array[InputPartition] =
     keyGroups match {
       case Some(groups) =>
@@ -695,17 +703,24 @@ final class GraftScan(
             Map(pk -> raw),
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](GraftColumnarPartitionReader
-                .parsePartitionValue(raw, dt))))
+                .parsePartitionValue(raw, dt))),
+            es.flatMap(e => dvRef(e)
+              .map(root.resolve(e.path).toString -> _)).toMap)
         }.toArray
       case None => kept.map { e =>
         // hive-style partition values live in the path, not the file
         GraftInputPartition(
-          root.resolve(e.path).toString, GraftScan.hivePathValues(e.path))
+          root.resolve(e.path).toString, GraftScan.hivePathValues(e.path),
+          dvRef(e))
       }.toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, columnar, m.columnMapping)
+    // deletion-vectored files need the position-skipping row reader; the
+    // vectorized path has no per-row skip, so a scan touching any DV'd
+    // file degrades to row mode (transient until purge/compaction)
+    new GraftReaderFactory(columnar = columnar && kept.forall(_.dvPath.isEmpty),
+      required = required, mapping = m.columnMapping)
 }
 
 final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
@@ -743,10 +758,12 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
     org.apache.spark.sql.catalyst.InternalRow] = p match {
     case g: GraftGroupedPartition =>
       new GraftConcatReader(g.files.map(f => () =>
-        new GraftPartitionReader(f, physRequired, g.partitionValues)
+        new GraftPartitionReader(f, physRequired, g.partitionValues,
+          g.dv.get(f))
           : PartitionReader[org.apache.spark.sql.catalyst.InternalRow]))
     case gp: GraftInputPartition =>
-      new GraftPartitionReader(gp.filePath, physRequired, gp.partitionValues)
+      new GraftPartitionReader(gp.filePath, physRequired, gp.partitionValues,
+        gp.dv)
   }
 }
 

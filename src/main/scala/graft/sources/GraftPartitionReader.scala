@@ -32,7 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class GraftPartitionReader(
     filePath: String, required: StructType,
-    partitionValues: Map[String, String])
+    partitionValues: Map[String, String],
+    /** Deletion-vector ref (abs sidecar dir, root-relative file path):
+      * marked positions are skipped while reading sequentially. */
+    dv: Option[(String, String)] = None)
   extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -84,8 +87,19 @@ final class GraftPartitionReader(
     }
 
   private var current: Group = _
+  private val deleted: java.util.HashSet[java.lang.Long] =
+    dv.fold(new java.util.HashSet[java.lang.Long]()) { case (dirAbs, rel) =>
+      DvSidecar.positions(dirAbs, rel)
+    }
+  private var rowPos: Long = -1L
 
-  override def next(): Boolean = { current = reader.read(); current != null }
+  override def next(): Boolean = {
+    current = reader.read(); rowPos += 1
+    while (current != null && deleted.contains(rowPos)) {
+      current = reader.read(); rowPos += 1
+    }
+    current != null
+  }
 
   override def get(): InternalRow =
     new GenericInternalRow(extractors.map(_(current)))
@@ -152,4 +166,34 @@ final class GraftPartitionReader(
     }
   }
 
+}
+
+/** Executor-side loader for deletion-vector sidecars: a sidecar dir holds
+  * parquet (path, pos) rows for ALL files its commit touched; a reader
+  * wants only ITS file's positions. Sidecars are O(deleted rows) and
+  * transient (cleared by the next rewrite), so a per-reader scan of the
+  * dir is bounded and local. */
+object DvSidecar {
+  def positions(dvDirAbs: String,
+      relPath: String): java.util.HashSet[java.lang.Long] = {
+    val out = new java.util.HashSet[java.lang.Long]()
+    val dir = java.nio.file.Paths.get(dvDirAbs)
+    if (!java.nio.file.Files.isDirectory(dir)) return out
+    val parts = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+      _.iterator().asScala.toSeq)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    parts.foreach { p =>
+      val reader = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p.toString)).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getString("path", 0) == relPath)
+            out.add(g.getLong("pos", 0))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out
+  }
 }

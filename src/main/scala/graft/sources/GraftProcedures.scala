@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
 object GraftProcedures {
 
   val All: Seq[String] =
-    Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff")
+    Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
+      "evolve_partition")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -75,6 +76,23 @@ object GraftProcedures {
           StructField("deleted_files", IntegerType, nullable = false)))) {
         args =>
           Array[Any](open(str(args, 0)).vacuum(args.getInt(1)).size)
+      })
+      // CALL lake.evolve_partition('t', 'region') / ('t') to un-partition:
+      // partition-spec evolution as SQL (CowTable.alterPartitionKey —
+      // metadata-only commit; old files keep their layout). The registry
+      // entry is re-registered so future catalog opens see the new spec.
+      case "evolve_partition" => Some(proc("evolve_partition",
+        Seq(in("table", StringType),
+          in("partition_by", StringType, Some("''"))),
+        resultSchema = versionResult) { args =>
+        val newKey = Option(args.getUTF8String(1))
+          .map(_.toString).filter(_.nonEmpty)
+        val src = open(str(args, 0))
+        val evolved = src.alterPartitionKey(newKey)
+        val entry = LakeRegistry.entries(warehouse)
+          .find(_.table_name == str(args, 0)).get
+        LakeRegistry.register(warehouse, evolved.config, entry.root)
+        Array[Any](evolved.currentVersion)
       })
       case "rollback" => Some(proc("rollback",
         Seq(in("table", StringType), in("version", IntegerType)),

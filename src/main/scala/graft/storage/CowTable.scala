@@ -45,10 +45,20 @@ final case class FileEntry(
       * Merge/compaction outputs are unset (they reorganize rows), so
       * touched data naturally re-enters the next OPTIMIZE. Absent on
       * pre-upgrade manifests ⇒ never clustered (degrades to a full run). */
-    zorderBy: Option[String] = None) {
+    zorderBy: Option[String] = None,
+    /** DELETION VECTOR sidecar (merge-on-read deletes, Delta DV / Iceberg
+      * positional-delete shape): root-relative dir of a parquet of
+      * (path, pos) rows marking this file's DELETED row positions. The
+      * file's bytes are untouched — readers subtract the positions, a
+      * rewrite (upsert/compact/purge) materializes the subtraction and
+      * clears the vector. Absent ⇒ every physical row is live. */
+    dvPath: Option[String] = None,
+    /** Number of this file's positions in [[dvPath]] (live = rows − dvRows). */
+    dvRows: Long = 0L) {
   /** Stat bounds of key column `i` (0 or 1). */
   def bounds(i: Int): (Option[String], Option[String]) =
     if (i == 0) (minKey, maxKey) else (minKey2, maxKey2)
+  def liveRows: Long = rows - dvRows
 }
 
 /** One column's [min, max] footer stats (stat-string space). */
@@ -117,13 +127,14 @@ final case class CommitManifest(
       * slot onto a fresh physical name. Empty on pre-mapping manifests ⇒
       * derived from the schema (no rename/drop ever happened, so the schema
       * names are the complete history). */
-    usedPhysicalNames: Seq[String] = Nil) {
+    usedPhysicalNames: Seq[String] = Nil,
+    deletionVectors: Boolean = false) {
 
   /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
   def tableConfig(name: String): TableConfig = TableConfig(
     name, primaryKey, partitionKey, precombineKey, clusterByKey,
     maxRecordsPerFile, bloomIndex, statsColumns, changeDataFeed,
-    checkConstraints)
+    checkConstraints, deletionVectors)
 
   /** The name of `logical`'s column in data files (identity unless mapped). */
   def physicalName(logical: String): String =
@@ -493,6 +504,8 @@ final class CowTable private[storage] (
     val m = manifest(parent)
     pruneFiles(m, deleteKeys) match {
       case None => parent
+      case Some((touched, untouched)) if config.deletionVectors =>
+        deleteWithVectors(m, parent, touched, untouched, deleteKeys)
       case Some((touched, untouched)) =>
         val target = readFiles(m, touched)
         val remaining = MergeEngine.delete(target, deleteKeys, config.primaryKey)
@@ -508,6 +521,97 @@ final class CowTable private[storage] (
           parent, cdcDir = cdc,
           rebase = Some(RebaseCtx(touched.map(_.path).toSet, Some(deleteKeys))))
     }
+  }
+
+  /** MERGE-ON-READ delete ([[TableConfig.deletionVectors]]): instead of
+    * rewriting the touched files, mark the matched rows' positions in a
+    * parquet sidecar the commit's entries point at — O(matched rows)
+    * written regardless of file sizes (the COW rewrite is O(touched file
+    * bytes): a 10-row delete from a 1 GB file costs 10 positions, not
+    * 1 GB). An entry carries exactly ONE sidecar, so re-deleting from an
+    * already-vectored file folds its old positions into the new sidecar.
+    * CDF tombstones are materialized here from the matched PREIMAGE rows
+    * (config fence: deletionVectors requires changeDataFeed). Commits race
+    * via the manifest CAS loudly — no rebase for in-place entry changes. */
+  private def deleteWithVectors(
+      m: CommitManifest, parent: Int, touched: Seq[FileEntry],
+      untouched: Seq[FileEntry], deleteKeys: DataFrame): Int = {
+    val v = parent + 1
+    val withPos = readFilesWithPositions(m, touched)
+    val dKeys = deleteKeys.select(config.primaryKey.map(col): _*).distinct()
+    // one evaluation feeds positions AND cdc tombstones
+    val matches = withPos.join(dKeys, config.primaryKey, "left_semi")
+      .localCheckpoint()
+    val newPos = matches.select(col("__rel").as("path"), col("__pos").as("pos"))
+    if (matches.isEmpty) return parent // range-prune false positives only
+    val oldPos = touched.filter(_.dvPath.isDefined) match {
+      case Seq() => None
+      case withDv =>
+        val paths = withDv.map(_.path)
+        Some(withDv.map(_.dvPath.get).distinct
+          .map(p => spark.read.parquet(root.resolve(p).toString))
+          .reduce(_ unionByName _)
+          .filter(col("path").isin(paths: _*))
+          .select(col("path"), col("pos")))
+    }
+    val all = (Seq(newPos) ++ oldPos).reduce(_ unionByName _).distinct()
+    val verSeg = f"v$v%05d-" + java.util.UUID.randomUUID
+      .toString.replace("-", "").substring(0, 8)
+    val dvDirRel = s"$verSeg/dv"
+    all.coalesce(1).write.parquet(root.resolve(dvDirRel).toString)
+    val counts = spark.read.parquet(root.resolve(dvDirRel).toString)
+      .groupBy("path").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updated = touched.map(e => counts.get(e.path) match {
+      case Some(n) => e.copy(dvPath = Some(dvDirRel), dvRows = n)
+      case None => e
+    })
+    val cdc = writeCdc(
+      matches.drop("__rel", "__pos").withColumn("_change_type", lit("delete")),
+      v, m.columnMapping)
+    commitAt(parent, Nil, updated ++ untouched,
+      structFromJson(m.schemaJson), dataChange = true, cdcDir = cdc,
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
+  }
+
+  /** Rewrite every deletion-vectored file WITHOUT its deleted rows and
+    * clear the vectors — the MOR "compaction" that bounds read-side
+    * subtraction cost. O(vectored file bytes); a rewrite-only commit
+    * (dataChange=false: logical content is unchanged), so change-feed
+    * consumers receive nothing. Returns the new version (current when no
+    * file carries a vector). */
+  def purgeDeletionVectors(): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val (vectored, clean) = m.files.partition(_.dvPath.isDefined)
+    if (vectored.isEmpty) return parent
+    val v = parent + 1
+    val verSeg = f"v$v%05d-" + java.util.UUID.randomUUID
+      .toString.replace("-", "").substring(0, 8)
+    val verDir = root.resolve(verSeg)
+    val schema = structFromJson(m.schemaJson)
+    // one job per vectored file, same partition-dir discipline as compact
+    import scala.collection.parallel.CollectionConverters._
+    withStatFriendlyTimestamps {
+      vectored.zipWithIndex.par.foreach { case (e, i) =>
+        val seg = e.path.split('/').dropRight(1)
+          .find(s => config.partitionKey.exists(pk => s.startsWith(pk + "=")))
+        val outDir = seg.fold(verDir.resolve(f"purge-$i%04d"))(sg =>
+          verDir.resolve(sg).resolve(f"purge-$i%04d"))
+        val frame = readFiles(m, Seq(e)).coalesce(1)
+          .drop(config.partitionKey.toSeq: _*)
+        val physFrame =
+          if (m.columnMapping.isEmpty) frame
+          else frame.select(frame.columns.toSeq.map(c =>
+            col(c).as(m.physicalName(c))): _*)
+        physFrame.write.mode("overwrite").parquet(outDir.toString)
+      }
+    }
+    val fresh = statFiles(verDir, schema, m.columnMapping)
+    if (config.bloomIndex) writeBlooms(verDir, fresh, schema)
+    commitAt(parent, fresh, clean, schema, dataChange = false,
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
   }
 
   /** Small-file compaction: rewrite the current snapshot's files whose size
@@ -1189,11 +1293,13 @@ final class CowTable private[storage] (
     require(retainLast >= 1, "must retain at least the current version")
     val firstRetained =
       math.max(earliestReadableVersion, cur - retainLast + 1)
-    val live: Set[String] = (firstRetained to cur)
-      .flatMap(v => manifest(v).files.map(_.path)).toSet
+    def refs(v: Int): Seq[String] = {
+      val m = manifest(v)
+      m.files.map(_.path) ++ m.files.flatMap(_.dvPath)
+    }
+    val live: Set[String] = (firstRetained to cur).flatMap(refs).toSet
     val doomed = (1 until firstRetained)
-      .flatMap(v => manifest(v).files.map(_.path))
-      .distinct.filterNot(live)
+      .flatMap(refs).distinct.filterNot(live)
     // publish the low-water mark BEFORE deleting: a crash mid-delete then
     // leaves only extra undeleted files (re-collected by a later vacuum);
     // the delete-first order would leave readVersion admitting versions
@@ -1203,7 +1309,9 @@ final class CowTable private[storage] (
     Files.move(tmp, manifestDir.resolve("_vacuumed"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     doomed.foreach { p =>
-      Files.deleteIfExists(root.resolve(p))
+      val t = root.resolve(p)
+      if (Files.isDirectory(t)) CowTable.deleteRecursively(t) // dv sidecar dir
+      else Files.deleteIfExists(t)
       Files.deleteIfExists(root.resolve(p + ".bloom")) // index sidecar
     }
     // materialized change dirs of expired versions (manifest-referenced
@@ -1220,7 +1328,9 @@ final class CowTable private[storage] (
   private def sweepOrphans(cur: Int, olderThanMs: Long): Seq[String] = {
     val refSegs: Set[String] = (1 to cur).iterator.flatMap { v =>
       val m = manifest(v)
-      m.files.iterator.map(_.path.takeWhile(_ != '/')) ++ m.cdcDir.iterator
+      m.files.iterator.map(_.path.takeWhile(_ != '/')) ++
+        m.files.iterator.flatMap(_.dvPath).map(_.takeWhile(_ != '/')) ++
+        m.cdcDir.iterator
     }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     def sweep(dir: Path, rel: String => String): Seq[String] = {
@@ -1467,14 +1577,74 @@ final class CowTable private[storage] (
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
-      val groups = files.groupBy(_.path.takeWhile(_ != '/'))
-      groups.toSeq.sortBy(_._1).map { case (verSeg, fs) =>
-        val df = spark.read
+      val (dvFiles, plain) = files.partition(_.dvPath.isDefined)
+      val plainParts = plain.groupBy(_.path.takeWhile(_ != '/'))
+        .toSeq.sortBy(_._1).map { case (verSeg, fs) =>
+          val df = spark.read
+            .option("basePath", root.resolve(verSeg).toString)
+            .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+          conform(df, schema, m.columnMapping)
+        }
+      // DELETION-VECTOR files: subtract marked positions before conform.
+      // Grouped by (version seg, dv sidecar) — one anti-join per sidecar
+      // against its (root-relative path, row position) rows, broadcast
+      // (a sidecar is O(deleted rows), transient until the next rewrite).
+      val rootAbs = root.toString
+      val dvParts = dvFiles
+        .groupBy(e => (e.path.takeWhile(_ != '/'), e.dvPath.get))
+        .toSeq.sortBy(_._1).map { case ((verSeg, dvp), fs) =>
+          val raw = spark.read
+            .option("basePath", root.resolve(verSeg).toString)
+            .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+          val dv = spark.read.parquet(root.resolve(dvp).toString)
+            .select(col("path").as("__dv_path"), col("pos").as("__dv_pos"))
+          val withPos = raw.withColumn("__rel",
+            expr(s"substring(regexp_replace(_metadata.file_path, " +
+              s"'^file:', ''), ${rootAbs.length + 2})"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          val alive = withPos.join(broadcast(dv),
+            withPos("__rel") === dv("__dv_path") &&
+              withPos("__pos") === dv("__dv_pos"),
+            "left_anti")
+          conform(alive, schema, m.columnMapping)
+        }
+      (plainParts ++ dvParts).reduce(_.union(_))
+    }
+  }
+
+  /** [[readFiles]] keeping two position columns — `__rel` (root-relative
+    * file path) and `__pos` (parquet row index) — with existing deletion
+    * vectors already subtracted (a re-delete never re-marks a position).
+    * The input side of a DV delete. */
+  private def readFilesWithPositions(
+      m: CommitManifest, files: Seq[FileEntry]): DataFrame = {
+    val schema = structFromJson(m.schemaJson)
+    val rootAbs = root.toString
+    files.groupBy(e => (e.path.takeWhile(_ != '/'), e.dvPath))
+      .toSeq.sortBy(_._1).map { case ((verSeg, dvp), fs) =>
+        val raw = spark.read
           .option("basePath", root.resolve(verSeg).toString)
           .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-        conform(df, schema, m.columnMapping)
+          .withColumn("__rel",
+            expr(s"substring(regexp_replace(_metadata.file_path, " +
+              s"'^file:', ''), ${rootAbs.length + 2})"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val alive = dvp match {
+          case None => raw
+          case Some(p) =>
+            val dv = spark.read.parquet(root.resolve(p).toString)
+              .select(col("path").as("__dv_path"), col("pos").as("__dv_pos"))
+            raw.join(broadcast(dv),
+              raw("__rel") === dv("__dv_path") &&
+                raw("__pos") === dv("__dv_pos"), "left_anti")
+        }
+        val present = alive.columns.toSet
+        alive.select(schema.fields.toSeq.map { f =>
+          val p = m.columnMapping.getOrElse(f.name, f.name)
+          (if (present(p)) col(p) else lit(null))
+            .cast(f.dataType).as(f.name)
+        } ++ Seq(col("__rel"), col("__pos")): _*)
       }.reduce(_.union(_))
-    }
   }
 
   /** Project to exactly `schema`'s columns/order/types, resolving each
@@ -1659,9 +1829,16 @@ final class CowTable private[storage] (
                 s"version $wv of table ${config.tableName} changed the " +
                   "table's schema/mapping/constraints concurrently — " +
                   "cannot rebase; re-read the table and retry")
-            val prevPaths = manifest(wv - 1).files.map(_.path).toSet
+            val prevEntries = manifest(wv - 1).files
+            val prevPaths = prevEntries.map(_.path).toSet
             val removed = prevPaths -- wm.files.map(_.path).toSet
-            if ((removed & ctx.touchedPaths).nonEmpty)
+            // an in-place deletion-vector change is a REWRITE for staleness
+            // purposes: the path survives but its live rows changed, so a
+            // writer that read the file pre-DV would resurrect deleted rows
+            val prevDv = prevEntries.map(e => e.path -> e.dvPath).toMap
+            val dvChanged = wm.files.filter(f =>
+              prevDv.get(f.path).exists(_ != f.dvPath)).map(_.path).toSet
+            if (((removed ++ dvChanged) & ctx.touchedPaths).nonEmpty)
               throw new ConcurrentWriteException(
                 s"version $wv of table ${config.tableName} rewrote file(s) " +
                   "this operation read — its inputs are stale; re-read " +
@@ -1824,7 +2001,7 @@ final class CowTable private[storage] (
       partitionKey = config.partitionKey,
       keyNumeric = Try(schema(config.primaryKey.head).dataType)
         .map(statKeyNumeric).getOrElse(false),
-      rowCount = entries.map(_.rows).sum,
+      rowCount = entries.map(_.liveRows).sum,
       files = entries,
       dataChange = dataChange,
       commitTimeMs = clockMs(),
@@ -1847,6 +2024,7 @@ final class CowTable private[storage] (
           .filter(schema.fieldNames.contains),
       bloomIndex = config.bloomIndex,
       changeDataFeed = config.changeDataFeed,
+      deletionVectors = config.deletionVectors,
       precombineKey = config.precombineKey,
       clusterByKey = config.clusterByKey,
       maxRecordsPerFile = config.maxRecordsPerFile,

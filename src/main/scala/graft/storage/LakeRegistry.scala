@@ -42,10 +42,12 @@ object LakeRegistry {
       bloom_index: Boolean = false,
       stats_columns: Seq[String] = Nil,
       change_data_feed: Boolean = false,
-      check_constraints: Seq[String] = Nil) {
+      check_constraints: Seq[String] = Nil,
+      deletion_vectors: Boolean = false) {
     def config: TableConfig = TableConfig(table_name, primary_key,
       partition_key, precombine_key, cluster_by_key, max_records_per_file,
-      bloom_index, stats_columns, change_data_feed, check_constraints)
+      bloom_index, stats_columns, change_data_feed, check_constraints,
+      deletion_vectors)
   }
 
   private def legacyFile(lakeDir: String): Path =
@@ -82,7 +84,8 @@ object LakeRegistry {
     val e = Entry(config.tableName, r, config.primaryKey,
       config.partitionKey, config.precombineKey, config.clusterByKey,
       config.maxRecordsPerFile, config.bloomIndex, config.statsColumns,
-      config.changeDataFeed, config.checkConstraints)
+      config.changeDataFeed, config.checkConstraints,
+      config.deletionVectors)
     Files.createDirectories(Paths.get(lakeDir))
     var attempts = 0
     while (true) {

@@ -68,6 +68,19 @@ final case class TableConfig(
       * plan), and a violation leaves only unreferenced files. Durable:
       * carried in manifests like the other properties, so later writers
       * inherit it. */
-    checkConstraints: Seq[String] = Nil) {
+    checkConstraints: Seq[String] = Nil,
+    /** MERGE-ON-READ deletes via deletion vectors (Delta DV / Iceberg
+      * positional deletes): `delete()` marks row positions in a parquet
+      * sidecar instead of rewriting the touched files — O(matched rows)
+      * write cost regardless of file size. Readers subtract the positions;
+      * any rewrite (upsert, compact, [[CowTable.purgeDeletionVectors]])
+      * materializes the subtraction. Requires [[changeDataFeed]] (the
+      * manifest file-diff cannot see an in-place DV change, so tombstones
+      * must be materialized at delete time). */
+    deletionVectors: Boolean = false) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
+  require(!deletionVectors || changeDataFeed,
+    s"table $tableName: deletionVectors requires changeDataFeed " +
+      "(DV commits change no file paths, so the change feed must be " +
+      "materialized at delete time to stay exact)")
 }

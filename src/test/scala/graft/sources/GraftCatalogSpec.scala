@@ -268,6 +268,29 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sess.sql("CALL lake.clone('src', 'fork')") }
   }
 
+  test("CALL evolve_partition: spec change via SQL, registry follows") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.pe (id BIGINT, seg STRING, " +
+      "v DOUBLE) OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.pe VALUES (1, 'A', 1.0)")
+    val v = sess.sql("CALL lake.evolve_partition('pe', 'seg')")
+      .head().getInt(0)
+    assert(v > 1) // CREATE + INSERT versions precede the evolution commit
+    // registry now records the new spec, so a catalog write adopts it
+    assert(graft.storage.LakeRegistry.entries(lake)
+      .find(_.table_name == "pe").get.partition_key.contains("seg"))
+    sess.sql("INSERT INTO lake.default.pe VALUES (2, 'B', 2.0)")
+    val t = graft.storage.LakeRegistry.open(spark, lake, "pe")
+    assert(t.manifest(t.currentVersion).files
+      .exists(_.path.contains("seg=B")))
+    assert(sess.table("lake.default.pe").count() == 2)
+    // back to unpartitioned
+    sess.sql("CALL lake.evolve_partition('pe')")
+    assert(graft.storage.LakeRegistry.entries(lake)
+      .find(_.table_name == "pe").get.partition_key.isEmpty)
+  }
+
   test("ALTER TABLE RENAME TO swaps the catalog entry, moves no data") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)

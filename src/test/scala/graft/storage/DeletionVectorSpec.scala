@@ -1,0 +1,125 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg = TableConfig("t", Seq("id"),
+    changeDataFeed = true, deletionVectors = true)
+
+  private def rows(r: Range): DataFrame =
+    r.map(i => (i.toLong, s"n$i", i * 1.5)).toDF("id", "name", "v")
+
+  private def fresh(): CowTable = {
+    val dir = tmpDir("dv")
+    CowTable(spark, dir + "/t", cfg)
+  }
+
+  test("DV delete: no data file rewritten, read subtracts, count exact") {
+    val t = fresh()
+    t.create(rows(1 to 100).repartition(4))
+    val before = t.manifest(1).files.map(_.path).toSet
+    t.delete(Seq(3L, 50L, 97L).toDF("id"))
+    val m = t.manifest(2)
+    // same data files — only dv sidecars attached
+    assert(m.files.map(_.path).toSet == before)
+    assert(m.files.exists(_.dvPath.isDefined))
+    assert(m.files.map(_.dvRows).sum == 3)
+    assert(m.rowCount == 97)
+    val ids = t.read().select("id").as[Long].collect().toSet
+    assert(ids.size == 97 && !ids(3L) && !ids(50L) && !ids(97L))
+  }
+
+  test("re-delete folds old positions into the new sidecar") {
+    val t = fresh()
+    t.create(rows(1 to 50).coalesce(1))
+    t.delete(Seq(10L).toDF("id"))
+    t.delete(Seq(20L, 10L).toDF("id")) // 10 already gone: not re-marked
+    val m = t.manifest(t.currentVersion)
+    assert(m.files.map(_.dvRows).sum == 2)
+    assert(m.rowCount == 48)
+    assert(t.read().count() == 48)
+    // exactly one live sidecar referenced by the current version
+    assert(m.files.flatMap(_.dvPath).distinct.size == 1)
+  }
+
+  test("CDF tombstones carry the preimage rows of a DV delete") {
+    val t = fresh()
+    t.create(rows(1 to 20).coalesce(1))
+    t.delete(Seq(5L, 7L).toDF("id"))
+    val feed = t.readChangeFeed(1, 2)
+      .filter(col("_change_type") === "delete")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(feed == Set((5L, "n5"), (7L, "n7")))
+  }
+
+  test("upsert rewrite of a vectored file materializes and clears its DV") {
+    val t = fresh()
+    t.create(rows(1 to 30).coalesce(1))
+    t.delete(Seq(2L).toDF("id"))
+    t.upsert(Seq((3L, "rewritten", 0.0)).toDF("id", "name", "v"))
+    val m = t.manifest(t.currentVersion)
+    // the touched file was rewritten: no vector survives on live entries
+    assert(m.files.forall(_.dvPath.isEmpty))
+    val got = t.read().as[(Long, String, Double)].collect()
+      .map { case (i, n, _) => i -> n }.toMap
+    assert(!got.contains(2L) && got(3L) == "rewritten" && got.size == 29)
+  }
+
+  test("purgeDeletionVectors: rewrite-only commit, content identical") {
+    val t = fresh()
+    t.create(rows(1 to 40).repartition(2))
+    t.delete(Seq(1L, 2L, 39L).toDF("id"))
+    val before = t.read().as[(Long, String, Double)].collect().toSet
+    val v = t.purgeDeletionVectors()
+    val m = t.manifest(v)
+    assert(!m.dataChange)
+    assert(m.files.forall(_.dvPath.isEmpty))
+    assert(t.read().as[(Long, String, Double)].collect().toSet == before)
+    // CDF consumers receive nothing from the purge
+    assert(t.readChangeFeed(v - 1, v).isEmpty)
+    // idempotent
+    assert(t.purgeDeletionVectors() == v)
+  }
+
+  test("time travel: pre-delete version still sees every row") {
+    val t = fresh()
+    t.create(rows(1 to 25).coalesce(1))
+    t.delete(Seq(12L).toDF("id"))
+    assert(t.readVersion(1).count() == 25)
+    assert(t.readVersion(2).count() == 24)
+  }
+
+  test("DSv2 scan subtracts vectors (row mode forced)") {
+    val t = fresh()
+    t.create(rows(1 to 60).repartition(3))
+    t.delete(Seq(6L, 16L, 26L).toDF("id"))
+    val df = spark.read.format("graft").load(t.root.toString)
+    assert(df.count() == 57)
+    assert(!df.select("id").as[Long].collect().contains(6L))
+    // pushed key-range scan on a vectored table stays exact
+    assert(df.filter(col("id") <= 10).count() == 9)
+  }
+
+  test("vacuum keeps referenced sidecars, sweeps expired ones") {
+    val t = fresh()
+    t.create(rows(1 to 30).coalesce(1))
+    t.delete(Seq(1L).toDF("id")) // v2: sidecar A
+    t.delete(Seq(2L).toDF("id")) // v3: sidecar B (folds A's position)
+    val sidecarA = t.manifest(2).files.flatMap(_.dvPath).head
+    val sidecarB = t.manifest(3).files.flatMap(_.dvPath).head
+    t.vacuum(retainLast = 1, orphanOlderThanMs = Long.MaxValue)
+    assert(!java.nio.file.Files.exists(t.root.resolve(sidecarA)))
+    assert(java.nio.file.Files.exists(t.root.resolve(sidecarB)))
+    assert(t.read().count() == 28)
+  }
+
+  test("deletionVectors without changeDataFeed is rejected") {
+    intercept[IllegalArgumentException] {
+      TableConfig("bad", Seq("id"), deletionVectors = true)
+    }
+  }
+}
