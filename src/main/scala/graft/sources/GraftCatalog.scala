@@ -167,6 +167,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val cdf = Seq(Option(properties.get("changeDataFeed")),
       Option(properties.get(TableCatalog.OPTION_PREFIX + "changeDataFeed")))
       .flatten.headOption.exists(_.trim.toBoolean)
+    val dv = Seq(Option(properties.get("deletionVectors")),
+      Option(properties.get(TableCatalog.OPTION_PREFIX + "deletionVectors")))
+      .flatten.headOption.exists(_.trim.toBoolean)
     // ';'-separated (constraints themselves may contain commas)
     val constraints = Seq(Option(properties.get("checkConstraints")),
       Option(properties.get(TableCatalog.OPTION_PREFIX + "checkConstraints")))
@@ -175,7 +178,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(Nil)
     val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
       bloomIndex = bloom, statsColumns = statsCols, changeDataFeed = cdf,
-      checkConstraints = constraints)
+      checkConstraints = constraints, deletionVectors = dv)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(Paths.get(_)).getOrElse(rootOf(
         LakeRegistry.Entry(ident.name(), ident.name(), primaryKey,
@@ -344,6 +347,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(parseConstraints).getOrElse(Nil))
     case "changeDataFeed" =>
       cfg.copy(changeDataFeed = value.exists(_.trim.toBoolean))
+    case "deletionVectors" =>
+      cfg.copy(deletionVectors = value.exists(_.trim.toBoolean))
     case "statsColumns" => cfg.copy(statsColumns = value
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     case "bloomIndex" => cfg.copy(bloomIndex = value.exists(_.trim.toBoolean))

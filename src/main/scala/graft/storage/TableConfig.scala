@@ -76,7 +76,10 @@ final case class TableConfig(
       * any rewrite (upsert, compact, [[CowTable.purgeDeletionVectors]])
       * materializes the subtraction. Requires [[changeDataFeed]] (the
       * manifest file-diff cannot see an in-place DV change, so tombstones
-      * must be materialized at delete time). */
+      * must be materialized at delete time). SQL `DELETE FROM` through the
+      * DSv2 row-level path keeps its COW group rewrite (results identical —
+      * scans are DV-aware either way); the API `delete()` is the
+      * DV-accelerated path. */
     deletionVectors: Boolean = false) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
   require(!deletionVectors || changeDataFeed,

@@ -122,4 +122,20 @@ class DeletionVectorSpec extends SparkSpec {
       TableConfig("bad", Seq("id"), deletionVectors = true)
     }
   }
+
+  test("SQL surface: deletionVectors via TBLPROPERTIES reaches the config") {
+    val lake = tmpDir("dvsql")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.dvt (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true', " +
+      "deletionVectors 'true')")
+    sess.sql("INSERT INTO lake.default.dvt VALUES (1, 1.0), (2, 2.0)")
+    val t = LakeRegistry.open(spark, lake, "dvt")
+    assert(t.config.deletionVectors)
+    t.delete(Seq(1L).toDF("id"))
+    assert(t.manifest(t.currentVersion).files.exists(_.dvPath.isDefined))
+    assert(sess.table("lake.default.dvt").count() == 1)
+  }
 }
