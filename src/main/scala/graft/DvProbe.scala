@@ -98,6 +98,29 @@ object DvProbe {
       val (dvCount, tDvRead) = time { dv.read().count() }
       require(dvCount == cowCount,
         s"DV/COW divergence: $dvCount vs $cowCount")
+
+      // MOR upsert: update the SAME scattered keys (worst COW case — every
+      // touched file rewritten vs positions + one appended batch file)
+      // batch = the matched rows with a bumped quantity (types, incl. the
+      // NTZ shipdate, stay exactly the table's)
+      val batch = df.join(keys, Seq("l_orderkey", "l_linenumber"), "left_semi")
+        .withColumn("l_quantity", lit(99.0))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      val (_, tCowUp) = time { cow.upsert(batch) }
+      val (cowUpFiles, cowUpBytes) = freshBytes(cow, cow.currentVersion)
+      val (_, tDvUp) = time { dv.upsert(batch) }
+      val (dvUpFiles, dvUpBytes) = freshBytes(dv, dv.currentVersion)
+      val dvUpSidecar = dv.manifest(dv.currentVersion).files
+        .flatMap(_.dvPath).distinct.map { p =>
+          val dir = java.nio.file.Paths.get(s"$root/dv").resolve(p)
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+            _.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum)
+        }.sum
+      require(dv.read().count() == cow.read().count(),
+        "post-upsert DV/COW divergence")
+
       val (_, tPurge) = time { dv.purgeDeletionVectors() }
       val (_, tPostPurgeRead) = time { dv.read().count() }
 
@@ -110,6 +133,11 @@ object DvProbe {
         s""""dv_sidecar_bytes":$dvSidecarBytes,""" +
         s""""cow_read_sec":${f"$tCowRead%.2f"},""" +
         s""""dv_read_sec":${f"$tDvRead%.2f"},""" +
+        s""""cow_upsert_sec":${f"$tCowUp%.2f"},""" +
+        s""""cow_upsert_files":$cowUpFiles,"cow_upsert_bytes":$cowUpBytes,""" +
+        s""""dv_upsert_sec":${f"$tDvUp%.2f"},""" +
+        s""""dv_upsert_files":$dvUpFiles,"dv_upsert_bytes":$dvUpBytes,""" +
+        s""""dv_upsert_sidecar_bytes":$dvUpSidecar,""" +
         s""""purge_sec":${f"$tPurge%.2f"},""" +
         s""""post_purge_read_sec":${f"$tPostPurgeRead%.2f"}}""")
       df.unpersist(blocking = false)

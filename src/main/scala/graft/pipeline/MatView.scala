@@ -130,9 +130,48 @@ final class MatView private (
 }
 
 object MatView {
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
   /** Durable refresh bookmark: the (base, view) version pair the last
     * completed refresh agreed on. */
   private final case class Mark(baseVersion: Int, mvVersion: Int)
+
+  /** Durable MV definition, stored at `<root>/_mv_def.json` so a fresh
+    * session can refresh the view knowing only its name. */
+  final case class Def(base: String, groupCols: Seq[String],
+      sumCols: Seq[String])
+
+  /** Create a NAMED materialized view in a lake: definition persisted at
+    * the view root, state table registered in the lake catalog (readable
+    * as `lake.default.<name>`), bootstrapped with an initial refresh. */
+  def createInLake(
+      spark: SparkSession, warehouse: String, name: String, baseTable: String,
+      groupCols: Seq[String], sumCols: Seq[String]): MatView = {
+    require(!graft.storage.LakeRegistry.entries(warehouse)
+      .exists(_.table_name == name),
+      s"matview: table $name already exists in the lake catalog")
+    val root = Paths.get(warehouse).resolve(name)
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("_mv_def.json"),
+      Serialization.write(Def(baseTable, groupCols, sumCols)))
+    val mv = openInLake(spark, warehouse, name)
+    mv.refresh()
+    graft.storage.LakeRegistry.register(warehouse,
+      mv.table.config.copy(tableName = name), root.toString)
+    mv
+  }
+
+  /** Open a named MV created by [[createInLake]] (fresh-session capable:
+    * everything needed is on disk). */
+  def openInLake(
+      spark: SparkSession, warehouse: String, name: String): MatView = {
+    val root = Paths.get(warehouse).resolve(name)
+    val defPath = root.resolve("_mv_def.json")
+    require(Files.exists(defPath), s"matview: no definition at $defPath")
+    val d = Serialization.read[Def](Files.readString(defPath))
+    val base = graft.storage.LakeRegistry.open(spark, warehouse, d.base)
+    apply(spark, root.toString, base, d.groupCols, d.sumCols)
+  }
 
   /** Open (or lazily bootstrap on first refresh) an MV rooted at `root`,
     * grouping `base` by `groupCols` with COUNT(*) + SUM over `sumCols`. */

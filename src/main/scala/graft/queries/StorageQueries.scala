@@ -1323,14 +1323,21 @@ object StorageQueries {
         "c_mktsegment")
     },
 
-    // Deletion-vector (merge-on-read) delete lifecycle: two DV deletes
-    // attach position sidecars WITHOUT rewriting any data file (asserted
-    // on the manifests), then purge materializes the subtraction in a
-    // rewrite-only commit. Final content must equal the plain filter.
+    // Deletion-vector (merge-on-read) write lifecycle: two DV deletes
+    // attach position sidecars WITHOUT rewriting any data file, a MOR
+    // upsert marks preimage positions + appends the batch (re-inserting
+    // batch keys the deletes removed — standard upsert semantics), then
+    // purge materializes everything in a rewrite-only commit. All
+    // asserted on the manifests; final content must equal the plain
+    // filter+case.
     Q("q154_deletion_vectors",
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
         |FROM customer
-        |WHERE c_custkey % 9 <> 0 AND c_custkey % 11 <> 0
+        |WHERE c_custkey % 5 = 0
+        |   OR (c_custkey % 9 <> 0 AND c_custkey % 11 <> 0)
         |""".stripMargin) { (s, d) =>
       val root = tableDir("q154")
       CowTable.deleteRecursively(java.nio.file.Paths.get(root))
@@ -1347,6 +1354,11 @@ object StorageQueries {
       require(m.files.map(_.path).toSet == dataPaths,
         "DV deletes must not rewrite data files")
       require(m.files.exists(_.dvPath.isDefined), "expected live vectors")
+      tbl.upsert(cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0))
+      val m2 = tbl.manifest(tbl.currentVersion)
+      require(dataPaths.subsetOf(m2.files.map(_.path).toSet),
+        "MOR upsert must append, not rewrite")
       val v = tbl.purgeDeletionVectors()
       require(tbl.manifest(v).files.forall(_.dvPath.isEmpty),
         "purge must clear every vector")

@@ -30,7 +30,7 @@ object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
-      "evolve_partition")
+      "evolve_partition", "create_matview", "refresh_matview")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -93,6 +93,30 @@ object GraftProcedures {
           .find(_.table_name == str(args, 0)).get
         LakeRegistry.register(warehouse, evolved.config, entry.root)
         Array[Any](evolved.currentVersion)
+      })
+      // CALL lake.create_matview('daily', 'events', 'day', 'value'):
+      // incrementally-maintained additive-aggregate view as a CATALOG
+      // object — definition persisted at the view root, state queryable as
+      // lake.default.<name>, kept current by CALL refresh_matview (signed
+      // change-feed deltas; see graft.pipeline.MatView).
+      case "create_matview" => Some(proc("create_matview",
+        Seq(in("name", StringType), in("base_table", StringType),
+          in("group_by", StringType), in("sum_columns", StringType)),
+        resultSchema = versionResult) { args =>
+        val mv = graft.pipeline.MatView.createInLake(
+          SparkSession.active, warehouse, str(args, 0), str(args, 1),
+          str(args, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          str(args, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        Array[Any](mv.table.currentVersion)
+      })
+      case "refresh_matview" => Some(proc("refresh_matview",
+        Seq(in("name", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("versions_applied", IntegerType, nullable = false)))) {
+        args =>
+          Array[Any](graft.pipeline.MatView
+            .openInLake(SparkSession.active, warehouse, str(args, 0))
+            .refresh())
       })
       case "rollback" => Some(proc("rollback",
         Seq(in("table", StringType), in("version", IntegerType)),

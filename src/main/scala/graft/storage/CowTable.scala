@@ -449,6 +449,9 @@ final class CowTable private[storage] (
     val m = manifest(parent)
     pruneFiles(m, source) match {
       case None => parent // empty batch: no-op, no empty commit
+      case Some((touched, untouched)) if config.deletionVectors &&
+          config.precombineKey.isEmpty && morSchemaMatch(m, source) =>
+        morUpsert(m, parent, touched, untouched, source)
       case Some((touched, untouched)) =>
         val rb = Some(RebaseCtx(touched.map(_.path).toSet, Some(source)))
         val target = readFiles(m, touched)
@@ -544,6 +547,73 @@ final class CowTable private[storage] (
       .localCheckpoint()
     val newPos = matches.select(col("__rel").as("path"), col("__pos").as("pos"))
     if (matches.isEmpty) return parent // range-prune false positives only
+    val updated = writeFoldedSidecar(v, touched, newPos)
+    val cdc = writeCdc(
+      matches.drop("__rel", "__pos").withColumn("_change_type", lit("delete")),
+      v, m.columnMapping)
+    commitAt(parent, Nil, updated ++ untouched,
+      structFromJson(m.schemaJson), dataChange = true, cdcDir = cdc,
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
+  }
+
+  /** MOR-upsert eligibility: exact schema match (names + types) with the
+    * table — schema evolution stays on the COW path, which already owns
+    * the widening/mapping machinery. */
+  private def morSchemaMatch(m: CommitManifest, source: DataFrame): Boolean = {
+    val schema = structFromJson(m.schemaJson)
+    source.columns.toSet == schema.fieldNames.toSet &&
+      schema.fields.forall(f =>
+        source.schema(f.name).dataType == f.dataType)
+  }
+
+  /** MERGE-ON-READ upsert ([[TableConfig.deletionVectors]]): instead of
+    * rewriting the touched files, mark the MATCHED rows' positions in a
+    * sidecar and APPEND the whole source batch as fresh files — commit
+    * cost O(batch + matched rows), never O(touched file bytes) (Delta's
+    * DV-update shape). Semantics are the source-wins upsert, so the path
+    * is fenced to precombine-free tables and exact-schema batches (both
+    * fall back to the COW rewrite, same results). The appended file is
+    * unclustered until the next OPTIMIZE — the standard MOR trade. CDF
+    * materializes the same insert/update_pre/postimage rows as COW.
+    * Commits race via the manifest CAS loudly (in-place entry changes
+    * cannot rebase — a rebased carry would drop the updated entries). */
+  private def morUpsert(
+      m: CommitManifest, parent: Int, touched: Seq[FileEntry],
+      untouched: Seq[FileEntry], source0: DataFrame): Int = {
+    val v = parent + 1
+    val schema = structFromJson(m.schemaJson)
+    val source = source0.select(schema.fields.toSeq.map(f => col(f.name)): _*)
+    val withPos = readFilesWithPositions(m, touched)
+    val ks = config.primaryKey.map(col)
+    val sKeys = source.select(ks: _*).distinct()
+    val matched = withPos.join(sKeys, config.primaryKey, "left_semi")
+      .localCheckpoint()
+    val newPos = matched.select(col("__rel").as("path"), col("__pos").as("pos"))
+    val updated =
+      if (matched.isEmpty) touched // pure-insert batch: entries unchanged
+      else writeFoldedSidecar(v, touched, newPos)
+    val mKeys = matched.select(ks: _*).distinct()
+    val inserts = source.join(mKeys, config.primaryKey, "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    val postimages = source.join(mKeys, config.primaryKey, "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+    val preimages = matched.drop("__rel", "__pos")
+      .withColumn("_change_type", lit("update_preimage"))
+    val cdc = writeCdc(
+      inserts.unionByName(postimages).unionByName(preimages), v,
+      m.columnMapping)
+    writeVersion(source, schema, untouched ++ updated, parent,
+      cdcDir = cdc,
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
+  }
+
+  /** Write version `v`'s deletion-vector sidecar: `newPos` (path, pos)
+    * rows FOLDED with the prior positions of every touched file (an entry
+    * points at exactly ONE sidecar), and return the touched entries with
+    * updated refs/counts. Sidecar dir is writer-unique — a losing CAS
+    * leaves an inert orphan, same as data files. */
+  private def writeFoldedSidecar(
+      v: Int, touched: Seq[FileEntry], newPos: DataFrame): Seq[FileEntry] = {
     val oldPos = touched.filter(_.dvPath.isDefined) match {
       case Seq() => None
       case withDv =>
@@ -555,23 +625,16 @@ final class CowTable private[storage] (
           .select(col("path"), col("pos")))
     }
     val all = (Seq(newPos) ++ oldPos).reduce(_ unionByName _).distinct()
-    val verSeg = f"v$v%05d-" + java.util.UUID.randomUUID
-      .toString.replace("-", "").substring(0, 8)
-    val dvDirRel = s"$verSeg/dv"
+    val dvDirRel = f"v$v%05d-" + java.util.UUID.randomUUID
+      .toString.replace("-", "").substring(0, 8) + "/dv"
     all.coalesce(1).write.parquet(root.resolve(dvDirRel).toString)
     val counts = spark.read.parquet(root.resolve(dvDirRel).toString)
       .groupBy("path").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val updated = touched.map(e => counts.get(e.path) match {
+    touched.map(e => counts.get(e.path) match {
       case Some(n) => e.copy(dvPath = Some(dvDirRel), dvRows = n)
       case None => e
     })
-    val cdc = writeCdc(
-      matches.drop("__rel", "__pos").withColumn("_change_type", lit("delete")),
-      v, m.columnMapping)
-    commitAt(parent, Nil, updated ++ untouched,
-      structFromJson(m.schemaJson), dataChange = true, cdcDir = cdc,
-      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
   }
 
   /** Rewrite every deletion-vectored file WITHOUT its deleted rows and

@@ -69,11 +69,15 @@ final case class TableConfig(
       * carried in manifests like the other properties, so later writers
       * inherit it. */
     checkConstraints: Seq[String] = Nil,
-    /** MERGE-ON-READ deletes via deletion vectors (Delta DV / Iceberg
+    /** MERGE-ON-READ writes via deletion vectors (Delta DV / Iceberg
       * positional deletes): `delete()` marks row positions in a parquet
       * sidecar instead of rewriting the touched files — O(matched rows)
-      * write cost regardless of file size. Readers subtract the positions;
-      * any rewrite (upsert, compact, [[CowTable.purgeDeletionVectors]])
+      * write cost regardless of file size — and `upsert()` marks the
+      * matched preimage positions + APPENDS the batch (O(batch), Delta's
+      * DV-update shape; precombine tables and schema-evolving batches
+      * fall back to the COW rewrite with identical results). Readers
+      * subtract the positions; a COW rewrite (compact,
+      * [[CowTable.purgeDeletionVectors]], fallback upsert)
       * materializes the subtraction. Requires [[changeDataFeed]] (the
       * manifest file-diff cannot see an in-place DV change, so tombstones
       * must be materialized at delete time). SQL `DELETE FROM` through the

@@ -291,6 +291,37 @@ class GraftCatalogSpec extends SparkSpec {
       .find(_.table_name == "pe").get.partition_key.isEmpty)
   }
 
+  test("CALL create_matview/refresh_matview: incremental MV as a catalog object") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.sales (id BIGINT, region STRING, " +
+      "amt DOUBLE) OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.sales VALUES " +
+      "(1, 'eu', 10.0), (2, 'us', 20.0), (3, 'eu', 5.0)")
+    sess.sql(
+      "CALL lake.create_matview('sales_by_region', 'sales', 'region', 'amt')")
+    def snap() = sess.table("lake.default.sales_by_region")
+      .select("region", "n_rows", "sum_amt")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSet
+    assert(snap() == Set(("eu", 2L, 15.0), ("us", 1L, 20.0)))
+    // base mutates through SQL; refresh applies the delta
+    sess.sql("INSERT INTO lake.default.sales VALUES (4, 'us', 7.0)")
+    sess.sql("DELETE FROM lake.default.sales WHERE id = 3")
+    val applied = sess.sql("CALL lake.refresh_matview('sales_by_region')")
+      .head().getInt(0)
+    assert(applied == 2)
+    assert(snap() == Set(("eu", 1L, 10.0), ("us", 2L, 27.0)))
+    // idempotent
+    assert(sess.sql("CALL lake.refresh_matview('sales_by_region')")
+      .head().getInt(0) == 0)
+    // name collision fails loud
+    intercept[Exception] {
+      sess.sql(
+        "CALL lake.create_matview('sales_by_region', 'sales', 'region', 'amt')")
+    }
+  }
+
   test("ALTER TABLE RENAME TO swaps the catalog entry, moves no data") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)

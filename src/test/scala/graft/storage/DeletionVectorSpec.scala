@@ -56,17 +56,58 @@ class DeletionVectorSpec extends SparkSpec {
     assert(feed == Set((5L, "n5"), (7L, "n7")))
   }
 
-  test("upsert rewrite of a vectored file materializes and clears its DV") {
+  test("MOR upsert: no rewrite — positions marked, batch appended") {
     val t = fresh()
     t.create(rows(1 to 30).coalesce(1))
+    val basePaths = t.manifest(1).files.map(_.path).toSet
     t.delete(Seq(2L).toDF("id"))
-    t.upsert(Seq((3L, "rewritten", 0.0)).toDF("id", "name", "v"))
+    t.upsert(Seq((3L, "updated", 0.0), (31L, "new", 1.0))
+      .toDF("id", "name", "v"))
     val m = t.manifest(t.currentVersion)
-    // the touched file was rewritten: no vector survives on live entries
-    assert(m.files.forall(_.dvPath.isEmpty))
+    // the original file survives untouched, with 2 marked positions
+    // (the delete + the update's preimage); the batch landed as a fresh file
+    assert(basePaths.subsetOf(m.files.map(_.path).toSet))
+    assert(m.files.filter(e => basePaths(e.path)).map(_.dvRows).sum == 2)
+    assert(m.files.exists(e => !basePaths(e.path)))
+    assert(m.rowCount == 30) // 30 - deleted 2 + inserted 31
     val got = t.read().as[(Long, String, Double)].collect()
       .map { case (i, n, _) => i -> n }.toMap
-    assert(!got.contains(2L) && got(3L) == "rewritten" && got.size == 29)
+    assert(!got.contains(2L) && got(3L) == "updated" &&
+      got(31L) == "new" && got.size == 30)
+  }
+
+  test("MOR upsert CDF: insert + update pre/post images materialized") {
+    val t = fresh()
+    t.create(rows(1 to 10).coalesce(1))
+    t.upsert(Seq((5L, "upd", 9.9), (11L, "ins", 1.1)).toDF("id", "name", "v"))
+    val feed = t.readChangeFeed(1, 2)
+      .select("id", "name", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(feed == Set(
+      (11L, "ins", "insert"),
+      (5L, "upd", "update_postimage"),
+      (5L, "n5", "update_preimage")))
+  }
+
+  test("MOR upsert ≡ COW upsert (same final content)") {
+    val dirC = tmpDir("mor")
+    val cow = CowTable(spark, dirC + "/c",
+      TableConfig("c", Seq("id"), changeDataFeed = true))
+    val mor = CowTable(spark, dirC + "/m", cfg)
+    val base = rows(1 to 40).repartition(2)
+    cow.create(base); mor.create(base)
+    val batch = Seq((7L, "x", 0.1), (8L, "y", 0.2), (41L, "z", 0.3))
+      .toDF("id", "name", "v")
+    cow.upsert(batch); mor.upsert(batch)
+    mor.delete(Seq(9L).toDF("id")); cow.delete(Seq(9L).toDF("id"))
+    assert(mor.read().as[(Long, String, Double)].collect().toSet ==
+      cow.read().as[(Long, String, Double)].collect().toSet)
+    // schema-evolving batches fall back to the COW path, same results
+    val wide = Seq((1L, "w", 1.0, "extra")).toDF("id", "name", "v", "note")
+    cow.upsert(wide); mor.upsert(wide)
+    assert(mor.read().columns.toSet == cow.read().columns.toSet)
+    assert(mor.read().select("id", "name", "note").where(col("id") === 1)
+      .as[(Long, String, String)].head() == (1L, "w", "extra"))
   }
 
   test("purgeDeletionVectors: rewrite-only commit, content identical") {
