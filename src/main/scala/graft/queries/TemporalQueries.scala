@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Paths
 
 import graft.core.{Q, Tables}
-import graft.operators.{AsOfJoin, GapFill, RangeJoin, Sessionize, SweepLine}
+import graft.operators.{AsOfJoin, Funnel, GapFill, RangeJoin, Sessionize, SweepLine}
 import graft.storage.CowTable
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -396,5 +396,60 @@ object TemporalQueries {
         t(s, d, "events"), "user_id", "ts", "event_id",
         gapSeconds = 14400L, valueCol = col("value"))
       SweepLine.dailyConcurrency(sessions, "session_start", "session_end")
+    },
+
+    // Ordered funnel (signup → click → purchase): per-user stage-reach
+    // times as chained whole-partition window mins — ONE key shuffle, no
+    // self-joins (see Funnel scaladoc); the oracle replays the textbook
+    // three-join form.
+    Q("q155_funnel",
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, min(e.ts) AS t2 FROM s1
+        |       JOIN ev e ON e.user_id = s1.user_id
+        |        AND e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT s2.user_id, min(e.ts) AS t3 FROM s2
+        |       JOIN ev e ON e.user_id = s2.user_id
+        |        AND e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+        |       count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |""".stripMargin) { (s, d) =>
+      Funnel.counts(t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+    },
+
+    // Weekly cohort retention: users grouped by the week of their FIRST
+    // event; for each later week, how many of the cohort were active.
+    // Two hash aggregates + one user-keyed join — the event log shuffles
+    // once on user_id, never per offset.
+    Q("q156_cohort_retention",
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |first_wk AS (SELECT user_id, min(wk) AS cohort_week FROM ev
+        |             GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |          CAST(date_diff('day', f.cohort_week, e.wk) / 7 AS BIGINT)
+        |            AS week_offset
+        |        FROM ev e JOIN first_wk f ON f.user_id = e.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS n_active
+        |FROM act GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val firstWk = ev.groupBy("user_id")
+        .agg(min(col("wk")).as("cohort_week"))
+      ev.join(firstWk, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
     })
 }

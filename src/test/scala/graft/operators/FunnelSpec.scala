@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*): DataFrame =
+    rows.toSeq.toDF("user_id", "ts_s", "event_type")
+      .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+
+  private val stages = Seq("signup", "click", "purchase")
+
+  test("order matters: stages only count after the previous stage") {
+    val df = ev(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 01:00:00", "click"),
+      (1L, "2024-01-01 02:00:00", "purchase"),
+      // user 2: clicked BEFORE signup, clicked never after → funnel breaks
+      (2L, "2024-01-01 00:00:00", "click"),
+      (2L, "2024-01-01 01:00:00", "signup"),
+      (2L, "2024-01-01 02:00:00", "purchase"),
+      // user 3: no signup at all → not in the funnel
+      (3L, "2024-01-01 00:00:00", "click"))
+    val out = Funnel.counts(df, "user_id", "ts", "event_type", stages)
+      .orderBy("step_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "signup", 2L), // users 1 and 2
+      (2L, "click", 1L), // only user 1 clicked after signup
+      (3L, "purchase", 1L)))
+  }
+
+  test("tie at the same instant satisfies the next stage (inclusive)") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 00:00:00", "click"))
+    val times = Funnel.stageTimes(df, "user_id", "ts", "event_type",
+      Seq("signup", "click"))
+      .select("t_1", "t_2")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    assert(times._1 == times._2)
+  }
+
+  test("earliest valid occurrence wins per stage") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 03:00:00", "click"),
+      (1L, "2024-01-01 01:00:00", "click"), // earlier, still after signup
+      (1L, "2024-01-01 02:00:00", "purchase")) // after t2=01:00 → counts
+    val times = Funnel.stageTimes(df, "user_id", "ts", "event_type", stages)
+      .select("t_2", "t_3")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    assert(times._1 == java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(times._2 == java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
+  }
+
+  test("single shuffle: one Exchange in the stage-times plan") {
+    val df = ev((1L, "2024-01-01 00:00:00", "signup"))
+    val plan = Funnel.stageTimes(df, "user_id", "ts", "event_type", stages)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (windows + agg):\n$plan")
+  }
+}
