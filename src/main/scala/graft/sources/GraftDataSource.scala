@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 connector for CowTable — the catalog-integration surface
@@ -263,9 +263,11 @@ final class GraftScanBuilder(
     columnar: Boolean = true,
     streamOpts: GraftStreamOptions = GraftStreamOptions())
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
+  private var countStarWidth = 0 // >0 ⇒ COUNT(*) answered from the manifest
   private var pushed: Array[Filter] = Array.empty
   private var bounds: Seq[(Option[Any], Option[Any])] = Nil
   private var partValues: Option[Set[String]] = None
@@ -364,10 +366,51 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COMPLETE COUNT(*) pushdown: an unfiltered, ungrouped count is exactly
+    * the manifest's live-row sum (rows − dvRows per file) — zero data IO,
+    * O(files) driver metadata. Spark only attempts aggregate pushdown when
+    * every filter was consumed; this builder keeps all filters residual
+    * (pushFilters returns them), so acceptance here implies a truly
+    * unfiltered scan and the manifest count is exact. Change-feed reads
+    * count change HISTORY rows, not the snapshot — never pushed. */
+  private def countStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    !streamOpts.readChangeFeed &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countStarOnly(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!countStarOnly(agg)) return false
+    countStarWidth = agg.aggregateExpressions.length
+    true
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan = {
+    if (countStarWidth > 0) {
+      val n = m.files.map(_.liveRows).sum
+      val schema = StructType((1 to countStarWidth).map(i =>
+        StructField(s"count_star_$i", LongType, nullable = false)))
+      return new Scan with org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array.fill[Any](countStarWidth)(n)))
+        override def description(): String =
+          s"graft count-star pushdown v${m.version} ($n rows, 0 files read)"
+      }
+    }
     required.fields.foreach { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType =>

@@ -80,6 +80,20 @@ class MatViewSpec extends SparkSpec {
     assert(view(mv) == recompute(base))
   }
 
+  test("MV over a deletion-vector base: MOR deltas apply exactly") {
+    val dir = tmpDir("mv")
+    val base = CowTable(spark, dir + "/base",
+      TableConfig("base", Seq("id"),
+        changeDataFeed = true, deletionVectors = true))
+    base.create(rows((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)))
+    val mv = MatView(spark, dir + "/mv", base, Seq("grp"), Seq("v"))
+    mv.refresh()
+    base.delete(Seq(2L).toDF("id")) // DV delete: tombstones from the sidecar commit
+    base.upsert(rows((3, "a", 9.0), (4, "b", 4.0))) // MOR upsert: marked + appended
+    mv.refresh()
+    assert(view(mv) == recompute(base))
+  }
+
   test("multiple group columns and multiple measures") {
     val dir = tmpDir("mv")
     val df = Seq((1L, "a", "x", 1.0, 10.0), (2L, "a", "y", 2.0, 20.0),

@@ -44,6 +44,31 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(eq.as[(Long, String)].collect().toSeq == Seq((42L, "n42")))
   }
 
+  test("COUNT(*) answers from the manifest: zero files read, DV-exact") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      changeDataFeed = true, deletionVectors = true))
+    t.create((1L to 200L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2))
+    t.delete(Seq(5L, 6L).toDF("id")) // live rows now come from rows − dvRows
+    val df = spark.read.format("graft").load(dir + "/t")
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("count_star_"),
+      s"expected the manifest count scan in:\n$plan")
+    assert(counted.head().getLong(0) == 198L)
+    // a filtered count must NOT push (filters stay residual → no pushdown)
+    val filtered = df.filter($"id" <= 10).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("count_star_"))
+    assert(filtered.head().getLong(0) == 8L) // 1..10 minus deleted 5,6
+    // grouped counts never push either
+    val grouped = df.groupBy($"name").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("count_star_"))
+    assert(grouped.count() == 198L)
+  }
+
   test("column pruning reaches the parquet projection") {
     val dir = tmpDir("dsv2")
     CowTable(spark, dir + "/t", TableConfig("t", Seq("id"))).create(mixedDf)
