@@ -59,4 +59,39 @@ object GapFill {
         coalesce(col("_v"), lit(0).cast("decimal(28,10)")).cast("double")
           .as("total_value"))
   }
+
+  /** [[dailyResample]] with LINEAR INTERPOLATION instead of zero-fill:
+    * each missing day's value is interpolated between the nearest
+    * observed days (`IGNORE NULLS` window carry both directions). The
+    * spine spans [first, last] OBSERVED day per key, so every gap day has
+    * both neighbors by construction — no edge extrapolation case. Adds
+    * two window passes over the (key, day) spine (same key partitioning
+    * as the join — one shuffle total); `value_interp` is Parity-rounded
+    * (the lerp divide is IEEE-identical cross-engine, rounding guards the
+    * hash compare). */
+  def dailyInterpolate(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: Column,
+      maxSpanDays: Int = 3660): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filled = dailyResample(events, keyCol, tsCol, valueCol, maxSpanDays)
+    val obsVal = when(col("n_events") > 0, col("total_value"))
+    val obsDay = when(col("n_events") > 0, col("day"))
+    val wPrev = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled
+      .withColumn("_pv", last(obsVal, ignoreNulls = true).over(wPrev))
+      .withColumn("_pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(obsVal, ignoreNulls = true).over(wNext))
+      .withColumn("_nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .select(col(keyCol), col("day"), col("n_events"),
+        graft.core.Parity.round4(
+          when(col("n_events") > 0, col("total_value"))
+            .otherwise(col("_pv") +
+              (col("_nv") - col("_pv")) *
+                datediff(col("day"), col("_pd")).cast("double") /
+                datediff(col("_nd"), col("_pd")).cast("double")))
+          .as("value_interp"))
+  }
 }

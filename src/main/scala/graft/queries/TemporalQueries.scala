@@ -398,6 +398,51 @@ object TemporalQueries {
       SweepLine.dailyConcurrency(sessions, "session_start", "session_end")
     },
 
+    // Linear-interpolation resample: q144's spine with gap days LERPed
+    // between the nearest observed days (IGNORE NULLS window carry in both
+    // directions; every gap day has both neighbors because the spine spans
+    // observed days only). One key shuffle shared by join + windows.
+    Q("q157_interpolate",
+      s"""WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+         |              AS day, value FROM events),
+         |daily AS (SELECT user_id, day, count(*) AS n_events,
+         |            sum(CAST(value AS DECIMAL(28,10))) AS v
+         |          FROM ev GROUP BY 1, 2),
+         |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |           FROM daily GROUP BY 1),
+         |spine AS (SELECT user_id,
+         |            CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |              CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |          FROM bounds),
+         |f AS (SELECT s.user_id, s.day,
+         |        coalesce(d.n_events, 0) AS n_events,
+         |        CAST(d.v AS DOUBLE) AS ov, d.day AS od
+         |      FROM spine s LEFT JOIN daily d
+         |        ON d.user_id = s.user_id AND d.day = s.day),
+         |w AS (SELECT user_id, day, n_events,
+         |        last_value(ov IGNORE NULLS) OVER wp AS pv,
+         |        last_value(od IGNORE NULLS) OVER wp AS pd,
+         |        first_value(ov IGNORE NULLS) OVER wn AS nv,
+         |        first_value(od IGNORE NULLS) OVER wn AS nd,
+         |        ov
+         |      FROM f
+         |      WINDOW wp AS (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wn AS (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, day, n_events,
+         |  ${graft.core.Parity.round4Sql(
+             """CASE WHEN n_events > 0 THEN ov
+               |     ELSE pv + (nv - pv)
+               |       * CAST(date_diff('day', pd, day) AS DOUBLE)
+               |       / CAST(date_diff('day', pd, nd) AS DOUBLE) END"""
+               .stripMargin)} AS value_interp
+         |FROM w
+         |""".stripMargin) { (s, d) =>
+      GapFill.dailyInterpolate(
+        t(s, d, "events"), "user_id", "ts", col("value"))
+    },
+
     // Ordered funnel (signup → click → purchase): per-user stage-reach
     // times as chained whole-partition window mins — ONE key shuffle, no
     // self-joins (see Funnel scaladoc); the oracle replays the textbook

@@ -51,6 +51,32 @@ class GapFillSweepSpec extends SparkSpec {
       e.getCause != null)
   }
 
+  test("interpolate: gap days lerp between observed neighbors") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-04 09:00:00", 40.0)) // 3-day gap → 20, 30
+    val out = GapFill.dailyInterpolate(df, "user_id", "ts", col("value"))
+      .orderBy("day")
+      .select(col("day").cast("string"), col("value_interp"))
+      .as[(String, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 10.0),
+      ("2024-01-02", 20.0),
+      ("2024-01-03", 30.0),
+      ("2024-01-04", 40.0)))
+  }
+
+  test("interpolate: observed days keep their exact value, incl. zero sums") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-02 10:00:00", -5.0),
+      (1L, "2024-01-02 11:00:00", 5.0), // observed day summing to 0.0
+      (1L, "2024-01-03 10:00:00", 8.0))
+    val out = GapFill.dailyInterpolate(df, "user_id", "ts", col("value"))
+      .orderBy("day").select("value_interp").as[Double].collect().toSeq
+    assert(out == Seq(5.0, 0.0, 8.0)) // day 2 is OBSERVED zero, not lerped
+  }
+
   // ---- SweepLine ----
 
   private def iv(rows: (String, String)*): DataFrame =
