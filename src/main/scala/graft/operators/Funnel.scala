@@ -19,25 +19,40 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: stage times are INCLUSIVE of ties (an event at exactly the
   * previous stage's reach time counts — the same instant can satisfy two
-  * stages), matching the SQL replay `e.ts >= prev.t`.
+  * stages), matching the SQL replay `e.ts >= prev.t`. With `maxGapSeconds`
+  * the match is FIRST-TOUCH (each stage anchors at its earliest valid
+  * time — the Amplitude/GA convention): a user whose EARLIEST signup's
+  * window expired is not re-anchored to a later signup, deliberately.
   */
 object Funnel {
 
   /** Per-key stage-reach times: (key, t_1 .. t_k), t_i null once the
-    * funnel broke. Rows = distinct keys with at least stage-1. */
+    * funnel broke. Rows = distinct keys with at least stage-1.
+    * `maxGapSeconds` bounds each step: stage k must happen within that
+    * many seconds of stage k-1's reach time (the "converted within 7
+    * days" form), compared in exact int64 micros. */
   def stageTimes(
       events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val w = Window.partitionBy(keyCol)
-    val staged = stages.zipWithIndex.foldLeft(events) {
+    val tsUs = EventTime.micros(events, tsCol)
+    val staged = stages.zipWithIndex.foldLeft(
+      events.withColumn("__us", tsUs)) {
       case (df, (stage, i)) =>
-        val cond =
+        val afterPrev =
           if (i == 0) col(typeCol) === stage
           else col(typeCol) === stage &&
             col(s"__t$i").isNotNull && col(tsCol) >= col(s"__t$i")
+        val cond = maxGapSeconds match {
+          case Some(g) if i > 0 =>
+            afterPrev && col("__us") - col(s"__u$i") <= g * 1000000L
+          case _ => afterPrev
+        }
         df.withColumn(s"__t${i + 1}",
-          min(when(cond, col(tsCol))).over(w))
+            min(when(cond, col(tsCol))).over(w))
+          .withColumn(s"__u${i + 1}",
+            min(when(cond, col("__us"))).over(w))
     }
     staged
       .groupBy(col(keyCol))
@@ -51,8 +66,9 @@ object Funnel {
     * order), plus the stage index for stable ordering. */
   def counts(
       events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
-      stages: Seq[String]): DataFrame = {
-    val times = stageTimes(events, keyCol, tsCol, typeCol, stages)
+      stages: Seq[String], maxGapSeconds: Option[Long] = None): DataFrame = {
+    val times = stageTimes(events, keyCol, tsCol, typeCol, stages,
+      maxGapSeconds)
     val agg = times.agg(
       count(when(col("t_1").isNotNull, 1)).as("n_1"),
       (2 to stages.size).map(i =>

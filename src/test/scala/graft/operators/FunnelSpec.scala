@@ -57,6 +57,25 @@ class FunnelSpec extends SparkSpec {
     assert(times._2 == java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
   }
 
+  test("maxGap bounds each step: late conversions fall out of the funnel") {
+    val df = ev(
+      // user 1: click 1h after signup → inside a 2h gap
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 01:00:00", "click"),
+      // user 2: click 3h after signup → outside the 2h gap
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-01 03:00:00", "click"))
+    val out = Funnel.counts(df, "user_id", "ts", "event_type",
+        Seq("signup", "click"), maxGapSeconds = Some(7200L))
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "signup", 2L), (2L, "click", 1L)))
+    // boundary: exactly maxGap counts (inclusive)
+    val boundary = Funnel.counts(df, "user_id", "ts", "event_type",
+        Seq("signup", "click"), maxGapSeconds = Some(10800L))
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(boundary == Seq((1L, "signup", 2L), (2L, "click", 2L)))
+  }
+
   test("single shuffle: one Exchange in the stage-times plan") {
     val df = ev((1L, "2024-01-01 00:00:00", "signup"))
     val plan = Funnel.stageTimes(df, "user_id", "ts", "event_type", stages)
