@@ -267,7 +267,9 @@ final class GraftScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
-  private var countStarWidth = 0 // >0 ⇒ COUNT(*) answered from the manifest
+  // set when the whole aggregation is answerable from the manifest:
+  // (output schema, the single pre-computed result row)
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
   private var pushed: Array[Filter] = Array.empty
   private var bounds: Seq[(Option[Any], Option[Any])] = Nil
   private var partValues: Option[Set[String]] = None
@@ -366,49 +368,107 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** COMPLETE COUNT(*) pushdown: an unfiltered, ungrouped count is exactly
-    * the manifest's live-row sum (rows − dvRows per file) — zero data IO,
-    * O(files) driver metadata. Spark only attempts aggregate pushdown when
-    * every filter was consumed; this builder keeps all filters residual
-    * (pushFilters returns them), so acceptance here implies a truly
-    * unfiltered scan and the manifest count is exact. Change-feed reads
-    * count change HISTORY rows, not the snapshot — never pushed. */
-  private def countStarOnly(
+  /** COMPLETE aggregate pushdown from the manifest — zero data IO,
+    * O(files) driver metadata:
+    *  - COUNT(*): the live-row sum (rows − dvRows per file);
+    *  - MIN/MAX of the LEADING primary-key column: the extremum of the
+    *    per-file footer stats, decodable exactly for numeric/temporal
+    *    keys (stat-string space is the typed value / epoch micros / epoch
+    *    days; parquet numeric footers are exact and null-ignoring, the
+    *    same semantics as SQL MIN/MAX) — REJECTED when any file carries a
+    *    deletion vector (the extremum may be deleted), lacks key stats
+    *    (all-null key file), or the stat string isn't a finite numeral
+    *    (NaN/Infinity doubles).
+    * Spark only attempts aggregate pushdown when every filter was
+    * consumed; this builder keeps all filters residual (pushFilters
+    * returns them), so acceptance implies a truly unfiltered scan.
+    * Change-feed reads aggregate change HISTORY, never pushed. */
+  private def tryManifestAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    !streamOpts.readChangeFeed &&
-      agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (streamOpts.readChangeFeed || agg.groupByExpressions.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) return None
+    val pk = m.primaryKey.headOption.getOrElse(return None)
+    val pkType = fullSchema.find(_.name == pk).map(_.dataType)
+      .getOrElse(return None)
+    def isPk(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq(pk)
+      case _ => false
+    }
+    def decodable: Boolean = pkType match {
+      case LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def decode(s: String): Any = pkType match {
+      case LongType => s.toLong
+      case org.apache.spark.sql.types.IntegerType => s.toInt
+      case org.apache.spark.sql.types.ShortType => s.toShort
+      case org.apache.spark.sql.types.ByteType => s.toByte
+      case org.apache.spark.sql.types.DoubleType => s.toDouble
+      case org.apache.spark.sql.types.FloatType => s.toFloat
+      case org.apache.spark.sql.types.DateType => s.toLong.toInt // epoch days
+      case _ => s.toLong // timestamps: internal rep IS epoch micros
+    }
+    def statsUsable: Boolean =
+      m.files.forall(e => e.dvPath.isEmpty &&
+        e.minKey.isDefined && e.maxKey.isDefined &&
+        scala.util.Try(BigDecimal(e.minKey.get) +
+          BigDecimal(e.maxKey.get)).isSuccess)
+    lazy val minStr = m.files.map(_.minKey.get).minBy(BigDecimal(_))
+    lazy val maxStr = m.files.map(_.maxKey.get).maxBy(BigDecimal(_))
+    val n = m.files.map(_.liveRows).sum
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions.zipWithIndex.foreach {
+      case (_: CountStar, i) =>
+        fields += StructField(s"manifest_agg_$i", LongType, nullable = false)
+        values += n
+      case (mn: Min, i) if isPk(mn.column) && decodable =>
+        if (!statsUsable) return None
+        fields += StructField(s"manifest_agg_$i", pkType, nullable = true)
+        values += (if (m.files.isEmpty) null else decode(minStr))
+      case (mx: Max, i) if isPk(mx.column) && decodable =>
+        if (!statsUsable) return None
+        fields += StructField(s"manifest_agg_$i", pkType, nullable = true)
+        values += (if (m.files.isEmpty) null else decode(maxStr))
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), values.toArray))
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = countStarOnly(agg)
+      : Boolean = tryManifestAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    if (!countStarOnly(agg)) return false
-    countStarWidth = agg.aggregateExpressions.length
-    true
+    pushedAgg = tryManifestAgg(agg)
+    pushedAgg.isDefined
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan = {
-    if (countStarWidth > 0) {
-      val n = m.files.map(_.liveRows).sum
-      val schema = StructType((1 to countStarWidth).map(i =>
-        StructField(s"count_star_$i", LongType, nullable = false)))
+    pushedAgg.foreach { case (schema, values) =>
       return new Scan with org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
           Array(new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array.fill[Any](countStarWidth)(n)))
+            .GenericInternalRow(values))
         override def description(): String =
-          s"graft count-star pushdown v${m.version} ($n rows, 0 files read)"
+          s"graft manifest-agg pushdown v${m.version} (0 files read)"
       }
     }
     required.fields.foreach { f =>

@@ -54,19 +54,46 @@ class GraftDataSourceSpec extends SparkSpec {
     val df = spark.read.format("graft").load(dir + "/t")
     val counted = df.groupBy().count()
     val plan = counted.queryExecution.executedPlan.toString
-    assert(plan.contains("count_star_"),
+    assert(plan.contains("manifest_agg_"),
       s"expected the manifest count scan in:\n$plan")
     assert(counted.head().getLong(0) == 198L)
     // a filtered count must NOT push (filters stay residual → no pushdown)
     val filtered = df.filter($"id" <= 10).groupBy().count()
     assert(!filtered.queryExecution.executedPlan.toString
-      .contains("count_star_"))
+      .contains("manifest_agg_"))
     assert(filtered.head().getLong(0) == 8L) // 1..10 minus deleted 5,6
     // grouped counts never push either
     val grouped = df.groupBy($"name").count()
     assert(!grouped.queryExecution.executedPlan.toString
-      .contains("count_star_"))
+      .contains("manifest_agg_"))
     assert(grouped.count() == 198L)
+  }
+
+  test("MIN/MAX of the leading key answer from footer stats; DV rejects") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    val df = spark.read.format("graft").load(dir + "/t")
+    val agg = df.agg(min($"id"), max($"id"), count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(agg.as[(Long, Long, Long)].head() == (1L, 400L, 400L))
+    // a non-key column never pushes (no stats)
+    val byName = df.agg(min($"name"))
+    assert(!byName.queryExecution.executedPlan.toString
+      .contains("manifest_agg_"))
+    assert(byName.head().getString(0) == "n1")
+
+    // deletion vectors poison the extremum → whole aggregation falls back
+    val dv = CowTable(spark, dir + "/dv", TableConfig("dv", Seq("id"),
+      changeDataFeed = true, deletionVectors = true))
+    dv.create((1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"))
+    dv.delete(Seq(1L, 50L).toDF("id")) // both extrema deleted
+    val dvDf = spark.read.format("graft").load(dir + "/dv")
+    val dvAgg = dvDf.agg(min($"id"), max($"id"))
+    assert(!dvAgg.queryExecution.executedPlan.toString
+      .contains("manifest_agg_"))
+    assert(dvAgg.as[(Long, Long)].head() == (2L, 49L))
   }
 
   test("column pruning reaches the parquet projection") {
