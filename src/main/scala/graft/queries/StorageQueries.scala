@@ -1364,5 +1364,27 @@ object StorageQueries {
         "purge must clear every vector")
       tbl.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")
+    },
+
+    // Manifest aggregate pushdown through the DSv2 surface: COUNT(*) +
+    // MIN/MAX of the key answered as a driver-local row (plan-asserted:
+    // zero data files opened).
+    Q("q158_manifest_agg",
+      """SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
+        |  max(c_custkey) AS max_key
+        |FROM customer
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q158")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      CowTable(s, root, TableConfig("customer", Seq("c_custkey")))
+        .create(t(s, d, "customer").repartition(4))
+      val out = s.read.format("graft").load(root)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+      require(out.queryExecution.executedPlan.toString
+        .contains("manifest_agg_"),
+        "expected the aggregation answered from the manifest")
+      out
     })
 }
