@@ -1322,6 +1322,17 @@ final class CowTable private[storage] (
       if (cfg.bloomIndex && Files.exists(root.resolve(e.path + ".bloom")))
         linkInto(e.path + ".bloom")
     }
+    // deletion-vector sidecar dirs ride along (entries reference them by
+    // root-relative path — without the link a cloned vectored table would
+    // fail to read, or resurrect rows after the source vacuums)
+    m.files.flatMap(_.dvPath).distinct.foreach { dvp =>
+      val srcDir = root.resolve(dvp)
+      if (Files.isDirectory(srcDir))
+        scala.util.Using.resource(Files.list(srcDir))(
+          _.iterator().asScala.toSeq)
+          .filter(Files.isRegularFile(_))
+          .foreach(p => linkInto(dvp + "/" + p.getFileName.toString))
+    }
     dest.commitAt(0, m.files, Nil, structFromJson(m.schemaJson),
       mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
     dest

@@ -158,6 +158,23 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read().count() == 28)
   }
 
+  test("shallow clone of a vectored table carries the sidecars") {
+    val t = fresh()
+    t.create(rows(1 to 40).coalesce(1))
+    t.delete(Seq(4L, 8L).toDF("id"))
+    val fork = t.shallowClone(t.root.getParent.resolve("fork").toString,
+      Some("fork"))
+    assert(fork.read().count() == 38)
+    assert(!fork.read().select("id").as[Long].collect().contains(4L))
+    // histories diverge: source mutates, clone unaffected
+    t.delete(Seq(10L).toDF("id"))
+    assert(fork.read().count() == 38 && t.read().count() == 37)
+    // the clone's subtraction survives the SOURCE vacuuming its sidecar
+    t.purgeDeletionVectors()
+    t.vacuum(retainLast = 1, orphanOlderThanMs = Long.MaxValue)
+    assert(fork.read().count() == 38)
+  }
+
   test("deletionVectors without changeDataFeed is rejected") {
     intercept[IllegalArgumentException] {
       TableConfig("bad", Seq("id"), deletionVectors = true)
