@@ -962,7 +962,10 @@ final class CowTable private[storage] (
     * are skipped, so consumers never re-receive compacted rows; files a later
     * compaction removed stay readable (COW never deletes), so the walk is
     * exact even with interleaved compactions. O(files·versions) metadata,
-    * reads only the changed files. */
+    * reads only the changed files. On a deletionVectors table a DV delete
+    * adds no files, so (consistent with the adds-only contract) it emits
+    * nothing here — use [[readChangeFeed]] for tombstones, which such
+    * tables always materialize (the config fence). */
   /** Shared guard for both change-feed entry points. */
   private def requireFeedRange(fromVersion: Int, toVersion: Int): Unit = {
     require(fromVersion >= 0 && fromVersion <= toVersion
@@ -1024,9 +1027,15 @@ final class CowTable private[storage] (
       v1: Int, v2: Int): (Seq[FileEntry], Seq[FileEntry]) = {
     val m1 = manifest(v1)
     val m2 = manifest(v2)
-    val p1 = m1.files.map(_.path).toSet
-    val p2 = m2.files.map(_.path).toSet
-    (m1.files.filterNot(f => p2(f.path)), m2.files.filterNot(f => p1(f.path)))
+    // an entry is "the same file" only when its PATH and its DELETION
+    // VECTOR agree — a DV-only commit changes rows behind an unchanged
+    // path, so both versions' entries enter the compare (their unchanged
+    // co-located rows cancel in the full-outer join, same as a verbatim
+    // rewrite; cost O(vectored files), never O(table))
+    def key(e: FileEntry) = (e.path, e.dvPath, e.dvRows)
+    val k1 = m1.files.map(key).toSet
+    val k2 = m2.files.map(key).toSet
+    (m1.files.filterNot(f => k2(key(f))), m2.files.filterNot(f => k1(key(f))))
   }
 
   /** Snapshot reconciliation DIFF between two committed versions: one row

@@ -158,6 +158,16 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read().count() == 28)
   }
 
+  test("diffSnapshots sees DV-only deletes and MOR updates") {
+    val t = fresh()
+    t.create(rows(1 to 30).coalesce(1))
+    t.delete(Seq(7L).toDF("id")) // DV-only commit: same data paths
+    t.upsert(Seq((9L, "upd", 1.0), (31L, "new", 2.0)).toDF("id", "name", "v"))
+    val d = t.diffSnapshots(1, t.currentVersion)
+      .as[(Long, String)].collect().toSet
+    assert(d == Set((7L, "removed"), (9L, "changed"), (31L, "added")))
+  }
+
   test("shallow clone of a vectored table carries the sidecars") {
     val t = fresh()
     t.create(rows(1 to 40).coalesce(1))
