@@ -46,7 +46,9 @@ object GraftMetadataTables {
     StructField("max_key", StringType, nullable = true),
     StructField("min_key2", StringType, nullable = true),
     StructField("max_key2", StringType, nullable = true),
-    StructField("partition_value", StringType, nullable = true)))
+    StructField("partition_value", StringType, nullable = true),
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("dv_path", StringType, nullable = true)))
 
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("partition_value", StringType, nullable = true),
@@ -99,7 +101,9 @@ object GraftMetadataTables {
         f.minKey2.map(UTF8String.fromString).orNull,
         f.maxKey2.map(UTF8String.fromString).orNull,
         GraftScan.pathPartValue(m.partitionKey, f)
-          .map(UTF8String.fromString).orNull
+          .map(UTF8String.fromString).orNull,
+        f.dvRows,
+        f.dvPath.map(UTF8String.fromString).orNull
       )): InternalRow
     }.toArray
   }
