@@ -80,8 +80,19 @@ final class MatView private (
         writeMark(Mark(m0.baseVersion, table.currentVersion))
       } else {
         // bootstrap crashed after create but before the first bookmark:
-        // wipe the half-born view and re-bootstrap from the feed
+        // wipe the half-born view and re-bootstrap from the feed. The
+        // durable definition ([[MatView.createInLake]] writes it into the
+        // same root) must SURVIVE the wipe, or openInLake/refresh_matview
+        // fail forever after a heal.
+        val defPath = root.resolve("_mv_def.json")
+        val defBytes =
+          if (Files.exists(defPath)) Some(Files.readAllBytes(defPath))
+          else None
         CowTable.deleteRecursively(root)
+        defBytes.foreach { b =>
+          Files.createDirectories(root)
+          Files.write(defPath, b)
+        }
       }
     }
     val healed = mark

@@ -7,7 +7,7 @@ import scala.util.Try
 import graft.operators.MergeEngine
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, NumericType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, NumericType, StringType, StructField, StructType}
 import org.json4s.{Formats, NoTypeHints}
 import org.json4s.jackson.Serialization
 
@@ -662,8 +662,14 @@ final class CowTable private[storage] (
           .find(s => config.partitionKey.exists(pk => s.startsWith(pk + "=")))
         val outDir = seg.fold(verDir.resolve(f"purge-$i%04d"))(sg =>
           verDir.resolve(sg).resolve(f"purge-$i%04d"))
-        val frame = readFiles(m, Seq(e)).coalesce(1)
-          .drop(config.partitionKey.toSeq: _*)
+        // drop the partition column ONLY when the rewrite lands under a
+        // pk=value segment that re-derives it; a segment-less file (old
+        // layout after alterPartitionKey, or flat pre-partitioning) keeps
+        // the column in its bytes — dropping both would null it forever
+        val frame0 = readFiles(m, Seq(e)).coalesce(1)
+        val frame =
+          if (seg.isDefined) frame0.drop(config.partitionKey.toSeq: _*)
+          else frame0
         val physFrame =
           if (m.columnMapping.isEmpty) frame
           else frame.select(frame.columns.toSeq.map(c =>
@@ -1702,6 +1708,14 @@ final class CowTable private[storage] (
   private def readFilesWithPositions(
       m: CommitManifest, files: Seq[FileEntry]): DataFrame = {
     val schema = structFromJson(m.schemaJson)
+    // Empty touched set (pruneFiles can return Some((Nil, all)) when no
+    // file's key range overlaps the batch — e.g. a pure-insert upsert of
+    // fresh monotonic keys, or deleting absent keys): an empty frame with
+    // the position columns, NOT an empty .reduce crash.
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields :+ StructField("__rel", StringType) :+
+          StructField("__pos", LongType)))
     val rootAbs = root.toString
     files.groupBy(e => (e.path.takeWhile(_ != '/'), e.dvPath))
       .toSeq.sortBy(_._1).map { case ((verSeg, dvp), fs) =>

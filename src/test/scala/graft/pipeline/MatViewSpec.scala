@@ -80,6 +80,25 @@ class MatViewSpec extends SparkSpec {
     assert(view(mv) == recompute(base))
   }
 
+  test("bootstrap-crash heal keeps the durable definition intact") {
+    val dir = tmpDir("mvheal")
+    val base = mkBase(dir, rows((1, "a", 1.0), (2, "b", 2.0)))
+    // hand-write a definition into the view root, as createInLake does
+    val root = java.nio.file.Paths.get(dir + "/mv")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.writeString(root.resolve("_mv_def.json"),
+      """{"base":"base","groupCols":["grp"],"sumCols":["v"]}""")
+    val mv = MatView(spark, dir + "/mv", base, Seq("grp"), Seq("v"))
+    mv.refresh()
+    // simulate a bootstrap crash: the MV table committed, bookmark never did
+    java.nio.file.Files.delete(root.resolve("_mv_bookmark"))
+    val healed = MatView(spark, dir + "/mv", base, Seq("grp"), Seq("v"))
+    assert(healed.refresh() == 1) // wipes the half-born view, re-bootstraps
+    assert(view(healed) == recompute(base))
+    // the definition survived the heal wipe — openInLake stays possible
+    assert(java.nio.file.Files.exists(root.resolve("_mv_def.json")))
+  }
+
   test("MV over a deletion-vector base: MOR deltas apply exactly") {
     val dir = tmpDir("mv")
     val base = CowTable(spark, dir + "/base",
