@@ -861,8 +861,12 @@ final class CowTable private[storage] (
     val probes = (1 until (1 << ZOrder.Bits)).map(_.toDouble / (1 << ZOrder.Bits)).toArray
     val numSplits: Map[String, org.apache.spark.sql.Column] =
       if (casted.isEmpty) Map.empty
+      // relErr 0.01: rank buckets only need to be ROUGHLY even (a split a
+      // percentile off moves rows one adjacent 8-bit rank, which barely
+      // perturbs the interleave) — the 10× looser sketch is far cheaper
+      // per pass and OPTIMIZE runs it over every un-clustered file
       else casted.map(_._1).zip(tmp.stat.approxQuantile(
-        casted.map(_._1).toArray, probes, 0.001)).map { case (n, sp) =>
+        casted.map(_._1).toArray, probes, 0.01)).map { case (n, sp) =>
         n -> ZOrder.rankColumn(col(n), sp.toSeq.distinct.sorted)
       }.toMap
     val strSplits: Map[String, org.apache.spark.sql.Column] = stringCols.map { k =>
