@@ -1372,6 +1372,50 @@ object StorageQueries {
         "c_mktsegment")
     },
 
+    // SQL row-level ops on a deletion-vector table take the DELTA-BASED
+    // path (SupportsDelta): DELETE marks positions in a sidecar, UPDATE
+    // marks + appends the new rows — neither rewrites a data file (the
+    // manifest asserts it). This is the reference's CDC apply statement
+    // (src/delta/delta-cdc-load.py:121-141) with Delta's deletion-vector
+    // write economics: O(matched rows) written, not O(touched file bytes).
+    Q("q159_sql_dv_mutation",
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 9 <> 0
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q159")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val cust = t(s, d, "customer").select("c_custkey", "c_name",
+        "c_nationkey", "c_acctbal", "c_mktsegment")
+      val cfg = TableConfig("cust", Seq("c_custkey"),
+        changeDataFeed = true, deletionVectors = true)
+      val tbl = CowTable(s, lake + "/cust", cfg)
+      tbl.create(cust.repartition(4))
+      graft.storage.LakeRegistry.register(lake, cfg, lake + "/cust")
+      val dataPaths = tbl.manifest(1).files.map(_.path).toSet
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      sess.sql("DELETE FROM lake.default.cust WHERE c_custkey % 9 = 0")
+      val m2 = tbl.manifest(tbl.currentVersion)
+      require(m2.files.map(_.path).toSet == dataPaths,
+        "SQL DELETE on a DV table must not rewrite any data file")
+      require(m2.files.exists(_.dvPath.isDefined),
+        "SQL DELETE must attach deletion vectors")
+      sess.sql("UPDATE lake.default.cust SET c_acctbal = c_acctbal + 50.0 " +
+        "WHERE c_custkey % 5 = 0")
+      val m3 = tbl.manifest(tbl.currentVersion)
+      require(dataPaths.subsetOf(m3.files.map(_.path).toSet),
+        "SQL UPDATE on a DV table must append, not rewrite")
+      require(m3.files.exists(e => !dataPaths(e.path)),
+        "SQL UPDATE must land its new rows as fresh files")
+      tbl.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    },
+
     // Manifest aggregate pushdown through the DSv2 surface: COUNT(*) +
     // MIN/MAX of the key answered as a driver-local row (plan-asserted:
     // zero data files opened).

@@ -102,6 +102,24 @@ object GraftTable {
     override def isNullable: Boolean = false
     override def comment(): String = "absolute path of the row's data file"
   }
+
+  /** Name of the per-row position-in-file metadata column — together with
+    * `_file` it is the ROW ID of the delta-based (deletion-vector) row-level
+    * path ([[GraftDvRowLevelOperation]]): a sidecar marks exactly
+    * (`_file`, `_pos`) pairs. Row-reader only (a running per-file counter
+    * has no columnar constant-vector form — scans requesting it force row
+    * mode). */
+  val PosColumnName = "_pos"
+
+  object PosMetadataColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = PosColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "row position within the row's data file"
+  }
 }
 
 object GraftDataSource {
@@ -243,10 +261,15 @@ final class GraftTable(
     * metadata columns. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftTable.FileMetadataColumn)
+    Array(GraftTable.FileMetadataColumn, GraftTable.PosMetadataColumn)
 
-  /** SQL MERGE INTO / UPDATE / DELETE (group-based copy-on-write rewrite —
-    * see [[GraftRowLevelOperation]]). */
+  /** SQL MERGE INTO / UPDATE / DELETE. Group-based copy-on-write rewrite by
+    * default ([[GraftRowLevelOperation]]); DELETE/UPDATE on a
+    * deletion-vector table route through the DELTA-BASED path
+    * ([[GraftDvRowLevelOperation]]) — positions marked in a sidecar, only
+    * updated rows rewritten, O(matched rows) instead of O(touched file
+    * bytes). MERGE stays group-based (it owns schema evolution and
+    * arbitrary action shapes). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -254,7 +277,11 @@ final class GraftTable(
       s"graft: cannot mutate a time-travel read of $root")
     val m = mOpt.getOrElse(throw new IllegalArgumentException(
       s"graft: no table at $root (no committed manifests)"))
-    new GraftRowLevelOperationBuilder(root, version, m, tableSchema, info)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    if (m.deletionVectors && info.command() != Command.MERGE)
+      new GraftDvRowLevelOperationBuilder(root, version, m, tableSchema, info)
+    else
+      new GraftRowLevelOperationBuilder(root, version, m, tableSchema, info)
   }
 }
 
@@ -821,8 +848,12 @@ final class GraftScan(
   override def createReaderFactory(): PartitionReaderFactory =
     // deletion-vectored files need the position-skipping row reader; the
     // vectorized path has no per-row skip, so a scan touching any DV'd
-    // file degrades to row mode (transient until purge/compaction)
-    new GraftReaderFactory(columnar = columnar && kept.forall(_.dvPath.isEmpty),
+    // file degrades to row mode (transient until purge/compaction). A
+    // requested `_pos` metadata column likewise forces row mode (a running
+    // per-file position has no columnar constant-vector form).
+    new GraftReaderFactory(columnar = columnar &&
+      kept.forall(_.dvPath.isEmpty) &&
+      !required.fieldNames.contains(GraftTable.PosColumnName),
       required = required, mapping = m.columnMapping)
 }
 

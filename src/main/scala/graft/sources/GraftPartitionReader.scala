@@ -76,6 +76,10 @@ final class GraftPartitionReader(
         if (f.name == GraftTable.FileColumnName) {
           val const = UTF8String.fromString(filePath)
           (_: Group) => const
+        } else if (f.name == GraftTable.PosColumnName) {
+          // running row position (parquet row index, DV-skipped rows still
+          // counted) — the row-id half of the delta-based row-level path
+          (_: Group) => java.lang.Long.valueOf(rowPos)
         } else (_: Group) => null
       } else {
         val idx = readCols.indexOf(f.name)

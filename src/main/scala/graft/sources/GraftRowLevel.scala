@@ -162,13 +162,19 @@ final class GraftRowLevelScan(
   override def planInputPartitions(): Array[InputPartition] = {
     op.scannedFiles = Some(kept)
     kept.map { e =>
+      // existing deletion vectors MUST ride along: a group rewrite re-emits
+      // every surviving row of a scanned file — reading marked rows back
+      // would resurrect previously DV-deleted rows in the rewritten file
       GraftInputPartition(root.resolve(e.path).toString,
-        GraftScan.hivePathValues(e.path))
+        GraftScan.hivePathValues(e.path),
+        e.dvPath.map(p => (root.resolve(p).toString, e.path)))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, mapping = m.columnMapping)
+    // position-skipping needs the row reader (same degrade as GraftScan)
+    new GraftReaderFactory(required,
+      columnar = kept.forall(_.dvPath.isEmpty), mapping = m.columnMapping)
 }
 
 final class GraftRowLevelWriteBuilder(

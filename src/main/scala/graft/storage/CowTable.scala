@@ -607,6 +607,82 @@ final class CowTable private[storage] (
       mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
   }
 
+  /** Commit of the SQL delta-based row-level path
+    * ([[graft.sources.GraftDvRowLevelOperation]]): executor tasks marked
+    * matched rows' (path, pos) into transport parquet `posFiles` and wrote
+    * inserted/updated rows as fresh data files — this folds the positions
+    * into a deletion-vector sidecar, materializes the CDF rows, and commits
+    * O(matched + written rows) without rewriting a single data file. The
+    * SQL DELETE/UPDATE twin of [[deleteWithVectors]]/[[morUpsert]]: the
+    * reference's CDC apply IS a SQL statement
+    * (reference: src/delta/delta-cdc-load.py:121-141), so a DV-enabled
+    * table must get the MOR write economics on the SQL path too. Commits
+    * race via the manifest CAS loudly (in-place entry changes cannot
+    * rebase). */
+  private[graft] def commitDeltaDv(
+      parent: Int,
+      insertFiles: Seq[(String, Long)],
+      updateFiles: Seq[(String, Long)],
+      posFiles: Seq[String],
+      isUpdate: Boolean): Int = {
+    val m = manifest(parent)
+    val schema = structFromJson(m.schemaJson)
+    val v = parent + 1
+    val posDf: Option[DataFrame] =
+      if (posFiles.isEmpty) None
+      else Some(spark.read
+        .parquet(posFiles.map(p => root.resolve(p).toString): _*)
+        .select(col("path"), col("pos")))
+    // touched file set: distinct paths of the marks — bounded by file count
+    val touchedPaths: Set[String] = posDf.fold(Set.empty[String])(
+      _.select("path").distinct().collect().map(_.getString(0)).toSet)
+    if (touchedPaths.isEmpty && insertFiles.isEmpty && updateFiles.isEmpty)
+      return parent // nothing matched, nothing written: no empty commit
+    val (touched, untouched) = m.files.partition(e => touchedPaths(e.path))
+    val updatedEntries = posDf match {
+      case Some(df) if touched.nonEmpty => writeFoldedSidecar(v, touched, df)
+      case _ => touched
+    }
+    val freshIns = statListedFiles(insertFiles, schema, m.columnMapping)
+    val freshUpd = statListedFiles(updateFiles, schema, m.columnMapping)
+    enforceConstraintsOnFiles(freshIns ++ freshUpd, schema,
+      "row-level DV write", m.columnMapping)
+    // CDF (deletionVectors requires changeDataFeed): preimages are the
+    // marked rows read back from the touched files (existing vectors
+    // already subtracted — a position can't tombstone twice), post-images
+    // and inserts are the freshly written files
+    val cdc = {
+      val pre = posDf.filter(_ => touched.nonEmpty).map { df =>
+        val marks = df.select(col("path").as("__mark_path"),
+          col("pos").as("__mark_pos"))
+        val withPos = readFilesWithPositions(m, touched)
+        withPos.join(marks,
+          withPos("__rel") === marks("__mark_path") &&
+            withPos("__pos") === marks("__mark_pos"), "left_semi")
+          .drop("__rel", "__pos")
+          .withColumn("_change_type",
+            lit(if (isUpdate) "update_preimage" else "delete"))
+      }
+      val post =
+        if (freshUpd.isEmpty) None
+        else Some(readFiles(m, freshUpd)
+          .withColumn("_change_type", lit("update_postimage")))
+      val ins =
+        if (freshIns.isEmpty) None
+        else Some(readFiles(m, freshIns)
+          .withColumn("_change_type", lit("insert")))
+      val parts = Seq(pre, post, ins).flatten
+      if (parts.isEmpty) None
+      else writeCdc(parts.reduce(_ unionByName _), v, m.columnMapping)
+    }
+    val out = commitAt(parent, freshIns ++ freshUpd,
+      updatedEntries ++ untouched, schema, dataChange = true, cdcDir = cdc,
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
+    // the position files were transport, not table data
+    posFiles.foreach(p => Try(Files.deleteIfExists(root.resolve(p))))
+    out
+  }
+
   /** Write version `v`'s deletion-vector sidecar: `newPos` (path, pos)
     * rows FOLDED with the prior positions of every touched file (an entry
     * points at exactly ONE sidecar), and return the touched entries with

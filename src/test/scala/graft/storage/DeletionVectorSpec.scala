@@ -219,6 +219,102 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  private def dvSqlSession(lake: String) = {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true', " +
+      "deletionVectors 'true')")
+    sess.sql(
+      "INSERT INTO lake.default.t SELECT id, id * 1.0 FROM range(1, 101)")
+    sess
+  }
+
+  test("SQL DELETE routes through deletion vectors: no data file rewritten") {
+    val lake = tmpDir("dvsqldel")
+    val sess = dvSqlSession(lake)
+    val t = LakeRegistry.open(spark, lake, "t")
+    val v1 = t.currentVersion
+    val before = t.manifest(v1).files.map(_.path).toSet
+    sess.sql("DELETE FROM lake.default.t WHERE id % 10 = 0")
+    val m = t.manifest(t.currentVersion)
+    assert(t.currentVersion == v1 + 1)
+    assert(m.files.map(_.path).toSet == before) // same data files
+    assert(m.files.exists(_.dvPath.isDefined))
+    assert(m.files.map(_.dvRows).sum == 10)
+    assert(sess.table("lake.default.t").count() == 90)
+    assert(sess.sql(
+      "SELECT count(*) FROM lake.default.t WHERE id % 10 = 0")
+      .head().getLong(0) == 0)
+    // CDF tombstones carry the preimage rows
+    val feed = t.readChangeFeed(v1, v1 + 1)
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(feed == (10L to 100L by 10L).toSet)
+  }
+
+  test("SQL UPDATE: positions marked, new rows appended, CDF exact") {
+    val lake = tmpDir("dvsqlupd")
+    val sess = dvSqlSession(lake)
+    val t = LakeRegistry.open(spark, lake, "t")
+    val v1 = t.currentVersion
+    val before = t.manifest(v1).files.map(_.path).toSet
+    sess.sql("UPDATE lake.default.t SET v = v + 100 WHERE id IN (3, 7)")
+    val m = t.manifest(t.currentVersion)
+    // original files survive with 2 marked positions; updated rows landed
+    // as fresh appended files
+    assert(before.subsetOf(m.files.map(_.path).toSet))
+    assert(m.files.filter(e => before(e.path)).map(_.dvRows).sum == 2)
+    assert(m.files.exists(e => !before(e.path)))
+    assert(m.rowCount == 100)
+    val got = sess.sql(
+      "SELECT v FROM lake.default.t WHERE id IN (3, 7) ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(103.0, 107.0))
+    val feed = t.readChangeFeed(v1, v1 + 1)
+      .select("id", "v", "_change_type").as[(Long, Double, String)]
+      .collect().toSet
+    assert(feed == Set((3L, 3.0, "update_preimage"),
+      (3L, 103.0, "update_postimage"),
+      (7L, 7.0, "update_preimage"), (7L, 107.0, "update_postimage")))
+  }
+
+  test("SQL DELETE then UPDATE then purge: content converges exactly") {
+    val lake = tmpDir("dvsqlmix")
+    val sess = dvSqlSession(lake)
+    val t = LakeRegistry.open(spark, lake, "t")
+    sess.sql("DELETE FROM lake.default.t WHERE id <= 5")
+    sess.sql("UPDATE lake.default.t SET v = -1.0 WHERE id = 50")
+    // an UPDATE touching an ALREADY-VECTORED file folds positions
+    sess.sql("UPDATE lake.default.t SET v = -2.0 WHERE id = 51")
+    val expect = sess.table("lake.default.t")
+      .as[(Long, Double)].collect().toSet
+    assert(expect.size == 95 && expect((50L, -1.0)) && expect((51L, -2.0)))
+    t.purgeDeletionVectors()
+    assert(sess.table("lake.default.t").as[(Long, Double)].collect().toSet
+      == expect)
+    assert(t.manifest(t.currentVersion).files.forall(_.dvPath.isEmpty))
+  }
+
+  test("SQL MERGE on a vectored table does not resurrect DV-deleted rows") {
+    val lake = tmpDir("dvsqlmerge")
+    val sess = dvSqlSession(lake)
+    val t = LakeRegistry.open(spark, lake, "t")
+    t.delete(Seq(42L).toDF("id")) // Scala-API DV delete: sidecar attached
+    sess.range(40, 45).selectExpr("id", "id * 2.0 AS v")
+      .where("id != 42").createOrReplaceTempView("src")
+    sess.sql(
+      """MERGE INTO lake.default.t t USING src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the group rewrite scanned files WITH their vectors: 42 stays dead
+    val got = sess.table("lake.default.t").as[(Long, Double)].collect().toMap
+    assert(!got.contains(42L))
+    assert(got(41L) == 82.0 && got(44L) == 88.0)
+    assert(got.size == 99)
+  }
+
   test("SQL surface: deletionVectors via TBLPROPERTIES reaches the config") {
     val lake = tmpDir("dvsql")
     val sess = spark.newSession()
