@@ -1416,6 +1416,31 @@ object StorageQueries {
         "c_mktsegment")
     },
 
+    // GROUPED manifest aggregate pushdown: per-partition COUNT(*) +
+    // MIN/MAX of the key (GROUP BY the hive partition key) answered
+    // driver-locally from path values + footer stats — the most common
+    // lake metadata rollup, zero data files opened (plan-asserted).
+    Q("q160_partition_rollup",
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer GROUP BY c_mktsegment
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q160")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      CowTable(s, root, TableConfig("customer", Seq("c_custkey"),
+        partitionKey = Some("c_mktsegment")))
+        .create(t(s, d, "customer").repartition(4))
+      val out = s.read.format("graft").load(root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+      require(out.queryExecution.executedPlan.toString
+        .contains("manifest_agg_"),
+        "expected the grouped aggregation answered from the manifest")
+      out
+    },
+
     // Manifest aggregate pushdown through the DSv2 surface: COUNT(*) +
     // MIN/MAX of the key answered as a driver-local row (plan-asserted:
     // zero data files opened).

@@ -295,8 +295,8 @@ final class GraftScanBuilder(
 
   private var required: StructType = fullSchema
   // set when the whole aggregation is answerable from the manifest:
-  // (output schema, the single pre-computed result row)
-  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  // (output schema, the pre-computed result rows — one per group)
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]])] = None
   private var pushed: Array[Filter] = Array.empty
   private var bounds: Seq[(Option[Any], Option[Any])] = Nil
   private var partValues: Option[Set[String]] = None
@@ -405,18 +405,23 @@ final class GraftScanBuilder(
     *    same semantics as SQL MIN/MAX) — REJECTED when any file carries a
     *    deletion vector (the extremum may be deleted), lacks key stats
     *    (all-null key file), or the stat string isn't a finite numeral
-    *    (NaN/Infinity doubles).
+    *    (NaN/Infinity doubles);
+    *  - GROUP BY the hive PARTITION KEY: the same aggregates answered per
+    *    partition value from the per-file stats (every file must carry a
+    *    path-borne value — an old-layout file after partition-spec
+    *    evolution rejects the pushdown). The most common metadata rollup
+    *    a lake user runs (per-partition row counts), O(files) driver-side.
     * Spark only attempts aggregate pushdown when every filter was
     * consumed; this builder keeps all filters residual (pushFilters
     * returns them), so acceptance implies a truly unfiltered scan.
     * Change-feed reads aggregate change HISTORY, never pushed. */
   private def tryManifestAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (streamOpts.readChangeFeed || agg.groupByExpressions.nonEmpty ||
-      agg.aggregateExpressions.isEmpty) return None
+    if (streamOpts.readChangeFeed || agg.aggregateExpressions.isEmpty)
+      return None
     val pk = m.primaryKey.headOption.getOrElse(return None)
     val pkType = fullSchema.find(_.name == pk).map(_.dataType)
       .getOrElse(return None)
@@ -446,31 +451,71 @@ final class GraftScanBuilder(
       case org.apache.spark.sql.types.DateType => s.toLong.toInt // epoch days
       case _ => s.toLong // timestamps: internal rep IS epoch micros
     }
-    def statsUsable: Boolean =
-      m.files.forall(e => e.dvPath.isEmpty &&
+    // The group structure: no GROUP BY ⇒ one group of all files; GROUP BY
+    // exactly the hive partition key ⇒ one group per path-borne partition
+    // value (every file must carry one — an old-layout file after
+    // partition-spec evolution cannot be attributed, rejecting the whole
+    // pushdown). Anything else ⇒ not answerable from the manifest.
+    val groups: Seq[(Option[Any], Seq[FileEntry])] =
+      agg.groupByExpressions.toSeq match {
+        case Seq() => Seq((None, m.files))
+        case Seq(nr: NamedReference)
+          if m.partitionKey.contains(nr.fieldNames.mkString(".")) =>
+          val pcol = m.partitionKey.get
+          val pDt = fullSchema.find(_.name == pcol).map(_.dataType)
+            .getOrElse(return None)
+          val raw = m.files.map(e => GraftScan.pathPartValue(m.partitionKey, e))
+          if (raw.contains(None)) return None // flat-layout file: no value
+          if (scala.util.Try(raw.flatten.distinct.foreach(v =>
+            GraftColumnarPartitionReader.parsePartitionValue(v, pDt)))
+            .isFailure) return None // unparseable dir value: never guess
+          m.files.zip(raw.flatten).groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (v, fs) =>
+              (Some(GraftColumnarPartitionReader.parsePartitionValue(v, pDt)),
+                fs.map(_._1))
+            }
+        case _ => return None
+      }
+    if (groups.isEmpty) return None // zero files: the plain scan handles it
+    def statsUsable(fs: Seq[FileEntry]): Boolean =
+      fs.forall(e => e.dvPath.isEmpty &&
         e.minKey.isDefined && e.maxKey.isDefined &&
         scala.util.Try(BigDecimal(e.minKey.get) +
           BigDecimal(e.maxKey.get)).isSuccess)
-    lazy val minStr = m.files.map(_.minKey.get).minBy(BigDecimal(_))
-    lazy val maxStr = m.files.map(_.maxKey.get).maxBy(BigDecimal(_))
-    val n = m.files.map(_.liveRows).sum
-    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
-    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
-    agg.aggregateExpressions.zipWithIndex.foreach {
-      case (_: CountStar, i) =>
-        fields += StructField(s"manifest_agg_$i", LongType, nullable = false)
-        values += n
-      case (mn: Min, i) if isPk(mn.column) && decodable =>
-        if (!statsUsable) return None
-        fields += StructField(s"manifest_agg_$i", pkType, nullable = true)
-        values += (if (m.files.isEmpty) null else decode(minStr))
-      case (mx: Max, i) if isPk(mx.column) && decodable =>
-        if (!statsUsable) return None
-        fields += StructField(s"manifest_agg_$i", pkType, nullable = true)
-        values += (if (m.files.isEmpty) null else decode(maxStr))
-      case _ => return None
+    // field layout of a complete group-by pushdown: group columns first,
+    // then the aggregate columns, in declared order (Spark projects the
+    // scan output positionally against exactly that shape)
+    val gField = agg.groupByExpressions.toSeq.map { _ =>
+      val pcol = m.partitionKey.get
+      StructField(pcol, fullSchema(pcol).dataType, nullable = true)
     }
-    Some((StructType(fields.toSeq), values.toArray))
+    val aggFields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val rows = groups.map { case (gv, fs) =>
+      aggFields.clear()
+      val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+      gv.foreach(values += _)
+      lazy val minStr = fs.map(_.minKey.get).minBy(BigDecimal(_))
+      lazy val maxStr = fs.map(_.maxKey.get).maxBy(BigDecimal(_))
+      agg.aggregateExpressions.zipWithIndex.foreach {
+        case (_: CountStar, i) =>
+          aggFields += StructField(s"manifest_agg_$i", LongType,
+            nullable = false)
+          values += fs.map(_.liveRows).sum
+        case (mn: Min, i) if isPk(mn.column) && decodable =>
+          if (!statsUsable(fs)) return None
+          aggFields += StructField(s"manifest_agg_$i", pkType,
+            nullable = true)
+          values += (if (fs.isEmpty) null else decode(minStr))
+        case (mx: Max, i) if isPk(mx.column) && decodable =>
+          if (!statsUsable(fs)) return None
+          aggFields += StructField(s"manifest_agg_$i", pkType,
+            nullable = true)
+          values += (if (fs.isEmpty) null else decode(maxStr))
+        case _ => return None
+      }
+      values.toArray
+    }
+    Some((StructType(gField ++ aggFields.toSeq), rows))
   }
 
   override def supportCompletePushDown(
@@ -488,14 +533,16 @@ final class GraftScanBuilder(
     required = requiredSchema
 
   override def build(): Scan = {
-    pushedAgg.foreach { case (schema, values) =>
+    pushedAgg.foreach { case (schema, groupRows) =>
       return new Scan with org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-          Array(new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(values))
+          groupRows.map(vs => new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vs): org.apache.spark.sql.catalyst.InternalRow)
+            .toArray
         override def description(): String =
-          s"graft manifest-agg pushdown v${m.version} (0 files read)"
+          s"graft manifest-agg pushdown v${m.version} " +
+            s"(${groupRows.size} group rows, 0 files read)"
       }
     }
     required.fields.foreach { f =>

@@ -96,6 +96,50 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(dvAgg.as[(Long, Long)].head() == (2L, 49L))
   }
 
+  test("GROUP BY the partition key answers per-partition rollups from the manifest") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/p",
+      TableConfig("p", Seq("id"), partitionKey = Some("cat")))
+    t.create((1L to 300L).map(i => (i, s"c${i % 3}", i * 1.0))
+      .toDF("id", "cat", "v").repartition(4))
+    val df = spark.read.format("graft").load(dir + "/p")
+    val g = df.groupBy($"cat").agg(count(lit(1)).as("n"),
+      min($"id").as("mn"), max($"id").as("mx"))
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest_agg_"),
+      s"expected the grouped manifest pushdown in:\n$plan")
+    assert(g.as[(String, Long, Long, Long)].collect().toSet == Set(
+      ("c0", 100L, 3L, 300L), ("c1", 100L, 1L, 298L),
+      ("c2", 100L, 2L, 299L)))
+    // grouped COUNT on a deletion-vectored partitioned table still pushes
+    // (live counts ride in the manifest); MIN/MAX falls back
+    val dv = CowTable(spark, dir + "/pdv", TableConfig("pdv", Seq("id"),
+      partitionKey = Some("cat"), changeDataFeed = true,
+      deletionVectors = true))
+    dv.create((1L to 90L).map(i => (i, s"c${i % 3}")).toDF("id", "cat"))
+    dv.delete(Seq(3L, 6L).toDF("id")) // two rows of cat c0
+    val dvG = spark.read.format("graft").load(dir + "/pdv")
+      .groupBy($"cat").count()
+    assert(dvG.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(dvG.as[(String, Long)].collect().toSet == Set(
+      ("c0", 28L), ("c1", 30L), ("c2", 30L)))
+    val dvMin = spark.read.format("graft").load(dir + "/pdv")
+      .groupBy($"cat").agg(min($"id"))
+    assert(!dvMin.queryExecution.executedPlan.toString
+      .contains("manifest_agg_"))
+    assert(dvMin.as[(String, Long)].collect().toSet == Set(
+      ("c0", 9L), ("c1", 1L), ("c2", 2L)))
+    // partition-spec evolution leaves old-layout files without a path
+    // value: the pushdown must reject, the plain scan stays exact
+    val flat = CowTable(spark, dir + "/f", TableConfig("f", Seq("id")))
+    flat.create((1L to 20L).map(i => (i, s"c${i % 2}")).toDF("id", "cat"))
+    val evolved = flat.alterPartitionKey(Some("cat"))
+    val eg = spark.read.format("graft").load(dir + "/f").groupBy($"cat").count()
+    assert(!eg.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(eg.as[(String, Long)].collect().toSet ==
+      Set(("c0", 10L), ("c1", 10L)))
+  }
+
   test("column pruning reaches the parquet projection") {
     val dir = tmpDir("dsv2")
     CowTable(spark, dir + "/t", TableConfig("t", Seq("id"))).create(mixedDf)
