@@ -717,9 +717,13 @@ final class CowTable private[storage] (
     * clear the vectors — the MOR "compaction" that bounds read-side
     * subtraction cost. O(vectored file bytes); a rewrite-only commit
     * (dataChange=false: logical content is unchanged), so change-feed
-    * consumers receive nothing. Returns the new version (current when no
+    * consumers receive nothing. Vectored files are BIN-PACKED like
+    * [[compact]] (within each hive partition dir; minKey-ordered bins, so
+    * range-clustered inputs stay range-clustered): purging N vectored
+    * files costs ~N/bin jobs and folds their sprawl in the same pass —
+    * not N single-file jobs. Returns the new version (current when no
     * file carries a vector). */
-  def purgeDeletionVectors(): Int = {
+  def purgeDeletionVectors(targetPartitions: Int = 1): Int = {
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
     val m = manifest(parent)
@@ -730,21 +734,28 @@ final class CowTable private[storage] (
       .toString.replace("-", "").substring(0, 8)
     val verDir = root.resolve(verSeg)
     val schema = structFromJson(m.schemaJson)
-    // one job per vectored file, same partition-dir discipline as compact
+    def seg(e: FileEntry): Option[String] =
+      e.path.split('/').dropRight(1)
+        .find(s => config.partitionKey.exists(pk => s.startsWith(pk + "=")))
+    // bins group files of the SAME partition segment (None = segment-less
+    // old layout, which keeps the partition column in its bytes — see the
+    // drop rule below; the two layouts never mix in one output file)
+    val binned: Seq[(Option[String], Vector[FileEntry])] =
+      vectored.groupBy(seg).toSeq.sortBy(_._1).flatMap { case (sg, fs) =>
+        compactionBins(m, fs, targetPartitions).map(sg -> _)
+      }
     import scala.collection.parallel.CollectionConverters._
     withStatFriendlyTimestamps {
-      vectored.zipWithIndex.par.foreach { case (e, i) =>
-        val seg = e.path.split('/').dropRight(1)
-          .find(s => config.partitionKey.exists(pk => s.startsWith(pk + "=")))
-        val outDir = seg.fold(verDir.resolve(f"purge-$i%04d"))(sg =>
-          verDir.resolve(sg).resolve(f"purge-$i%04d"))
+      binned.zipWithIndex.par.foreach { case ((sg, b), i) =>
+        val outDir = sg.fold(verDir.resolve(f"purge-$i%04d"))(s2 =>
+          verDir.resolve(s2).resolve(f"purge-$i%04d"))
         // drop the partition column ONLY when the rewrite lands under a
-        // pk=value segment that re-derives it; a segment-less file (old
+        // pk=value segment that re-derives it; a segment-less bin (old
         // layout after alterPartitionKey, or flat pre-partitioning) keeps
         // the column in its bytes — dropping both would null it forever
-        val frame0 = readFiles(m, Seq(e)).coalesce(1)
+        val frame0 = readFiles(m, b).coalesce(1)
         val frame =
-          if (seg.isDefined) frame0.drop(config.partitionKey.toSeq: _*)
+          if (sg.isDefined) frame0.drop(config.partitionKey.toSeq: _*)
           else frame0
         val physFrame =
           if (m.columnMapping.isEmpty) frame

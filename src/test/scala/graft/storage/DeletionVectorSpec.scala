@@ -126,6 +126,22 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.purgeDeletionVectors() == v)
   }
 
+  test("purge bin-packs vectored files: ~1 output per bin, not per file") {
+    val t = fresh()
+    t.create(rows(1 to 200).repartition(8)) // 8 small files
+    t.delete((10L to 200L by 10L).toDF("id")) // vectors across most files
+    val m = t.manifest(t.currentVersion)
+    val vectored = m.files.filter(_.dvPath.isDefined)
+    assert(vectored.size >= 4, s"setup: expected spread vectors, " +
+      s"got ${vectored.size}")
+    val cleanPaths = m.files.filter(_.dvPath.isEmpty).map(_.path).toSet
+    val v = t.purgeDeletionVectors()
+    val freshFiles = t.manifest(v).files.filterNot(e => cleanPaths(e.path))
+    assert(freshFiles.size == 1, // default targetPartitions=1 → one bin
+      s"expected one bin-packed purge output, got ${freshFiles.size}")
+    assert(t.read().count() == 180)
+  }
+
   test("time travel: pre-delete version still sees every row") {
     val t = fresh()
     t.create(rows(1 to 25).coalesce(1))
