@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  private def stringArg(e: Expression, name: String, sig: String): String = {
+    require(e.foldable &&
+      e.dataType == org.apache.spark.sql.types.StringType, name, sig)
+    val v = e.eval()
+    require(v != null, name, sig)
+    v.toString
+  }
+
   private def intArg(e: Expression, name: String, sig: String): Int = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(e.foldable &&
@@ -160,6 +168,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ColumnBridge.toResolvableExpression(
         graft.multimodal.Multimodal.frameEnergies(
           colOf(es.head), intArg(es(1), "frame_energies", sig)))
+    })
+
+    // ---- temporal-analytics aggregates ---------------------------------
+    register("funnel_stages", { es =>
+      val sig = "ts TIMESTAMP, event_type STRING, stage STRING literal... " +
+        "[, max_gap_seconds INT literal]"
+      require(es.length >= 3, "funnel_stages", sig)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val gapLast = es.length >= 4 && es.last.foldable &&
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(es.last.dataType)
+      val (stageEs, gap) =
+        if (gapLast)
+          (es.drop(2).dropRight(1),
+            Some(intArg(es.last, "funnel_stages", sig).toLong))
+        else (es.drop(2), None)
+      val stages = stageEs.map(stringArg(_, "funnel_stages", sig))
+      ColumnBridge.toResolvableExpression(
+        graft.operators.Funnel.stageTimesAgg(
+          colOf(es.head), colOf(es(1)), stages, gap))
+    })
+    register("cohort_weeks", { es =>
+      arity(es, 1, "cohort_weeks", "ts TIMESTAMP")
+      ColumnBridge.toResolvableExpression(
+        graft.operators.Cohort.cohortWeeks(colOf(es.head)))
     })
 
     // ---- sketch aggregates (typed Aggregators surfaced in SQL) ---------

@@ -96,6 +96,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
         Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
       intercept[org.apache.spark.sql.AnalysisException](
         s.sql("SELECT top_tokens(w) FROM ext_w").head())
+
+      // round-12 additions: funnel + cohort aggregates in SQL
+      Seq(
+        (1L, "2024-01-01 10:00:00", "signup"),
+        (1L, "2024-01-02 10:00:00", "click"),
+        (1L, "2024-01-09 10:00:00", "purchase"),
+        (2L, "2024-01-03 10:00:00", "signup"),
+        (2L, "2024-01-02 10:00:00", "click"), // click BEFORE signup: no t2
+        (3L, "2024-01-08 10:00:00", "click")) // never signed up: no row t1
+        .toDF("uid", "ts_s", "etype")
+        .selectExpr("uid", "CAST(ts_s AS TIMESTAMP) AS ts", "etype")
+        .createOrReplaceTempView("ext_ev")
+      val fu = s.sql(
+        """SELECT uid, funnel_stages(ts, etype,
+          |  'signup', 'click', 'purchase') AS st
+          |FROM ext_ev GROUP BY uid ORDER BY uid
+          |""".stripMargin).collect()
+      def stages(r: org.apache.spark.sql.Row) =
+        r.getSeq[java.sql.Timestamp](r.fieldIndex("st"))
+          .map(Option(_).map(_.toString))
+      assert(stages(fu(0)) == Seq(Some("2024-01-01 10:00:00.0"),
+        Some("2024-01-02 10:00:00.0"), Some("2024-01-09 10:00:00.0")))
+      assert(stages(fu(1)) == Seq(Some("2024-01-03 10:00:00.0"),
+        None, None))
+      assert(stages(fu(2)) == Seq(None, None, None))
+      // gap-bounded: purchase 7 days after click misses a 3-day window
+      val fg = s.sql(
+        """SELECT funnel_stages(ts, etype,
+          |  'signup', 'click', 'purchase', 259200) AS st
+          |FROM ext_ev WHERE uid = 1
+          |""".stripMargin).head()
+      assert(stages(fg) == Seq(Some("2024-01-01 10:00:00.0"),
+        Some("2024-01-02 10:00:00.0"), None))
+      val co = s.sql(
+        """SELECT uid, cohort_weeks(ts).cohort_week AS cw,
+          |  cohort_weeks(ts).offsets AS offs
+          |FROM ext_ev WHERE uid <= 2 GROUP BY uid ORDER BY uid
+          |""".stripMargin).collect()
+      // 2024-01-01 is a Monday: uid 1's weeks are Jan 1 and Jan 8
+      assert(co(0).getDate(1).toString == "2024-01-01")
+      assert(co(0).getSeq[Long](2) == Seq(0L, 1L))
+      assert(co(1).getDate(1).toString == "2024-01-01")
+      assert(co(1).getSeq[Long](2) == Seq(0L))
+      intercept[org.apache.spark.sql.AnalysisException](
+        s.sql("SELECT funnel_stages(ts, etype) FROM ext_ev").head())
     } finally {
       // restore the shared session as default for other suites
       assert(base.sparkContext == s.sparkContext)

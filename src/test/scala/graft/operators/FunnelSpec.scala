@@ -57,6 +57,39 @@ class FunnelSpec extends SparkSpec {
     assert(times._2 == java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
   }
 
+  test("aggregate form (funnel_stages) replays the window form exactly") {
+    import org.apache.spark.sql.functions._
+    // a spread of users covering every shape: full funnels, broken order,
+    // missing stages, ties, repeats
+    val df = ev((1L to 40L).flatMap { u =>
+      val shapes = Seq(
+        Seq(("signup", 0), ("click", 1), ("purchase", 2)),
+        Seq(("click", 0), ("signup", 1), ("purchase", 2)),
+        Seq(("signup", 0), ("signup", 1), ("click", 1), ("click", 3)),
+        Seq(("purchase", 0)),
+        Seq(("signup", 0), ("click", 0), ("purchase", 0))) // all tied
+      shapes((u % 5).toInt).map { case (tpe, h) =>
+        (u, f"2024-01-0${1 + h}%d 00:00:00", tpe)
+      }
+    }: _*)
+    for (gap <- Seq(None, Some(90000L))) {
+      val win = Funnel.stageTimes(df, "user_id", "ts", "event_type",
+        stages, gap)
+        .select(col("user_id"), col("t_1"), col("t_2"), col("t_3"))
+        .collect().map(r => r.getLong(0) ->
+          (r.get(1), r.get(2), r.get(3))).toMap
+      val agg = df.groupBy("user_id")
+        .agg(Funnel.stageTimesAgg(col("ts"), col("event_type"), stages,
+          gap).as("st"))
+        .select(col("user_id"), col("st")(0).as("t_1"),
+          col("st")(1).as("t_2"), col("st")(2).as("t_3"))
+        .filter(col("t_1").isNotNull) // stageTimes drops stage-1 misses
+        .collect().map(r => r.getLong(0) ->
+          (r.get(1), r.get(2), r.get(3))).toMap
+      assert(agg == win, s"gap=$gap")
+    }
+  }
+
   test("maxGap bounds each step: late conversions fall out of the funnel") {
     val df = ev(
       // user 1: click 1h after signup → inside a 2h gap
