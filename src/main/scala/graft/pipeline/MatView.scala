@@ -15,8 +15,12 @@ import org.json4s.jackson.Serialization
   * count − — so a refresh costs O(changed rows) + O(view groups), never a
   * base rescan. The additive class (count/sum, and means as sum/count at
   * read time) is exactly what's incrementally maintainable under deletes
-  * without auxiliary state; min/max are deliberately NOT offered (a delete
-  * of the current extremum forces a group rescan — the standard MV fence).
+  * without auxiliary state. MIN/MAX (`minMaxCols`) ship the standard MV
+  * compromise for the classically non-incremental pair: inserts fold in
+  * via least/greatest (clean, no rescan); a batch whose deleted values
+  * reach a group's candidate extremum marks the group DIRTY, and ONLY
+  * dirty groups re-aggregate from the base snapshot (semi-join-restricted
+  * scan) — a refresh that retracts no extremum still never rescans.
   *
   * Sums are carried as DECIMAL(28,10), so the incrementally-maintained
   * state is BIT-EQUAL to a from-scratch recompute regardless of how many
@@ -43,11 +47,14 @@ final class MatView private (
     base: CowTable,
     groupCols: Seq[String],
     sumCols: Seq[String],
+    minMaxCols: Seq[String],
     root: Path) {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
   private val bookmarkPath = root.resolve("_mv_bookmark")
 
   private def sumName(c: String) = s"sum_$c"
+  private def minName(c: String) = s"min_$c"
+  private def maxName(c: String) = s"max_$c"
   private def dec(c: Column) = c.cast("decimal(28,10)")
 
   import MatView.Mark
@@ -63,10 +70,13 @@ final class MatView private (
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Current view contents: groupCols + n_rows + sum_<c>... */
+  /** Current view contents: groupCols + n_rows + sum_<c>... [+ min_<c> +
+    * max_<c>...]. */
   def read(): DataFrame = table.read()
     .select((groupCols.map(col) :+ col("n_rows")) ++
-      sumCols.map(c => col(sumName(c))): _*)
+      sumCols.map(c => col(sumName(c))) ++
+      minMaxCols.flatMap(c =>
+        Seq(col(minName(c)), col(maxName(c)))): _*)
 
   /** Apply all base versions committed since the last refresh. Returns the
     * number of base versions applied (0 = already current). */
@@ -105,26 +115,79 @@ final class MatView private (
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
       .otherwise(raise_error(concat(
         lit("matview: unknown change type "), col("_change_type"))))
+    // per-group min/max of the batch's INSERTED and DELETED values — the
+    // inputs of the rescan-on-retract rule below
+    val mmDeltaAggs = minMaxCols.flatMap(c => Seq(
+      min(when(sign === 1L, col(c))).as(s"__ins_min_$c"),
+      max(when(sign === 1L, col(c))).as(s"__ins_max_$c"),
+      min(when(sign === -1L, col(c))).as(s"__del_min_$c"),
+      max(when(sign === -1L, col(c))).as(s"__del_max_$c")))
     val deltas = feed
       .groupBy(groupCols.map(col): _*)
       .agg(sum(sign).as("__d_n"),
-        sumCols.map(c => sum(dec(col(c)) * sign).as(s"__d_$c")): _*)
+        sumCols.map(c => sum(dec(col(c)) * sign).as(s"__d_$c")) ++
+          mmDeltaAggs: _*)
+
+    def baseMm(keys: Option[DataFrame]): DataFrame = {
+      // re-aggregate min/max from the base SNAPSHOT AT `to` (the version
+      // this refresh applies up to — base may advance concurrently),
+      // restricted to `keys` when given
+      val snap = base.readVersion(to)
+      val scoped = keys.fold(snap)(k => snap.join(k, groupCols, "left_semi"))
+      val aggs = minMaxCols.flatMap(c => Seq(
+        min(col(c)).as(s"__rs_min_$c"), max(col(c)).as(s"__rs_max_$c")))
+      scoped.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
 
     if (table.currentVersion == 0) {
       // bootstrap: the feed from version 0 IS the full initial aggregate
-      table.create(deltas.select(
+      // (counts/sums); min/max come from one base-snapshot aggregate —
+      // the expected full-scan cost of a bootstrap
+      val boot0 = deltas.select(
         (groupCols.map(col) :+ col("__d_n").as("n_rows")) ++
           sumCols.map(c =>
             coalesce(col(s"__d_$c"), dec(lit(0))).as(sumName(c))): _*)
-        .filter(col("n_rows") > 0))
+        .filter(col("n_rows") > 0)
+      val booted =
+        if (minMaxCols.isEmpty) boot0
+        else boot0.join(baseMm(None), groupCols, "left")
+          .select((boot0.columns.toSeq.map(col) ++
+            minMaxCols.flatMap(c => Seq(
+              col(s"__rs_min_$c").as(minName(c)),
+              col(s"__rs_max_$c").as(maxName(c))))): _*)
+      table.create(booted)
     } else {
       val state = table.read()
+      // incremental min/max: inserts fold in via least/greatest (clean);
+      // a batch whose DELETED values reach the candidate extremum marks
+      // the group DIRTY — only dirty groups re-aggregate from the base.
+      // The <= / >= (not =) guards the insert-then-delete-in-one-batch
+      // case: a value inserted and retracted in the same feed range would
+      // otherwise fold in as a min/max that no longer exists.
+      val mmJoinCols = minMaxCols.flatMap { c =>
+        val candMin = least(col(minName(c)), col(s"__ins_min_$c"))
+        val candMax = greatest(col(maxName(c)), col(s"__ins_max_$c"))
+        Seq(candMin.as(s"__cand_min_$c"), candMax.as(s"__cand_max_$c"))
+      }
+      val dirtyExpr =
+        if (minMaxCols.isEmpty) lit(false)
+        else minMaxCols.map { c =>
+          coalesce(
+            (col(s"__del_min_$c").isNotNull &&
+              col(s"__del_min_$c") <=
+                least(col(minName(c)), col(s"__ins_min_$c"))) ||
+            (col(s"__del_max_$c").isNotNull &&
+              col(s"__del_max_$c") >=
+                greatest(col(maxName(c)), col(s"__ins_max_$c"))),
+            lit(false))
+        }.reduce(_ || _)
       val joined = deltas.join(state, groupCols, "left")
-        .select((groupCols.map(col) :+
+        .select(((groupCols.map(col) :+
           (coalesce(col("n_rows"), lit(0L)) + col("__d_n")).as("n_rows")) ++
           sumCols.map(c =>
             (coalesce(col(sumName(c)), dec(lit(0))) +
-              coalesce(col(s"__d_$c"), dec(lit(0)))).as(sumName(c))): _*)
+              coalesce(col(s"__d_$c"), dec(lit(0)))).as(sumName(c))) ++
+          mmJoinCols) :+ dirtyExpr.as("__dirty"): _*)
         .withColumn("n_rows",
           when(col("n_rows") >= 0, col("n_rows"))
             .otherwise(raise_error(
@@ -132,7 +195,22 @@ final class MatView private (
         .localCheckpoint() // one evaluation; feeds both upsert and delete
       val dead = joined.filter(col("n_rows") === 0).select(
         groupCols.map(col): _*)
-      table.upsert(joined.filter(col("n_rows") > 0))
+      val live = joined.filter(col("n_rows") > 0)
+      val upFrame =
+        if (minMaxCols.isEmpty) live.drop("__dirty")
+        else {
+          val dirtyKeys = live.filter(col("__dirty"))
+            .select(groupCols.map(col): _*)
+          live.join(baseMm(Some(dirtyKeys)), groupCols, "left")
+            .select((groupCols.map(col) :+ col("n_rows")) ++
+              sumCols.map(c => col(sumName(c))) ++
+              minMaxCols.flatMap(c => Seq(
+                when(col("__dirty"), col(s"__rs_min_$c"))
+                  .otherwise(col(s"__cand_min_$c")).as(minName(c)),
+                when(col("__dirty"), col(s"__rs_max_$c"))
+                  .otherwise(col(s"__cand_max_$c")).as(maxName(c)))): _*)
+        }
+      table.upsert(upFrame)
       if (!dead.isEmpty) table.delete(dead)
     }
     writeMark(Mark(to, table.currentVersion))
@@ -150,21 +228,22 @@ object MatView {
   /** Durable MV definition, stored at `<root>/_mv_def.json` so a fresh
     * session can refresh the view knowing only its name. */
   final case class Def(base: String, groupCols: Seq[String],
-      sumCols: Seq[String])
+      sumCols: Seq[String], minMaxCols: Seq[String] = Nil)
 
   /** Create a NAMED materialized view in a lake: definition persisted at
     * the view root, state table registered in the lake catalog (readable
     * as `lake.default.<name>`), bootstrapped with an initial refresh. */
   def createInLake(
       spark: SparkSession, warehouse: String, name: String, baseTable: String,
-      groupCols: Seq[String], sumCols: Seq[String]): MatView = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): MatView = {
     require(!graft.storage.LakeRegistry.entries(warehouse)
       .exists(_.table_name == name),
       s"matview: table $name already exists in the lake catalog")
     val root = Paths.get(warehouse).resolve(name)
     Files.createDirectories(root)
     Files.writeString(root.resolve("_mv_def.json"),
-      Serialization.write(Def(baseTable, groupCols, sumCols)))
+      Serialization.write(Def(baseTable, groupCols, sumCols, minMaxCols)))
     val mv = openInLake(spark, warehouse, name)
     mv.refresh()
     graft.storage.LakeRegistry.register(warehouse,
@@ -181,19 +260,24 @@ object MatView {
     require(Files.exists(defPath), s"matview: no definition at $defPath")
     val d = Serialization.read[Def](Files.readString(defPath))
     val base = graft.storage.LakeRegistry.open(spark, warehouse, d.base)
-    apply(spark, root.toString, base, d.groupCols, d.sumCols)
+    apply(spark, root.toString, base, d.groupCols, d.sumCols, d.minMaxCols)
   }
 
   /** Open (or lazily bootstrap on first refresh) an MV rooted at `root`,
-    * grouping `base` by `groupCols` with COUNT(*) + SUM over `sumCols`. */
+    * grouping `base` by `groupCols` with COUNT(*) + SUM over `sumCols`
+    * [+ MIN/MAX over `minMaxCols`, maintained incrementally on inserts
+    * and by a dirty-group base re-aggregate when a delete/update retracts
+    * an extremum — the standard MV compromise for the classically
+    * non-incremental pair]. */
   def apply(
       spark: SparkSession, root: String, base: CowTable,
-      groupCols: Seq[String], sumCols: Seq[String]): MatView = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): MatView = {
     require(groupCols.nonEmpty, "matview needs at least one group column")
     val cfg = TableConfig(
       tableName = s"mv_${base.config.tableName}", primaryKey = groupCols)
     val rootPath = Paths.get(root)
     new MatView(spark, CowTable(spark, root, cfg), base, groupCols, sumCols,
-      rootPath)
+      minMaxCols, rootPath)
   }
 }

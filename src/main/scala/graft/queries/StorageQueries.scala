@@ -1372,6 +1372,56 @@ object StorageQueries {
         "c_mktsegment")
     },
 
+    // MIN/MAX materialized-view maintenance with rescan-on-retract: each
+    // group's max is DELETED (the classically non-incremental case — the
+    // dirty-group base re-aggregate), then new minima arrive via upsert
+    // (the clean incremental least/greatest fold). Oracle = full recompute
+    // over the mutated base.
+    Q("q161_matview_minmax",
+      """WITH del AS (
+        |  SELECT min(o.o_orderkey) AS k FROM orders o
+        |  JOIN (SELECT o_orderpriority AS p, max(o_totalprice) AS mx
+        |        FROM orders GROUP BY 1) g
+        |    ON o.o_orderpriority = g.p AND o.o_totalprice = g.mx
+        |  GROUP BY o.o_orderpriority),
+        |fin AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN -1.0
+        |         ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE o_orderkey % 13 = 0
+        |     OR o_orderkey NOT IN (SELECT k FROM del))
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(28,10))) AS DOUBLE) AS sum_price,
+        |  min(price) AS min_price, max(price) AS max_price
+        |FROM fin GROUP BY 1
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q161")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice").as("price"))
+      val base = CowTable(s, root + "/base",
+        TableConfig("orders_base", Seq("o_orderkey")))
+      base.create(ord.repartition(4))
+      val mv = graft.pipeline.MatView(s, root + "/mv", base,
+        Seq("o_orderpriority"), Seq("price"), minMaxCols = Seq("price"))
+      mv.refresh() // bootstrap
+      // retract every group's max (tie-break: min key among argmax rows)
+      val delKeys = ord.join(ord.groupBy("o_orderpriority")
+          .agg(max("price").as("mx")), "o_orderpriority")
+        .filter(col("price") === col("mx"))
+        .groupBy("o_orderpriority").agg(min("o_orderkey").as("o_orderkey"))
+        .select("o_orderkey")
+      base.delete(delKeys)
+      mv.refresh() // dirty-group rescan path
+      base.upsert(ord.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("price", lit(-1.0)))
+      mv.refresh() // clean incremental fold path
+      mv.read().select(col("o_orderpriority"), col("n_rows"),
+        col("sum_price").cast("double").as("sum_price"),
+        col("min_price"), col("max_price"))
+    },
+
     // SQL row-level ops on a deletion-vector table take the DELTA-BASED
     // path (SupportsDelta): DELETE marks positions in a sidecar, UPDATE
     // marks + appends the new rows — neither rewrites a data file (the

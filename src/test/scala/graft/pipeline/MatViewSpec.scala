@@ -113,6 +113,87 @@ class MatViewSpec extends SparkSpec {
     assert(view(mv) == recompute(base))
   }
 
+  test("min/max maintenance: inserts fold in, extremum retraction rescans") {
+    val dir = tmpDir("mvmm")
+    val base = mkBase(dir, rows(
+      (1, "a", 5.0), (2, "a", 1.0), (3, "a", 9.0), (4, "b", 4.0)))
+    val mv = MatView(spark, dir + "/mv", base, Seq("grp"), Seq("v"),
+      minMaxCols = Seq("v"))
+    def mm: Map[String, (Double, Double)] = mv.read()
+      .select("grp", "min_v", "max_v")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    mv.refresh()
+    assert(mm == Map("a" -> (1.0, 9.0), "b" -> (4.0, 4.0)))
+    // clean insert: new max folds in incrementally (no extremum retracted)
+    base.upsert(rows((5, "a", 12.0)))
+    mv.refresh()
+    assert(mm == Map("a" -> (1.0, 12.0), "b" -> (4.0, 4.0)))
+    // retract the current max of a: dirty group re-aggregates from base
+    base.delete(Seq(5L).toDF("id"))
+    mv.refresh()
+    assert(mm == Map("a" -> (1.0, 9.0), "b" -> (4.0, 4.0)))
+    // update that MOVES the min between groups: both sides stay exact
+    base.upsert(rows((2, "b", 0.5)))
+    mv.refresh()
+    assert(mm == Map("a" -> (5.0, 9.0), "b" -> (0.5, 4.0)))
+  }
+
+  test("min/max: insert-then-delete of a would-be extremum in ONE batch") {
+    val dir = tmpDir("mvmm2")
+    val base = mkBase(dir, rows((1, "a", 5.0), (2, "a", 7.0)))
+    val mv = MatView(spark, dir + "/mv", base, Seq("grp"), Seq("v"),
+      minMaxCols = Seq("v"))
+    mv.refresh()
+    // two base commits, ONE refresh: 99.0 enters and leaves inside the
+    // applied feed range — folding it in as the max would be wrong
+    base.upsert(rows((3, "a", 99.0)))
+    base.delete(Seq(3L).toDF("id"))
+    assert(mv.refresh() == 2)
+    val got = mv.read().select("grp", "min_v", "max_v")
+      .as[(String, Double, Double)].head()
+    assert(got == ("a", 5.0, 7.0))
+  }
+
+  test("min/max state always equals a full recompute through churn") {
+    val dir = tmpDir("mvmm3")
+    val base = mkBase(dir, (1L to 30L).map(i =>
+      (i, s"g${i % 4}", (i * 7 % 13).toDouble)).toDF("id", "grp", "v"))
+    val mv = MatView(spark, dir + "/mv", base, Seq("grp"), Seq("v"),
+      minMaxCols = Seq("v"))
+    mv.refresh()
+    val muts = Seq(
+      () => base.delete(Seq(13L, 26L).toDF("id")), // 13*7%13=0: a min dies
+      () => base.upsert(rows((31, "g1", -4.0), (7, "g2", 50.0))),
+      () => base.delete(Seq(31L).toDF("id")), // retract the fresh min
+      () => base.upsert(rows((8, "g0", 2.0), (9, "g3", 2.0))))
+    muts.foreach { m =>
+      m(); mv.refresh()
+      val got = mv.read()
+        .select("grp", "n_rows", "min_v", "max_v")
+        .as[(String, Long, Double, Double)].collect().toSet
+      val want = base.read().groupBy("grp")
+        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(got == want)
+    }
+  }
+
+  test("lake catalog round-trip carries minMaxCols through the definition") {
+    val dir = tmpDir("mvmmlake")
+    val base = CowTable(spark, dir + "/b",
+      graft.storage.TableConfig("b", Seq("id")))
+    base.create(rows((1, "a", 3.0), (2, "b", 4.0)))
+    graft.storage.LakeRegistry.register(dir, base.config, dir + "/b")
+    MatView.createInLake(spark, dir, "mvx", "b", Seq("grp"), Seq("v"),
+      minMaxCols = Seq("v"))
+    base.upsert(rows((3, "a", -1.0)))
+    val reopened = MatView.openInLake(spark, dir, "mvx")
+    reopened.refresh()
+    assert(reopened.read().select("grp", "min_v")
+      .as[(String, Double)].collect().toMap == Map("a" -> -1.0, "b" -> 4.0))
+  }
+
   test("multiple group columns and multiple measures") {
     val dir = tmpDir("mv")
     val df = Seq((1L, "a", "x", 1.0, 10.0), (2L, "a", "y", 2.0, 20.0),
