@@ -30,7 +30,8 @@ object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
-      "evolve_partition", "create_matview", "refresh_matview")
+      "evolve_partition", "create_matview", "refresh_matview",
+      "purge_vectors")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -69,6 +70,16 @@ object GraftProcedures {
           else t.optimize(cols.toSeq, partitionValue = scope, full = full)
         Array[Any](v)
       })
+      // CALL lake.purge_vectors('t'): rewrite deletion-vectored files
+      // without their deleted rows (bin-packed like compact) and clear
+      // the sidecars — the SQL handle for retiring the DV read-side tax
+      case "purge_vectors" => Some(proc("purge_vectors",
+        Seq(in("table", StringType),
+          in("target_partitions", IntegerType, Some("1"))),
+        resultSchema = versionResult) { args =>
+        Array[Any](open(str(args, 0))
+          .purgeDeletionVectors(args.getInt(1)))
+      })
       case "vacuum" => Some(proc("vacuum",
         Seq(in("table", StringType),
           in("retain_last", IntegerType, Some("2"))),
@@ -99,14 +110,18 @@ object GraftProcedures {
       // object — definition persisted at the view root, state queryable as
       // lake.default.<name>, kept current by CALL refresh_matview (signed
       // change-feed deltas; see graft.pipeline.MatView).
+      // optional 5th arg: min/max columns (rescan-on-retract maintenance)
       case "create_matview" => Some(proc("create_matview",
         Seq(in("name", StringType), in("base_table", StringType),
-          in("group_by", StringType), in("sum_columns", StringType)),
+          in("group_by", StringType), in("sum_columns", StringType),
+          in("min_max_columns", StringType, Some("''"))),
         resultSchema = versionResult) { args =>
+        def cols(i: Int): Seq[String] =
+          Option(args.getUTF8String(i)).map(_.toString).getOrElse("")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val mv = graft.pipeline.MatView.createInLake(
           SparkSession.active, warehouse, str(args, 0), str(args, 1),
-          str(args, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          str(args, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          cols(2), cols(3), cols(4))
         Array[Any](mv.table.currentVersion)
       })
       case "refresh_matview" => Some(proc("refresh_matview",

@@ -172,9 +172,13 @@ final class GraftRowLevelScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // position-skipping needs the row reader (same degrade as GraftScan)
+    // position-skipping and a requested `_pos` both need the row reader
+    // (same degrades as GraftScan — the columnar path would silently
+    // null-fill `_pos` as an absent file column)
     new GraftReaderFactory(required,
-      columnar = kept.forall(_.dvPath.isEmpty), mapping = m.columnMapping)
+      columnar = kept.forall(_.dvPath.isEmpty) &&
+        !required.fieldNames.contains(GraftTable.PosColumnName),
+      mapping = m.columnMapping)
 }
 
 final class GraftRowLevelWriteBuilder(

@@ -322,6 +322,39 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL create_matview with min/max + CALL purge_vectors") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.sales (id BIGINT, region STRING, " +
+      "amt DOUBLE) OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.sales VALUES " +
+      "(1, 'eu', 10.0), (2, 'us', 20.0), (3, 'eu', 5.0)")
+    sess.sql("CALL lake.create_matview('mm', 'sales', 'region', 'amt', " +
+      "'amt')")
+    def snap() = sess.table("lake.default.mm")
+      .select("region", "min_amt", "max_amt")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(snap() == Set(("eu", 5.0, 10.0), ("us", 20.0, 20.0)))
+    // retract eu's max through SQL; refresh takes the dirty-rescan path
+    sess.sql("DELETE FROM lake.default.sales WHERE id = 1")
+    sess.sql("CALL lake.refresh_matview('mm')")
+    assert(snap() == Set(("eu", 5.0, 5.0), ("us", 20.0, 20.0)))
+
+    // purge_vectors: SQL handle for retiring DV sidecars
+    sess.sql("CREATE TABLE lake.default.dv2 (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true', " +
+      "deletionVectors 'true')")
+    sess.sql("INSERT INTO lake.default.dv2 " +
+      "SELECT id, id * 1.0 FROM range(1, 31)")
+    sess.sql("DELETE FROM lake.default.dv2 WHERE id % 5 = 0")
+    val t = graft.storage.LakeRegistry.open(spark, lake, "dv2")
+    assert(t.manifest(t.currentVersion).files.exists(_.dvPath.isDefined))
+    sess.sql("CALL lake.purge_vectors('dv2')").collect()
+    assert(t.manifest(t.currentVersion).files.forall(_.dvPath.isEmpty))
+    assert(sess.table("lake.default.dv2").count() == 24)
+  }
+
   test("ALTER TABLE RENAME TO swaps the catalog entry, moves no data") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)

@@ -313,6 +313,37 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.manifest(t.currentVersion).files.forall(_.dvPath.isEmpty))
   }
 
+  test("SQL DELETE/UPDATE on a PARTITIONED DV table keeps the hive layout") {
+    val lake = tmpDir("dvsqlpart")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.p (id BIGINT, cat STRING, v DOUBLE)" +
+      " PARTITIONED BY (cat) TBLPROPERTIES (primaryKey 'id', " +
+      "changeDataFeed 'true', deletionVectors 'true')")
+    sess.sql("INSERT INTO lake.default.p " +
+      "SELECT id, concat('c', id % 3), id * 1.0 FROM range(1, 61)")
+    val t = LakeRegistry.open(spark, lake, "p")
+    val before = t.manifest(t.currentVersion).files.map(_.path).toSet
+    sess.sql("DELETE FROM lake.default.p WHERE id % 20 = 0")
+    sess.sql("UPDATE lake.default.p SET v = -1.0 WHERE id IN (7, 8)")
+    val m = t.manifest(t.currentVersion)
+    assert(before.subsetOf(m.files.map(_.path).toSet)) // nothing rewritten
+    assert(m.files.map(_.dvRows).sum == 5) // 3 deletes + 2 update marks
+    // the appended update files landed under their hive partition dirs
+    val freshFiles = m.files.filterNot(e => before(e.path))
+    assert(freshFiles.nonEmpty &&
+      freshFiles.forall(_.path.contains("cat=")))
+    // content + partition column stay exact, incl. partition-pruned reads
+    val got = sess.table("lake.default.p").as[(Long, String, Double)]
+      .collect().map { case (i, c, x) => i -> ((c, x)) }.toMap
+    assert(got.size == 57 && !got.contains(20L))
+    assert(got(7L) == (("c1", -1.0)) && got(8L) == (("c2", -1.0)))
+    assert(sess.sql(
+      "SELECT count(*) FROM lake.default.p WHERE cat = 'c1'")
+      .head().getLong(0) == 19) // 20 minus deleted id 40... c1: 1,4,..,58
+  }
+
   test("SQL MERGE on a vectored table does not resurrect DV-deleted rows") {
     val lake = tmpDir("dvsqlmerge")
     val sess = dvSqlSession(lake)
