@@ -1491,6 +1491,31 @@ object StorageQueries {
       out
     },
 
+    // PARTITION-SCOPED metadata count: the WHERE on the hive key is
+    // CONSUMED exactly (every file carries a path value, a file's rows
+    // all share it), emptying the residual so the grouped COUNT answers
+    // from the pruned manifest — "count yesterday's partition" with zero
+    // data files opened (plan-asserted).
+    Q("q162_partition_scoped_count",
+      """SELECT c_mktsegment, count(*) AS n_rows
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY c_mktsegment
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q162")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      CowTable(s, root, TableConfig("customer", Seq("c_custkey"),
+        partitionKey = Some("c_mktsegment")))
+        .create(t(s, d, "customer").repartition(4))
+      val out = s.read.format("graft").load(root)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"))
+      require(out.queryExecution.executedPlan.toString
+        .contains("manifest_agg_"),
+        "expected the filtered grouped count answered from the manifest")
+      out
+    },
+
     // Manifest aggregate pushdown through the DSv2 surface: COUNT(*) +
     // MIN/MAX of the key answered as a driver-local row (plan-asserted:
     // zero data files opened).

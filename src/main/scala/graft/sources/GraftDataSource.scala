@@ -9,7 +9,7 @@ import graft.storage.{CommitManifest, CowTable, FileEntry}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -300,6 +300,9 @@ final class GraftScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var bounds: Seq[(Option[Any], Option[Any])] = Nil
   private var partValues: Option[Set[String]] = None
+  // `pk IS NOT NULL` pushed: null-partition (sentinel-dir) files prune —
+  // always exact (their rows ARE null), consumed alongside the equality
+  private var partNotNull: Boolean = false
   private var extraBounds: Seq[(String, Boolean, Option[Any], Option[Any])] =
     Nil
 
@@ -382,15 +385,46 @@ final class GraftScanBuilder(
       case _ => false
     }
 
+  // true when a partition filter was CONSUMED (not returned as residual) —
+  // the streaming path then fails loud on any file it cannot attribute to
+  // a partition value instead of conservatively keeping it
+  private var consumedPartFilter: Boolean = false
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.flatMap(keyBounds)
     val parts = filters.flatMap(partitionSets)
     val stats = filters.flatMap(statColBounds)
-    pushed = (usable.map(_._1) ++ parts.map(_._1) ++ stats.map(_._1)).distinct
+    val notNullPart: Seq[Filter] = m.partitionKey.toSeq.flatMap(pk =>
+      filters.collect { case f @ IsNotNull(`pk`) => f })
+    pushed = (usable.map(_._1) ++ parts.map(_._1) ++ stats.map(_._1) ++
+      notNullPart).distinct
     bounds = usable.map(b => (b._2, b._3)).toSeq
     partValues = parts.map(_._2).reduceOption(_ intersect _)
+    partNotNull = notNullPart.nonEmpty
     extraBounds = stats.map(s => (s._2, numericStat(s._2), s._3, s._4)).toSeq
-    filters // all residual: pruning only skips files, Spark keeps exactness
+    // EXACT CONSUMPTION of whole-conjunct partition filters: a top-level
+    // `pk = v` / `pk IN (...)` is fully answered by path pruning when
+    // EVERY file carries a path-borne partition value (a file's rows all
+    // share its directory value, and a null-partition file never matches
+    // a non-null literal) — consuming it empties the residual, which is
+    // what lets Spark attempt aggregate pushdown on a partition-scoped
+    // metadata query (`COUNT(*) WHERE pk = v [GROUP BY pk]` from the
+    // manifest). Files without a path value (old layout after
+    // partition-spec evolution) keep everything residual — pruning that
+    // KEEPS such files conservatively must stay re-checked by Spark.
+    // Key-range and stats filters always stay residual.
+    val allPathed = m.partitionKey.isDefined && m.files.nonEmpty &&
+      m.files.forall(e =>
+        GraftScan.pathPartValue(m.partitionKey, e).isDefined)
+    // `pk IS NOT NULL` rides along: Spark splits `pk = v` into
+    // IsNotNull(pk) AND EqualTo(pk, v) — a residual IsNotNull would block
+    // aggregate pushdown; sentinel-dir pruning answers it exactly
+    val consumable: Set[Filter] =
+      if (streamOpts.readChangeFeed || !allPathed) Set.empty
+      else (filters.filter(f => partitionSets(f).exists(_._1 eq f)) ++
+        notNullPart).toSet
+    consumedPartFilter = consumable.nonEmpty
+    filters.filterNot(consumable) // the rest stays residual (exactness)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -412,9 +446,13 @@ final class GraftScanBuilder(
     *    evolution rejects the pushdown). The most common metadata rollup
     *    a lake user runs (per-partition row counts), O(files) driver-side.
     * Spark only attempts aggregate pushdown when every filter was
-    * consumed; this builder keeps all filters residual (pushFilters
-    * returns them), so acceptance implies a truly unfiltered scan.
-    * Change-feed reads aggregate change HISTORY, never pushed. */
+    * consumed. Key-range and stats filters always stay residual (their
+    * pruning is approximate), so they block pushdown; whole-conjunct
+    * PARTITION filters are consumed exactly when every file carries a
+    * path value (see [[pushFilters]]) — which is what makes the
+    * partition-scoped metadata query (`COUNT(*) WHERE pk = v`) answerable
+    * here, over the pruned file set. Change-feed reads aggregate change
+    * HISTORY, never pushed. */
   private def tryManifestAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Array[Any]])] = {
@@ -451,6 +489,22 @@ final class GraftScanBuilder(
       case org.apache.spark.sql.types.DateType => s.toLong.toInt // epoch days
       case _ => s.toLong // timestamps: internal rep IS epoch micros
     }
+    // The files the aggregation ranges over: all of them, minus partition
+    // pruning when a partition filter was CONSUMED in pushFilters (Spark
+    // only attempts aggregate pushdown when no residual filter remains,
+    // so reaching here with partValues set implies the consumption
+    // invariant: every file carries a path value)
+    val aggFiles: Seq[FileEntry] = {
+      val valued = partValues match {
+        case None => m.files
+        case Some(vs) => m.files.filter(e =>
+          GraftScan.pathPartValue(m.partitionKey, e).forall(vs.contains))
+      }
+      if (!partNotNull) valued
+      else valued.filterNot(e =>
+        GraftScan.pathPartValue(m.partitionKey, e)
+          .contains(GraftScan.NullPartitionName))
+    }
     // The group structure: no GROUP BY ⇒ one group of all files; GROUP BY
     // exactly the hive partition key ⇒ one group per path-borne partition
     // value (every file must carry one — an old-layout file after
@@ -458,18 +512,19 @@ final class GraftScanBuilder(
     // pushdown). Anything else ⇒ not answerable from the manifest.
     val groups: Seq[(Option[Any], Seq[FileEntry])] =
       agg.groupByExpressions.toSeq match {
-        case Seq() => Seq((None, m.files))
+        case Seq() => Seq((None, aggFiles))
         case Seq(nr: NamedReference)
           if m.partitionKey.contains(nr.fieldNames.mkString(".")) =>
           val pcol = m.partitionKey.get
           val pDt = fullSchema.find(_.name == pcol).map(_.dataType)
             .getOrElse(return None)
-          val raw = m.files.map(e => GraftScan.pathPartValue(m.partitionKey, e))
+          val raw = aggFiles.map(e =>
+            GraftScan.pathPartValue(m.partitionKey, e))
           if (raw.contains(None)) return None // flat-layout file: no value
           if (scala.util.Try(raw.flatten.distinct.foreach(v =>
             GraftColumnarPartitionReader.parsePartitionValue(v, pDt)))
             .isFailure) return None // unparseable dir value: never guess
-          m.files.zip(raw.flatten).groupBy(_._2).toSeq.sortBy(_._1)
+          aggFiles.zip(raw.flatten).groupBy(_._2).toSeq.sortBy(_._1)
             .map { case (v, fs) =>
               (Some(GraftColumnarPartitionReader.parsePartitionValue(v, pDt)),
                 fs.map(_._1))
@@ -556,7 +611,7 @@ final class GraftScanBuilder(
       }
     }
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
-      extraBounds)
+      extraBounds, consumedPartFilter, partNotNull)
   }
 }
 
@@ -587,6 +642,11 @@ final case class GraftGroupedPartition(
 }
 
 object GraftScan {
+  /** The hive null-partition directory value (post-unescape). */
+  private[sources] val NullPartitionName: String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+
   /** Hive partition value sitting in a file's path, if any (files written
     * without partition directories — e.g. pre-r6 DSv2 writers — have none
     * and are never partition-pruned). */
@@ -650,7 +710,14 @@ final class GraftScan(
     partValues: Option[Set[String]] = None,
     columnar: Boolean = true,
     streamOpts: GraftStreamOptions = GraftStreamOptions(),
-    extraBounds: Seq[(String, Boolean, Option[Any], Option[Any])] = Nil)
+    extraBounds: Seq[(String, Boolean, Option[Any], Option[Any])] = Nil,
+    /** A partition filter was consumed (not residual): pruning must stay
+      * EXACT — the streaming path fails loud on an unattributable file
+      * instead of keeping it. */
+    exactPartPrune: Boolean = false,
+    /** `pk IS NOT NULL` pushed: sentinel-dir files prune (always exact —
+      * their rows ARE null for pk). */
+    partNotNull: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -666,13 +733,17 @@ final class GraftScan(
     val ranged = bounds.foldLeft(m.files) { (fs, b) =>
       CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
     }
-    val parted = partValues match {
+    val parted0 = partValues match {
       case None => ranged
       // a null partition (__HIVE_DEFAULT_PARTITION__) never equals a
       // non-null filter value, so pruning it is exact
       case Some(vs) => ranged.filter(e =>
         pathPartValue(e).forall(vs.contains))
     }
+    val parted =
+      if (!partNotNull) parted0
+      else parted0.filterNot(e =>
+        pathPartValue(e).contains(GraftScan.NullPartitionName))
     // extra data-skipping stats: a file without stats for the column is
     // kept (conservative); overlap checks use the declared type's space.
     // FileEntry.extra is keyed by PHYSICAL name (rename-stable), filters
@@ -806,7 +877,8 @@ final class GraftScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(
-      root, required, columnar, bounds, partValues, streamOpts)
+      root, required, columnar, bounds, partValues, streamOpts,
+      exactPartPrune, partNotNull)
 
   /** The file set as of PLANNING time. Key-grouped planning must derive its
     * partition-VALUE list from this snapshot, not from the runtime-pruned

@@ -74,7 +74,12 @@ final class GraftMicroBatchStream(
     root: Path, required: StructType, columnar: Boolean,
     bounds: Seq[(Option[Any], Option[Any])],
     partValues: Option[Set[String]],
-    opts: GraftStreamOptions)
+    opts: GraftStreamOptions,
+    /** The partition filter was CONSUMED at plan time (no residual): a
+      * batch file without a path-borne value must FAIL, not be kept. */
+    exactPartPrune: Boolean = false,
+    /** `pk IS NOT NULL` pushed: sentinel-dir files prune (always exact). */
+    partNotNull: Boolean = false)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** AvailableNow: the end version is pinned ONCE at stream start, so the
@@ -146,11 +151,27 @@ final class GraftMicroBatchStream(
         val ranged = bounds.foldLeft(added) { (fs, b) =>
           CowTable.filesInRange(m.copy(files = fs), b._1, b._2)
         }
-        val kept = partValues match {
-          case None => ranged
-          case Some(vs) => ranged.filter(e =>
-            GraftScan.pathPartValue(m.partitionKey, e).forall(vs.contains))
-        }
+        val kept =
+          if (partValues.isEmpty && !partNotNull) ranged
+          else ranged.filter { e =>
+            GraftScan.pathPartValue(m.partitionKey, e) match {
+              case Some(value) =>
+                partValues.forall(_.contains(value)) &&
+                  !(partNotNull && value == GraftScan.NullPartitionName)
+              case None if exactPartPrune =>
+                // the plan consumed the partition filter (nothing left for
+                // Spark to re-apply) — an unattributable file (e.g. the
+                // partition spec evolved mid-stream) cannot be silently
+                // kept OR dropped; only a restart replans correctly
+                throw new IllegalStateException(
+                  s"graft stream: commit v$v of $root added file ${e.path}" +
+                    " without a path-borne partition value while the " +
+                    "stream's partition filter was pushed exactly — " +
+                    "restart the stream so the filter re-plans against " +
+                    "the current partition spec")
+              case None => true // filter is residual: conservative keep
+            }
+          }
         kept.map(m -> _)
       }
     }

@@ -140,6 +140,44 @@ class GraftDataSourceSpec extends SparkSpec {
       Set(("c0", 10L), ("c1", 10L)))
   }
 
+  test("partition filters consume exactly: filtered rollups push to the manifest") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/pf",
+      TableConfig("pf", Seq("id"), partitionKey = Some("cat")))
+    t.create((1L to 300L).map(i => (i, s"c${i % 3}", i * 1.0))
+      .toDF("id", "cat", "v").repartition(4))
+    val df = spark.read.format("graft").load(dir + "/pf")
+    // WHERE on the partition key + COUNT(*): the filter is consumed and
+    // the count answers from the pruned manifest — zero files read
+    val c = df.filter($"cat" === "c1").groupBy().count()
+    assert(c.queryExecution.executedPlan.toString.contains("manifest_agg_"),
+      s"expected pushed filtered count in:\n${c.queryExecution.executedPlan}")
+    assert(c.head().getLong(0) == 100L)
+    // grouped variant with IN
+    val g = df.filter($"cat".isin("c0", "c2")).groupBy($"cat")
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"))
+    assert(g.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(g.as[(String, Long, Long)].collect().toSet ==
+      Set(("c0", 100L, 3L), ("c2", 100L, 2L)))
+    // non-aggregate reads through a consumed filter stay exact
+    assert(df.filter($"cat" === "c1").count() == 100L)
+    assert(df.filter($"cat" === "c1" && $"id" <= 10)
+      .select("id").as[Long].collect().toSet == Set(1L, 4L, 7L, 10L))
+    // a key filter always stays residual and blocks pushdown
+    val k = df.filter($"id" <= 10).groupBy().count()
+    assert(!k.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(k.head().getLong(0) == 10L)
+    // evolved table (flat-layout files): the filter must NOT consume —
+    // conservative path, exact results
+    val flat = CowTable(spark, dir + "/pf2", TableConfig("pf2", Seq("id")))
+    flat.create((1L to 20L).map(i => (i, s"c${i % 2}")).toDF("id", "cat"))
+    flat.alterPartitionKey(Some("cat"))
+    val e = spark.read.format("graft").load(dir + "/pf2")
+      .filter($"cat" === "c1").groupBy().count()
+    assert(!e.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(e.head().getLong(0) == 10L)
+  }
+
   test("column pruning reaches the parquet projection") {
     val dir = tmpDir("dsv2")
     CowTable(spark, dir + "/t", TableConfig("t", Seq("id"))).create(mixedDf)
