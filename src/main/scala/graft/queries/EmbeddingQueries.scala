@@ -346,5 +346,18 @@ object EmbeddingQueries {
       (s, d) =>
         graft.similarity.KMeans.fit(emb(s, d), "vec_id", "embedding",
           Similarity.ivfCentroids(8, 64), iters = 3)
+    },
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. '23): k-means clusters bound
+    // the pairwise work, exact integer-quantized cosine inside each
+    // cluster decides, keep-lowest-id picks survivors — the dedup layer
+    // above MinHash/SimHash that catches paraphrases surface hashes
+    // cannot. The rational-τ DECIMAL boundary test makes an
+    // approximate-by-reputation operator hash-exact in the oracle.
+    Q("q163_semantic_dedup",
+      graft.similarity.SemDedup.flagsSql(
+        Similarity.ivfCentroids(8, 64), 2, 5)) { (s, d) =>
+      graft.similarity.SemDedup.flags(emb(s, d), "vec_id", "embedding",
+        Similarity.ivfCentroids(8, 64), 2, 5)
     })
 }
