@@ -139,6 +139,25 @@ object EmbedScaleProbe {
       }
       val nNew = store.read().count() - preRows
 
+      // SEMANTIC DEDUP at scale: k grows with the corpus (k ≈ N/100) so
+      // the average cluster stays ~flat and the within-cluster pairwise
+      // term stays LINEAR in N — the SemDeDup contract. The ×64 corpus
+      // carries true duplicate replica pairs (rotations collide mod 64),
+      // so n_dropped is genuinely non-zero at scale.
+      val dedupK = math.max(32, math.min(2048, (nVecs / 100).toInt))
+      val (dcents, tDedupTrain) = time {
+        Similarity.trainIvfCentroids(corpus, "embedding", dedupK, Dim)
+      }
+      val ((nDropped, maxSem), tDedup) = time {
+        val f = graft.similarity.SemDedup.flags(corpus, "vec_id",
+          "embedding", dcents, 2, 5, maxClusterSize = 1L << 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          (f.filter(col("dropped")).count(),
+            f.groupBy("cid").count().agg(max("count")).head().getLong(0))
+        } finally f.unpersist(blocking = false)
+      }
+
       println(s"""{"probe":"embed","scale":"$name","vectors":$nVecs,""" +
         s""""base_vectors":$base,""" +
         s""""train_sec":${f"$tTrain%.2f"},""" +
@@ -146,7 +165,11 @@ object EmbedScaleProbe {
         s""""max_list":$maxList,"avg_list":${f"$avgList%.1f"},""" +
         s""""probe_sec":${f"$tProbe%.2f"},"n_hits":$nHits,""" +
         s""""recall_at10":${f"$recall%.3f"},""" +
-        s""""incr_sec":${f"$tIncr%.2f"},"n_incr":$nNew}""")
+        s""""incr_sec":${f"$tIncr%.2f"},"n_incr":$nNew,""" +
+        s""""semdedup_k":$dedupK,""" +
+        s""""semdedup_train_sec":${f"$tDedupTrain%.2f"},""" +
+        s""""semdedup_sec":${f"$tDedup%.2f"},""" +
+        s""""n_dropped":$nDropped,"max_sem_cluster":$maxSem}""")
       corpus.unpersist(blocking = false)
     }
     spark.stop()
