@@ -119,6 +119,30 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(read == 4L, s"streamed $read rows — expected only the adds")
   }
 
+  test("consumed partition filter stays exact across streamed batches") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src",
+      TableConfig("t", Seq("id"), partitionKey = Some("cat")))
+    def part(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, s"c${i % 2}", i * 1.0)).toDF("id", "cat", "v")
+    t.create(part(1, 40)) // v1: both partition values
+    // the WHERE on the hive key is CONSUMED at plan time (no residual);
+    // streamed batches must therefore prune exactly by path value
+    def drainFiltered(): Unit = {
+      val q = spark.readStream.format("graft").load(dir + "/src")
+        .filter(col("cat") === "c1")
+        .writeStream.format("graft")
+        .option("path", dir + "/dst").option("primaryKey", "id")
+        .option("checkpointLocation", dir + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainFiltered()
+    t.upsert(part(41, 60)) // v2 arrives after the first drain
+    drainFiltered()        // same checkpoint: only v2's files
+    assert(dstIds(dir + "/dst") == (1L to 60L).filter(_ % 2 == 1).toSet)
+  }
+
   test("readChangeFeed streams I/U/D rows incl. preimage deletes") {
     val dir = tmpDir("gstream")
     val t = CowTable(spark, dir + "/src",
