@@ -893,6 +893,39 @@ object TextQueries {
     // bit-for-bit cross-engine (see [[graft.text.LangModel]]). Scale:
     // two linear hash aggregates + a (doc,term)⋈(term,cnt) shuffle join;
     // the corpus text never reshuffles.
+    // THE CURATION FUNNEL, end to end in one oracle-gated query — the
+    // composition the engine exists for: per-doc quality blend + corpus-LM
+    // mean surprisal → threshold gate → deterministic per-source
+    // stratified cap. Every stage is an already-proven primitive (q38,
+    // q138, q115); composing them shows the joins/filters keep the
+    // bit-exact discipline (quality floor-rounded, surprisal Parity-
+    // rounded, md5-ordered sampling — no new float wobble appears at the
+    // seams). Plan: the corpus tokenizes once inside unigramSurprisal
+    // (checkpointed doc-term frame), quality is a fused single-pass
+    // native, the gate join is doc_id-keyed, the cap shuffles only
+    // survivors.
+    Q("q164_curation_funnel",
+      s"""WITH q AS (SELECT doc_id, source,
+         |    $qualityScoreSql AS quality_score FROM documents),
+         |k AS (SELECT q.doc_id, q.source, q.quality_score, s.mean_bits
+         |  FROM q JOIN (${graft.text.LangModel.unigramSurprisalSql}) s
+         |    ON s.doc_id = q.doc_id
+         |  WHERE q.quality_score >= 0.3 AND s.mean_bits <= 13.0)
+         |SELECT doc_id, source, quality_score, mean_bits, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+         |  FROM k) WHERE rn <= 20
+         |""".stripMargin) { (s, d) =>
+      val q = docs(s, d).select(col("doc_id"), col("source"),
+        TextStats.qualityScore(col("text")).as("quality_score"))
+      val sup = graft.text.LangModel.unigramSurprisal(docs(s, d),
+        "doc_id", "text").select(col("doc_id"), col("mean_bits"))
+      val kept = q.join(sup, "doc_id")
+        .filter(col("quality_score") >= 0.3 && col("mean_bits") <= 13.0)
+      Sampling.stratifiedCap(kept, "source", "doc_id", 20)
+        .select("doc_id", "source", "quality_score", "mean_bits", "rn")
+    },
+
     Q("q138_unigram_surprisal", graft.text.LangModel.unigramSurprisalSql) {
       (s, d) => graft.text.LangModel.unigramSurprisal(docs(s, d), "doc_id", "text")
     },
