@@ -50,7 +50,11 @@ class DeletionVectorModelSpec extends SparkSpec {
           cow.delete(keys.toDF("id")); mor.delete(keys.toDF("id"))
           model --= keys
         case 3 => // maintenance materializes vectors; content must not move
-          mor.purgeDeletionVectors()
+          rnd.nextInt(3) match {
+            case 0 => mor.purgeDeletionVectors()
+            case 1 => mor.optimize(Seq("id")) // rewrite retires vectors too
+            case 2 => mor.compact(smallBytes = 1L << 20)
+          }
           cow.compact(smallBytes = 1L << 20)
       }
       val mSet = state(mor)
