@@ -1378,17 +1378,19 @@ object StorageQueries {
     // (the clean incremental least/greatest fold). Oracle = full recompute
     // over the mutated base.
     Q("q161_matview_minmax",
-      """WITH del AS (
-        |  SELECT min(o.o_orderkey) AS k FROM orders o
+      """WITH ord AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |del AS (
+        |  SELECT min(o.o_orderkey) AS k FROM ord o
         |  JOIN (SELECT o_orderpriority AS p, max(o_totalprice) AS mx
-        |        FROM orders GROUP BY 1) g
+        |        FROM ord GROUP BY 1) g
         |    ON o.o_orderpriority = g.p AND o.o_totalprice = g.mx
         |  GROUP BY o.o_orderpriority),
         |fin AS (
         |  SELECT o_orderkey, o_orderpriority,
         |    CASE WHEN o_orderkey % 13 = 0 THEN -1.0
         |         ELSE o_totalprice END AS price
-        |  FROM orders
+        |  FROM ord
         |  WHERE o_orderkey % 13 = 0
         |     OR o_orderkey NOT IN (SELECT k FROM del))
         |SELECT o_orderpriority, count(*) AS n_rows,
@@ -1398,8 +1400,13 @@ object StorageQueries {
         |""".stripMargin) { (s, d) =>
       val root = tableDir("q161")
       CowTable.deleteRecursively(java.nio.file.Paths.get(root))
-      val ord = t(s, d, "orders").select(col("o_orderkey"),
-        col("o_orderpriority"), col("o_totalprice").as("price"))
+      // half the table (matching the oracle's ord CTE): the dirty/clean
+      // refresh paths this query proves are group-granular, not
+      // row-count-sensitive, and three full table lifecycles ride on it
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice").as("price"))
       val base = CowTable(s, root + "/base",
         TableConfig("orders_base", Seq("o_orderkey")))
       base.create(ord.repartition(4))
