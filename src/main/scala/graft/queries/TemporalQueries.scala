@@ -443,6 +443,60 @@ object TemporalQueries {
         t(s, d, "events"), "user_id", "ts", col("value"))
     },
 
+    // Funnel stage times via the MERGEABLE AGGREGATE form (q155's window
+    // shape re-expressed as `GROUP BY user` + funnel_stages, the SQL
+    // surface): per-stage sorted-distinct-micros state combines map-side,
+    // the dependent walk runs once at finish — only per-user stage times
+    // ever shuffle, vs the window form shuffling every event row. The
+    // oracle replays the textbook three-join form per user.
+    Q("q165_funnel_stage_times",
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, min(e.ts) AS t_2 FROM s1
+        |       JOIN ev e ON e.user_id = s1.user_id
+        |        AND e.event_type = 'click' AND e.ts >= s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT s2.user_id, min(e.ts) AS t_3 FROM s2
+        |       JOIN ev e ON e.user_id = s2.user_id
+        |        AND e.event_type = 'purchase' AND e.ts >= s2.t_2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3
+        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |""".stripMargin) { (s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(Funnel.stageTimesAgg(col("ts"), col("event_type"),
+          Seq("signup", "click", "purchase")).as("st"))
+        .select(col("user_id"), col("st")(0).as("t_1"),
+          col("st")(1).as("t_2"), col("st")(2).as("t_3"))
+        .filter(col("t_1").isNotNull)
+    },
+
+    // Cohort retention via the SINGLE-AGGREGATE form (q156's
+    // two-agg+join shape collapsed into `GROUP BY user` + cohort_weeks +
+    // explode — ONE shuffle of the event log, state O(distinct active
+    // weeks per user)). Oracle = the textbook two-agg+join replay.
+    Q("q166_cohort_agg",
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |first_wk AS (SELECT user_id, min(wk) AS cohort_week FROM ev
+        |             GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |          CAST(date_diff('day', f.cohort_week, e.wk) / 7 AS BIGINT)
+        |            AS week_offset
+        |        FROM ev e JOIN first_wk f ON f.user_id = e.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS n_active
+        |FROM act GROUP BY 1, 2
+        |""".stripMargin) { (s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(graft.operators.Cohort.cohortWeeks(col("ts")).as("c"))
+        .select(col("c.cohort_week").as("cohort_week"),
+          explode(col("c.offsets")).as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+    },
+
     // Ordered funnel (signup → click → purchase): per-user stage-reach
     // times as chained whole-partition window mins — ONE key shuffle, no
     // self-joins (see Funnel scaladoc); the oracle replays the textbook
