@@ -38,14 +38,18 @@ object CdcPipeline {
   def applyBatch(
       table: CowTable, batch: DataFrame,
       opCol: String = "Op", tsCol: String = "timestamp",
-      auditTs: Column = current_timestamp()): BatchResult = {
+      auditTs: Column = current_timestamp(),
+      /** Deterministic dedup tie-break columns when the TABLE declares no
+        * precombine key (e.g. a deletion-vector table, whose MOR upsert is
+        * precombine-free by design) — the batch still dedups strictly. */
+      tieBreak: Seq[String] = Nil): BatchResult = {
     val cfg = table.config
     val events = batch.withColumn(tsCol, to_timestamp(col(tsCol)))
-    val deduped = cfg.precombineKey match {
-      case Some(pc) =>
-        CdcDedup.latestPerKeyStrict(events, cfg.primaryKey, tsCol, Seq(pc))
-      case None => CdcDedup.latestPerKey(events, cfg.primaryKey, tsCol)
-    }
+    val pcs = cfg.precombineKey.map(Seq(_)).getOrElse(tieBreak)
+    val deduped =
+      if (pcs.nonEmpty)
+        CdcDedup.latestPerKeyStrict(events, cfg.primaryKey, tsCol, pcs)
+      else CdcDedup.latestPerKey(events, cfg.primaryKey, tsCol)
     // Op routing + audit column (reference :96-104). The I/U-D split-then-
     // union mirrors the reference's dataflow (and drops any unknown Op).
     val inserted = deduped.filter(col(opCol) === "I")

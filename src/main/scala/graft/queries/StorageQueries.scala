@@ -1081,6 +1081,37 @@ object StorageQueries {
       tbl.read()
     },
 
+    // The SAME reference CDC lifecycle on a DELETION-VECTOR table — the
+    // hourly loop with MOR write economics: the upsert marks preimage
+    // positions + appends the deduped batch, the delete marks positions,
+    // and NOT ONE initial-load file is rewritten (manifest-asserted).
+    // Identical oracle as q27: dedup ties break on event_id via the
+    // pipeline's tieBreak (the table itself is precombine-free — the MOR
+    // fence), the table pre-declares the audit columns (a MOR deployment
+    // declares its schema up front; null for initial rows, exactly the
+    // oracle's init rows), and upsert semantics are source-wins ≡ the
+    // oracle's CASE WHEN.
+    Q("q167_cdc_pipeline_mor", cdcOracleSql) { (s, d) =>
+      val tbl = CowTable.replace(s, tableDir("q167"),
+        TableConfig("user_state", Seq("user_id"),
+          changeDataFeed = true, deletionVectors = true),
+        initialSnapshot(s, d)
+          .withColumn("timestamp", lit(null).cast("timestamp"))
+          .withColumn("last_applied_date", lit(null).cast("timestamp")))
+      val v1Paths = tbl.manifest(1).files.map(_.path).toSet
+      CdcPipeline.applyBatch(tbl, cdcBatch(s, d),
+        auditTs = lit(auditTs).cast("timestamp"),
+        tieBreak = Seq("event_id"))
+      val m = tbl.manifest(tbl.currentVersion)
+      require(v1Paths.subsetOf(m.files.map(_.path).toSet),
+        "MOR CDC apply must never rewrite an initial-load file")
+      require(m.files.exists(_.dvPath.isDefined),
+        "expected deletion vectors from the CDC apply")
+      require(m.files.exists(e => !v1Paths(e.path)),
+        "expected the deduped batch appended as fresh files")
+      tbl.read()
+    },
+
     // Incremental change feed (Delta CDF-lite): replay q27's pipeline over a
     // table written one-row-per-file (maxRecordsPerFile=1, flat layout —
     // per-file [k,k] stats make the prune per-key-exact), so every rewritten
