@@ -359,5 +359,38 @@ object EmbeddingQueries {
         Similarity.ivfCentroids(8, 64), 2, 5)) { (s, d) =>
       graft.similarity.SemDedup.flags(emb(s, d), "vec_id", "embedding",
         Similarity.ivfCentroids(8, 64), 2, 5)
+    },
+
+    // INCREMENTAL SEMANTIC DEDUP — the production ingest shape (the
+    // persisted-canon counterpart of q117's signature store and q139's
+    // IVF index): the even-id half dedups into a KEPT-canon lake table
+    // (vec_id, cid, qv, n2 — reused across runs via content signature),
+    // then the odd-id batch gets verdicts against (canon ∪ lower-id
+    // batch members) WITHOUT rescanning the seed corpus. A batch row's
+    // witness is the smallest matching id across both sources.
+    Q("q168_incremental_semdedup",
+      graft.similarity.SemDedup.incrementalFlagsSql(
+        Similarity.ivfCentroids(8, 64), 2, 5,
+        seedPred = "vec_id % 2 = 0", batchPred = "vec_id % 2 = 1")) {
+      (s, d) =>
+        val e = emb(s, d)
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val batch = e.filter(col("vec_id") % 2 === 1)
+        val cents = Similarity.ivfCentroids(8, 64)
+        // content signature: source dir + id membership (same discipline
+        // as q117/q139 — distinct SF dirs can reuse ids)
+        val sigRow = seed
+          .select(xxhash64(col("vec_id")).as("__h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("x"))
+          .head()
+        val contentSig = s"$d|semdedup|${sigRow.getLong(0)}:${sigRow.get(1)}"
+        val canonTbl = graft.storage.CowTable.replaceIfChanged(s,
+          StorageQueries.tableDir("q168_semcanon"),
+          graft.storage.TableConfig("sem_canon", Seq("vec_id")),
+          contentSig,
+          graft.similarity.SemDedup.indexOf(seed, "vec_id", "embedding",
+            cents, 2, 5))
+        graft.similarity.SemDedup.incrementalFlags(canonTbl.read(), batch,
+          "vec_id", "embedding", cents, 2, 5)
     })
 }

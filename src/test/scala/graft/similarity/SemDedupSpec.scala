@@ -88,6 +88,25 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental: canon wins regardless of id, dropped seeds invisible") {
+    def deg(d: Double) = v(math.cos(math.toRadians(d)),
+      math.sin(math.toRadians(d)), 0.0, 0.0)
+    // seed: 10 at 0° (canonical), 12 at 25° (≈10 at τ=0.9 → NOT in canon)
+    val seed = Seq((10L, deg(0)), (12L, deg(25))).toDF("vec_id", "embedding")
+    // batch: 3 at 1° (≈ canon 10 → dropped, witness 10 despite 3 < 10),
+    //        5 at 2° (≈ canon 10 AND batch 3 → witness min(10,3) = 3),
+    //        7 at 40° (≈ only the DROPPED seed 12 → KEPT: not in canon)
+    val batch = Seq((3L, deg(1)), (5L, deg(2)), (7L, deg(40)))
+      .toDF("vec_id", "embedding")
+    val canon = SemDedup.indexOf(seed, "vec_id", "embedding", cents, 9, 10)
+    assert(canon.select("vec_id").as[Long].collect().toSet == Set(10L))
+    val got = SemDedup.incrementalFlags(canon, batch, "vec_id", "embedding",
+      cents, 9, 10).orderBy("vec_id")
+      .as[(Long, Long, Boolean, Option[Long])].collect().toSeq
+    assert(got == Seq((3L, 0L, true, Some(10L)), (5L, 0L, true, Some(3L)),
+      (7L, 0L, false, None)))
+  }
+
   test("partition count does not change the verdicts") {
     val df = (1L to 60L).map(i =>
       (i, Seq.tabulate(4)(d => math.cos(i * 3 + d).toFloat)))
