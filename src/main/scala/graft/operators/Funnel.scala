@@ -174,6 +174,8 @@ object Funnel {
   def stageTimesAgg(ts: Column, tpe: Column, stages: Seq[String],
       maxGapSeconds: Option[Long] = None): Column = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got ${stages.mkString(", ")}")
     val agg = udaf(new StageTimesAgg(stages, maxGapSeconds.map(_ * 1000000L)))
     val us = coalesce(
       unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType)),

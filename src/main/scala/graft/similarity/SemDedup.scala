@@ -156,6 +156,10 @@ object SemDedup {
     val canon = index.select(col("cid"), col("vec_id").as("id_a"),
       col("qv").as("qa"), col("n2").as("n2a"))
     val fromCanon = b.join(canon, Seq("cid"))
+      // a RE-INGESTED id must not witness itself (cos = 1 against its own
+      // canon entry) — excluding the self-pair makes re-ingest idempotent:
+      // an unchanged row stays kept and upserts over its canon entry
+      .filter(col("id_a") =!= col("id_b"))
       .filter(simFilter(tauNum, tauDen))
       .select(col("id_b"), col("id_a"))
     val a2 = bat.select(col("cid"), col("vec_id").as("id_a"),
@@ -218,7 +222,8 @@ object SemDedup {
        |od AS (SELECT * FROM asg WHERE $batchPred),
        |w AS (
        |  SELECT b.vec_id, a.vec_id AS wid FROM canon a JOIN od b
-       |    ON a.cid = b.cid WHERE ${simSql("a", "b", tauNum, tauDen)}
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |    WHERE ${simSql("a", "b", tauNum, tauDen)}
        |  UNION ALL
        |  SELECT b.vec_id, a.vec_id FROM od a JOIN od b
        |    ON a.cid = b.cid AND a.vec_id < b.vec_id

@@ -105,6 +105,12 @@ class SemDedupSpec extends SparkSpec {
       .as[(Long, Long, Boolean, Option[Long])].collect().toSeq
     assert(got == Seq((3L, 0L, true, Some(10L)), (5L, 0L, true, Some(3L)),
       (7L, 0L, false, None)))
+    // re-ingesting a canon row is idempotent: no self-witness
+    val re = SemDedup.incrementalFlags(canon,
+      Seq((10L, deg(0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, 9, 10)
+      .as[(Long, Long, Boolean, Option[Long])].head()
+    assert(re == ((10L, 0L, false, None)))
   }
 
   test("partition count does not change the verdicts") {
