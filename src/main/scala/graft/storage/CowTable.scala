@@ -675,6 +675,9 @@ final class CowTable private[storage] (
       if (parts.isEmpty) None
       else writeCdc(parts.reduce(_ unionByName _), v, m.columnMapping)
     }
+    // bloom sidecars for the appended files, same as every other write
+    // path (verDir param is unused by the explicit-file-list form)
+    if (config.bloomIndex) writeBlooms(root, freshIns ++ freshUpd, schema)
     val out = commitAt(parent, freshIns ++ freshUpd,
       updatedEntries ++ untouched, schema, dataChange = true, cdcDir = cdc,
       mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))

@@ -344,6 +344,30 @@ class DeletionVectorSpec extends SparkSpec {
       .head().getLong(0) == 19) // 20 minus deleted id 40... c1: 1,4,..,58
   }
 
+  test("bloomIndex + DV: SQL UPDATE's appended files get bloom sidecars") {
+    val lake = tmpDir("dvbloom")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess.sql("CREATE TABLE lake.default.b (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true', " +
+      "deletionVectors 'true', bloomIndex 'true')")
+    sess.sql("INSERT INTO lake.default.b SELECT id, id * 1.0 FROM range(1, 41)")
+    sess.sql("UPDATE lake.default.b SET v = -1.0 WHERE id IN (3, 17)")
+    val t = LakeRegistry.open(spark, lake, "b")
+    val before = t.manifest(t.currentVersion - 1).files.map(_.path).toSet
+    val fresh = t.manifest(t.currentVersion).files
+      .filterNot(e => before(e.path))
+    assert(fresh.nonEmpty)
+    fresh.foreach { e =>
+      assert(java.nio.file.Files.exists(
+        t.root.resolve(e.path + ".bloom")),
+        s"missing bloom sidecar for appended file ${e.path}")
+    }
+    assert(sess.sql("SELECT v FROM lake.default.b WHERE id = 3")
+      .head().getDouble(0) == -1.0)
+  }
+
   test("SQL MERGE on a vectored table does not resurrect DV-deleted rows") {
     val lake = tmpDir("dvsqlmerge")
     val sess = dvSqlSession(lake)
