@@ -655,6 +655,25 @@ object TextQueries {
         .select("doc_id", "source", "rn")
     },
 
+    // TOKEN-BUDGET MIXTURE ("3 GB of web, 1 GB of code"): documents
+    // admitted per source in deterministic (md5, id) order until the
+    // stratum's char budget is exhausted — the boundary-crossing doc is
+    // admitted (fill-until-full). Integer prefix sums over a unique sort
+    // key: both engines replay the exact membership and running totals.
+    Q("q169_token_budget_mixture",
+      """SELECT doc_id, source, n_chars, cum_weight FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+        |  FROM documents)
+        |WHERE cum_weight - n_chars < 5000
+        |""".stripMargin) { (s, d) =>
+      Sampling.tokenBudgetCap(docs(s, d), "source", "doc_id", "n_chars",
+        5000L)
+        .select("doc_id", "source", "n_chars", "cum_weight")
+    },
+
     // RATE-BASED MIXTURE SAMPLING (temperature-weighted source mixing):
     // keep source s at its configured rate via the integer hash threshold
     // md5-48(id) < floor(rate * 2^48) — shuffle-free (no window, unlike

@@ -61,6 +61,32 @@ object Sampling {
       .filter(col("rn") <= cap)
   }
 
+  /** Deterministic per-stratum TOKEN-BUDGET cap — the mixture control a
+    * training-data release actually runs ("3 GB of web, 1 GB of code"),
+    * where [[stratifiedCap]]'s row count is the wrong unit: documents are
+    * admitted in (md5-of-id, id) order until the stratum's budget of
+    * `weightCol` units (tokens/chars/bytes) is EXHAUSTED — a doc is kept
+    * iff the cumulative weight BEFORE it is under the budget, so the doc
+    * that crosses the boundary is admitted (fill-until-full; budgets are
+    * floors, and a stratum whose first doc exceeds the whole budget still
+    * contributes that one doc — never silently empty). Output carries the
+    * INCLUSIVE running total `cum_weight`. Same determinism contract as
+    * the other samplers: membership is a pure function of (id, weight)
+    * set — reruns, repartitions and engine changes replay it exactly
+    * (integer prefix sums, hex-string order). One window per stratum key,
+    * O(1) rank state, rows past the boundary dropped by the next filter. */
+  def tokenBudgetCap(
+      df: DataFrame, strataCol: String, idCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudgetCap: budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("cum_weight",
+        sum(col(weightCol).cast("long")).over(w))
+      .filter(col("cum_weight") - col(weightCol) < budget)
+  }
+
   /** Integer threshold for [[rateSample]]: rate mapped onto the 48-bit hash
     * space, floored ONCE driver-side — the literal long both the Spark
     * filter and an external oracle compare against (no per-row float

@@ -92,6 +92,35 @@ class SamplingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("tokenBudgetCap: fill-until-full in md5 order, replayed brute-force") {
+    import org.apache.spark.sql.functions.md5
+    val df = (1L to 60L).map(i =>
+      (i, s"s${i % 3}", 100L + (i * 37 % 400))).toDF("id", "src", "w")
+    val got = Sampling.tokenBudgetCap(df, "src", "id", "w", 1000L)
+      .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+    // brute-force replay: same md5-hex order, running sums per stratum
+    val rows = df.withColumn("h", md5($"id".cast("string")))
+      .select("id", "src", "w", "h")
+      .as[(Long, String, Long, String)].collect()
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._4, r._1)).foreach { case (id, _, w, _) =>
+        val before = cum
+        cum += w
+        if (before < 1000L)
+          assert(got.get(id).contains(cum), s"id $id: expected kept @ $cum")
+        else assert(!got.contains(id), s"id $id should be past the budget")
+      }
+    }
+    // an oversized first doc still contributes (budgets are floors)
+    val big = Seq((1L, "x", 99999L)).toDF("id", "src", "w")
+    assert(Sampling.tokenBudgetCap(big, "src", "id", "w", 10L).count() == 1)
+    // partition-independent
+    val a = Sampling.tokenBudgetCap(df.repartition(7), "src", "id", "w",
+      1000L).select("id").as[Long].collect().toSet
+    assert(a == got.keySet)
+  }
+
   test("weightedPriority: heavier rows win proportionally more often") {
     // two strata-free groups of ids with weights 1 vs 9 — the kept set
     // should skew hard toward the heavy rows
