@@ -3,7 +3,8 @@ package graft.queries
 import java.nio.file.Paths
 
 import graft.core.{Q, Tables}
-import graft.operators.{AsOfJoin, Funnel, GapFill, RangeJoin, Sessionize, SweepLine}
+import graft.operators.{AsOfJoin, Funnel, GapFill, RangeJoin, Scd2, Sessionize, SweepLine}
+import graft.storage.TableConfig
 import graft.storage.CowTable
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -18,6 +19,33 @@ import org.apache.spark.sql.streaming.OutputMode
 object TemporalQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
+
+  /** The events log re-expressed as a DMS-shaped change stream (same op
+    * mapping as StorageQueries.cdcBatch, but over the FULL log — SCD2
+    * consumes every change, not just the post-cutoff tail). */
+  private def dmsLog(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(
+      when(col("event_type") === "error", "D")
+        .when(col("event_type") === "signup", "I")
+        .otherwise("U").as("Op"),
+      col("ts").as("timestamp"),
+      col("user_id"), col("event_id"), col("event_type"), col("value"))
+
+  /** Shared DuckDB replay of the SCD2 interval semantics (q170/q171 must
+    * converge to the same history regardless of batching). */
+  private val scd2OracleSql: String =
+    """WITH cdc AS (SELECT
+      |    CASE WHEN event_type = 'error' THEN 'D'
+      |         WHEN event_type = 'signup' THEN 'I'
+      |         ELSE 'U' END AS op,
+      |    CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type, value
+      |  FROM events),
+      |h AS (SELECT *, lead(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS valid_to FROM cdc)
+      |SELECT user_id, event_id, event_type, value, ts AS valid_from,
+      |  valid_to, CAST(valid_to IS NULL AS INT) AS is_current
+      |FROM h WHERE op <> 'D'
+      |""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -550,5 +578,41 @@ object TemporalQueries {
         .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_active"))
+    },
+
+    // SCD2 HISTORY MATERIALIZATION: the full CDC change log → a type-2
+    // dimension table (valid_from/valid_to/is_current) — the audit/history
+    // complement of the reference's latest-state MERGE. One lead-window
+    // pass per key (single shuffle, O(1) frame); 'D' tombstones close
+    // their predecessor's interval and emit no row.
+    Q("q170_scd2_history", scd2OracleSql) { (s, d) =>
+      Scd2.history(dmsLog(s, d), Seq("user_id"), "timestamp", "Op",
+          Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("valid_from"), col("valid_to"),
+          col("is_current").cast("int").as("is_current"))
+    },
+
+    // INCREMENTAL SCD2 (the hourly CDC-loop deployment shape): the same
+    // history built as a LAKE TABLE in two batches split at an event-time
+    // cutoff — each apply replays only the affected keys' stored change
+    // rows (semi-join + merge pruning; never the full log), and the final
+    // state is a pure function of the event set, so the ORACLE IS
+    // IDENTICAL to the one-shot q170 replay.
+    Q("q171_scd2_incremental", scd2OracleSql) { (s, d) =>
+      val dir = StorageQueries.tableDir("q171")
+      CowTable.deleteRecursively(Paths.get(dir))
+      val tbl = CowTable(s, dir,
+        TableConfig("ev_scd2", Seq("user_id", "event_id")))
+      val log = dmsLog(s, d)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      Scd2.applyBatch(tbl, log.filter(col("timestamp") < cut),
+        Seq("user_id"), "timestamp", "Op", Seq("event_id"))
+      Scd2.applyBatch(tbl, log.filter(col("timestamp") >= cut),
+        Seq("user_id"), "timestamp", "Op", Seq("event_id"))
+      Scd2.historyView(tbl)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("valid_from"), col("valid_to"),
+          col("is_current").cast("int").as("is_current"))
     })
 }
