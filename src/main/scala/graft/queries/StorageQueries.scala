@@ -270,6 +270,103 @@ object StorageQueries {
       CowTable(s, root, TableConfig("user_state", Seq("user_id"))).read()
     },
 
+    // SQL MERGE full-table SYNCHRONIZATION — the three-clause form with
+    // `WHEN NOT MATCHED BY SOURCE THEN DELETE`: re-land a full snapshot and
+    // converge the table to it in ONE statement (stale rows updated, new
+    // rows inserted, vanished rows deleted). This is the reference's
+    // initial-load REFRESH cycle (re-run the full load over an existing
+    // table) expressed as the SQL2023 merge the CDC apply already uses
+    // (src/delta/delta-cdc-load.py:121-141) — and the one shape that
+    // needs target-driven matching: rows seen by NO source row act too,
+    // so the scan cannot prune to source-matched files. Oracle = the
+    // snapshot itself (full sync ⇒ table ≡ source).
+    Q("q172_merge_full_sync",
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q172")
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      // stale state: %3==0 rows missing, %5==0 rows carry drifted balances
+      CowTable.replace(s, root,
+        TableConfig("cust_sync", Seq("c_custkey"), clusterByKey = true),
+        cust.filter(col("c_custkey") % 3 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10)
+              .otherwise(col("c_acctbal"))))
+      cust.filter(col("c_custkey") % 7 =!= 0)
+        .createOrReplaceTempView("q172_snap")
+      s.sql("DROP TABLE IF EXISTS q172_state")
+      s.sql(s"CREATE TABLE q172_state USING graft LOCATION '$root'")
+      s.sql(
+        """MERGE INTO q172_state t
+          |USING q172_snap s ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      s.sql("DROP TABLE IF EXISTS q172_state")
+      CowTable(s, root, TableConfig("cust_sync", Seq("c_custkey"))).read()
+    },
+
+    // TAGS (Iceberg refs): pin v1 as an immutable named release, mutate,
+    // VACUUM with retainLast=1 — the tag PINS the release through the
+    // retention pass (the low-water mark stops at the lowest tag), and
+    // `VERSION AS OF 'corpus-release-1'` still resolves the exact pinned
+    // snapshot. The release-reproducibility primitive a training-data lake
+    // needs: "the corpus we trained on" stays addressable forever. Oracle
+    // = the pre-mutation table.
+    Q("q174_tag_release",
+      "SELECT * FROM customer") { (s, d) =>
+      val root = tableDir("q174")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val c = t(s, d, "customer")
+      val tbl = CowTable(s, root, TableConfig("customer", Seq("c_custkey")))
+      tbl.create(c)
+      tbl.tag("corpus-release-1")
+      tbl.upsert(c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 42, 2)))
+      tbl.overwrite(c.filter(col("c_custkey") % 2 === 0))
+      tbl.vacuum(retainLast = 1)
+      require(tbl.earliestReadableVersion == 1,
+        "vacuum must not expire the tagged release")
+      tbl.readTag("corpus-release-1")
+    },
+
+    // HIDDEN PARTITIONING (Iceberg partition transforms / Delta generated
+    // partition columns): the events log day-partitioned via `day(ts)` — a
+    // GENERATED date column the commit funnel derives (writers can never
+    // drift it), laid out hive-style, and PRUNED from predicates on the
+    // SOURCE timestamp itself: the connector scan maps `ts >= X` to
+    // `ts_day >= day(X)` and skips every other day's files at planning
+    // time (require-asserted below; at 100 TB this is the difference
+    // between scanning a week and scanning years). Oracle recomputes the
+    // generated column as CAST(ts AS DATE) — same pure function.
+    Q("q173_hidden_partitioning",
+      """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(ts AS DATE) AS ts_day
+        |FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q173")
+      CowTable.replaceIfChanged(s, root,
+        TableConfig("events_hp", Seq("event_id"),
+          partitionSpec = Some("day(ts)")),
+        contentSig = d,
+        t(s, d, "events")
+          .select("event_id", "user_id", "event_type", "value", "ts"))
+      val scan = s.read.format("graft").load(root)
+        .filter(col("ts") >= lit("2024-01-24 00:00:00").cast("timestamp"))
+      val plan = scan.queryExecution.executedPlan.toString
+      val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+        .getOrElse(throw new IllegalStateException(
+          s"no manifest scan in plan:\n$plan"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"hidden partitioning must prune day files, got files=${m.group(0)}")
+      scan.select("event_id", "user_id", "event_type", "value", "ts",
+        "ts_day")
+    },
+
     // SQL MERGE with the reference's LITERAL shorthand: `UPDATE SET *` /
     // `INSERT *` over the envelope-dropped, audit-stamped source (exactly
     // /root/reference/src/iceberg/iceberg-cdc-load.py:125-134 — Op dropped,

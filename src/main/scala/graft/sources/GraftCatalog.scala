@@ -107,9 +107,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val e = entryFor(ident).getOrElse(throw new NoSuchTableException(ident))
     val root = rootOf(e)
     val v = scala.util.Try(version.trim.toInt).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft: VERSION AS OF wants an integer commit version, got " +
-          s"'$version' (use TIMESTAMP AS OF for time-based travel)"))
+      // not an integer: resolve as a TAG ref (VERSION AS OF 'release1')
+      CowTable.tagsAt(root).getOrElse(version.trim,
+        throw new IllegalArgumentException(
+          s"graft: VERSION AS OF wants a commit version or tag name, got " +
+            s"'$version' (tags: ${CowTable.tagsAt(root).keys.toSeq.sorted
+              .mkString(", ")}; use TIMESTAMP AS OF for time travel)")))
     val cur = CowTable.currentVersionAt(root)
     require(v >= 1 && v <= cur,
       s"graft: version $v out of range 1..$cur for ${ident.name()}")
@@ -141,14 +144,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     requireNs(ident.namespace())
     if (entryFor(ident).isDefined)
       throw new TableAlreadyExistsException(ident)
-    val partitionKey = partitions.toSeq.map {
+    // identity → hive partitionKey; days/months/bucket/truncate → a
+    // PARTITION TRANSFORM spec (hidden partitioning: the table partitions
+    // on a generated column, scans prune from source-column predicates)
+    val keysAndSpecs: Seq[Either[String, String]] = partitions.toSeq.map {
       case t if t.name() == "identity" && t.references().length == 1 =>
-        t.references()(0).fieldNames().mkString(".")
+        Left(t.references()(0).fieldNames().mkString("."))
+      case t if (t.name() == "days" || t.name() == "day") &&
+        t.references().length == 1 =>
+        Right(s"day(${t.references()(0).fieldNames().mkString(".")})")
+      case t if (t.name() == "months" || t.name() == "month") &&
+        t.references().length == 1 =>
+        Right(s"month(${t.references()(0).fieldNames().mkString(".")})")
+      case t if (t.name() == "bucket" || t.name() == "truncate") &&
+        t.references().length == 1 =>
+        // one field reference + one int literal, argument order free
+        val kind = if (t.name() == "bucket") "bucket" else "truncate"
+        val src = t.references()(0).fieldNames().mkString(".")
+        val param = t.arguments().toSeq.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value() != null && (l.dataType() match {
+              case org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.ByteType => true
+              case _ => false
+            }) =>
+            l.value().toString.toInt
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft: $kind transform needs an integer parameter, got $t"))
+        Right(s"$kind($param,$src)")
       case other => throw new UnsupportedOperationException(
-        s"graft: only identity partitioning is supported, got $other")
-    } match {
-      case Seq() => None
-      case Seq(one) => Some(one)
+        s"graft: unsupported partitioning $other — use identity, days, " +
+          "months, bucket(N, c), or truncate(W, c)")
+    }
+    val (partitionKey, partitionSpec) = keysAndSpecs match {
+      case Seq() => (None, None)
+      case Seq(Left(k)) => (Some(k), None)
+      case Seq(Right(sp)) => (None, Some(sp))
       case many => throw new UnsupportedOperationException(
         s"graft: one partition column max, got ${many.mkString(", ")}")
     }
@@ -178,7 +211,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(Nil)
     val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
       bloomIndex = bloom, statsColumns = statsCols, changeDataFeed = cdf,
-      checkConstraints = constraints, deletionVectors = dv)
+      checkConstraints = constraints, deletionVectors = dv,
+      partitionSpec = partitionSpec)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(Paths.get(_)).getOrElse(rootOf(
         LakeRegistry.Entry(ident.name(), ident.name(), primaryKey,

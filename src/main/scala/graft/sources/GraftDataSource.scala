@@ -5,7 +5,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import graft.storage.{CommitManifest, CowTable, FileEntry}
+import graft.storage.{CommitManifest, CowTable, FileEntry, PartitionTransform}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -140,7 +140,14 @@ object GraftDataSource {
       root: Path, options: CaseInsensitiveStringMap): Int = {
     val cur = CowTable.currentVersionAt(root)
     require(cur > 0, s"graft: no table at $root (no committed manifests)")
-    val v = Option(options.get("versionAsOf")).map(_.trim.toInt).getOrElse {
+    val v = Option(options.get("versionAsOf")).map { s0 =>
+      val s = s0.trim
+      if (s.matches("-?\\d+")) s.toInt
+      else CowTable.tagsAt(root).getOrElse(s, // tag ref (Iceberg VERSION AS OF '<tag>')
+        throw new IllegalArgumentException(
+          s"graft: no tag '$s' at $root (tags: " +
+            s"${CowTable.tagsAt(root).keys.toSeq.sorted.mkString(", ")})"))
+    }.getOrElse {
       Option(options.get("timestampAsOf")).map(_.trim.toLong) match {
         case None => cur
         case Some(ts) =>
@@ -248,6 +255,12 @@ final class GraftTable(
     if (timeTravel) throw new UnsupportedOperationException(
       s"graft: cannot write through a time-travel read of $root " +
         "(versionAsOf/timestampAsOf) — writes target the current version")
+    mOpt.flatMap(_.partitionSpec).foreach { sp =>
+      throw new UnsupportedOperationException(
+        s"graft: $root is partitioned by the transform $sp; connector " +
+          "writes bypass the generated-column funnel — mutate through " +
+          "the CowTable API")
+    }
     new GraftWriteBuilder(root, version, tableSchema, primaryKey,
       partitionKey, info)
   }
@@ -277,6 +290,12 @@ final class GraftTable(
       s"graft: cannot mutate a time-travel read of $root")
     val m = mOpt.getOrElse(throw new IllegalArgumentException(
       s"graft: no table at $root (no committed manifests)"))
+    m.partitionSpec.foreach { sp =>
+      throw new UnsupportedOperationException(
+        s"graft: $root is partitioned by the transform $sp; SQL row-level " +
+          "writers bypass the generated-column funnel — mutate through " +
+          "the CowTable API (upsert/delete)")
+    }
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     if (m.deletionVectors && info.command() != Command.MERGE)
       new GraftDvRowLevelOperationBuilder(root, version, m, tableSchema, info)
@@ -305,6 +324,98 @@ final class GraftScanBuilder(
   private var partNotNull: Boolean = false
   private var extraBounds: Seq[(String, Boolean, Option[Any], Option[Any])] =
     Nil
+  // HIDDEN-PARTITIONING range pruning: [lo, hi] on the transform-partition
+  // PATH value, derived from range predicates on the SOURCE column
+  // (order-preserving transforms only). Pruning-only — the source filter
+  // always stays residual.
+  private var partRange: (Option[String], Option[String]) = (None, None)
+
+  private lazy val transform: Option[PartitionTransform] =
+    m.partitionSpec.map(PartitionTransform.parse)
+
+  /** Driver-side replay of the transform on a pushed literal — the exact
+    * string the partition directory renders for that source value. None =
+    * the runtime type isn't safely mappable (then we never prune on it). */
+  private def transformedPathValue(
+      t: PartitionTransform, v: Any): Option[String] = {
+    def utcDate(x: Any): Option[java.time.LocalDate] = x match {
+      case ts: java.sql.Timestamp =>
+        Some(ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
+      case i: java.time.Instant =>
+        Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case ld: java.time.LocalDate => Some(ld)
+      case _ => None
+    }
+    def str(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => Some(String.valueOf(x))
+      case _ => None
+    }
+    t.kind match {
+      case "day" => utcDate(v).map(_.toString)
+      case "month" =>
+        utcDate(v).map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      case "bucket" =>
+        str(v).map(s => PartitionTransform.bucketLocal(s, t.param).toString)
+      case "truncate" =>
+        // code-point-counted prefix — Spark's substring semantics
+        str(v).map { s =>
+          val cps = s.codePoints().toArray
+          new String(cps, 0, math.min(t.param, cps.length))
+        }
+      case _ => None
+    }
+  }
+
+  /** Derive partition constraints from SOURCE-column conjuncts: equality /
+    * IN map through the transform for every kind; ranges only for
+    * order-preserving transforms (day/month/truncate are monotone in the
+    * path's lexical order; bucket is not). Returns the filters that
+    * contributed (for PushedFilters visibility). */
+  private def deriveFromSource(filters: Array[Filter]): Seq[Filter] = {
+    val t = transform.getOrElse(return Nil)
+    val src = t.source
+    val used = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    def tighten(lo: Option[String], hi: Option[String]): Unit =
+      partRange = (
+        (partRange._1.toSeq ++ lo).reduceOption((a, b) => if (a >= b) a else b),
+        (partRange._2.toSeq ++ hi).reduceOption((a, b) => if (a <= b) a else b))
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(`src`, v) if v != null =>
+        transformedPathValue(t, v).foreach { pv =>
+          partValues = Some(partValues.fold(Set(pv))(_ intersect Set(pv)))
+          used += f
+        }
+      case In(`src`, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+        val pvs = vs.toSeq.map(transformedPathValue(t, _))
+        if (pvs.forall(_.isDefined)) { // one unmappable value ⇒ no pruning
+          val set = pvs.flatten.toSet
+          partValues = Some(partValues.fold(set)(_ intersect set))
+          used += f
+        }
+      case GreaterThan(`src`, v) if v != null && t.orderPreserving =>
+        transformedPathValue(t, v).foreach { pv =>
+          tighten(Some(pv), None); used += f }
+      case GreaterThanOrEqual(`src`, v) if v != null && t.orderPreserving =>
+        transformedPathValue(t, v).foreach { pv =>
+          tighten(Some(pv), None); used += f }
+      case LessThan(`src`, v) if v != null && t.orderPreserving =>
+        // conservative: the bound's own partition may hold earlier rows
+        transformedPathValue(t, v).foreach { pv =>
+          tighten(None, Some(pv)); used += f }
+      case LessThanOrEqual(`src`, v) if v != null && t.orderPreserving =>
+        transformedPathValue(t, v).foreach { pv =>
+          tighten(None, Some(pv)); used += f }
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    used.toSeq
+  }
 
   /** Key-range bounds extracted from a filter (conjuncts flattened); each
     * bound prunes files independently, so AND needs no driver-side value
@@ -396,12 +507,15 @@ final class GraftScanBuilder(
     val stats = filters.flatMap(statColBounds)
     val notNullPart: Seq[Filter] = m.partitionKey.toSeq.flatMap(pk =>
       filters.collect { case f @ IsNotNull(`pk`) => f })
-    pushed = (usable.map(_._1) ++ parts.map(_._1) ++ stats.map(_._1) ++
-      notNullPart).distinct
     bounds = usable.map(b => (b._2, b._3)).toSeq
     partValues = parts.map(_._2).reduceOption(_ intersect _)
     partNotNull = notNullPart.nonEmpty
     extraBounds = stats.map(s => (s._2, numericStat(s._2), s._3, s._4)).toSeq
+    // hidden partitioning: source-column predicates tighten partValues /
+    // partRange through the transform (pruning-only, never consumed)
+    val derived = deriveFromSource(filters)
+    pushed = (usable.map(_._1) ++ parts.map(_._1) ++ stats.map(_._1) ++
+      notNullPart ++ derived).distinct
     // EXACT CONSUMPTION of whole-conjunct partition filters: a top-level
     // `pk = v` / `pk IN (...)` is fully answered by path pruning when
     // EVERY file carries a path-borne partition value (a file's rows all
@@ -611,7 +725,7 @@ final class GraftScanBuilder(
       }
     }
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
-      extraBounds, consumedPartFilter, partNotNull)
+      extraBounds, consumedPartFilter, partNotNull, partRange)
   }
 }
 
@@ -717,7 +831,11 @@ final class GraftScan(
     exactPartPrune: Boolean = false,
     /** `pk IS NOT NULL` pushed: sentinel-dir files prune (always exact —
       * their rows ARE null for pk). */
-    partNotNull: Boolean = false)
+    partNotNull: Boolean = false,
+    /** Hidden-partitioning [lo, hi] on the transform partition's PATH value
+      * (lexical — chronological for day/month, prefix-monotone for
+      * truncate), derived from source-column ranges. Pruning-only. */
+    partRange: (Option[String], Option[String]) = (None, None))
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -740,10 +858,21 @@ final class GraftScan(
       case Some(vs) => ranged.filter(e =>
         pathPartValue(e).forall(vs.contains))
     }
-    val parted =
+    val parted1 =
       if (!partNotNull) parted0
       else parted0.filterNot(e =>
         pathPartValue(e).contains(GraftScan.NullPartitionName))
+    val parted = partRange match {
+      case (None, None) => parted1
+      case (lo, hi) => parted1.filter { e =>
+        pathPartValue(e) match {
+          case None => true // pathless file (old layout): must read
+          // a null-source row can satisfy no range predicate — exact skip
+          case Some(GraftScan.NullPartitionName) => false
+          case Some(v) => lo.forall(v >= _) && hi.forall(v <= _)
+        }
+      }
+    }
     // extra data-skipping stats: a file without stats for the column is
     // kept (conservative); overlap checks use the declared type's space.
     // FileEntry.extra is keyed by PHYSICAL name (rename-stable), filters

@@ -31,7 +31,7 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
       "evolve_partition", "create_matview", "refresh_matview",
-      "purge_vectors")
+      "purge_vectors", "tag", "drop_tag")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -132,6 +132,22 @@ object GraftProcedures {
           Array[Any](graft.pipeline.MatView
             .openInLake(SparkSession.active, warehouse, str(args, 0))
             .refresh())
+      })
+      // CALL lake.tag('t', 'corpus-2024-08' [, version]): pin an IMMUTABLE
+      // named ref (Iceberg tag) — release pinning; vacuum never expires a
+      // tagged version, and `VERSION AS OF 'corpus-2024-08'` resolves it
+      case "tag" => Some(proc("tag",
+        Seq(in("table", StringType), in("name", StringType),
+          in("version", IntegerType, Some("-1"))),
+        resultSchema = versionResult) { args =>
+        Array[Any](open(str(args, 0)).tag(str(args, 1), args.getInt(2)))
+      })
+      case "drop_tag" => Some(proc("drop_tag",
+        Seq(in("table", StringType), in("name", StringType)),
+        resultSchema = versionResult) { args =>
+        val t = open(str(args, 0))
+        t.dropTag(str(args, 1))
+        Array[Any](t.currentVersion)
       })
       case "rollback" => Some(proc("rollback",
         Seq(in("table", StringType), in("version", IntegerType)),

@@ -128,13 +128,21 @@ final case class CommitManifest(
       * derived from the schema (no rename/drop ever happened, so the schema
       * names are the complete history). */
     usedPhysicalNames: Seq[String] = Nil,
-    deletionVectors: Boolean = false) {
+    deletionVectors: Boolean = false,
+    /** Durable partition-transform spec ([[TableConfig.partitionSpec]]) —
+      * absent on identity-partitioned and pre-upgrade manifests. When
+      * present, [[partitionKey]] is the transform's GENERATED column. */
+    partitionSpec: Option[String] = None) {
 
   /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
   def tableConfig(name: String): TableConfig = TableConfig(
-    name, primaryKey, partitionKey, precombineKey, clusterByKey,
+    name, primaryKey,
+    // the generated column's key is re-derived from the spec, not stored
+    // twice (TableConfig holds them mutually exclusive)
+    if (partitionSpec.isDefined) None else partitionKey,
+    precombineKey, clusterByKey,
     maxRecordsPerFile, bloomIndex, statsColumns, changeDataFeed,
-    checkConstraints, deletionVectors)
+    checkConstraints, deletionVectors, partitionSpec)
 
   /** The name of `logical`'s column in data files (identity unless mapped). */
   def physicalName(logical: String): String =
@@ -194,8 +202,16 @@ private[graft] final case class RebaseCtx(
   * rewritten.
   */
 final class CowTable private[storage] (
-    val spark: SparkSession, rootDir: String, val config: TableConfig) {
+    val spark: SparkSession, rootDir: String, config0: TableConfig) {
   import CowTable._
+
+  /** Normalized config: a partition TRANSFORM's generated column becomes
+    * the identity partition key every layout/pruning/maintenance path
+    * already understands — after generation it IS an ordinary hive key. */
+  val config: TableConfig = config0.partitionTransform match {
+    case Some(t) => config0.copy(partitionKey = Some(t.name))
+    case None => config0
+  }
 
   val root: Path = Paths.get(rootDir).toAbsolutePath
   private def manifestDir: Path = root.resolve("_manifests")
@@ -269,7 +285,8 @@ final class CowTable private[storage] (
     * and layout path (Delta similarly blocks partition-column renames
     * without a rewrite). */
   private def structuralColumns: Set[String] =
-    (config.primaryKey ++ config.partitionKey ++ config.precombineKey).toSet
+    (config.primaryKey ++ config.partitionKey ++ config.precombineKey ++
+      config.partitionTransform.map(_.source)).toSet
 
   /** Conservative "does this CHECK constraint mention column `c`" probe:
     * word-boundary match on the raw SQL text. Reads the MANIFEST's durable
@@ -1326,6 +1343,10 @@ final class CowTable private[storage] (
   def alterPartitionKey(newKey: Option[String]): CowTable = {
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
+    require(config.partitionSpec.isEmpty,
+      s"table ${config.tableName} is partitioned by the transform " +
+        s"${config.partitionSpec.get}; evolving a transform-partitioned " +
+        "layout is not supported (drop and recreate)")
     val m = manifest(parent)
     val schema = structFromJson(m.schemaJson)
     newKey.foreach { k =>
@@ -1373,6 +1394,57 @@ final class CowTable private[storage] (
     * VERSION-only travel lacked); subject to the same vacuum low-water mark
     * as [[readVersion]]. */
   def readAsOf(tsMs: Long): DataFrame = readVersion(versionAsOf(tsMs))
+
+  /** TAG (Iceberg ref): a named IMMUTABLE pointer to a committed version —
+    * the release-pinning primitive (a training-corpus release is "the
+    * table at tag corpus-2024-08", reproducible forever). One file per tag
+    * under `_manifests/_tags/`, created with the same hard-link CAS as
+    * commits: creation is atomic and a second `tag` of an existing name
+    * fails loudly instead of silently moving a release. [[vacuum]] never
+    * expires a tagged version (the low-water mark stops at the lowest
+    * tag), so `VERSION AS OF '<name>'` keeps resolving after any amount
+    * of retention churn. O(1) metadata; no data copied.
+    *
+    * @return the version the tag pinned */
+  def tag(name: String, version: Int = -1): Int = {
+    require(name.matches(CowTable.TagName),
+      s"tag name '$name' must match ${CowTable.TagName}")
+    val cur = currentVersion
+    require(cur > 0, s"table ${config.tableName} does not exist")
+    val v = if (version == -1) cur else version
+    require(v >= 1 && v <= cur, s"tag target $v out of range 1..$cur")
+    require(v >= earliestReadableVersion,
+      s"cannot tag vacuumed version $v")
+    val dir = manifestDir.resolve("_tags")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "_tag", ".tmp")
+    Files.writeString(tmp, v.toString)
+    try Files.createLink(dir.resolve(name + ".tag"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists at version ${tags(name)} — tags " +
+            "are immutable (drop it first to re-pin)")
+    } finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** All tags: name → pinned version. */
+  def tags: Map[String, Int] = CowTable.tagsAt(root)
+
+  /** Remove a tag (metadata-only; the version stays time-travelable until
+    * vacuum's retention passes it). */
+  def dropTag(name: String): Unit = {
+    val f = manifestDir.resolve("_tags").resolve(name + ".tag")
+    require(Files.exists(f), s"no tag '$name' on ${config.tableName}")
+    Files.delete(f)
+  }
+
+  /** Snapshot at a tag — `VERSION AS OF '<name>'`. */
+  def readTag(name: String): DataFrame =
+    readVersion(tags.getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' on ${config.tableName} (tags: " +
+        s"${tags.keys.toSeq.sorted.mkString(", ")})")))
 
   /** Commit log as a DataFrame (DESCRIBE HISTORY analog): one row per
     * version with parent, row count, file count, and the dataChange flag.
@@ -1474,8 +1546,12 @@ final class CowTable private[storage] (
     val cur = currentVersion
     require(cur > 0, s"table ${config.tableName} does not exist")
     require(retainLast >= 1, "must retain at least the current version")
+    // tags pin retention: the low-water mark never passes the lowest
+    // tagged version, so a pinned release stays readable forever
+    val lowestTag = tags.values.minOption.getOrElse(Int.MaxValue)
     val firstRetained =
-      math.max(earliestReadableVersion, cur - retainLast + 1)
+      math.max(earliestReadableVersion,
+        math.min(cur - retainLast + 1, lowestTag))
     def refs(v: Int): Seq[String] = {
       val m = manifest(v)
       m.files.map(_.path) ++ m.files.flatMap(_.dvPath)
@@ -1877,7 +1953,7 @@ final class CowTable private[storage] (
   }
 
   private[storage] def writeVersion(
-      df: DataFrame, schema: StructType,
+      df0: DataFrame, schema0: StructType,
       carryOver: Seq[FileEntry], parent: Int,
       dataChange: Boolean = true,
       preshaped: Boolean = false,
@@ -1885,6 +1961,25 @@ final class CowTable private[storage] (
       mappingOpt: Option[(Map[String, String], Seq[String])] = None,
       rebase: Option[RebaseCtx] = None,
       fileTag: Option[String] = None): Int = {
+    // GENERATED partition column ([[TableConfig.partitionSpec]]): (re)
+    // computed unconditionally inside the commit funnel — a pure projection
+    // that makes drift from the source column impossible (Delta's generated
+    // -column invariant) and lets upsert/merge batches omit the column.
+    // Recomputation is idempotent (the transform is a pure function), so
+    // preshaped reorganizations keep their distribution and order.
+    val (df, schema) = config.partitionTransform match {
+      case Some(t) =>
+        require(schema0.fieldNames.contains(t.source),
+          s"partition transform ${t.spec}: source column '${t.source}' " +
+            "missing from the written schema")
+        val gen = df0.withColumn(t.name, t.expr)
+        val sch =
+          if (schema0.fieldNames.contains(t.name)) schema0
+          else org.apache.spark.sql.types.StructType(
+            schema0.fields :+ gen.schema(t.name))
+        (gen.select(sch.fieldNames.toIndexedSeq.map(col): _*), sch)
+      case None => (df0, schema0)
+    }
     val v = parent + 1
     // COLUMN MAPPING: data files store PHYSICAL names. The mapping for this
     // commit (inherited from the parent, extended for evolved-in columns)
@@ -2230,7 +2325,8 @@ final class CowTable private[storage] (
           else (manifest(parent).checkConstraints ++
             config.checkConstraints).distinct),
       columnMapping = mapping,
-      usedPhysicalNames = usedPhys)
+      usedPhysicalNames = usedPhys,
+      partitionSpec = config.partitionSpec)
     commitManifest(m)
     v
   }
@@ -2533,6 +2629,22 @@ object CowTable {
         }
       }
       (mapping, used.toSeq)
+  }
+
+  /** Legal tag names (filesystem-safe, no path or escape ambiguity). */
+  private[graft] val TagName = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}"
+
+  /** Static tag listing (pure file IO — connector planning reads it). */
+  private[graft] def tagsAt(root: Path): Map[String, Int] = {
+    val dir = root.resolve("_manifests").resolve("_tags")
+    if (!Files.isDirectory(dir)) return Map.empty
+    val it = Files.list(dir)
+    try it.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".tag"))
+      .map(p => p.getFileName.toString.stripSuffix(".tag") ->
+        Files.readString(p).trim.toInt)
+      .toMap
+    finally it.close()
   }
 
   /** Static manifest access (no SparkSession needed — pure file IO): the

@@ -84,10 +84,35 @@ final case class TableConfig(
       * DSv2 row-level path keeps its COW group rewrite (results identical —
       * scans are DV-aware either way); the API `delete()` is the
       * DV-accelerated path. */
-    deletionVectors: Boolean = false) {
+    deletionVectors: Boolean = false,
+    /** Iceberg-style PARTITION TRANSFORM spec — `day(c)`, `month(c)`,
+      * `bucket(N,c)`, `truncate(W,c)` ([[PartitionTransform]]): the table
+      * is hive-partitioned on a GENERATED column derived from `c`
+      * (Delta generated-column semantics: the column is part of the
+      * schema, recomputed inside the commit funnel so writers can never
+      * drift it), and scans derive partition pruning from predicates on
+      * `c` itself — hidden partitioning. Mutually exclusive with an
+      * identity [[partitionKey]]; the effective partition key becomes the
+      * generated column's name. Mutations flow through the Scala API /
+      * CowTable funnel (connector writes and the DV/MOR path are fenced
+      * loud — they write files without passing the generation funnel). */
+    partitionSpec: Option[String] = None) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
   require(!deletionVectors || changeDataFeed,
     s"table $tableName: deletionVectors requires changeDataFeed " +
       "(DV commits change no file paths, so the change feed must be " +
       "materialized at delete time to stay exact)")
+  require(partitionSpec.isEmpty || partitionKey.isEmpty ||
+    partitionKey == partitionSpec.map(PartitionTransform.parse(_).name),
+    s"table $tableName: partitionSpec and partitionKey are mutually " +
+      "exclusive (the transform's generated column IS the partition key)")
+  require(!(partitionSpec.isDefined && deletionVectors),
+    s"table $tableName: deletionVectors with a partition transform is not " +
+      "supported (the MOR delta writers append files without passing the " +
+      "generated-column funnel)")
+  partitionSpec.foreach(PartitionTransform.parse) // loud on a bad spec
+
+  /** Parsed transform, when configured. */
+  def partitionTransform: Option[PartitionTransform] =
+    partitionSpec.map(PartitionTransform.parse)
 }

@@ -36,6 +36,47 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(t.currentVersion == 2) // exactly one commit for the whole MERGE
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync in one statement") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "stale", 1.0), (2L, "b", 20.0), (3L, "gone", 30.0))
+      .toDF("id", "name", "v"))
+    // snapshot: 1 updated, 2 unchanged, 3 vanished, 4 new
+    Seq((1L, "fresh", 2.0), (2L, "b", 20.0), (4L, "new", 40.0))
+      .toDF("id", "name", "v").createOrReplaceTempView("rl_sync_src")
+    withSqlTable(dir, "rl_sync") {
+      spark.sql(
+        """MERGE INTO rl_sync t USING rl_sync_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      assert(spark.sql("SELECT * FROM rl_sync").as[(Long, String, Double)]
+        .collect().toSet ==
+        Set((1L, "fresh", 2.0), (2L, "b", 20.0), (4L, "new", 40.0)))
+    }
+    assert(t.currentVersion == 2)
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE with condition: UPDATE marks, no delete") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, "keepme"))
+      .toDF("id", "status"))
+    Seq(Tuple1(1L)).toDF("id").createOrReplaceTempView("rl_seen")
+    withSqlTable(dir, "rl_mark") {
+      spark.sql(
+        """MERGE INTO rl_mark t USING rl_seen s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.status = 'seen'
+          |WHEN NOT MATCHED BY SOURCE AND t.status <> 'keepme'
+          |  THEN UPDATE SET t.status = 'stale'
+          |""".stripMargin)
+      assert(spark.sql("SELECT * FROM rl_mark").as[(Long, String)]
+        .collect().toSet ==
+        Set((1L, "seen"), (2L, "stale"), (3L, "keepme")))
+    }
+  }
+
   test("MERGE prunes: untouched files are carried over, not rewritten") {
     val dir = tmpDir("rl") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
