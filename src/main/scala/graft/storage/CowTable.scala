@@ -132,7 +132,19 @@ final case class CommitManifest(
     /** Durable partition-transform spec ([[TableConfig.partitionSpec]]) —
       * absent on identity-partitioned and pre-upgrade manifests. When
       * present, [[partitionKey]] is the transform's GENERATED column. */
-    partitionSpec: Option[String] = None) {
+    partitionSpec: Option[String] = None,
+    /** DELTA-ENCODED manifest (Delta-Lake log + checkpoint architecture):
+      * when present, [[files]] holds only this commit's ADDED/CHANGED
+      * entries and this field the parent-relative REMOVED/CHANGED paths —
+      * the full file list is reconstructed by folding onto version-1
+      * ([[CowTable.manifestAt]]), with a FULL checkpoint manifest written
+      * every [[CowTable.ManifestCheckpointEvery]] commits to bound the
+      * fold chain. What keeps commit METADATA O(changed files): a 100 TB
+      * table with 100k files and a 100-row hourly CDC batch writes a
+      * ~1-entry delta per commit, not a 100k-entry snapshot. Absent ⇔ the
+      * manifest is full (pre-upgrade manifests, checkpoints, v1). Readers
+      * never see this field set — manifestAt folds before returning. */
+    deltaRemoved: Option[Seq[String]] = None) {
 
   /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
   def tableConfig(name: String): TableConfig = TableConfig(
@@ -2348,8 +2360,29 @@ final class CowTable private[storage] (
   private def commitManifest(m: CommitManifest): Unit = {
     Files.createDirectories(manifestDir)
     val vfile = manifestDir.resolve(f"v${m.version}%05d.json")
+    // DELTA-ENCODE against version-1 unless this version is a CHECKPOINT
+    // (every ManifestCheckpointEvery-th commit, v1, or a missing parent):
+    // adds = entries absent-or-changed vs the parent, removed = parent
+    // paths absent-or-changed here. Folding is exact because FileEntry is
+    // a value (structural equality); a delta no smaller than the full list
+    // is written full (nothing to save). Keeps commit metadata O(changed
+    // files) — the Delta log + checkpoint discipline.
+    val toWrite =
+      if (m.version == 1 ||
+        m.version % CowTable.ManifestCheckpointEvery == 0) m
+      else Try(manifest(m.version - 1)).toOption match {
+        case None => m
+        case Some(prev) =>
+          val prevByPath = prev.files.map(e => e.path -> e).toMap
+          val curByPath = m.files.map(e => e.path -> e).toMap
+          val adds = m.files.filter(e => !prevByPath.get(e.path).contains(e))
+          val removed = prev.files.map(_.path)
+            .filter(p => !curByPath.get(p).contains(prevByPath(p)))
+          if (adds.size + removed.size >= m.files.size) m
+          else m.copy(files = adds, deltaRemoved = Some(removed))
+      }
     val tmp = Files.createTempFile(manifestDir, f"_tmp_v${m.version}%05d", ".json")
-    Files.writeString(tmp, Serialization.write(m))
+    Files.writeString(tmp, Serialization.write(toWrite))
     try Files.createLink(vfile, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2677,9 +2710,22 @@ object CowTable {
     else manifestAt(root, v).tableConfig(fallback.tableName)
   }
 
-  private[graft] def manifestAt(root: Path, version: Int): CommitManifest =
-    Serialization.read[CommitManifest](Files.readString(
+  /** How often a FULL (checkpoint) manifest is written instead of a delta
+    * — bounds the [[manifestAt]] fold chain (≤ 7 extra metadata reads). */
+  private[graft] val ManifestCheckpointEvery: Int = 8
+
+  private[graft] def manifestAt(root: Path, version: Int): CommitManifest = {
+    val m = Serialization.read[CommitManifest](Files.readString(
       root.resolve("_manifests").resolve(f"v$version%05d.json")))
+    m.deltaRemoved match {
+      case None => m
+      case Some(removed) => // fold onto version-1 (chain checkpoint-bounded)
+        val prev = manifestAt(root, version - 1)
+        val rm = removed.toSet
+        m.copy(files = prev.files.filterNot(e => rm(e.path)) ++ m.files,
+          deltaRemoved = None)
+    }
+  }
 
   /** A filter/merge bound in the manifest stats' value space: temporal
     * values become their physical integers (micros / days since epoch). */
