@@ -773,6 +773,33 @@ object TextQueries {
         BmQueryTerms, k = 25)
     },
 
+    // INCREMENTAL PERSISTED BM25 INDEX (the keyword member of the
+    // incremental-index trio, with q117's band index and q139's IVF):
+    // the corpus ingested in TWO batches into lake tables postings(w,
+    // doc_id, tf) — range-CLUSTERED on the term, so probes open O(terms)
+    // files — and doclen; the probe answers from the index alone, the
+    // corpus is never rescanned. Index state is a pure function of the
+    // ingested set ⇒ the ORACLE IS q127's one-shot replay verbatim, and
+    // scores stay bit-exact (same nano-unit expression tree).
+    Q("q175_bm25_index_incremental",
+      graft.text.Search.bm25OracleSql(BmQueryTerms, k = 25)) { (s, d) =>
+      val dir = graft.queries.StorageQueries.tableDir("q175_bm25_idx")
+      val sigPath = java.nio.file.Paths.get(dir, "_sig")
+      val sig = d
+      if (!(java.nio.file.Files.exists(sigPath) &&
+          java.nio.file.Files.readString(sigPath).trim == sig)) {
+        graft.storage.CowTable.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val corpus = docs(s, d)
+        graft.text.Search.indexBatch(s, dir,
+          corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        graft.text.Search.indexBatch(s, dir,
+          corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        java.nio.file.Files.writeString(sigPath, sig)
+      }
+      graft.text.Search.searchIndex(s, dir, BmQueryTerms, k = 25)
+    },
+
     // DUPLICATED-SPAN DETECTION (Lee et al., ACL'22, k-gram relaxation):
     // maximal token spans covered by any corpus-repeated word 5-gram.
     // One hash aggregate + join back on the 48-bit shingle hash (both

@@ -68,7 +68,24 @@ object GraftMetadataTables {
     case "partitions" => Some(new MetaTable(
       s"${e.table_name}$$partitions", PartitionsSchema,
       () => partitionRows(root)))
+    case "tags" => Some(new MetaTable(
+      s"${e.table_name}$$tags", TagsSchema, () => tagRows(root)))
     case _ => None
+  }
+
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("commit_time", TimestampType, nullable = true)))
+
+  private def tagRows(root: Path): Array[InternalRow] = {
+    CowTable.tagsAt(root).toSeq.sortBy(_._1).map { case (n, v) =>
+      val ts = scala.util.Try(CowTable.manifestAt(root, v).commitTimeMs)
+        .getOrElse(0L)
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(n), v,
+        if (ts > 0) ts * 1000L else null)): InternalRow
+    }.toArray
   }
 
   private def historyRows(root: Path): Array[InternalRow] = {

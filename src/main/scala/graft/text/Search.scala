@@ -90,6 +90,83 @@ object Search {
       .limit(k)
   }
 
+  // ---- persisted incremental index --------------------------------------
+
+  private def postingsCfg = graft.storage.TableConfig("postings",
+    Seq("w", "doc_id"), clusterByKey = true)
+  private def doclenCfg = graft.storage.TableConfig("doclen", Seq("doc_id"),
+    clusterByKey = true)
+
+  /** Ingest a document batch into a PERSISTED inverted index (two lake
+    * tables under `dir`): `postings(w, doc_id, tf)` keyed — and therefore
+    * range-CLUSTERED — on the term, and `doclen(doc_id, dl)`. One tokenize
+    * pass over the BATCH only; the already-indexed corpus is never
+    * rescanned (the incremental-index discipline of q117/q139, applied to
+    * keyword search). Because a document's rows are a pure function of its
+    * text, re-delivering an identical batch upserts the same rows —
+    * idempotent; replacing a CHANGED document requires deleting its old
+    * postings first (same contract as any inverted index).
+    *
+    * At 100 TB the per-batch cost is O(batch tokens) + merge pruning on
+    * the term-clustered postings table; a probe then touches O(terms)
+    * files, not the corpus. */
+  def indexBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    import graft.storage.CowTable
+    val occ = occurrences(batch, idCol, textCol)
+    val tf = occ.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .select("w", "doc_id", "tf")
+    val dl = occ.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val post = CowTable(spark, dir + "/postings", postingsCfg)
+    if (post.currentVersion == 0) post.create(tf) else post.upsert(tf)
+    val dlt = CowTable(spark, dir + "/doclen", doclenCfg)
+    if (dlt.currentVersion == 0) dlt.create(dl) else dlt.upsert(dl)
+  }
+
+  /** BM25 top-k answered FROM THE INDEX alone — the same contribution
+    * expression tree as [[bm25TopK]] (bit-identical scores), but the only
+    * data read is the probed terms' postings (leading-key range pruning on
+    * the clustered postings table) plus the doclen side table. Because the
+    * index state is a pure function of the ingested document set, a
+    * two-batch build answers EXACTLY what the one-shot corpus scan
+    * answers — [[bm25OracleSql]] is this probe's oracle verbatim. */
+  def searchIndex(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    import graft.storage.CowTable
+    require(terms.nonEmpty, "searchIndex: empty query")
+    val lowered = terms.map(_.toLowerCase)
+    require(lowered.distinct == lowered,
+      s"searchIndex: query terms must be distinct (got $terms)")
+    val postAll = CowTable(spark, dir + "/postings", postingsCfg)
+    val doclen = CowTable(spark, dir + "/doclen", doclenCfg).read()
+    val corpus = doclen.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    // term point-lookups ride the key-range prune: only files whose
+    // [minKey, maxKey] can hold a probed term are opened
+    val matching = lowered.map(t =>
+        postAll.readRange(Some(t), Some(t)).filter(col("w") === t))
+      .reduce(_ unionByName _)
+    val dfreq = matching.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = (col("n") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val num = col("tf").cast("double") * lit(K1 + 1.0)
+    val den = col("tf").cast("double") +
+      lit(K1) * (lit(1.0 - B) +
+        lit(B) * col("dl").cast("double") / col("avgdl"))
+    val contribNanos =
+      floor(idf * num / den * lit(1e9) + lit(0.5)).cast("long")
+    matching.join(broadcast(dfreq), "w")
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("c", contribNanos)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        (sum(col("c")).cast("double") / lit(1e9)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Composable DuckDB CTE stack replaying [[bm25TopK]]'s scoring over
     * the `documents` table — ends in `bm25_scored(doc_id, n_terms,
     * score)`. Generated from the same constants so both engines inline

@@ -87,4 +87,19 @@ class TagsSpec extends SparkSpec {
     sess.sql("CALL taglake.drop_tag('ev', 'r1')")
     assert(t.tags.isEmpty)
   }
+
+  test("$tags metadata table lists refs with their pinned commit") {
+    val lake = tmpDir("taglake2")
+    val t = CowTable(spark, lake + "/ev", TableConfig("ev", Seq("id")))
+    t.create(df((1L, "a")))
+    t.upsert(df((2L, "b")))
+    t.tag("r1", 1)
+    t.tag("r2", 2)
+    LakeRegistry.register(lake, TableConfig("ev", Seq("id")), lake + "/ev")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.tl2", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.tl2.warehouse", lake)
+    assert(sess.sql("SELECT name, version FROM tl2.default.`ev$tags`")
+      .as[(String, Int)].collect().toSet == Set(("r1", 1), ("r2", 2)))
+  }
 }

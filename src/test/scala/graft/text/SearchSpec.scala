@@ -79,6 +79,51 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("persisted index: batched build answers the one-shot scan exactly") {
+    val dir = tmpDir("bmidx")
+    val terms = Seq("merge", "vector", "stream")
+    Search.indexBatch(spark, dir, corpus.filter($"doc_id" <= 2), "doc_id", "text")
+    Search.indexBatch(spark, dir, corpus.filter($"doc_id" > 2), "doc_id", "text")
+    val viaIndex = Search.searchIndex(spark, dir, terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val oneShot = Search.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaIndex == oneShot) // order AND bit-exact scores
+    // re-delivering a batch is idempotent (same doc → same rows upserted)
+    Search.indexBatch(spark, dir, corpus.filter($"doc_id" <= 2), "doc_id", "text")
+    assert(Search.searchIndex(spark, dir, terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq == oneShot)
+  }
+
+  test("persisted index: term probes prune postings files by key range") {
+    val dir = tmpDir("bmidx")
+    // many docs so the clustered postings table spans several files
+    val big = (1L to 200L).map(i =>
+      (i, s"w${i % 17} w${(i * 7) % 17} common filler")).toDF("doc_id", "text")
+    // keep the tiny fixture multi-partition (AQE would coalesce to one
+    // task, and a single range partition has no disjoint ranges to prune)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Search.indexBatch(spark, dir, big.repartition(4), "doc_id", "text")
+    finally spark.conf
+      .unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val post = graft.storage.CowTable(spark, dir + "/postings",
+      graft.storage.TableConfig("postings", Seq("w", "doc_id"),
+        clusterByKey = true))
+    val m = post.manifest(post.currentVersion)
+    assert(m.files.size > 1, "fixture needs a multi-file postings table")
+    val pruned = graft.storage.CowTable.filesInRange(m, Some("w3"), Some("w3"))
+    assert(pruned.size < m.files.size,
+      s"expected term-range pruning, kept ${pruned.size}/${m.files.size}; " +
+        m.files.map(e => s"${e.path}[${e.minKey}..${e.maxKey}]")
+          .mkString("\n"))
+    // and the probe over the index is still exact
+    val got = Search.searchIndex(spark, dir, Seq("w3"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val ref = Search.bm25TopK(big, "doc_id", "text", Seq("w3"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == ref)
+  }
+
   test("empty and duplicate queries are rejected") {
     intercept[IllegalArgumentException] {
       Search.bm25TopK(corpus, "doc_id", "text", Nil, 5)
