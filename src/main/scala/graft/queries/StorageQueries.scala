@@ -334,6 +334,41 @@ object StorageQueries {
       tbl.readTag("corpus-release-1")
     },
 
+    // SYMLINK FORMAT MANIFEST (Delta GENERATE / the reference's Redshift
+    // Spectrum path, cdk_stacks/glue_stack.py:262-279): after an upsert,
+    // regenerate the per-partition manifest text files and read the table
+    // back THE WAY AN EXTERNAL ENGINE WOULD — only the file URIs listed in
+    // the manifests, basePath-attached partition values, no graft metadata
+    // involved. Must equal the transactional snapshot exactly (stale or
+    // replaced files never listed). Oracle replays the merged state.
+    Q("q176_symlink_manifest",
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 7, 2)
+        |       ELSE c_acctbal END AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q176")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val c = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val tbl = CowTable(s, root,
+        TableConfig("cust_sym", Seq("c_custkey"),
+          partitionKey = Some("c_mktsegment")))
+      tbl.create(c)
+      tbl.upsert(c.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 7, 2)))
+      val manifests = tbl.generateSymlinkManifest()
+      require(manifests.nonEmpty, "expected per-partition manifests")
+      // the external-engine read: URIs from the manifest text files only
+      val uris = manifests.flatMap { rel =>
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(root).resolve(rel))
+          .split('\n').toSeq.filter(_.nonEmpty)
+      }
+      s.read.option("basePath", root).parquet(uris: _*)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    },
+
     // HIDDEN PARTITIONING (Iceberg partition transforms / Delta generated
     // partition columns): the events log day-partitioned via `day(ts)` — a
     // GENERATED date column the commit funnel derives (writers can never

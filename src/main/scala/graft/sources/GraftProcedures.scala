@@ -31,7 +31,7 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
       "evolve_partition", "create_matview", "refresh_matview",
-      "purge_vectors", "tag", "drop_tag")
+      "purge_vectors", "tag", "drop_tag", "generate_manifest")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -141,6 +141,16 @@ object GraftProcedures {
           in("version", IntegerType, Some("-1"))),
         resultSchema = versionResult) { args =>
         Array[Any](open(str(args, 0)).tag(str(args, 1), args.getInt(2)))
+      })
+      // CALL lake.generate_manifest('t'): Delta's GENERATE
+      // symlink_format_manifest — external manifest-reading engines
+      // (Spectrum/Presto/Athena) query the current snapshot without graft
+      case "generate_manifest" => Some(proc("generate_manifest",
+        Seq(in("table", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("manifest_files", IntegerType, nullable = false)))) {
+        args =>
+          Array[Any](open(str(args, 0)).generateSymlinkManifest().size)
       })
       case "drop_tag" => Some(proc("drop_tag",
         Seq(in("table", StringType), in("name", StringType)),

@@ -1489,6 +1489,51 @@ final class CowTable private[storage] (
     * This is the experiment-branch primitive a training pipeline wants:
     * fork the corpus, dedup/filter/repack the fork, keep the original
     * bit-identical. */
+  /** GENERATE symlink_format_manifest (Delta's Presto/Athena/Redshift-
+    * Spectrum integration — exactly the surface the reference provisions
+    * with its symlink-manifest crawler + second catalog,
+    * cdk_stacks/glue_stack.py:262-279, README.md:51-52): write text files
+    * under `_symlink_format_manifest/` listing the absolute data-file URIs
+    * of the CURRENT snapshot — one `manifest` per hive partition directory
+    * (partitioned tables) or a single one (flat), so a manifest-reading
+    * external engine queries the transactional table without graft and
+    * never sees an uncommitted or replaced file. Regenerate after commits
+    * (same contract as Delta's GENERATE). O(files) metadata, no data read.
+    *
+    * Deletion-vectored files are fenced loud — an external engine reading
+    * raw parquet would resurrect their deleted rows (purge first).
+    *
+    * @return the root-relative paths of the written manifest files */
+  def generateSymlinkManifest(): Seq[String] = {
+    val cur = currentVersion
+    require(cur > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(cur)
+    require(m.files.forall(_.dvPath.isEmpty),
+      "symlink manifests cannot represent deletion vectors — run " +
+        "purgeDeletionVectors() first (raw-parquet readers would " +
+        "resurrect deleted rows)")
+    val base = root.resolve("_symlink_format_manifest")
+    // wipe stale manifests (a partition emptied since the last generate
+    // must not keep serving its old file list)
+    if (Files.exists(base)) CowTable.deleteRecursively(base)
+    val bySeg: Map[String, Seq[FileEntry]] = m.files.groupBy { e =>
+      e.path.split('/').dropRight(1)
+        .find(s => config.partitionKey.exists(pk => s.startsWith(pk + "=")))
+        .getOrElse("")
+    }.map { case (k, v) => (k, v.toSeq) }
+    bySeg.toSeq.sortBy(_._1).map { case (seg, fs) =>
+      val dir = if (seg.isEmpty) base else base.resolve(seg)
+      Files.createDirectories(dir)
+      val body = fs.map(e => root.resolve(e.path).toUri.toString)
+        .sorted.mkString("", "\n", "\n")
+      val tmp = Files.createTempFile(dir, "_manifest", ".tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, dir.resolve("manifest"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      root.relativize(dir.resolve("manifest")).toString
+    }
+  }
+
   def shallowClone(destDir: String, cloneName: Option[String] = None)
       : CowTable = {
     val cur = currentVersion
