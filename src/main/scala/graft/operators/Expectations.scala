@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality EXPECTATIONS with QUARANTINE routing — the Delta Live
+  * Tables `expect_or_drop` shape, complementing the storage layer's
+  * fail-loud CHECK constraints ([[graft.storage.TableConfig]]
+  * checkConstraints): instead of rejecting a whole write because one row
+  * is bad, rows failing any named rule are routed to a quarantine frame
+  * carrying WHICH rules they failed, and clean rows flow on. The standard
+  * ingest discipline for a 100 TB document pipeline, where "one malformed
+  * row aborts the load" is not an option but silently dropping rows
+  * unaudited isn't either.
+  *
+  * Semantics match CHECK constraints: a rule passes only when its SQL
+  * boolean evaluates TRUE — false or NULL fails (so `n_chars >= 100`
+  * quarantines a NULL n_chars rather than waving it through).
+  *
+  * Plan shape: ONE shuffle-free projection tags every row with its
+  * failed-rule list (plan-asserted in the spec); the two output frames
+  * are filters over it. No second scan of the input per rule, no
+  * shuffle, fully codegen-friendly.
+  */
+object Expectations {
+
+  val FailedColumn = "_failed_expectations"
+
+  /** Tag each row with the (rule-order) list of failed expectations. */
+  def tag(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.tag: no rules")
+    require(rules.map(_._1).distinct == rules.map(_._1),
+      s"Expectations.tag: duplicate rule names in ${rules.map(_._1)}")
+    val flags = rules.map { case (name, sql) =>
+      when(!coalesce(expr(sql).cast("boolean"), lit(false)), lit(name))
+    }
+    df.withColumn(FailedColumn,
+      filter(array(flags: _*), x => x.isNotNull))
+  }
+
+  /** (clean rows, quarantined rows with [[FailedColumn]]): a partition of
+    * the input — every row lands in exactly one side. */
+  def split(df: DataFrame, rules: Seq[(String, String)])
+      : (DataFrame, DataFrame) = {
+    val tagged = tag(df, rules)
+    (tagged.filter(size(col(FailedColumn)) === 0).drop(FailedColumn),
+      tagged.filter(size(col(FailedColumn)) > 0))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.storage.CowTable
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,4 +108,18 @@ object Scd2 {
   /** The [[history]]-shaped view of an incremental SCD2 table. */
   def historyView(tbl: CowTable): DataFrame =
     tbl.read().filter(col("op") =!= lit("D")).drop("op")
+
+  /** POINT-IN-TIME snapshot from a [[history]] frame: the row version of
+    * each key that was valid at business time `asOf` — `valid_from <= t <
+    * valid_to` over half-open intervals (a key deleted before `t`, or
+    * born after it, has no row). This is the "what did the dimension look
+    * like on date X" read SCD2 exists to answer — a pure FILTER over the
+    * history (no window, no join; interval columns carry the answer), so
+    * at 100 TB it rides whatever pruning the history's storage gives. */
+  def snapshotAsOf(history: DataFrame, asOf: Column): DataFrame =
+    history
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .drop("valid_to", "is_current")
+      .withColumnRenamed("valid_from", "as_of_version_start")
 }

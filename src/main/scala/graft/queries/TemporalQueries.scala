@@ -614,5 +614,32 @@ object TemporalQueries {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("valid_from"), col("valid_to"),
           col("is_current").cast("int").as("is_current"))
+    },
+
+    // SCD2 POINT-IN-TIME snapshot ("what did every user's row look like on
+    // Jan 20"): a pure interval filter over the q170 history —
+    // valid_from <= t < valid_to over half-open intervals; keys deleted
+    // before t or born after it produce no row. No window, no join.
+    Q("q177_scd2_as_of",
+      """WITH cdc AS (SELECT
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I'
+        |         ELSE 'U' END AS op,
+        |    CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type, value
+        |  FROM events),
+        |h AS (SELECT *, lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS valid_to FROM cdc)
+        |SELECT user_id, event_id, event_type, value,
+        |  ts AS as_of_version_start
+        |FROM h WHERE op <> 'D'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20 00:00:00')
+        |""".stripMargin) { (s, d) =>
+      Scd2.snapshotAsOf(
+        Scd2.history(dmsLog(s, d), Seq("user_id"), "timestamp", "Op",
+          Seq("event_id")),
+        lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select("user_id", "event_id", "event_type", "value",
+          "as_of_version_start")
     })
 }

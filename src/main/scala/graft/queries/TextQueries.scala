@@ -773,6 +773,36 @@ object TextQueries {
         BmQueryTerms, k = 25)
     },
 
+    // DATA-QUALITY EXPECTATIONS with QUARANTINE routing (the DLT
+    // expect_or_drop shape, complementing fail-loud CHECK constraints):
+    // one shuffle-free projection tags each document with the rules it
+    // failed (false OR NULL fails — constraint semantics); clean rows flow
+    // on, quarantined rows carry the failed-rule list for triage. Oracle
+    // replays each rule as a CASE flag; concat_ws skips NULLs identically
+    // in both engines, so the joined rule list is string-exact.
+    Q("q178_expectations_quarantine",
+      """SELECT doc_id, concat_ws(',',
+        |    CASE WHEN NOT coalesce(n_chars >= 120, FALSE) THEN 'min_len' END,
+        |    CASE WHEN NOT coalesce(lang IN ('en','de','fr'), FALSE)
+        |      THEN 'known_lang' END,
+        |    CASE WHEN NOT coalesce(length(trim(text)) > 0, FALSE)
+        |      THEN 'nonempty' END) AS failed_rules
+        |FROM documents
+        |WHERE NOT (coalesce(n_chars >= 120, FALSE)
+        |  AND coalesce(lang IN ('en','de','fr'), FALSE)
+        |  AND coalesce(length(trim(text)) > 0, FALSE))
+        |""".stripMargin) { (s, d) =>
+      val rules = Seq(
+        "min_len" -> "n_chars >= 120",
+        "known_lang" -> "lang IN ('en','de','fr')",
+        "nonempty" -> "length(trim(text)) > 0")
+      val (_, quarantined) =
+        graft.operators.Expectations.split(docs(s, d), rules)
+      quarantined.select(col("doc_id"),
+        array_join(col(graft.operators.Expectations.FailedColumn), ",")
+          .as("failed_rules"))
+    },
+
     // INCREMENTAL PERSISTED BM25 INDEX (the keyword member of the
     // incremental-index trio, with q117's band index and q139's IVF):
     // the corpus ingested in TWO batches into lake tables postings(w,

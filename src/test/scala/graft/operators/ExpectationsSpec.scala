@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules = Seq(
+    "positive" -> "v > 0",
+    "named" -> "name IS NOT NULL AND name <> ''")
+
+  private val df = Seq(
+    (1L, Some(5.0), Some("ok")), // clean
+    (2L, Some(-1.0), Some("ok")), // fails positive
+    (3L, Some(5.0), None), // fails named
+    (4L, None, Some("")), // fails BOTH — null v fails like false
+    (5L, Some(0.5), Some("x")) // clean
+  ).toDF("id", "v", "name")
+
+  test("split partitions the input; NULL fails like false") {
+    val (good, bad) = Expectations.split(df, rules)
+    assert(good.select("id").as[Long].collect().toSet == Set(1L, 5L))
+    val q = bad.select($"id", $"_failed_expectations")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(q == Map(
+      2L -> Seq("positive"),
+      3L -> Seq("named"),
+      4L -> Seq("positive", "named"))) // rule declaration order
+    assert(good.count() + bad.count() == df.count())
+  }
+
+  test("tagging is one shuffle-free projection") {
+    val plan = Expectations.tag(df, rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+
+  test("bad rule sets are loud") {
+    intercept[IllegalArgumentException](Expectations.tag(df, Nil))
+    intercept[IllegalArgumentException](
+      Expectations.tag(df, Seq("a" -> "v > 0", "a" -> "v < 9")))
+  }
+}

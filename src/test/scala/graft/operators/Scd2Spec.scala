@@ -104,6 +104,20 @@ class Scd2Spec extends SparkSpec {
     assert(thirds == oneShot)
   }
 
+  test("snapshotAsOf returns each key's version valid at business time") {
+    val h = Scd2.history(fullLog, Seq("k"), "ts", "Op", Seq("change_id"))
+    def at(t: String): Set[(Long, Long)] =
+      Scd2.snapshotAsOf(h, org.apache.spark.sql.functions.lit(t)
+          .cast("timestamp"))
+        .select("k", "change_id").as[(Long, Long)].collect().toSet
+    // Jan 4: k1 on version 2, k2 on 5, k3 born that midnight (inclusive)
+    assert(at("2024-01-04 00:00:00") == Set((1L, 2L), (2L, 5L), (3L, 7L)))
+    // Jan 6: k1 deleted on the 5th → absent; k2 updated at that instant
+    assert(at("2024-01-06 00:00:00") == Set((2L, 6L), (3L, 7L)))
+    // before any event: empty
+    assert(at("2023-12-31 00:00:00") == Set.empty[(Long, Long)])
+  }
+
   test("re-delivering a batch is idempotent") {
     val dir = tmpDir("scd2d")
     val half = fullLog.filter($"ts" < "2024-01-04")

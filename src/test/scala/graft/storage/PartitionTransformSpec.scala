@@ -127,6 +127,23 @@ class PartitionTransformSpec extends SparkSpec {
     assert(rng.select("id").as[Long].collect().toSet == (35L to 40L).toSet)
   }
 
+  test("GROUP BY the generated column answers from the manifest (0 files)") {
+    val dir = tmpDir("pt") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)")))
+    t.create(ev(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-01 11:00:00", 2.0),
+      (3L, "2024-03-02 10:00:00", 3.0)))
+    val agg = spark.read.format("graft").load(dir)
+      .groupBy("ts_day").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest_agg_"),
+      s"expected grouped manifest pushdown in:\n$plan")
+    assert(agg.selectExpr("CAST(ts_day AS STRING)", "count")
+      .as[(String, Long)].collect().toSet ==
+      Set(("2024-03-01", 2L), ("2024-03-02", 1L)))
+  }
+
   test("null source values land in the null dir; ranges skip it exactly") {
     val dir = tmpDir("pt") + "/t"
     val t = CowTable(spark, dir,
