@@ -46,4 +46,32 @@ object Expectations {
     (tagged.filter(size(col(FailedColumn)) === 0).drop(FailedColumn),
       tagged.filter(size(col(FailedColumn)) > 0))
   }
+
+  /** Per-rule audit counters (the DLT event-log numbers): one row per rule
+    * in declaration order — rows failing it, rows passing, and how many of
+    * its failures were the row's ONLY failure (`sole_failed` — "how many
+    * rows would this rule alone quarantine", the triage number that says
+    * which rule to fix first). ONE aggregate pass over the input (every
+    * counter a conditional sum in the same projection), then a constant
+    * `rules.length`-row driver-side pivot — no per-rule rescan, no
+    * shuffle beyond the single global agg. */
+  def metrics(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val tagged = tag(df, rules)
+    val counters = rules.flatMap { case (name, _) =>
+      val failed = array_contains(col(FailedColumn), name)
+      Seq(
+        sum(when(failed, 1L).otherwise(0L)).as(s"__f_$name"),
+        sum(when(failed && size(col(FailedColumn)) === 1, 1L)
+          .otherwise(0L)).as(s"__s_$name"))
+    }
+    tagged.agg(count(lit(1)).as("__n"), counters: _*)
+      .select(explode(array(rules.map { case (name, _) =>
+        struct(
+          lit(name).as("rule"),
+          coalesce(col(s"__f_$name"), lit(0L)).as("failed"),
+          (col("__n") - coalesce(col(s"__f_$name"), lit(0L))).as("passed"),
+          coalesce(col(s"__s_$name"), lit(0L)).as("sole_failed"))
+      }: _*)).as("m"))
+      .select("m.*")
+  }
 }

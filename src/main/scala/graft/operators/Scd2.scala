@@ -122,4 +122,62 @@ object Scd2 {
         (col("valid_to").isNull || col("valid_to") > asOf))
       .drop("valid_to", "is_current")
       .withColumnRenamed("valid_from", "as_of_version_start")
+
+  /** POINT-IN-TIME-CORRECT fact enrichment: attach to every fact row the
+    * dimension version valid at the fact's OWN timestamp —
+    * `valid_from <= fact_ts < valid_to` — the temporal join SCD2 history
+    * exists to feed (training-feature attribution: "the profile as the
+    * user had it when the event happened", never leaking a later version).
+    * Left-join semantics: a fact whose key was deleted before, born after,
+    * or never existed gets NULL payload columns.
+    *
+    * Plan shape (the [[AsOfJoin]] pattern, not a range join): tag both
+    * sides, union, ONE window pass per key carrying the latest
+    * `valid_from <= ts` version forward, then a validity check against its
+    * `valid_to` nulls out versions closed before the fact (the delete
+    * gap). A single hash shuffle on the key — no interval-join row
+    * explosion, no broadcast of either side — so a 100 TB fact log joins a
+    * billion-row dimension history at window-dedup cost. At equal
+    * `valid_from` (zero-width versions from same-instant changes) the
+    * surviving interval wins, matching the half-open-interval SQL replay
+    * row for row.
+    *
+    * @param payload history columns to carry, as (histCol -> outputCol);
+    *                output names must not collide with fact columns.
+    */
+  def factJoin(
+      facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+      factTsCol: String, payload: Seq[(String, String)]): DataFrame = {
+    val payCols = payload.map { case (in, out) => col(in).as(out) }
+    // carried as ONE struct (see AsOfJoin: per-column carry could tear
+    // fields of different versions together); __vto rides along for the
+    // validity check
+    val dimType = org.apache.spark.sql.types.StructType(
+      history.select(payCols :+ col("valid_to").as("__vto"): _*)
+        .schema.fields)
+    val f = facts.withColumn("__tag", lit(1))
+      .withColumn("__dim", lit(null).cast(dimType))
+    val h = history.select(
+      keyCols.map(col) :+ col("valid_from").as(factTsCol) :+
+        struct(payCols :+ col("valid_to").as("__vto"): _*).as("__dim"): _*)
+      .withColumn("__tag", lit(0))
+    val u = f.unionByName(h, allowMissingColumns = true)
+    // history before facts at equal ts (valid_from <= ts is INCLUSIVE);
+    // among versions sharing a valid_from, the open/longest interval last
+    // so the carry picks the one the half-open semantics keep alive
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(factTsCol).asc, col("__tag").asc,
+        col("__dim").getField("__vto").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u
+      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val valid = col("__dim").isNotNull &&
+      (col("__dim").getField("__vto").isNull ||
+        col("__dim").getField("__vto") > col(factTsCol))
+    payload.foldLeft(carried) { case (df, (_, out)) =>
+      df.withColumn(out, when(valid, col("__dim").getField(out)))
+    }.drop("__tag", "__dim")
+  }
 }

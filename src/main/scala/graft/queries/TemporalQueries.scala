@@ -641,5 +641,44 @@ object TemporalQueries {
         lit("2024-01-20 00:00:00").cast("timestamp"))
         .select("user_id", "event_id", "event_type", "value",
           "as_of_version_start")
+    },
+
+    // SCD2 FACT JOIN (point-in-time-correct enrichment): behavioral facts
+    // (click/view) attach the profile version (built from
+    // signup/purchase/error changes) valid AT THE FACT'S OWN TIMESTAMP —
+    // never a later version (the training-feature leakage rule). Facts
+    // whose user was deleted before, born after, or never seen get NULL
+    // dims. One key shuffle (union + window carry), vs the oracle's
+    // interval LEFT JOIN — intervals partition the timeline, so the join
+    // is 1:≤1 and the replay is row-exact.
+    Q("q179_scd2_fact_join",
+      """WITH cdc AS (SELECT
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I'
+        |         ELSE 'U' END AS op,
+        |    CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, value
+        |  FROM events WHERE event_type IN ('signup', 'error', 'purchase')),
+        |h AS (SELECT *, lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS valid_to FROM cdc),
+        |hist AS (SELECT * FROM h WHERE op <> 'D')
+        |SELECT f.event_id, f.user_id, f.event_type,
+        |  hist.event_id AS dim_event_id, hist.value AS dim_value
+        |FROM events f
+        |LEFT JOIN hist ON f.user_id = hist.user_id
+        |  AND hist.ts <= CAST(f.ts AS TIMESTAMP)
+        |  AND (hist.valid_to IS NULL OR hist.valid_to > CAST(f.ts AS TIMESTAMP))
+        |WHERE f.event_type IN ('click', 'view')
+        |""".stripMargin) { (s, d) =>
+      val hist = Scd2.history(
+        dmsLog(s, d)
+          .filter(col("event_type").isin("signup", "error", "purchase")),
+        Seq("user_id"), "timestamp", "Op", Seq("event_id"))
+      val facts = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select("event_id", "ts", "user_id", "event_type")
+      Scd2.factJoin(facts, hist, Seq("user_id"), "ts",
+        Seq("event_id" -> "dim_event_id", "value" -> "dim_value"))
+        .select("event_id", "user_id", "event_type", "dim_event_id",
+          "dim_value")
     })
 }

@@ -803,6 +803,40 @@ object TextQueries {
           .as("failed_rules"))
     },
 
+    // EXPECTATIONS AUDIT METRICS (the DLT event-log counters): per rule —
+    // failed, passed, and SOLE failures ("rows this rule alone
+    // quarantines", the fix-this-first triage number). One aggregate pass
+    // over the corpus regardless of rule count; the oracle replays each
+    // counter as a conditional sum.
+    Q("q180_expectation_metrics",
+      """WITH f AS (SELECT
+        |    CASE WHEN NOT coalesce(n_chars >= 120, FALSE)
+        |      THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN NOT coalesce(lang IN ('en','de','fr'), FALSE)
+        |      THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN NOT coalesce(length(trim(text)) > 0, FALSE)
+        |      THEN 1 ELSE 0 END AS f3
+        |  FROM documents),
+        |a AS (SELECT count(*) AS n,
+        |    sum(f1) AS s1, sum(f2) AS s2, sum(f3) AS s3,
+        |    sum(CASE WHEN f1 = 1 AND f2 + f3 = 0 THEN 1 ELSE 0 END) AS o1,
+        |    sum(CASE WHEN f2 = 1 AND f1 + f3 = 0 THEN 1 ELSE 0 END) AS o2,
+        |    sum(CASE WHEN f3 = 1 AND f1 + f2 = 0 THEN 1 ELSE 0 END) AS o3
+        |  FROM f)
+        |SELECT 'min_len' AS rule, CAST(s1 AS BIGINT) AS failed,
+        |  CAST(n - s1 AS BIGINT) AS passed, CAST(o1 AS BIGINT) AS sole_failed
+        |FROM a
+        |UNION ALL SELECT 'known_lang', CAST(s2 AS BIGINT),
+        |  CAST(n - s2 AS BIGINT), CAST(o2 AS BIGINT) FROM a
+        |UNION ALL SELECT 'nonempty', CAST(s3 AS BIGINT),
+        |  CAST(n - s3 AS BIGINT), CAST(o3 AS BIGINT) FROM a
+        |""".stripMargin) { (s, d) =>
+      graft.operators.Expectations.metrics(docs(s, d), Seq(
+        "min_len" -> "n_chars >= 120",
+        "known_lang" -> "lang IN ('en','de','fr')",
+        "nonempty" -> "length(trim(text)) > 0"))
+    },
+
     // INCREMENTAL PERSISTED BM25 INDEX (the keyword member of the
     // incremental-index trio, with q117's band index and q139's IVF):
     // the corpus ingested in TWO batches into lake tables postings(w,

@@ -35,6 +35,19 @@ class ExpectationsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
 
+  test("metrics: one row per rule, sole-failure triage counter") {
+    val m = Expectations.metrics(df, rules)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // id2 fails only positive, id3 only named, id4 both (sole on neither)
+    assert(m == Seq(("positive", 2L, 3L, 1L), ("named", 2L, 3L, 1L)))
+  }
+
+  test("metrics on empty input: zero rows, all-zero counters") {
+    val m = Expectations.metrics(df.filter($"id" < 0), rules)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(m == Seq(("positive", 0L, 0L, 0L), ("named", 0L, 0L, 0L)))
+  }
+
   test("bad rule sets are loud") {
     intercept[IllegalArgumentException](Expectations.tag(df, Nil))
     intercept[IllegalArgumentException](

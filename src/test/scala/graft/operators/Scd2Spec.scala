@@ -118,6 +118,31 @@ class Scd2Spec extends SparkSpec {
     assert(at("2023-12-31 00:00:00") == Set.empty[(Long, Long)])
   }
 
+  test("factJoin attaches the version valid at each fact's own time") {
+    import org.apache.spark.sql.functions._
+    val h = Scd2.history(fullLog, Seq("k"), "ts", "Op", Seq("change_id"))
+    val facts = Seq(
+      (100L, 1L, "2024-01-01 00:00:00"), // at k1's birth instant: inclusive
+      (101L, 1L, "2024-01-04 12:00:00"), // mid k1's chain
+      (102L, 1L, "2024-01-06 00:00:00"), // k1 deleted on the 5th → null
+      (103L, 9L, "2024-01-03 00:00:00"), // unknown key → null
+      (104L, 3L, "2023-12-01 00:00:00") // before k3's birth → null
+    ).toDF("fact_id", "k", "ts_s")
+      .select($"fact_id", $"k", $"ts_s".cast("timestamp").as("ts"))
+    val out = Scd2.factJoin(facts, h, Seq("k"), "ts",
+      Seq("change_id" -> "dim_change_id"))
+      .select($"fact_id", $"dim_change_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(100L -> Some(1L), 101L -> Some(2L), 102L -> None,
+      103L -> None, 104L -> None))
+    // single key shuffle, like the as-of join it is
+    val plan = Scd2.factJoin(facts, h, Seq("k"), "ts",
+      Seq("change_id" -> "dim_change_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"expected at most the two input shuffles:\n$plan")
+  }
+
   test("re-delivering a batch is idempotent") {
     val dir = tmpDir("scd2d")
     val half = fullLog.filter($"ts" < "2024-01-04")
