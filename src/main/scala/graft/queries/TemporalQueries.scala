@@ -680,5 +680,32 @@ object TemporalQueries {
         Seq("event_id" -> "dim_event_id", "value" -> "dim_value"))
         .select("event_id", "user_id", "event_type", "dim_event_id",
           "dim_value")
+    },
+
+    // STREAM–STATIC enrichment join: the order stream joins the bounded
+    // customer dimension per micro-batch with a broadcast hash join —
+    // STATELESS (no state store, no watermark), so the drained result is
+    // batch-identical by construction and the oracle is the plain LEFT
+    // JOIN. The production shape for "facts arrive, dimension sits in the
+    // lake".
+    Q("q182_stream_static_join",
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  c.c_name, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |""".stripMargin) { (s, d) =>
+      val base = StorageQueries.tableDir("q182")
+      CowTable.deleteRecursively(Paths.get(base))
+      val src = base + "/src"
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      EventStreams.drainToMemory(
+        s, sess => EventStreams.staticEnrich(
+          sess.readStream.schema(schema).parquet(src),
+          t(sess, d, "customer")
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey")),
+        "q182_sink", base + "/ckpt", OutputMode.Append())
     })
 }

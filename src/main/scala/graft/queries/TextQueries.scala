@@ -837,6 +837,37 @@ object TextQueries {
         "nonempty" -> "length(trim(text)) > 0"))
     },
 
+    // LEAKAGE-SAFE train/val/test split: assign the split by NEAR-DUP
+    // CLUSTER, not by document — near-duplicates of a training doc must
+    // never land in val/test (the contamination rule a per-doc hash split
+    // silently violates). Unclustered docs are their own singleton cluster
+    // (cluster_id = doc_id), so the assignment degrades to q103's exact
+    // shape where no near-dups exist. Composition of two proven
+    // primitives: q77's clustering + q103's deterministic md5 bucket,
+    // keyed on the cluster label.
+    Q("q181_leakage_safe_split",
+      s"""WITH RECURSIVE $clusterGraphCtes,
+         |labels AS ($clusterLabelsSelect),
+         |wc AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)
+         |         AS cluster_id
+         |       FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT
+         |    % 100 AS b FROM wc) s
+         |""".stripMargin) { (s, d) =>
+      val d0 = docs(s, d)
+      val clusters = TextDedup.nearDupClusters(
+        TextDedup.nearDupPairs(d0, "doc_id", "text"))
+      val withCluster = d0.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      graft.text.Sampling.assignSplit(withCluster, "cluster_id")
+        .select("doc_id", "cluster_id", "split")
+    },
+
     // INCREMENTAL PERSISTED BM25 INDEX (the keyword member of the
     // incremental-index trio, with q117's band index and q139's IVF):
     // the corpus ingested in TWO batches into lake tables postings(w,

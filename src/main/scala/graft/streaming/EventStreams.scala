@@ -122,6 +122,19 @@ object EventStreams {
       .select("user_id", "event_type", "day")
       .dropDuplicates("user_id", "event_type", "day")
 
+  /** Stream–STATIC enrichment join — the most common production streaming
+    * join (facts arrive, the dimension sits in the lake): each micro-batch
+    * joins the bounded dimension with a plain BROADCAST hash join.
+    * STATELESS — no state store, no watermark, nothing retained between
+    * batches (plan-asserted in the spec) — and the dimension is
+    * re-resolved per batch, so a dim refresh lands on the next batch. At
+    * scale the cost is exactly the batch join's: the dim broadcasts, the
+    * fact stream never shuffles. Left semantics: facts with no dim row
+    * pass through null-padded rather than silently dropping. */
+  def staticEnrich(
+      stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserRunningState(n: Long, total: Double)
   final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)

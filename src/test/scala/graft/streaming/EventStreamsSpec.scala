@@ -58,6 +58,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set((11L, Some(10L)), (12L, None)))
   }
 
+  test("stream-static enrich: broadcast left join, stateless, dim refresh lands") {
+    val dir = tmpDir("evt")
+    val facts = Seq((1L, 10L), (2L, 20L), (3L, 99L)) // key 99 has no dim row
+      .toDF("fact_id", "k")
+    facts.write.parquet(dir + "/in")
+    val dimPath = dir + "/dim"
+    Seq((10L, "a"), (20L, "b")).toDF("k", "dim_v").write.parquet(dimPath)
+    def drain(sink: String): Map[Long, Option[String]] =
+      EventStreams.drainToMemory(spark,
+        sess => EventStreams.staticEnrich(
+          sess.readStream.schema(facts.schema).parquet(dir + "/in"),
+          sess.read.parquet(dimPath), Seq("k")),
+        sink, dir + "/ckpt_" + sink, OutputMode.Append())
+        .select($"fact_id", $"dim_v").as[(Long, Option[String])]
+        .collect().toMap
+    assert(drain("se1") == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+    // stateless broadcast shape (same plan the micro-batch runs)
+    val plan = EventStreams.staticEnrich(
+        facts, spark.read.parquet(dimPath), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+    assert(!plan.contains("StateStore"), s"expected stateless:\n$plan")
+    // a dimension refresh is picked up by the next (fresh) drain
+    Seq((10L, "a"), (20L, "b"), (99L, "late")).toDF("k", "dim_v")
+      .write.mode("overwrite").parquet(dimPath)
+    assert(drain("se2") ==
+      Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("late")))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     val dir = tmpDir("evt")
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
