@@ -154,6 +154,85 @@ object EmbeddingQueries {
         e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
     },
 
+    // ANN RECALL@K — the index-quality evaluation an ANN deployment ships
+    // with: per query, |IVF top-10 ∩ exact top-10| / |exact top-10|. Both
+    // arms are the already-oracle-gated operators (q30 brute, q55 IVF), so
+    // the metric is deterministic end to end and the oracle composes their
+    // replays. The measurement you run BEFORE trusting nProbe/nLists at
+    // corpus scale — and an output-bounded join: 10 rows per query on each
+    // side regardless of corpus size.
+    Q("q183_ann_recall", {
+      val cents = Similarity.ivfCentroids(8, 64)
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        s"(${i}, ${c.mkString("[", ",", "]")}::BIGINT[], ${c.map(x => x * x).sum})"
+      }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |      FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0),
+         |eq AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         |ep AS (SELECT eq.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |        CAST(list_sum(list_transform(list_zip(eq.qv, n.qv),
+         |          z -> z[1]*z[2])) AS BIGINT) AS dot,
+         |        eq.n2 AS qn2, n.n2 AS cn2
+         |      FROM eq CROSS JOIN n WHERE eq.vec_id <> n.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+         |               neighbor_id) AS rank
+         |  FROM ep) WHERE rank <= 10),
+         |cents AS (SELECT * FROM (VALUES $values) AS t(cid, cv, cn2)),
+         |scored AS (SELECT n.vec_id, n.qv, n.n2, c.cid,
+         |    2*CAST(list_sum(list_transform(list_zip(n.qv, c.cv),
+         |      z -> z[1]*z[2])) AS BIGINT) - c.cn2 AS s
+         |  FROM n CROSS JOIN cents c),
+         |ranked AS (SELECT vec_id, qv, n2, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM scored),
+         |corpus AS (SELECT vec_id, qv, n2, cid FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, qv, n2, cid FROM ranked
+         |  WHERE rn <= 2 AND vec_id % 50 = 0),
+         |ip AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS dot, q.n2 AS qn2, c.n2 AS cn2
+         |  FROM probes q JOIN corpus c ON c.cid = q.cid
+         |    AND c.vec_id <> q.vec_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+         |               neighbor_id) AS rank
+         |  FROM ip) WHERE rank <= 10)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id
+         |""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity
+        .cosineTopK(e, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity
+        .ivfTopK(e, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", lit(1))
+      exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    },
+
     // Embedding-cosine near-dup pairs: quantized-LSH bucket candidates +
     // exact quantized rescoring. The bucket assignment itself is integer
     // arithmetic, so the oracle replays the IDENTICAL bucketing (plane sign
