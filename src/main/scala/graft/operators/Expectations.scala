@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.storage.CowTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,6 +46,40 @@ object Expectations {
     val tagged = tag(df, rules)
     (tagged.filter(size(col(FailedColumn)) === 0).drop(FailedColumn),
       tagged.filter(size(col(FailedColumn)) > 0))
+  }
+
+  /** The DEPLOYMENT form — expectations-gated lake ingest: the batch's
+    * clean rows land in `main`, failing rows land in `quarantine` with
+    * their failed-rule audit trail (`failed_rules`, comma-joined in rule
+    * order) — both as ordinary upserts, so re-delivered batches stay
+    * idempotent, and a row repaired upstream MOVES on re-ingest: it
+    * upserts into main AND its stale quarantine row is deleted, so triage
+    * reads the quarantine table's CURRENT state, never a fixed row's
+    * ghost. Exactly one pass over the batch tags rows; the writes consume
+    * disjoint filters of it.
+    *
+    * @return (clean rows written, quarantined rows written) */
+  def quarantineIngest(
+      main: CowTable, quarantine: CowTable, batch: DataFrame,
+      rules: Seq[(String, String)]): (Long, Long) = {
+    val (clean, bad) = split(batch, rules)
+    val badAudited = bad
+      .withColumn("failed_rules", array_join(col(FailedColumn), ","))
+      .drop(FailedColumn)
+    def land(tbl: CowTable, rows: DataFrame): Long = {
+      val n = rows.count()
+      if (n > 0) {
+        if (tbl.currentVersion == 0) tbl.create(rows) else tbl.upsert(rows)
+      }
+      n
+    }
+    val written = (land(main, clean), land(quarantine, badAudited))
+    // repaired rows: now clean, previously quarantined — retire the ghost
+    // (merge-style key pruning bounds this to the touched files)
+    if (written._1 > 0 && quarantine.currentVersion > 0)
+      quarantine.delete(
+        clean.select(quarantine.config.primaryKey.map(col): _*)): Unit
+    written
   }
 
   /** Per-rule audit counters (the DLT event-log numbers): one row per rule

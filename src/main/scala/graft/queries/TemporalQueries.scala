@@ -616,6 +616,29 @@ object TemporalQueries {
           col("is_current").cast("int").as("is_current"))
     },
 
+    // CONTINUOUS SCD2: the CDC stream drained through Scd2.applyBatch per
+    // micro-batch (foreachBatch + AvailableNow, file-source checkpoint as
+    // the bookmark) into a lake-table history — the reference's CDC loop
+    // with a versioned dimension instead of latest-state MERGE as the
+    // sink. The log is split across files in NO particular order: SCD2's
+    // event-set purity makes the drain converge to the one-shot replay for
+    // any micro-batch partitioning, so the oracle is q170's verbatim.
+    Q("q184_stream_scd2", scd2OracleSql) { (s, d) =>
+      val base = StorageQueries.tableDir("q184")
+      CowTable.deleteRecursively(Paths.get(base))
+      val tbl = CowTable(s, base + "/table",
+        TableConfig("ev_scd2_stream", Seq("user_id", "event_id")))
+      val cdcDir = base + "/cdc"
+      dmsLog(s, d).repartition(3).write.parquet(cdcDir)
+      val schema = s.read.parquet(cdcDir).schema
+      graft.streaming.CdcStream.runScd2AvailableNow(
+        s, tbl, cdcDir, base + "/ckpt", schema, Seq("user_id"))
+      Scd2.historyView(tbl)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("valid_from"), col("valid_to"),
+          col("is_current").cast("int").as("is_current"))
+    },
+
     // SCD2 POINT-IN-TIME snapshot ("what did every user's row look like on
     // Jan 20"): a pure interval filter over the q170 history —
     // valid_from <= t < valid_to over half-open intervals; keys deleted

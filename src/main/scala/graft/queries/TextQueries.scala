@@ -837,6 +837,51 @@ object TextQueries {
         "nonempty" -> "length(trim(text)) > 0"))
     },
 
+    // EXPECTATIONS-GATED LAKE INGEST (the quarantine DEPLOYMENT form):
+    // batch 1 arrives with doc_id%10==0 rows MALFORMED (null n_chars →
+    // quarantined under constraint semantics), batch 2 re-delivers them
+    // repaired — repaired rows MOVE to the main table and their quarantine
+    // ghosts are deleted, still-broken rows re-quarantine with their real
+    // failed set. Final state is therefore exactly q178's split on the
+    // ORIGINAL values (the lifecycle is the point; the oracle is the
+    // steady state), and the in-query require asserts main ∪ quarantine
+    // partitions the corpus.
+    Q("q185_quarantine_ingest",
+      """SELECT doc_id, concat_ws(',',
+        |    CASE WHEN NOT coalesce(n_chars >= 120, FALSE) THEN 'min_len' END,
+        |    CASE WHEN NOT coalesce(lang IN ('en','de','fr'), FALSE)
+        |      THEN 'known_lang' END,
+        |    CASE WHEN NOT coalesce(length(trim(text)) > 0, FALSE)
+        |      THEN 'nonempty' END) AS failed_rules
+        |FROM documents
+        |WHERE NOT (coalesce(n_chars >= 120, FALSE)
+        |  AND coalesce(lang IN ('en','de','fr'), FALSE)
+        |  AND coalesce(length(trim(text)) > 0, FALSE))
+        |""".stripMargin) { (s, d) =>
+      import graft.operators.Expectations
+      import graft.storage.{CowTable, TableConfig}
+      val base = StorageQueries.tableDir("q185")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val rules = Seq(
+        "min_len" -> "n_chars >= 120",
+        "known_lang" -> "lang IN ('en','de','fr')",
+        "nonempty" -> "length(trim(text)) > 0")
+      val main = CowTable(s, base + "/main",
+        TableConfig("docs_clean", Seq("doc_id")))
+      val quar = CowTable(s, base + "/quarantine",
+        TableConfig("docs_quarantine", Seq("doc_id")))
+      val d0 = docs(s, d)
+      val malformed = d0.withColumn("n_chars",
+        when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("n_chars")))
+      Expectations.quarantineIngest(main, quar, malformed, rules)
+      Expectations.quarantineIngest(main, quar,
+        d0.filter(col("doc_id") % 10 === 0), rules)
+      val (mainN, quarN) = (main.read().count(), quar.read().count())
+      require(mainN + quarN == d0.count(),
+        s"main($mainN) + quarantine($quarN) must partition the corpus")
+      quar.read().select("doc_id", "failed_rules")
+    },
+
     // LEAKAGE-SAFE train/val/test split: assign the split by NEAR-DUP
     // CLUSTER, not by document — near-duplicates of a training doc must
     // never land in val/test (the contamination rule a per-doc hash split

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Scd2
 import graft.pipeline.CdcPipeline
 import graft.storage.CowTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -35,6 +36,35 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           CdcPipeline.applyBatch(table, batch, opCol, tsCol, auditTs): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The same drain maintaining an SCD2 HISTORY table
+    * ([[Scd2.applyBatch]] per micro-batch) instead of the latest-state
+    * MERGE — the continuous "CDC stream → versioned dimension" deployment.
+    * Unlike [[runAvailableNow]], file order is IRRELEVANT here: SCD2's
+    * final state is a pure function of the event SET (late batches replay
+    * only the affected keys), so this drain converges to the one-shot
+    * history for ANY micro-batch partitioning of the log — which is why
+    * it defaults to whatever batching the file source picks. */
+  def runScd2AvailableNow(
+      spark: SparkSession, table: CowTable, cdcDir: String,
+      checkpointDir: String, schema: StructType, keyCols: Seq[String],
+      tsCol: String = "timestamp", opCol: String = "Op",
+      tieBreak: Seq[String] = Seq("event_id"),
+      oneFilePerBatch: Boolean = true): Unit = {
+    val reader = spark.readStream.schema(schema)
+    val src =
+      (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", 1)
+       else reader).parquet(cdcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Scd2.applyBatch(table, batch, keyCols, tsCol, opCol, tieBreak): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

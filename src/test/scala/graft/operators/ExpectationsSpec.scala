@@ -53,4 +53,27 @@ class ExpectationsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Expectations.tag(df, Seq("a" -> "v > 0", "a" -> "v < 9")))
   }
+
+  test("quarantineIngest: repaired rows move, broken rows re-quarantine") {
+    import graft.storage.{CowTable, TableConfig}
+    val dir = tmpDir("expq")
+    val main = CowTable(spark, dir + "/m", TableConfig("m", Seq("id")))
+    val quar = CowTable(spark, dir + "/q", TableConfig("q", Seq("id")))
+    def ids(t: CowTable): Set[Long] =
+      t.read().select("id").as[Long].collect().toSet
+    val (c1, q1) = Expectations.quarantineIngest(main, quar, df, rules)
+    assert((c1, q1) == (2L, 3L))
+    assert(ids(main) == Set(1L, 5L) && ids(quar) == Set(2L, 3L, 4L))
+    // 3 re-delivered repaired → moves to main, ghost deleted;
+    // 2 re-delivered still broken → stays quarantined, audit refreshed
+    val b2 = Seq(
+      (3L, Some(5.0), Some("fixed")), (2L, Some(-2.0), Some("ok")))
+      .toDF("id", "v", "name")
+    val (c2, q2) = Expectations.quarantineIngest(main, quar, b2, rules)
+    assert((c2, q2) == (1L, 1L))
+    assert(ids(main) == Set(1L, 3L, 5L) && ids(quar) == Set(2L, 4L))
+    val audit = quar.read().select($"id", $"failed_rules")
+      .as[(Long, String)].collect().toMap
+    assert(audit == Map(2L -> "positive", 4L -> "positive,named"))
+  }
 }
