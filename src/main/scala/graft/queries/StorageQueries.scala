@@ -1445,7 +1445,8 @@ object StorageQueries {
         |         ELSE c_acctbal END AS bal
         |  FROM customer WHERE c_custkey % 13 <> 0)
         |SELECT c_nationkey, count(*) AS n_rows,
-        |  CAST(sum(CAST(bal AS DECIMAL(28,10))) AS DOUBLE) AS sum_acctbal
+        |  CAST(CAST(sum(CAST(bal AS DECIMAL(28,10))) AS DECIMAL(28,2))
+        |    AS DOUBLE) AS sum_acctbal
         |FROM c0 GROUP BY 1
         |""".stripMargin) { (s, d) =>
       val root = tableDir("q150")
@@ -1463,8 +1464,11 @@ object StorageQueries {
       base.delete(cust.filter(col("c_custkey") % 13 === 0)
         .select("c_custkey"))
       mv.refresh() // two incremental versions, delta-applied
+      // scale-2 pre-round before the double cast: see q161's comment
+      // (scale-10 decimal→double drifts 1 ULP in DuckDB past ~9e5)
       mv.read().select(col("c_nationkey"), col("n_rows"),
-        col("sum_c_acctbal").cast("double").as("sum_acctbal"))
+        col("sum_c_acctbal").cast("decimal(28,2)").cast("double")
+          .as("sum_acctbal"))
     },
 
     // Partition-spec evolution (Iceberg contract): table created hive-
@@ -1557,7 +1561,8 @@ object StorageQueries {
         |  WHERE o_orderkey % 13 = 0
         |     OR o_orderkey NOT IN (SELECT k FROM del))
         |SELECT o_orderpriority, count(*) AS n_rows,
-        |  CAST(sum(CAST(price AS DECIMAL(28,10))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(price AS DECIMAL(28,10))) AS DECIMAL(28,2))
+        |    AS DOUBLE) AS sum_price,
         |  min(price) AS min_price, max(price) AS max_price
         |FROM fin GROUP BY 1
         |""".stripMargin) { (s, d) =>
@@ -1587,8 +1592,15 @@ object StorageQueries {
       base.upsert(ord.filter(col("o_orderkey") % 13 === 0)
         .withColumn("price", lit(-1.0)))
       mv.refresh() // clean incremental fold path
+      // sum presented at scale 2 BEFORE the double cast: prices are
+      // 2-decimal-exact in DECIMAL(28,10), and at scale 2 the unscaled
+      // int stays < 2^53 so BOTH engines' decimal→double conversions are
+      // exactly rounded (at scale 10 DuckDB's int128→double path drifts
+      // 1 ULP on ~1e9-sized group sums — a latent driver hash-mismatch
+      // caught by the sf0.1 stress verify)
       mv.read().select(col("o_orderpriority"), col("n_rows"),
-        col("sum_price").cast("double").as("sum_price"),
+        col("sum_price").cast("decimal(28,2)").cast("double")
+          .as("sum_price"),
         col("min_price"), col("max_price"))
     },
 
