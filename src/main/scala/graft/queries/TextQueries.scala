@@ -837,6 +837,29 @@ object TextQueries {
         "nonempty" -> "length(trim(text)) > 0"))
     },
 
+    // TEMPERATURE-flattened language mix (α = 1/2, the multilingual-LM
+    // sampling rule): per-lang targets ∝ floor(sqrt(n)) scaled to a
+    // 200-doc cap in integer arithmetic, then the deterministic (md5, id)
+    // prefix of each lang — en's 38.6% raw share flattens toward the tail
+    // langs'. Integer-exact throughout (floor∘sqrt and DIV), so the
+    // oracle replays the identical selection.
+    Q("q186_temperature_mix",
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+        |        AS w FROM n),
+        |t AS (SELECT lang, CAST(200 * w // (SELECT sum(w) FROM w) AS BIGINT)
+        |        AS target FROM w),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rn
+        |FROM r JOIN t ON t.lang = r.lang WHERE r.rn <= t.target
+        |""".stripMargin) { (s, d) =>
+      Sampling.temperatureMix(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id", 200L)
+        .select("doc_id", "lang", "rn")
+    },
+
     // EXPECTATIONS-GATED LAKE INGEST (the quarantine DEPLOYMENT form):
     // batch 1 arrives with doc_id%10==0 rows MALFORMED (null n_chars →
     // quarantined under constraint semantics), batch 2 re-delivers them

@@ -87,6 +87,39 @@ object Sampling {
       .filter(col("cum_weight") - col(weightCol) < budget)
   }
 
+  /** TEMPERATURE-flattened mixture resampling — the multilingual-LM
+    * sampling rule ("don't let the dominant language/domain swamp the
+    * mix"): per-stratum target counts ∝ √n (temperature α = 1/2), scaled
+    * to a total `cap`, then the first `target_i` rows of each stratum in
+    * the deterministic (md5-of-id, id) order. Integer-exact end to end so
+    * an external engine replays the identical selection: weights are
+    * `floor(sqrt(n_i))` (IEEE sqrt is correctly rounded in every engine —
+    * unlike `pow(n, α)`, whose libm rounding diverges; this is why α is
+    * fixed at 1/2 rather than a parameter), targets are
+    * `cap * w_i div Σw` in integer arithmetic. Plan: one count aggregate
+    * (rows: #strata), a broadcast of targets back onto the corpus, and
+    * the stratifiedCap rank window — rows past the target are dropped by
+    * the next filter, so state is O(1) per partition. Output keeps `rn`
+    * (the in-stratum rank) like [[stratifiedCap]]. */
+  def temperatureMix(
+      df: DataFrame, strataCol: String, idCol: String, cap: Long): DataFrame = {
+    require(cap > 0, s"temperatureMix: cap must be positive, got $cap")
+    val weights = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val total = weights.agg(sum(col("__w")).as("__tw"))
+    val targets = weights.crossJoin(broadcast(total))
+      .select(col(strataCol),
+        expr(s"CAST($cap * __w DIV __tw AS BIGINT)").as("__target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(targets), strataCol)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("__target"))
+      .drop("__target")
+  }
+
   /** Integer threshold for [[rateSample]]: rate mapped onto the 48-bit hash
     * space, floored ONCE driver-side — the literal long both the Spark
     * filter and an external oracle compare against (no per-row float

@@ -121,6 +121,31 @@ class SamplingSpec extends SparkSpec {
     assert(a == got.keySet)
   }
 
+  test("temperatureMix: sqrt-law targets, deterministic prefix, flattening") {
+    // skewed strata: a=400, b=100, c=25 → w = 20, 10, 5; Σw = 35
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 525L).map(i => (i, "c"))).toDF("id", "s")
+    val out = Sampling.temperatureMix(df, "s", "id", 70L)
+      .select($"s", $"id").as[(String, Long)].collect().toSeq
+    val bySize = out.groupBy(_._1).view.mapValues(_.size).toMap
+    // targets = 70*w div 35 = 40, 20, 10: raw 16:4:1 flattens to 4:2:1
+    assert(bySize == Map("a" -> 40, "b" -> 20, "c" -> 10))
+    // the kept set is the md5-order prefix (replay one stratum brute-force)
+    val keptC = out.filter(_._1 == "c").map(_._2).toSet
+    val expectC = (501L to 525L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString, i))
+      .take(10).toSet
+    assert(keptC == expectC)
+    // partition-independent
+    val again = Sampling.temperatureMix(df.repartition(7), "s", "id", 70L)
+      .select($"s", $"id").as[(String, Long)].collect().toSeq
+    assert(again.toSet == out.toSet)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "s", "id", 0L))
+  }
+
   test("weightedPriority: heavier rows win proportionally more often") {
     // two strata-free groups of ids with weights 1 vs 9 — the kept set
     // should skew hard toward the heavy rows
