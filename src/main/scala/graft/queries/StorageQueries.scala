@@ -334,6 +334,46 @@ object StorageQueries {
       tbl.readTag("corpus-release-1")
     },
 
+    // ATOMIC MULTI-TABLE RELEASE (cross-table publish over tags): pin
+    // customer@v1 + orders@v1 as one release in a single atomic manifest
+    // link, churn BOTH tables afterwards (delete + segment rewrite), and
+    // read the release-time JOIN through the release — the post-publish
+    // mutations must be invisible on every member at once ("the exact
+    // multi-table corpus we trained on", not per-table pins that could
+    // straddle a publish). Oracle = the pre-mutation join.
+    Q("q187_atomic_release",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 4 = 0
+        |""".stripMargin) { (s, d) =>
+      import graft.storage.{LakeRegistry, Release}
+      val lake = tableDir("q187")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val cust = CowTable(s, lake + "/customer_rel",
+        TableConfig("customer_rel", Seq("c_custkey")))
+      cust.create(t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment"))
+      val ord = CowTable(s, lake + "/orders_rel",
+        TableConfig("orders_rel", Seq("o_orderkey")))
+      ord.create(t(s, d, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      LakeRegistry.register(lake, cust.config, "customer_rel")
+      LakeRegistry.register(lake, ord.config, "orders_rel")
+      Release.create(s, lake, "corpus-v1",
+        Seq("customer_rel", "orders_rel"))
+      // post-publish churn on BOTH members
+      ord.delete(ord.read().filter(col("o_orderkey") % 8 === 0)
+        .select("o_orderkey"))
+      cust.upsert(cust.read().filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_mktsegment", lit("CHURNED")))
+      val snap = Release.open(s, lake, "corpus-v1")
+      snap("orders_rel")
+        .join(snap("customer_rel"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_mktsegment")
+    },
+
     // SYMLINK FORMAT MANIFEST (Delta GENERATE / the reference's Redshift
     // Spectrum path, cdk_stacks/glue_stack.py:262-279): after an upsert,
     // regenerate the per-partition manifest text files and read the table
