@@ -31,7 +31,8 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
       "evolve_partition", "create_matview", "refresh_matview",
-      "purge_vectors", "tag", "drop_tag", "generate_manifest")
+      "purge_vectors", "tag", "drop_tag", "generate_manifest",
+      "create_release", "drop_release")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -151,6 +152,30 @@ object GraftProcedures {
           StructField("manifest_files", IntegerType, nullable = false)))) {
         args =>
           Array[Any](open(str(args, 0)).generateSymlinkManifest().size)
+      })
+      // CALL lake.create_release('corpus-v1', 'documents,embeddings'):
+      // atomic multi-table publish — every named table's current version
+      // pinned via tags, visible in one manifest link (storage/Release)
+      case "create_release" => Some(proc("create_release",
+        Seq(in("name", StringType), in("tables", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("tables_pinned", IntegerType, nullable = false)))) {
+        args =>
+          val tables = str(args, 1).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          Array[Any](graft.storage.Release.create(SparkSession.active,
+            warehouse, str(args, 0), tables).members.size)
+      })
+      case "drop_release" => Some(proc("drop_release",
+        Seq(in("name", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("tables_released", IntegerType, nullable = false)))) {
+        args =>
+          val n = graft.storage.Release
+            .definition(warehouse, str(args, 0)).members.size
+          graft.storage.Release.drop(
+            SparkSession.active, warehouse, str(args, 0))
+          Array[Any](n)
       })
       case "drop_tag" => Some(proc("drop_tag",
         Seq(in("table", StringType), in("name", StringType)),

@@ -63,6 +63,23 @@ class ReleaseSpec extends SparkSpec {
       Release.create(spark, lake, "half", Seq("a")))
   }
 
+  test("SQL surface: CALL lake.create_release / drop_release") {
+    val (lake, a, b) = mkLake("rel5")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.rlake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.rlake.warehouse", lake)
+    assert(sess.sql("CALL rlake.create_release('corpus-v1', 'a, b')")
+      .collect().head.getInt(0) == 2)
+    a.upsert(df((2L, "a2")))
+    // the pinned snapshot resolves through the per-table tag in plain SQL
+    assert(sess.sql(
+      "SELECT * FROM rlake.default.a VERSION AS OF 'release-corpus-v1'")
+      .as[(Long, String)].collect().toSet == Set((1L, "a1")))
+    assert(sess.sql("CALL rlake.drop_release('corpus-v1')")
+      .collect().head.getInt(0) == 2)
+    assert(Release.list(lake).isEmpty && a.tags.isEmpty && b.tags.isEmpty)
+  }
+
   test("drop unpublishes atomically and releases the pins") {
     val (lake, a, b) = mkLake("rel4")
     Release.create(spark, lake, "r", Seq("a", "b"))
