@@ -705,6 +705,45 @@ object TemporalQueries {
           "dim_value")
     },
 
+    // PATH ANALYSIS (top navigation sequences): each 4h-gap session's
+    // ordered event-type sequence becomes a '>'-joined path string, then
+    // the global top-20 paths by session count (ties broken by path — a
+    // deterministic top-k). One session window + two hash aggregates; the
+    // per-session sort is bounded by session length, never a global sort.
+    Q("q188_path_analysis",
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |              event_type FROM events),
+        |f AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id)) > 14400000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |g AS (SELECT user_id, event_id, ts, event_type,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f),
+        |p AS (SELECT user_id, sid,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM g GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20
+        |""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+      Sessionize.withSessionId(ev, "user_id", "ts", "event_id", 14400L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+
     // STREAM–STATIC enrichment join: the order stream joins the bounded
     // customer dimension per micro-batch with a broadcast hash join —
     // STATELESS (no state store, no watermark), so the drained result is
