@@ -744,6 +744,29 @@ object TemporalQueries {
         .limit(20)
     },
 
+    // ROLLING 7-DAY ACTIVE USERS (the DAU/WAU shape): distinct (day,
+    // user) pairs once — O(days × users), the only state that matters —
+    // then a BROADCAST day-range join (the day dimension is tiny by
+    // construction) fans each pair into its ≤7 windows and a count
+    // distinct closes it. Never a rolling window over raw events, never a
+    // per-day rescan: the classic scalable formulation.
+    Q("q189_rolling_active",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT d, count(DISTINCT user_id) AS wau7
+        |FROM days JOIN du ON du.day >= d - 6 AND du.day <= d
+        |GROUP BY d
+        |""".stripMargin) { (s, d) =>
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      du.join(broadcast(days),
+          col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+    },
+
     // STREAM–STATIC enrichment join: the order stream joins the bounded
     // customer dimension per micro-batch with a broadcast hash join —
     // STATELESS (no state store, no watermark), so the drained result is

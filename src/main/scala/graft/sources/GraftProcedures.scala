@@ -32,7 +32,7 @@ object GraftProcedures {
     Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
       "evolve_partition", "create_matview", "refresh_matview",
       "purge_vectors", "tag", "drop_tag", "generate_manifest",
-      "create_release", "drop_release")
+      "create_release", "drop_release", "list_releases")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -165,6 +165,21 @@ object GraftProcedures {
             .filter(_.nonEmpty).toSeq
           Array[Any](graft.storage.Release.create(SparkSession.active,
             warehouse, str(args, 0), tables).members.size)
+      })
+      // CALL lake.list_releases(): one row per (release, member table,
+      // pinned version) — the release inventory, driver-local metadata
+      case "list_releases" => Some(procRows("list_releases", Seq(),
+        resultSchema = StructType(Seq(
+          StructField("release", StringType, nullable = false),
+          StructField("table", StringType, nullable = false),
+          StructField("version", IntegerType, nullable = false)))) { _ =>
+        graft.storage.Release.list(warehouse).flatMap { r =>
+          graft.storage.Release.definition(warehouse, r).members.map(m =>
+            Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(r),
+              org.apache.spark.unsafe.types.UTF8String.fromString(m.table),
+              m.version))
+        }.toArray
       })
       case "drop_release" => Some(proc("drop_release",
         Seq(in("name", StringType)),

@@ -75,9 +75,13 @@ class ReleaseSpec extends SparkSpec {
     assert(sess.sql(
       "SELECT * FROM rlake.default.a VERSION AS OF 'release-corpus-v1'")
       .as[(Long, String)].collect().toSet == Set((1L, "a1")))
+    assert(sess.sql("CALL rlake.list_releases()")
+      .as[(String, String, Int)].collect().toSet ==
+      Set(("corpus-v1", "a", 1), ("corpus-v1", "b", 1)))
     assert(sess.sql("CALL rlake.drop_release('corpus-v1')")
       .collect().head.getInt(0) == 2)
     assert(Release.list(lake).isEmpty && a.tags.isEmpty && b.tags.isEmpty)
+    assert(sess.sql("CALL rlake.list_releases()").count() == 0)
   }
 
   test("drop unpublishes atomically and releases the pins") {
