@@ -684,6 +684,71 @@ object StorageQueries {
           |""".stripMargin)
     },
 
+    // PARTITION-SCOPED INSERT OVERWRITE — the standard partition re-load
+    // idiom (re-land one segment's data without touching the others):
+    // static `PARTITION (c_mktsegment = 'BUILDING')` replaces exactly that
+    // hive dir (out-of-scope files CARRY OVER by manifest reference — the
+    // require asserts zero rewrite), then a DYNAMIC overwrite
+    // (overwritePartitions) replaces exactly the partitions present in the
+    // written frame. O(replaced partitions) + new bytes, never a snapshot
+    // rewrite. Oracle composes the two replacements over the source rows.
+    Q("q190_partition_overwrite",
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |  FROM customer),
+        |afterStatic AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0 ELSE c_acctbal END
+        |      AS c_acctbal
+        |  FROM base
+        |  WHERE c_mktsegment <> 'BUILDING' OR c_custkey % 2 = 0)
+        |SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN -1.0 ELSE c_acctbal END
+        |    AS c_acctbal
+        |FROM afterStatic
+        |WHERE c_mktsegment <> 'MACHINERY' OR c_custkey % 5 = 0
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q190")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      t(sess, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .createOrReplaceTempView("cust_src")
+      sess.sql(
+        """CREATE TABLE lake.default.cust_po
+          |PARTITIONED BY (c_mktsegment)
+          |OPTIONS (primaryKey 'c_custkey')
+          |AS SELECT * FROM cust_src
+          |""".stripMargin)
+      val tbl = CowTable(sess, lake + "/cust_po",
+        TableConfig("cust_po", Seq("c_custkey"),
+          partitionKey = Some("c_mktsegment")))
+      val vStatic = tbl.currentVersion
+      val untouchedBefore = tbl.manifest(vStatic).files
+        .map(_.path).filterNot(_.contains("c_mktsegment=BUILDING")).toSet
+      // STATIC: re-land only the even keys of BUILDING with zeroed balances
+      sess.sql(
+        """INSERT OVERWRITE lake.default.cust_po
+          |  PARTITION (c_mktsegment = 'BUILDING')
+          |SELECT c_custkey, 0.0 AS c_acctbal FROM cust_src
+          |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+          |""".stripMargin)
+      val untouchedAfter = tbl.manifest(tbl.currentVersion).files
+        .map(_.path).filterNot(_.contains("c_mktsegment=BUILDING")).toSet
+      require(untouchedBefore == untouchedAfter,
+        "static partition overwrite must carry out-of-scope files verbatim")
+      // DYNAMIC: the written frame holds only MACHINERY → only it replaced
+      sess.sql(
+        """SELECT c_custkey, c_mktsegment, -1.0D AS c_acctbal
+          |FROM cust_src
+          |WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 5 = 0
+          |""".stripMargin)
+        .writeTo("lake.default.cust_po").overwritePartitions()
+      sess.sql("SELECT c_custkey, c_mktsegment, c_acctbal " +
+        "FROM lake.default.cust_po")
+    },
+
     // SQL MERGE **WITH SCHEMA EVOLUTION** — the reference's core CDC shape
     // end-to-end in SQL: the initial load carries NO CDC columns; the first
     // CDC batch ADDS `timestamp` and `last_applied_date` and the target

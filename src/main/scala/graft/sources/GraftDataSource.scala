@@ -225,7 +225,23 @@ final class GraftTable(
       // src/delta/delta-initial-load.py:33). Evolution stays opt-in per
       // statement; a plain MERGE with an unknown column is still an
       // analysis error, and non-ADD changes are rejected by alterTable.
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
+      // partition-scoped INSERT OVERWRITE: static (PARTITION (pk=v) →
+      // overwrite-by-filter) and dynamic (partitionOverwriteMode=dynamic)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  /** Declared table partitioning: the hive partition column as an identity
+    * transform — what lets SQL address `PARTITION (pk = v)` in INSERT
+    * OVERWRITE and routes dynamic-mode overwrites to
+    * [[GraftWriteBuilder.overwriteDynamicPartitions]]. Hidden-partitioning
+    * tables report their GENERATED column (the layout truth); their
+    * connector writes stay fenced in the write builder. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionKey.map(k =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(k)).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = mOpt.getOrElse(throw new IllegalArgumentException(

@@ -196,16 +196,60 @@ object GraftParquetIO {
 
 /** Builder: plain append by default; `truncate()` (INSERT OVERWRITE /
   * mode("overwrite")) drops the carry-over so the commit replaces the whole
-  * snapshot — same semantics as [[CowTable.overwrite]]. */
+  * snapshot — same semantics as [[CowTable.overwrite]]. Partitioned tables
+  * additionally get the two PARTITION-SCOPED overwrite shapes of the SQL
+  * surface: static (`INSERT OVERWRITE t PARTITION (pk = v)` →
+  * `overwrite([EqualTo(pk, v)])` replaces exactly those hive dirs) and
+  * dynamic (`partitionOverwriteMode=dynamic` → replaces exactly the
+  * partitions PRESENT in the written data) — the standard partition
+  * re-load idiom, costing O(replaced partitions) + the new bytes, never a
+  * whole-snapshot rewrite. */
 final class GraftWriteBuilder(
     root: Path, parent: Int, tableSchema: StructType,
     primaryKey: Seq[String], partitionKey: Option[String],
     info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var overwrite = false
+  private var dynamicParts = false
+  // hive-path TEXT forms of the partitions a static overwrite replaces
+  // (the null partition travels as its hive dir name)
+  private var staticParts: Option[Set[String]] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, In, IsNull}
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      return truncate()
+    val pk = partitionKey.getOrElse(throw new UnsupportedOperationException(
+      "graft: filtered INSERT OVERWRITE requires a hive-partitioned table " +
+        s"(got filters ${filters.mkString(", ")} on an unpartitioned one)"))
+    // each conjunct must scope the partition column; conjuncts AND together
+    val sets = filters.toSeq.map {
+      case EqualTo(`pk`, v) => Set(String.valueOf(v))
+      case EqualNullSafe(`pk`, null) => Set(GraftScan.NullPartitionName)
+      case EqualNullSafe(`pk`, v) => Set(String.valueOf(v))
+      case IsNull(`pk`) => Set(GraftScan.NullPartitionName)
+      case In(`pk`, vs) => vs.map(v => if (v == null)
+        GraftScan.NullPartitionName else String.valueOf(v)).toSet
+      case other => throw new UnsupportedOperationException(
+        "graft INSERT OVERWRITE supports only partition-key equality/IN " +
+          s"filters; got $other")
+    }
+    staticParts = Some(sets.reduce(_ intersect _))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    if (partitionKey.isEmpty) throw new UnsupportedOperationException(
+      "graft: dynamic partition overwrite requires a hive-partitioned table")
+    dynamicParts = true
+    this
+  }
 
   override def build(): Write = {
     GraftParquetIO.messageType(info.schema()) // fail fast: flat schemas only
@@ -240,7 +284,7 @@ final class GraftWriteBuilder(
       }
       override def toBatch: BatchWrite = new GraftBatchWrite(
         root, parent, info.schema(), tableSchema, primaryKey, partitionKey,
-        overwrite)
+        overwrite, staticParts, dynamicParts)
       /** `writeStream.format("graft")` — exactly-once micro-batch appends
         * (see [[GraftStreamingWrite]]). */
       override def toStreaming
@@ -388,7 +432,9 @@ final case class GraftCommitMessage(files: Seq[(String, Long)])
 final class GraftBatchWrite(
     root: Path, parent: Int, writeSchema: StructType,
     tableSchema: StructType, primaryKey: Seq[String],
-    partitionKey: Option[String], overwrite: Boolean)
+    partitionKey: Option[String], overwrite: Boolean,
+    staticParts: Option[Set[String]] = None,
+    dynamicParts: Boolean = false)
   extends BatchWrite {
 
   /** Writer-unique data dir (see [[CowTable.writeVersion]]). */
@@ -435,11 +481,32 @@ final class GraftBatchWrite(
     // enough — a DROP+re-ADD or a rename swap can restore an identical
     // logical schema while rebinding physical slots, which would make the
     // appended files read back NULL (burned slot) or column-swapped.
+    // partition-scoped overwrite: keep exactly the parent files OUTSIDE the
+    // replaced partitions. Every parent file must be path-attributable — an
+    // old segment-less layout cannot be scoped and fails LOUD (a silent
+    // keep would resurrect replaced rows, a silent drop would lose others).
+    val partitionScope: Option[Set[String]] =
+      if (dynamicParts) Some(fresh.map(e =>
+        GraftScan.pathPartValue(partitionKey, e).getOrElse(
+          throw new IllegalStateException(
+            "graft dynamic overwrite: written file lacks a partition " +
+              s"segment: ${e.path}"))).toSet)
+      else staticParts
+    def scopedCarry(base: Int): Seq[graft.storage.FileEntry] =
+      CowTable.manifestAt(root, base).files.filter { f =>
+        val v = GraftScan.pathPartValue(partitionKey, f).getOrElse(
+          throw new IllegalStateException(
+            "graft INSERT OVERWRITE: parent file without a partition path " +
+              s"segment (pre-partitioning layout): ${f.path} — cannot " +
+              "scope the overwrite; compact/rewrite the table first"))
+        !partitionScope.get.contains(v)
+      }
     var base = parent
     var attempts = 0
     while (true) {
       val carry =
         if (overwrite || base == 0) Nil
+        else if (partitionScope.isDefined) scopedCarry(base)
         else CowTable.manifestAt(root, base).files
       try {
         tbl.commitAt(base, fresh, carry, schema)
@@ -447,7 +514,10 @@ final class GraftBatchWrite(
       } catch {
         case e: graft.storage.ConcurrentWriteException =>
           attempts += 1
-          val blindAppend = !overwrite && parent > 0
+          // partition overwrites assert a partition STATE — single-winner
+          // like whole-snapshot overwrites, no blind-append rebase
+          val blindAppend =
+            !overwrite && partitionScope.isEmpty && parent > 0
           if (!blindAppend || attempts > 8) throw e
           val now = CowTable.currentVersionAt(root)
           val winner = CowTable.manifestAt(root, now)

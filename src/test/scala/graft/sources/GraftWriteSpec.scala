@@ -129,6 +129,63 @@ class GraftWriteSpec extends SparkSpec {
       (1L to 90L).map(i => (i, s"s${i % 3}", i * 1.0)).toSet)
   }
 
+  test("static INSERT OVERWRITE PARTITION replaces exactly that hive dir") {
+    val lake = tmpDir("dsv2w")
+    val dir = lake + "/t"
+    (1L to 90L).map(i => (i, s"s${i % 3}", i * 1.0)).toDF("id", "seg", "v")
+      .write.format("graft").option("primaryKey", "id")
+      .option("partitionKey", "seg").mode("append").save(dir)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.owl", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.owl.warehouse", lake)
+    graft.storage.LakeRegistry.register(lake,
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")), dir)
+    sess.sql(
+      """INSERT OVERWRITE owl.default.t PARTITION (seg = 's1')
+        |SELECT id, 99.0 AS v FROM range(1000, 1005)
+        |""".stripMargin)
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")))
+    val got = t.read().as[(Long, String, Double)].collect().toSet
+    val expect = (1L to 90L).filterNot(_ % 3 == 1)
+      .map(i => (i, s"s${i % 3}", i * 1.0)).toSet ++
+      (1000L to 1004L).map(i => (i, "s1", 99.0))
+    assert(got == expect)
+    // s0/s2 data files carried over untouched (no rewrite outside scope)
+    val before = t.manifest(1).files.filter(_.path.contains("seg=s0"))
+      .map(_.path).toSet
+    val after = t.manifest(t.currentVersion).files
+      .filter(_.path.contains("seg=s0")).map(_.path).toSet
+    assert(before == after, "out-of-scope partitions must carry over")
+  }
+
+  test("dynamic partitionOverwriteMode replaces only written partitions") {
+    val lake = tmpDir("dsv2w")
+    val dir = lake + "/t"
+    (1L to 90L).map(i => (i, s"s${i % 3}", i * 1.0)).toDF("id", "seg", "v")
+      .write.format("graft").option("primaryKey", "id")
+      .option("partitionKey", "seg").mode("append").save(dir)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.dyn", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.dyn.warehouse", lake)
+    graft.storage.LakeRegistry.register(lake,
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")), dir)
+    // explicit dynamic overwrite: replace exactly the partitions present
+    // in the written frame (s1+s2); s0 must survive untouched
+    sess.sql(
+      """SELECT CAST(id AS BIGINT) AS id, seg, v
+        |FROM VALUES (200, 's1', 1.5D), (201, 's2', 2.5D) AS t(id, seg, v)
+        |""".stripMargin)
+      .writeTo("dyn.default.t").overwritePartitions()
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionKey = Some("seg")))
+    val got = t.read().as[(Long, String, Double)].collect().toSet
+    val expect = (1L to 90L).filter(_ % 3 == 0)
+      .map(i => (i, "s0", i * 1.0)).toSet ++
+      Set((200L, "s1", 1.5), (201L, "s2", 2.5))
+    assert(got == expect)
+  }
+
   test("partition values escape hive-hostile characters and null") {
     val dir = tmpDir("dsv2w") + "/t"
     val df = Seq((1L, "a/b"), (2L, "a b"), (3L, "a=b"), (4L, null))
