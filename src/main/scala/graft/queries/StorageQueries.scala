@@ -749,6 +749,119 @@ object StorageQueries {
         "FROM lake.default.cust_po")
     },
 
+    // WRITE-AUDIT-PUBLISH over a BRANCH (Iceberg writable ref): fork the
+    // table (O(files) hard-linked metadata), run the mutation batch on the
+    // branch through the FULL SQL surface (MERGE + DELETE on the branch's
+    // own lake-table registration), AUDIT the staged state (the expectation
+    // gate: no negative balances may ship), then publish with ONE
+    // fast-forward commit — main serves the pre-audit snapshot for the
+    // whole staging window (require-asserted) and flips atomically. The
+    // round-trip the raw write path can't give: a failed audit would just
+    // drop_branch, main never exposed. Oracle composes the two mutations.
+    Q("q191_wap_branch",
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 11, 2)
+        |       ELSE c_acctbal END AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment <> 'AUTOMOBILE'
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q191")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val main = CowTable(s, lake + "/cust_wap",
+        TableConfig("cust_wap", Seq("c_custkey")))
+      main.create(t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+      graft.storage.LakeRegistry.register(lake, main.config, "cust_wap")
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      sess.sql("CALL lake.create_branch('cust_wap', 'audit')")
+      // WRITE: the mutation batch lands on the branch only
+      sess.sql(
+        """MERGE INTO lake.default.cust_wap_branch_audit tgt
+          |USING (SELECT c_custkey, round(c_acctbal + 11, 2) AS nb
+          |       FROM lake.default.cust_wap
+          |       WHERE c_custkey % 3 = 0) src
+          |ON tgt.c_custkey = src.c_custkey
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = src.nb
+          |""".stripMargin)
+      sess.sql("DELETE FROM lake.default.cust_wap_branch_audit " +
+        "WHERE c_mktsegment = 'AUTOMOBILE'")
+      // AUDIT: the expectation gate runs against the STAGED state
+      val staged = sess.sql(
+        """SELECT
+          |  sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nulls,
+          |  sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+          |    AS leftovers
+          |FROM lake.default.cust_wap_branch_audit""".stripMargin)
+        .head()
+      require(staged.getLong(0) == 0 && staged.getLong(1) == 0,
+        "audit failed — would drop_branch instead of publishing")
+      // main served the audited-before snapshot for the whole window
+      require(main.currentVersion == 1,
+        "main must not move while the branch stages")
+      // PUBLISH: one atomic fast-forward commit
+      sess.sql("CALL lake.fast_forward('cust_wap', 'audit')")
+      sess.sql("CALL lake.drop_branch('cust_wap', 'audit')")
+      sess.sql(
+        """SELECT c_custkey, c_name, c_mktsegment,
+          |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          |FROM lake.default.cust_wap""".stripMargin)
+    },
+
+    // CONDITIONAL MULTI-CLAUSE MERGE (SQL2023 / Delta-Iceberg surface the
+    // reference's MERGE is the simple case of): one statement routing each
+    // matched row by ITS OWN predicate — negative-balance matches purge,
+    // other matches update, and NOT MATCHED inserts only rows passing the
+    // insert guard. First-matching-clause-wins ordering is the semantic
+    // under test (a negative matched row must hit DELETE, never UPDATE).
+    // Oracle replays the routing as CASE/WHERE set algebra.
+    Q("q192_merge_multi_clause",
+      """SELECT c_custkey, c_name,
+        |  CAST(CASE WHEN c_custkey % 2 = 0 AND c_acctbal >= 0
+        |       THEN round(c_acctbal + 5.25, 2) ELSE c_acctbal END
+        |    AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |WHERE NOT (c_custkey % 2 = 0 AND c_acctbal < 0)
+        |UNION ALL
+        |SELECT c_custkey + 1000000 AS c_custkey, c_name,
+        |  CAST(0.0 AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 97 = 0 AND (c_custkey + 1000000) % 2 = 1
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q192")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val main = CowTable(s, lake + "/cust_mc",
+        TableConfig("cust_mc", Seq("c_custkey")))
+      main.create(t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal"))
+      graft.storage.LakeRegistry.register(lake, main.config, "cust_mc")
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      t(sess, d, "customer").select("c_custkey", "c_name")
+        .createOrReplaceTempView("cust_src")
+      sess.sql(
+        """MERGE INTO lake.default.cust_mc tgt
+          |USING (
+          |  SELECT c_custkey AS k, c_name AS src_name FROM cust_src
+          |  WHERE c_custkey % 2 = 0
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000 AS k, c_name AS src_name
+          |  FROM cust_src WHERE c_custkey % 97 = 0
+          |) src
+          |ON tgt.c_custkey = src.k
+          |WHEN MATCHED AND tgt.c_acctbal < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET
+          |  c_acctbal = round(tgt.c_acctbal + 5.25, 2)
+          |WHEN NOT MATCHED AND src.k % 2 = 1 THEN INSERT
+          |  (c_custkey, c_name, c_acctbal) VALUES (src.k, src.src_name, 0.0)
+          |""".stripMargin)
+      sess.sql(
+        """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          |FROM lake.default.cust_mc""".stripMargin)
+    },
+
     // SQL MERGE **WITH SCHEMA EVOLUTION** — the reference's core CDC shape
     // end-to-end in SQL: the initial load carries NO CDC columns; the first
     // CDC batch ADDS `timestamp` and `last_applied_date` and the target

@@ -32,7 +32,8 @@ object GraftProcedures {
     Seq("compact", "optimize", "vacuum", "rollback", "clone", "diff",
       "evolve_partition", "create_matview", "refresh_matview",
       "purge_vectors", "tag", "drop_tag", "generate_manifest",
-      "create_release", "drop_release", "list_releases")
+      "create_release", "drop_release", "list_releases",
+      "create_branch", "drop_branch", "fast_forward", "list_branches")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -191,6 +192,58 @@ object GraftProcedures {
           graft.storage.Release.drop(
             SparkSession.active, warehouse, str(args, 0))
           Array[Any](n)
+      })
+      // CALL lake.create_branch('t', 'audit'): WRITABLE branch (Iceberg
+      // ref) — the write-audit-publish surface. The branch is registered
+      // as lake.default.<t>_branch_<name>, so the FULL SQL write surface
+      // (INSERT / MERGE / UPDATE / DELETE / CALL maintenance) runs on it
+      // while main readers stay on the audited snapshot; publish with
+      // CALL lake.fast_forward('t', 'audit').
+      case "create_branch" => Some(proc("create_branch",
+        Seq(in("table", StringType), in("name", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("fork_version", IntegerType, nullable = false)))) {
+        args =>
+          val tbl = str(args, 0)
+          val bname = str(args, 1)
+          val regName = s"${tbl}_branch_$bname"
+          require(!LakeRegistry.entries(warehouse)
+            .exists(_.table_name == regName),
+            s"create_branch: table $regName already exists in the lake")
+          val t = open(tbl)
+          val b = t.createBranch(bname)
+          LakeRegistry.register(warehouse,
+            b.config.copy(tableName = regName), b.root.toString)
+          Array[Any](t.branchForkVersion(bname))
+      })
+      // CALL lake.fast_forward('t', 'audit'): publish the branch head
+      // onto main in one commit — loud if main moved since the fork
+      case "fast_forward" => Some(proc("fast_forward",
+        Seq(in("table", StringType), in("name", StringType)),
+        resultSchema = versionResult) { args =>
+        Array[Any](open(str(args, 0)).fastForward(str(args, 1)))
+      })
+      case "drop_branch" => Some(proc("drop_branch",
+        Seq(in("table", StringType), in("name", StringType)),
+        resultSchema = versionResult) { args =>
+        val tbl = str(args, 0)
+        val bname = str(args, 1)
+        val t = open(tbl)
+        t.dropBranch(bname)
+        LakeRegistry.unregister(warehouse, s"${tbl}_branch_$bname")
+        Array[Any](t.currentVersion)
+      })
+      // CALL lake.list_branches('t'): name + fork version per branch
+      case "list_branches" => Some(procRows("list_branches",
+        Seq(in("table", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("fork_version", IntegerType, nullable = false)))) {
+        args =>
+          val t = open(str(args, 0))
+          t.branches.map(b => Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(b),
+            t.branchForkVersion(b))).toArray
       })
       case "drop_tag" => Some(proc("drop_tag",
         Seq(in("table", StringType), in("name", StringType)),

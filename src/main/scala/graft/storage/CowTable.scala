@@ -1295,10 +1295,15 @@ final class CowTable private[storage] (
           lit(v).as("_commit_version"),
           lit(ts).as("_commit_timestamp"), col("_change_type")): _*))
       } else {
-        val prevSet = prevFiles.map(_.path).toSet
-        val curSet = m.files.map(_.path).toSet
-        val added = m.files.filterNot(f => prevSet(f.path))
-        val removed = prevFiles.filterNot(f => curSet(f.path))
+        // entry identity includes the deletion-vector state: a file whose
+        // sidecar changed in place (a branch fast-forward squashes DV
+        // deletes into one commit) is a rewrite — old view removed, new
+        // view added — or its deleted keys would never reach the feed
+        def ident(f: FileEntry) = (f.path, f.dvPath, f.dvRows)
+        val prevSet = prevFiles.map(ident).toSet
+        val curSet = m.files.map(ident).toSet
+        val added = m.files.filterNot(f => prevSet(ident(f)))
+        val removed = prevFiles.filterNot(f => curSet(ident(f)))
         if (added.isEmpty && removed.isEmpty) None
         else {
           val a = readFiles(mTo, added).withColumn(marker, lit(1)).alias("a")
@@ -1457,6 +1462,144 @@ final class CowTable private[storage] (
     readVersion(tags.getOrElse(name, throw new IllegalArgumentException(
       s"no tag '$name' on ${config.tableName} (tags: " +
         s"${tags.keys.toSeq.sorted.mkString(", ")})")))
+
+  private def branchesDir: Path = root.resolve("_branches")
+
+  /** BRANCH (Iceberg writable ref): an isolated WRITABLE fork of the
+    * current snapshot — the write-audit-publish (WAP) primitive. Where a
+    * [[tag]] is an immutable pointer, a branch is a full table rooted at
+    * `<root>/_branches/<name>`: the fork is a [[shallowClone]] (O(files)
+    * hard-linked metadata, zero data copied), so the entire write surface
+    * — upsert, delete, MERGE, OPTIMIZE, expectations audits — runs on the
+    * branch without main readers ever seeing an unaudited row. Publishing
+    * is [[fastForward]]. The fork version is recorded so publish can
+    * verify main never moved (the WAP contract: what was audited is
+    * exactly what goes live).
+    *
+    * @return the branch's table handle (its v1 = the forked snapshot) */
+  def createBranch(name: String): CowTable = {
+    require(name.matches(CowTable.TagName),
+      s"branch name '$name' must match ${CowTable.TagName}")
+    val dir = branchesDir.resolve(name)
+    require(!Files.exists(dir),
+      s"branch '$name' already exists on ${config.tableName} — drop it " +
+        "first (branches do not silently re-fork)")
+    val fork = currentVersion
+    require(fork > 0, s"table ${config.tableName} does not exist")
+    val b = shallowClone(dir.toString)
+    Files.writeString(dir.resolve("_branch_meta.json"),
+      s"""{"fork": $fork}""")
+    b.withClock(clockMs)
+  }
+
+  /** Open an existing branch as a writable table handle. */
+  def branch(name: String): CowTable = {
+    val dir = branchesDir.resolve(name)
+    require(Files.exists(dir.resolve("_branch_meta.json")),
+      s"no branch '$name' on ${config.tableName} (branches: " +
+        s"${branches.mkString(", ")})")
+    val m = CowTable.manifestAt(dir, CowTable.currentVersionAt(dir))
+    new CowTable(spark, dir.toString, m.tableConfig(config.tableName))
+      .withClock(clockMs)
+  }
+
+  /** All branch names on this table. */
+  def branches: Seq[String] = {
+    if (!Files.isDirectory(branchesDir)) return Nil
+    scala.util.Using.resource(Files.list(branchesDir))(
+      _.iterator().asScala.toSeq)
+      .filter(d => Files.exists(d.resolve("_branch_meta.json")))
+      .map(_.getFileName.toString).sorted
+  }
+
+  /** The main-table version a branch forked from. */
+  def branchForkVersion(name: String): Int = {
+    val meta = branchesDir.resolve(name).resolve("_branch_meta.json")
+    require(Files.exists(meta),
+      s"no branch '$name' on ${config.tableName}")
+    """"fork"\s*:\s*(\d+)""".r.findFirstMatchIn(Files.readString(meta))
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"corrupt branch meta $meta"))
+  }
+
+  /** Delete a branch (its un-published data dirs go with it; files shared
+    * with main are hard links, so main — and anything already published —
+    * is untouched). */
+  def dropBranch(name: String): Unit = {
+    require(Files.exists(branchesDir.resolve(name)
+      .resolve("_branch_meta.json")),
+      s"no branch '$name' on ${config.tableName}")
+    CowTable.deleteRecursively(branchesDir.resolve(name))
+  }
+
+  /** PUBLISH a branch: fast-forward main to the branch head in ONE commit.
+    * Iceberg's `fast_forward` contract — allowed only while main still
+    * sits at the branch's fork version; if main advanced, the audit ran
+    * against a stale state and publish fails LOUD (re-fork and re-audit
+    * instead of silently merging). The branch head's new data files and
+    * deletion-vector sidecars are hard-linked into the main root (branch
+    * writer-unique dir names cannot collide), then the branch head's file
+    * list, schema, column mapping, stats columns, and constraints commit
+    * onto main's chain under the standard CAS — a racing main writer
+    * loses cleanly. O(files changed on the branch) links + one metadata
+    * commit; squash semantics (intermediate branch states do not replay
+    * into main's history; on changeDataFeed tables the feed across the
+    * publish commit is the manifest-diff NET change, deletion-vector
+    * deltas included). The branch survives publish (drop it explicitly).
+    *
+    * @return main's new version (or its current one if the branch never
+    *         committed past the fork) */
+  def fastForward(name: String): Int = {
+    val broot = branchesDir.resolve(name)
+    val fork = branchForkVersion(name) // also asserts the branch exists
+    val cur = currentVersion
+    require(cur == fork,
+      s"fast_forward '$name' on ${config.tableName}: main advanced from " +
+        s"the fork version $fork to $cur since the branch was created — " +
+        "the audited branch state is stale; re-create the branch from " +
+        "the current snapshot and re-audit")
+    val bv = CowTable.currentVersionAt(broot)
+    if (bv <= 1) return cur // branch never committed past the fork
+    val bm = CowTable.manifestAt(broot, bv)
+    require(bm.partitionKey == manifest(cur).partitionKey &&
+      bm.partitionSpec == manifest(cur).partitionSpec,
+      s"fast_forward '$name': the branch evolved the partition layout " +
+        s"(${bm.partitionKey}/${bm.partitionSpec}) — publish of a " +
+        "re-partitioned branch is not supported; clone instead")
+    def linkInto(rel: String): Unit = {
+      val dst = root.resolve(rel)
+      if (!Files.exists(dst)) {
+        Files.createDirectories(dst.getParent)
+        try Files.createLink(dst, broot.resolve(rel))
+        catch { // cross-device / unsupported FS: copy preserves semantics
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            if (!Files.exists(dst)) // racing linker got there first: fine
+              Files.copy(broot.resolve(rel), dst)
+        }
+      }
+    }
+    bm.files.foreach { e =>
+      linkInto(e.path)
+      if (Files.exists(broot.resolve(e.path + ".bloom")))
+        linkInto(e.path + ".bloom")
+    }
+    bm.files.flatMap(_.dvPath).distinct.foreach { dvp =>
+      val srcDir = broot.resolve(dvp)
+      if (Files.isDirectory(srcDir))
+        scala.util.Using.resource(Files.list(srcDir))(
+          _.iterator().asScala.toSeq)
+          .filter(Files.isRegularFile(_))
+          .foreach(p => linkInto(dvp + "/" + p.getFileName.toString))
+    }
+    // commit with the BRANCH head's durable config (branch-side ALTERs —
+    // added constraints, widened stats columns — publish with the data)
+    val pub = new CowTable(spark, rootDir, bm.tableConfig(config.tableName))
+      .withClock(clockMs)
+    pub.commitAt(cur, bm.files, Nil, structFromJson(bm.schemaJson),
+      mappingOpt = Some((bm.columnMapping, bm.effectiveUsedPhysical)),
+      statsColumnsOpt = Some(bm.statsColumns),
+      checkConstraintsOpt = Some(bm.checkConstraints))
+  }
 
   /** Commit log as a DataFrame (DESCRIBE HISTORY analog): one row per
     * version with parent, row count, file count, and the dataChange flag.
