@@ -862,6 +862,56 @@ object StorageQueries {
           |FROM lake.default.cust_mc""".stripMargin)
     },
 
+    // IDEMPOTENT INGEST (Delta txnAppId/txnVersion parity): the foreachBatch
+    // crash-recovery lifecycle — every batch is READ-MODIFY-WRITE (derived
+    // from current table state, the shape where a blind replay corrupts),
+    // and every batch is deliberately applied TWICE with the same
+    // (appId, version) marker. Exactly-once is observable in the values: a
+    // double-applied bump would read +14, a double-applied append would
+    // duplicate keys. A final un-tagged mutation proves markers scope to
+    // one operation (never silently skipping later writes). Oracle replays
+    // the single application of each batch.
+    Q("q193_idempotent_ingest",
+      """SELECT c_custkey, c_name,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 7, 2)
+        |       ELSE c_acctbal END AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 500000 AS c_custkey, c_name,
+        |  CAST(0.0 AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 131 = 0
+        |""".stripMargin) { (s, d) =>
+      val dir = tableDir("q193") + "/cust_txn"
+      CowTable.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
+      val tbl = CowTable(s, dir, TableConfig("cust_txn", Seq("c_custkey")))
+      tbl.create(t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal"))
+      // batch 1: bump derived FROM THE TABLE — replay would double-bump
+      def bump() = tbl.read().filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 7, 2))
+      tbl.withTxn("loader", 1L).upsert(bump())
+      tbl.withTxn("loader", 1L).upsert(bump()) // recovery replay: no-op
+      // batch 2: delete — replayed marker skips before any work
+      def doomed() = tbl.read().filter(col("c_custkey") % 7 === 0)
+        .select("c_custkey")
+      tbl.withTxn("loader", 2L).delete(doomed())
+      tbl.withTxn("loader", 2L).delete(doomed())
+      // batch 3 through the DSv2 option surface: replayed INSERT vanishes
+      val extra = t(s, d, "customer").filter(col("c_custkey") % 131 === 0)
+        .select((col("c_custkey") + 500000).as("c_custkey"), col("c_name"),
+          lit(java.math.BigDecimal.valueOf(0, 2))
+            .cast(tbl.read().schema("c_acctbal").dataType).as("c_acctbal"))
+      extra.write.format("graft").option("txnAppId", "etl")
+        .option("txnVersion", 1L.toString).mode("append").save(dir)
+      extra.write.format("graft").option("txnAppId", "etl")
+        .option("txnVersion", 1L.toString).mode("append").save(dir)
+      require(tbl.lastTxnVersion("loader").contains(2L) &&
+        tbl.lastTxnVersion("etl").contains(1L),
+        "txn high-water marks must record both writers")
+      tbl.read().select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    },
+
     // SQL MERGE **WITH SCHEMA EVOLUTION** — the reference's core CDC shape
     // end-to-end in SQL: the initial load carries NO CDC columns; the first
     // CDC batch ADDS `timestamp` and `last_applied_date` and the target
@@ -1935,6 +1985,36 @@ object StorageQueries {
       require(out.queryExecution.executedPlan.toString
         .contains("manifest_agg_"),
         "expected the aggregation answered from the manifest")
+      out
+    },
+
+    // statsColumns extrema from the manifest: per-partition MIN/MAX of
+    // NON-KEY columns (a timestamp and a double) answered from the
+    // per-file footer ranges the manifest already carries for declared
+    // statsColumns — "freshness per partition" ("max event time per type"),
+    // the second most common lake metadata rollup after row counts, zero
+    // data files opened (plan-asserted). min(value) is deliberately NOT
+    // pushed at sf0.1 (the data holds 0.0 values and a zero FP extremum is
+    // sign-ambiguous in parquet stats — the engine must reject, not guess).
+    Q("q194_statscol_rollup",
+      """SELECT event_type, count(*) AS n_rows,
+        |  min(ts) AS min_ts, max(ts) AS max_ts, max(value) AS max_val
+        |FROM events GROUP BY event_type
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q194")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      CowTable(s, root, TableConfig("events", Seq("event_id"),
+        partitionKey = Some("event_type"),
+        statsColumns = Seq("ts", "value")))
+        .create(t(s, d, "events").repartition(4))
+      val out = s.read.format("graft").load(root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+          max(col("value")).as("max_val"))
+      require(out.queryExecution.executedPlan.toString
+        .contains("manifest_agg_"),
+        "expected the statsColumn extrema answered from the manifest")
       out
     })
 }

@@ -570,6 +570,11 @@ final class GraftScanBuilder(
     *    deletion vector (the extremum may be deleted), lacks key stats
     *    (all-null key file), or the stat string isn't a finite numeral
     *    (NaN/Infinity doubles);
+    *  - MIN/MAX of a declared [[graft.storage.TableConfig.statsColumns]]
+    *    column: the per-file footer ranges already ride the manifest
+    *    (`FileEntry.extra`) — same numeric/temporal exactness rules, same
+    *    DV/all-null rejections; strings rejected (parquet may truncate
+    *    binary stats — fine for pruning, wrong for an exact extremum);
     *  - GROUP BY the hive PARTITION KEY: the same aggregates answered per
     *    partition value from the per-file stats (every file must carry a
     *    path-borne value — an old-layout file after partition-spec
@@ -593,32 +598,48 @@ final class GraftScanBuilder(
     val pk = m.primaryKey.headOption.getOrElse(return None)
     val pkType = fullSchema.find(_.name == pk).map(_.dataType)
       .getOrElse(return None)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
     def isPk(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Boolean = e match {
-      case nr: NamedReference => nr.fieldNames.toSeq == Seq(pk)
-      case _ => false
-    }
-    def decodable: Boolean = pkType match {
-      case LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DateType |
-           org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => true
-      case _ => false
-    }
-    def decode(s: String): Any = pkType match {
-      case LongType => s.toLong
-      case org.apache.spark.sql.types.IntegerType => s.toInt
-      case org.apache.spark.sql.types.ShortType => s.toShort
-      case org.apache.spark.sql.types.ByteType => s.toByte
-      case org.apache.spark.sql.types.DoubleType => s.toDouble
-      case org.apache.spark.sql.types.FloatType => s.toFloat
-      case org.apache.spark.sql.types.DateType => s.toLong.toInt // epoch days
-      case _ => s.toLong // timestamps: internal rep IS epoch micros
-    }
+        : Boolean = colOf(e).contains(pk)
+    // MIN/MAX of a [[graft.storage.TableConfig.statsColumns]] column is
+    // answerable from the per-file footer ranges the manifest already
+    // carries (`FileEntry.extra`, keyed by PHYSICAL name) under the same
+    // exactness rules as the key path. STRING stats are rejected even
+    // though files carry them: parquet writers may truncate binary
+    // min/max (fine for pruning, wrong for an exact extremum).
+    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] =
+      colOf(e).filter(c => c != pk && m.statsColumns.contains(c))
+    def typeDecodable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+    def typeDecode(dt: org.apache.spark.sql.types.DataType, s: String): Any =
+      dt match {
+        case LongType => s.toLong
+        case org.apache.spark.sql.types.IntegerType => s.toInt
+        case org.apache.spark.sql.types.ShortType => s.toShort
+        case org.apache.spark.sql.types.ByteType => s.toByte
+        case org.apache.spark.sql.types.DoubleType => s.toDouble
+        case org.apache.spark.sql.types.FloatType => s.toFloat
+        case org.apache.spark.sql.types.DateType => s.toLong.toInt // epoch days
+        case _ => s.toLong // timestamps: internal rep IS epoch micros
+      }
+    def decodable: Boolean = typeDecodable(pkType)
+    def decode(s: String): Any = typeDecode(pkType, s)
     // The files the aggregation ranges over: all of them, minus partition
     // pruning when a partition filter was CONSUMED in pushFilters (Spark
     // only attempts aggregate pushdown when no residual filter remains,
@@ -667,6 +688,26 @@ final class GraftScanBuilder(
         e.minKey.isDefined && e.maxKey.isDefined &&
         scala.util.Try(BigDecimal(e.minKey.get) +
           BigDecimal(e.maxKey.get)).isSuccess)
+    // statsColumns twin of [[statsUsable]]: every file must carry a finite
+    // footer range for the PHYSICAL column and no deletion vector (the
+    // extremum may be deleted). A file that is all-null for the column has
+    // no range entry — correctly rejecting the pushdown (its rows cannot
+    // move MIN/MAX, but a sibling usable file is not guaranteed here).
+    def extraUsable(fs: Seq[FileEntry], phys: String): Boolean =
+      fs.forall(e => e.dvPath.isEmpty &&
+        e.extra.get(phys).exists(r => r.mn.isDefined && r.mx.isDefined &&
+          scala.util.Try(BigDecimal(r.mn.get) +
+            BigDecimal(r.mx.get)).isSuccess))
+    // a ZERO floating-point extremum is sign-ambiguous in parquet stats
+    // (readers widen +0.0 → -0.0 per the spec's FP-stats guidance) — fine
+    // for pruning, not for an exact answer: reject the pushdown
+    def fpAmbiguous(dt: org.apache.spark.sql.types.DataType, s: String)
+        : Boolean = dt match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        scala.util.Try(BigDecimal(s) == 0).getOrElse(true)
+      case _ => false
+    }
     // field layout of a complete group-by pushdown: group columns first,
     // then the aggregate columns, in declared order (Spark projects the
     // scan output positionally against exactly that shape)
@@ -688,14 +729,44 @@ final class GraftScanBuilder(
           values += fs.map(_.liveRows).sum
         case (mn: Min, i) if isPk(mn.column) && decodable =>
           if (!statsUsable(fs)) return None
+          if (fs.nonEmpty && fpAmbiguous(pkType, minStr)) return None
           aggFields += StructField(s"manifest_agg_$i", pkType,
             nullable = true)
           values += (if (fs.isEmpty) null else decode(minStr))
         case (mx: Max, i) if isPk(mx.column) && decodable =>
           if (!statsUsable(fs)) return None
+          if (fs.nonEmpty && fpAmbiguous(pkType, maxStr)) return None
           aggFields += StructField(s"manifest_agg_$i", pkType,
             nullable = true)
           values += (if (fs.isEmpty) null else decode(maxStr))
+        case (mn: Min, i) if statsCol(mn.column).exists(c =>
+            fullSchema.find(_.name == c).map(_.dataType)
+              .exists(typeDecodable)) =>
+          val c = statsCol(mn.column).get
+          val dt = fullSchema(c).dataType
+          val phys = m.physicalName(c)
+          if (fs.nonEmpty && !extraUsable(fs, phys)) return None
+          aggFields += StructField(s"manifest_agg_$i", dt, nullable = true)
+          values += (if (fs.isEmpty) null
+            else {
+              val s = fs.map(_.extra(phys).mn.get).minBy(BigDecimal(_))
+              if (fpAmbiguous(dt, s)) return None
+              scala.util.Try(typeDecode(dt, s)).getOrElse(return None)
+            })
+        case (mx: Max, i) if statsCol(mx.column).exists(c =>
+            fullSchema.find(_.name == c).map(_.dataType)
+              .exists(typeDecodable)) =>
+          val c = statsCol(mx.column).get
+          val dt = fullSchema(c).dataType
+          val phys = m.physicalName(c)
+          if (fs.nonEmpty && !extraUsable(fs, phys)) return None
+          aggFields += StructField(s"manifest_agg_$i", dt, nullable = true)
+          values += (if (fs.isEmpty) null
+            else {
+              val s = fs.map(_.extra(phys).mx.get).maxBy(BigDecimal(_))
+              if (fpAmbiguous(dt, s)) return None
+              scala.util.Try(typeDecode(dt, s)).getOrElse(return None)
+            })
         case _ => return None
       }
       values.toArray

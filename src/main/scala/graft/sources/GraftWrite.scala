@@ -218,6 +218,26 @@ final class GraftWriteBuilder(
   // (the null partition travels as its hive dir name)
   private var staticParts: Option[Set[String]] = None
 
+  /** IDEMPOTENT-WRITE options (Delta parity): `.option("txnAppId", id)
+    * .option("txnVersion", n)` — a replayed write with an (id, n) already
+    * on the table commits nothing (see [[CowTable.withTxn]]). Both or
+    * neither; a malformed version fails at PLANNING time, not mid-commit. */
+  private val batchTxn: Option[(String, Long)] = {
+    val id = Option(info.options.get("txnAppId")).filter(_.nonEmpty)
+    val v = Option(info.options.get("txnVersion"))
+    (id, v) match {
+      case (Some(i), Some(n)) =>
+        Some((i, try n.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft: txnVersion must be a long, got '$n'")
+        }))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "graft: txnAppId and txnVersion must be set together")
+    }
+  }
+
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
@@ -284,7 +304,7 @@ final class GraftWriteBuilder(
       }
       override def toBatch: BatchWrite = new GraftBatchWrite(
         root, parent, info.schema(), tableSchema, primaryKey, partitionKey,
-        overwrite, staticParts, dynamicParts)
+        overwrite, staticParts, dynamicParts, batchTxn)
       /** `writeStream.format("graft")` — exactly-once micro-batch appends
         * (see [[GraftStreamingWrite]]). */
       override def toStreaming
@@ -434,7 +454,8 @@ final class GraftBatchWrite(
     tableSchema: StructType, primaryKey: Seq[String],
     partitionKey: Option[String], overwrite: Boolean,
     staticParts: Option[Set[String]] = None,
-    dynamicParts: Boolean = false)
+    dynamicParts: Boolean = false,
+    batchTxn: Option[(String, Long)] = None)
   extends BatchWrite {
 
   /** Writer-unique data dir (see [[CowTable.writeVersion]]). */
@@ -460,6 +481,17 @@ final class GraftBatchWrite(
     val spark = SparkSession.active
     val tbl = CowTable(spark, root.toString, CowTable.configAt(root,
       TableConfig(root.getFileName.toString, primaryKey, partitionKey)))
+    // IDEMPOTENT WRITE (txnAppId/txnVersion options): a replayed write
+    // whose marker is already on the table commits nothing and deletes its
+    // re-written files — the same contract as the streaming sink's epochs
+    def txnReplayed: Boolean = batchTxn.exists { case (id, v) =>
+      tbl.lastTxnVersion(id).exists(_ >= v)
+    }
+    if (txnReplayed) {
+      files.foreach { case (p, _) => Try(Files.deleteIfExists(root.resolve(p))) }
+      return
+    }
+    batchTxn.foreach { case (id, v) => tbl.withTxn(id, v) }
     // commit schema: the existing table's schema for appends/overwrites of a
     // live table (Spark already aligned the query output to it); the query
     // schema when this write CREATES the table (CTAS / first write)
@@ -522,6 +554,14 @@ final class GraftBatchWrite(
           val now = CowTable.currentVersionAt(root)
           val winner = CowTable.manifestAt(root, now)
           val winnerSchema = CowTable.structFromJson(winner.schemaJson)
+          // a concurrent replica replaying the SAME txn may be the winner —
+          // then this write is already applied: clean up, exactly-once
+          if (txnReplayed) {
+            files.foreach { case (p, _) =>
+              Try(Files.deleteIfExists(root.resolve(p)))
+            }
+            return
+          }
           if (winnerSchema != schema || winner.columnMapping != mapping)
             throw new graft.storage.ConcurrentWriteException(
               s"concurrent writer changed the schema or column mapping of " +

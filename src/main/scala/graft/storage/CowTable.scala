@@ -235,6 +235,41 @@ final class CowTable private[storage] (
   @volatile private var clockMs: () => Long = () => System.currentTimeMillis()
   def withClock(f: () => Long): this.type = { clockMs = f; this }
 
+  /** Pending IDEMPOTENT-WRITE marker (Delta `txnAppId`/`txnVersion`): armed
+    * by [[withTxn]], consumed by exactly ONE mutating operation. */
+  @volatile private var txn: Option[(String, Long)] = None
+
+  /** Arm the NEXT mutating operation (upsert/delete/overwrite/create) with
+    * an application transaction marker — the Delta `txnAppId`/`txnVersion`
+    * idempotent-write contract, and the foreachBatch crash-recovery story:
+    * a micro-batch replayed after checkpoint recovery re-runs with the SAME
+    * (appId, batchId), finds the marker already committed, and applies
+    * NOTHING twice (a read-modify-write batch would otherwise double-apply).
+    * `version` must be monotone per `appId` (streaming batch ids are). The
+    * marker rides the commit manifest (the same fields the streaming sink's
+    * exactly-once epochs use) and is checked again under the commit CAS, so
+    * two replicas replaying the same batch concurrently still apply it once.
+    * Scope is ONE operation: the marker is cleared on commit or skip —
+    * a later un-tagged mutation is never silently skipped. */
+  def withTxn(appId: String, version: Long): this.type = {
+    require(appId.nonEmpty, "withTxn: appId must be non-empty")
+    txn = Some((appId, version)); this
+  }
+
+  /** Highest [[withTxn]]/streaming-sink version committed for `appId`
+    * (None ⇔ never committed here) — the resume point a restarted writer
+    * reads instead of trusting its own checkpoint alone. */
+  def lastTxnVersion(appId: String): Option[Long] = lastStreamEpoch(appId)
+
+  /** True ⇒ the armed txn marker is already on the table: the operation
+    * must SKIP (idempotent replay). Consumes the marker either way a
+    * mutating op resolves — see [[withTxn]]'s one-operation scope. */
+  private def txnAlreadyApplied(): Boolean = txn match {
+    case Some((id, v)) if lastStreamEpoch(id).exists(_ >= v) =>
+      txn = None; true
+    case _ => false
+  }
+
   /** The COMMIT POINT is the atomic creation of the version's manifest file
     * (hard-link CAS in [[commitManifest]]); the `_current` pointer is only a
     * fast-start hint. Probing upward from the hint heals the crash window
@@ -282,14 +317,17 @@ final class CowTable private[storage] (
   /** Bulk insert creating version 1 (reference initial load,
     * src/hudi/hudi-initial-load.py:69-104). Fails if the table exists. */
   def create(df: DataFrame): Int = {
+    if (txnAlreadyApplied()) return currentVersion // replayed create batch
     require(currentVersion == 0, s"table ${config.tableName} already exists")
     writeVersion(df, df.schema, carryOver = Nil, parent = 0)
   }
 
   /** Full-snapshot overwrite (reference Delta path sink mode=overwrite,
     * src/delta/delta-initial-load.py:61-78). */
-  def overwrite(df: DataFrame): Int =
+  def overwrite(df: DataFrame): Int = {
+    if (txnAlreadyApplied()) return currentVersion
     writeVersion(df, df.schema, carryOver = Nil, parent = currentVersion)
+  }
 
   /** Columns rename/drop must not touch: table-mechanics columns whose
     * LOGICAL name is load-bearing (key stats, hive paths, precombine
@@ -465,6 +503,7 @@ final class CowTable private[storage] (
     * `assertUniqueKeys = true` (one cheap extra job over the small source).
     */
   def upsert(source: DataFrame, assertUniqueKeys: Boolean = false): Int = {
+    if (txnAlreadyApplied()) return currentVersion // replayed batch: no-op
     if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
     upsertFrom(currentVersion, source)
   }
@@ -528,7 +567,10 @@ final class CowTable private[storage] (
   /** MERGE ... WHEN MATCHED THEN DELETE: anti-join rewrite of only the files
     * whose key range overlaps the delete set
     * (reference: src/iceberg/iceberg-cdc-load.py:147-150). */
-  def delete(deleteKeys: DataFrame): Int = deleteFrom(currentVersion, deleteKeys)
+  def delete(deleteKeys: DataFrame): Int = {
+    if (txnAlreadyApplied()) return currentVersion // replayed batch: no-op
+    deleteFrom(currentVersion, deleteKeys)
+  }
 
   /** [[delete]] against an explicit snapshot version (see [[upsertFrom]]). */
   private[storage] def deleteFrom(parent: Int, deleteKeys: DataFrame): Int = {
@@ -2295,6 +2337,25 @@ final class CowTable private[storage] (
         cdcDir = cdcDir, mappingOpt = mappingOpt)
       catch {
         case e: ConcurrentWriteException =>
+          // SAME-TRANSACTION concurrent replay: a winner already carrying
+          // this op's (appId, version) marker means the work is done —
+          // idempotent no-op (two replicas replaying one micro-batch commit
+          // it exactly once), checked before any rebase reasoning
+          txn match {
+            case Some((id, tv)) =>
+              val headT = currentVersion
+              var wv = parent + 1
+              while (wv <= headT) {
+                val wm = manifest(wv)
+                if (wm.streamQueryId.contains(id) &&
+                    wm.streamEpochId.exists(_ >= tv)) {
+                  txn = None
+                  return headT
+                }
+                wv += 1
+              }
+            case None => ()
+          }
           val ctx = rebase.getOrElse(throw e)
           attempts += 1
           val head = currentVersion
@@ -2494,8 +2555,10 @@ final class CowTable private[storage] (
       key2Numeric = config.primaryKey.lift(1)
         .flatMap(k => Try(schema(k).dataType).toOption)
         .exists(statKeyNumeric),
-      streamQueryId = streamTxn.map(_._1),
-      streamEpochId = streamTxn.map(_._2),
+      // either the streaming sink's (queryId, epochId) or an armed batch
+      // [[withTxn]] marker — same manifest fields, same replay semantics
+      streamQueryId = streamTxn.orElse(txn).map(_._1),
+      streamEpochId = streamTxn.orElse(txn).map(_._2),
       cdcDir = cdcDir,
       // durable union (parent manifest ∪ config), pruned to live columns —
       // a stale instance can neither erase a renamed stats column nor
@@ -2528,6 +2591,7 @@ final class CowTable private[storage] (
       usedPhysicalNames = usedPhys,
       partitionSpec = config.partitionSpec)
     commitManifest(m)
+    txn = None // the marker's one operation committed — see [[withTxn]]
     v
   }
 
@@ -2774,7 +2838,17 @@ final class CowTable private[storage] (
     case l: java.lang.Long => Some(l.toString)
     case i: java.lang.Integer => Some(i.toString)
     case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
-    case _ => None // double/decimal/timestamp keys: fall back to no stats
+    // FINITE floating-point stats are exact and BigDecimal-parseable (the
+    // numeric compare space pruning uses; String.valueOf round-trips the
+    // double). Non-finite ⇒ no stats: a NaN/Infinity extremum has no
+    // BigDecimal form, and parquet-mr omits FP stats for NaN-bearing
+    // row groups anyway (PARQUET-1246) — `hasNonNullValue` already gates
+    // those out before this point.
+    case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+      Some(d.toString)
+    case f: java.lang.Float if !f.isNaN && !f.isInfinite =>
+      Some(f.toString)
+    case _ => None // decimal keys: unscaled footers — fall back to no stats
   }
 
   /** Fallback: one columnar pass over just the key column(s). */

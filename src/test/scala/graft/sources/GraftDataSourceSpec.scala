@@ -140,6 +140,54 @@ class GraftDataSourceSpec extends SparkSpec {
       Set(("c0", 10L), ("c1", 10L)))
   }
 
+  test("MIN/MAX of statsColumns answer from manifest ranges; nulls/strings reject") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/s", TableConfig("s", Seq("id"),
+      statsColumns = Seq("v", "ts", "label")))
+    t.create((1L to 300L).map(i => (i, i * 0.5 - 20.0,
+      s"2024-01-${i % 28 + 1} 10:00:00", s"L$i"))
+      .toDF("id", "v", "ts_s", "label")
+      .select($"id", $"v", $"ts_s".cast("timestamp").as("ts"), $"label")
+      .repartition(4))
+    val df = spark.read.format("graft").load(dir + "/s")
+    // numeric + temporal statsColumns: exact extrema, zero files read
+    val agg = df.agg(min($"v").as("mnv"), max($"v").as("mxv"),
+      min($"ts").as("mnt"), max($"ts").as("mxt"), count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest_agg_"),
+      s"expected statsColumn extrema pushdown in:\n$plan")
+    val r = agg.head()
+    assert(r.getDouble(0) == -19.5 && r.getDouble(1) == 130.0)
+    assert(r.getTimestamp(2).toString.startsWith("2024-01-01 10:00:00") &&
+      r.getTimestamp(3).toString.startsWith("2024-01-28 10:00:00"))
+    assert(r.getLong(4) == 300L)
+    // per-partition extrema of a statsColumn push too
+    val p = CowTable(spark, dir + "/sp", TableConfig("sp", Seq("id"),
+      partitionKey = Some("cat"), statsColumns = Seq("v")))
+    p.create((1L to 90L).map(i => (i, s"c${i % 3}", i * 2.0))
+      .toDF("id", "cat", "v").repartition(3))
+    val g = spark.read.format("graft").load(dir + "/sp")
+      .groupBy($"cat").agg(min($"v").as("mn"), max($"v").as("mx"))
+    assert(g.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(g.as[(String, Double, Double)].collect().toSet == Set(
+      ("c0", 6.0, 180.0), ("c1", 2.0, 176.0), ("c2", 4.0, 178.0)))
+    // a file that is ALL-NULL for the column has no range → falls back,
+    // and the real scan returns the right (null-ignoring) extremum
+    val nt = CowTable(spark, dir + "/n", TableConfig("n", Seq("id"),
+      statsColumns = Seq("v")))
+    nt.create(Seq((1L, Some(5.0)), (2L, Some(9.0))).toDF("id", "v"))
+    nt.upsert(Seq((3L, None: Option[Double])).toDF("id", "v"))
+    val nAgg = spark.read.format("graft").load(dir + "/n").agg(max($"v"))
+    assert(!nAgg.queryExecution.executedPlan.toString
+      .contains("manifest_agg_"))
+    assert(nAgg.head().getDouble(0) == 9.0)
+    // STRING statsColumns never push an extremum (truncation-unsafe)
+    val sMin = df.agg(min($"label"))
+    assert(!sMin.queryExecution.executedPlan.toString
+      .contains("manifest_agg_"))
+    assert(sMin.head().getString(0) == "L1")
+  }
+
   test("partition filters consume exactly: filtered rollups push to the manifest") {
     val dir = tmpDir("dsv2")
     val t = CowTable(spark, dir + "/pf",
