@@ -2016,5 +2016,41 @@ object StorageQueries {
         .contains("manifest_agg_"),
         "expected the statsColumn extrema answered from the manifest")
       out
+    },
+
+    // ADD COLUMN ... DEFAULT (initial-default semantics, Iceberg V3 /
+    // Spark EXISTS_DEFAULT): the metadata-only ALTER makes every PRE-ADD
+    // row read the default with ZERO data rewritten (require-asserted);
+    // post-add INSERTs resolve the default when the column is omitted or
+    // the DEFAULT keyword is used, and an explicit NULL stays NULL —
+    // "stored null" and "file predates the column" never conflate.
+    // Oracle replays: old rows get the default, new rows their literals.
+    Q("q195_column_default",
+      """SELECT c_custkey, c_name, 'standard' AS tier FROM customer
+        |UNION ALL SELECT 900001 AS c_custkey, 'x1' AS c_name,
+        |  'standard' AS tier
+        |UNION ALL SELECT 900002, 'x2', 'gold'
+        |UNION ALL SELECT 900003, 'x3', CAST(NULL AS VARCHAR)
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q195")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val tbl = CowTable(s, lake + "/cust_def",
+        TableConfig("cust_def", Seq("c_custkey")))
+      tbl.create(t(s, d, "customer").select("c_custkey", "c_name"))
+      graft.storage.LakeRegistry.register(lake, tbl.config, "cust_def")
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      val filesBefore = tbl.manifest(tbl.currentVersion).files.map(_.path)
+      sess.sql("ALTER TABLE lake.default.cust_def " +
+        "ADD COLUMN tier STRING DEFAULT 'standard'")
+      require(tbl.manifest(tbl.currentVersion).files.map(_.path) ==
+        filesBefore && !tbl.manifest(tbl.currentVersion).dataChange,
+        "ADD COLUMN DEFAULT must be metadata-only — zero files rewritten")
+      sess.sql("INSERT INTO lake.default.cust_def (c_custkey, c_name) " +
+        "VALUES (900001, 'x1')") // omitted column → default
+      sess.sql("INSERT INTO lake.default.cust_def " +
+        "VALUES (900002, 'x2', 'gold'), (900003, 'x3', NULL)")
+      sess.sql("SELECT c_custkey, c_name, tier FROM lake.default.cust_def")
     })
 }

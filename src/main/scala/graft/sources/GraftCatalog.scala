@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{
   Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
   TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark CATALOG PLUGIN over a graft lake — the SQL-native front door the
@@ -84,6 +84,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     LakeRegistry.entries(warehouse)
       .map(e => Identifier.of(Array("default"), e.table_name)).toArray
   }
+
+  /** Column DEFAULT values are a declared capability: Spark's analyzer
+    * then resolves `DEFAULT` in INSERTs and ALTER/CREATE column defaults
+    * against the schema's CURRENT_DEFAULT metadata. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def loadTable(ident: Identifier): Table = {
     val nm = ident.name()
@@ -291,7 +299,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         val colName = add.fieldNames()(0)
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"graft: column $colName already exists in ${ident.name()}")
-        schema = schema.add(colName, add.dataType(), nullable = true)
+        // ADD COLUMN ... DEFAULT v: initial-default semantics — existing
+        // rows read v, post-add stored NULLs stay NULL (see
+        // CowTable.addColumn). The default folds/validates HERE, loudly.
+        val metadata = Option(add.defaultValue()).fold(
+          org.apache.spark.sql.types.Metadata.empty) { dv =>
+          val sql = Option(dv.getSql).getOrElse(
+            throw new UnsupportedOperationException(
+              "graft: expression-only column DEFAULT is not supported — " +
+                "use a SQL literal expression"))
+          graft.storage.ColumnDefaults.metadataFor(
+            SparkSession.active, ident.name(), colName, add.dataType(), sql)
+        }
+        schema = StructType(schema.fields :+ StructField(
+          colName, add.dataType(), nullable = true, metadata))
       case sp: TableChange.SetProperty =>
         cfg = applyProperty(cfg, sp.property, Some(sp.value))
         if (sp.property == "statsColumns") statsTouched = true

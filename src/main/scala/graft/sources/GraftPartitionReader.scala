@@ -80,7 +80,13 @@ final class GraftPartitionReader(
           // running row position (parquet row index, DV-skipped rows still
           // counted) — the row-id half of the delta-based row-level path
           (_: Group) => java.lang.Long.valueOf(rowPos)
-        } else (_: Group) => null
+        } else {
+          // file predates the column: its INITIAL DEFAULT when declared
+          // (EXISTS_DEFAULT metadata — stored nulls in post-add files take
+          // the in-file branch below and stay null), else null
+          val const = graft.storage.ColumnDefaults.internalValue(f)
+          (_: Group) => const
+        }
       } else {
         val idx = readCols.indexOf(f.name)
         val pt = fileFields(f.name).asPrimitiveType()

@@ -437,6 +437,49 @@ final class CowTable private[storage] (
     parent + 1
   }
 
+  /** ALTER TABLE ADD COLUMN, METADATA-ONLY — optionally with an INITIAL
+    * DEFAULT (Iceberg-V3 initial-default / Spark EXISTS_DEFAULT semantics):
+    * rows written BEFORE the add read `defaultSql`'s value; rows written
+    * after read what was stored (an explicit NULL stays NULL). Zero data
+    * rewritten at any scale: the folded default literal rides the schema
+    * field's metadata (Spark's own `EXISTS_DEFAULT`/`CURRENT_DEFAULT`
+    * convention, so the vectorized parquet reader fills it natively) and
+    * every read path distinguishes "file predates the column" (physical
+    * absence — fill default) from "stored null" (present — keep). The
+    * default must fold to a CONSTANT at ALTER time — non-deterministic or
+    * column-referencing expressions fail loudly here, not at read. A name
+    * burned by a dropped predecessor allocates a fresh physical slot
+    * ([[CommitManifest.usedPhysicalNames]]), so old bytes never resurrect
+    * under the defaulted column. */
+  def addColumn(name: String, dt: DataType,
+      defaultSql: Option[String] = None): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val schema = structFromJson(m.schemaJson)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"table ${config.tableName}: column $name already exists")
+    require(!CowTable.reservedColumns.exists(_.equalsIgnoreCase(name)),
+      s"table ${config.tableName}: $name is a reserved change-feed name")
+    val metadata = defaultSql.fold(
+      org.apache.spark.sql.types.Metadata.empty)(sql =>
+      // fold + validate NOW: parse/cast errors and non-constant
+      // expressions must fail the ALTER, never a later read
+      ColumnDefaults.metadataFor(spark, config.tableName, name, dt, sql))
+    val newSchema = StructType(schema.fields :+
+      StructField(name, dt, nullable = true, metadata))
+    val (mapping, usedPhys) = CowTable.evolveMapping(Some(m), newSchema)
+    commitManifest(m.copy(
+      version = parent + 1, parent = parent,
+      schemaJson = newSchema.json,
+      dataChange = false, // same rows — feed/stream consumers skip it
+      commitTimeMs = clockMs(),
+      columnMapping = mapping,
+      usedPhysicalNames = usedPhys,
+      streamQueryId = None, streamEpochId = None, cdcDir = None))
+    parent + 1
+  }
+
   /** The CHECK constraints in force for the NEXT write: the current
     * manifest's durable list (authoritative post-create — ADD CONSTRAINT
     * commits append to it) unioned with this instance's config, so
@@ -1330,8 +1373,10 @@ final class CowTable private[storage] (
         val cdc = spark.read.parquet(root.resolve(m.cdcDir.get).toString)
         val cols = schema.fields.toSeq.map { f =>
           val p = mTo.physicalName(f.name) // change files store physical names
-          (if (cdc.columns.contains(p)) col(p)
-           else lit(null).cast(f.dataType)).as(f.name)
+          (if (cdc.columns.contains(p)) col(p).cast(f.dataType)
+           // a change file predating the column fills its initial default —
+           // the same value a snapshot read of those rows reports
+           else ColumnDefaults.fillExpr(f)).as(f.name)
         }
         Some(cdc.select(cols ++ Seq(
           lit(v).as("_commit_version"),
@@ -2150,8 +2195,8 @@ final class CowTable private[storage] (
         val present = alive.columns.toSet
         alive.select(schema.fields.toSeq.map { f =>
           val p = m.columnMapping.getOrElse(f.name, f.name)
-          (if (present(p)) col(p) else lit(null))
-            .cast(f.dataType).as(f.name)
+          (if (present(p)) col(p).cast(f.dataType)
+           else ColumnDefaults.fillExpr(f)).as(f.name) // initial defaults
         } ++ Seq(col("__rel"), col("__pos")): _*)
       }.reduce(_.union(_))
   }
@@ -2164,10 +2209,14 @@ final class CowTable private[storage] (
   private def conform(df: DataFrame, schema: StructType,
       mapping: Map[String, String] = Map.empty): DataFrame = {
     val present = df.columns.toSet
+    // absence is PER VERSION GROUP (readFiles reads each writer-unique
+    // version dir separately), so "file predates the column" — fill the
+    // initial default — never collides with "stored null" (the column is
+    // physically present in every file of a post-add group)
     df.select(schema.fields.toSeq.map { f =>
       val p = mapping.getOrElse(f.name, f.name)
-      (if (present(p)) col(p) else lit(null))
-        .cast(f.dataType).as(f.name)
+      (if (present(p)) col(p).cast(f.dataType)
+       else ColumnDefaults.fillExpr(f)).as(f.name)
     }: _*)
   }
 
@@ -2540,10 +2589,30 @@ final class CowTable private[storage] (
       }
     }
     val entries = fresh ++ carryOver
+    // INITIAL-DEFAULT metadata survives data commits: API writes carry
+    // df-derived schemas that lose field metadata, which would silently
+    // strip a declared DEFAULT on the first upsert — re-attach the
+    // parent's default annotations for same-named fields. An explicit
+    // dropColumn + addColumn re-add starts clean (the parent no longer
+    // carries the field when the re-add commits).
+    val schemaD =
+      if (parent < 1) schema
+      else {
+        val pf = structFromJson(manifest(parent).schemaJson)
+          .fields.map(f => f.name -> f).toMap
+        StructType(schema.fields.map { f =>
+          pf.get(f.name) match {
+            case Some(p) if p.metadata.contains(ColumnDefaults.ExistsKey) &&
+                !f.metadata.contains(ColumnDefaults.ExistsKey) =>
+              f.copy(metadata = p.metadata)
+            case _ => f
+          }
+        })
+      }
     val m = CommitManifest(
       version = v,
       parent = parent,
-      schemaJson = schema.json,
+      schemaJson = schemaD.json,
       primaryKey = config.primaryKey,
       partitionKey = config.partitionKey,
       keyNumeric = Try(schema(config.primaryKey.head).dataType)
