@@ -2052,5 +2052,47 @@ object StorageQueries {
       sess.sql("INSERT INTO lake.default.cust_def " +
         "VALUES (900002, 'x2', 'gold'), (900003, 'x3', NULL)")
       sess.sql("SELECT c_custkey, c_name, tier FROM lake.default.cust_def")
+    },
+
+    // NULL-COUNT statistics: per-file footer null counts ride the manifest
+    // for key + statsColumns, giving (a) COUNT(col) — the null-excluding
+    // count — answered with ZERO data files opened (plan-asserted), and
+    // (b) `IS [NOT] NULL` FILE SKIPPING (a no-null file can't satisfy IS
+    // NULL; an all-null file can't satisfy IS NOT NULL) — the "rows missing
+    // an annotation" scan a curation pipeline runs constantly. A synthetic
+    // all-null append makes both observable; oracle replays the arithmetic.
+    Q("q196_null_stats",
+      """SELECT CAST((SELECT count(*) FROM customer) +
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 131 = 0)
+        |  AS BIGINT) AS n_all,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_bal,
+        |  CAST((SELECT count(*) FROM customer WHERE c_custkey % 131 = 0)
+        |  AS BIGINT) AS n_null
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q196")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val tbl = CowTable(s, root, TableConfig("cust_ns", Seq("c_custkey"),
+        statsColumns = Seq("c_acctbal")))
+      tbl.create(t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal").repartition(4))
+      // synthetic un-priced rows (fresh keys → their own files, all-null)
+      tbl.upsert(t(s, d, "customer").filter(col("c_custkey") % 131 === 0)
+        .select((col("c_custkey") + 900000).as("c_custkey"), col("c_name"),
+          lit(null).cast(tbl.read().schema("c_acctbal").dataType)
+            .as("c_acctbal")))
+      val df = s.read.format("graft").load(root)
+      val agg = df.agg(count(lit(1)).as("n_all"),
+        count(col("c_acctbal")).as("n_bal"))
+      require(agg.queryExecution.executedPlan.toString
+        .contains("manifest_agg_"),
+        "expected COUNT(col) answered from footer null counts")
+      // the IS NULL scan must SKIP every no-null file (only the appended
+      // all-null files survive pruning)
+      val nullScan = df.filter(col("c_acctbal").isNull)
+      val desc = nullScan.queryExecution.executedPlan.toString
+      require("files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).exists(mm =>
+        mm.group(1).toInt < mm.group(2).toInt),
+        s"expected IS NULL to skip no-null files in:\n$desc")
+      agg.crossJoin(nullScan.agg(count(lit(1)).as("n_null")))
     })
 }

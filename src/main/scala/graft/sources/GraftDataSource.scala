@@ -517,10 +517,25 @@ final class GraftScanBuilder(
   // a partition value instead of conservatively keeping it
   private var consumedPartFilter: Boolean = false
 
+  /** `c IS [NOT] NULL` conjuncts — pruning-only against per-file NULL
+    * counts (a file with zero nulls can't satisfy IS NULL; an all-null
+    * file can't satisfy IS NOT NULL). Always residual: exactness stays
+    * with Spark's re-check. Any column qualifies — files without a null
+    * count for it are simply never skipped. */
+  private def nullChecks(f: Filter): Seq[(String, Boolean)] = f match {
+    case org.apache.spark.sql.sources.IsNull(c) => Seq((c, true))
+    case IsNotNull(c) => Seq((c, false))
+    case And(l, r) => nullChecks(l) ++ nullChecks(r)
+    case _ => Nil
+  }
+
+  private var nullPrunes: Seq[(String, Boolean)] = Nil
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.flatMap(keyBounds)
     val parts = filters.flatMap(partitionSets)
     val stats = filters.flatMap(statColBounds)
+    nullPrunes = filters.flatMap(nullChecks).toSeq
     val notNullPart: Seq[Filter] = m.partitionKey.toSeq.flatMap(pk =>
       filters.collect { case f @ IsNotNull(`pk`) => f })
     bounds = usable.map(b => (b._2, b._3)).toSeq
@@ -573,8 +588,13 @@ final class GraftScanBuilder(
     *  - MIN/MAX of a declared [[graft.storage.TableConfig.statsColumns]]
     *    column: the per-file footer ranges already ride the manifest
     *    (`FileEntry.extra`) — same numeric/temporal exactness rules, same
-    *    DV/all-null rejections; strings rejected (parquet may truncate
-    *    binary stats — fine for pruning, wrong for an exact extremum);
+    *    DV rejections; a provably ALL-NULL file (null count == rows) just
+    *    skips; strings rejected (parquet may truncate binary stats — fine
+    *    for pruning, wrong for an exact extremum);
+    *  - COUNT(col) (non-distinct): sum(rows − null count) when every file
+    *    carries a footer null count for the column and no deletion vector;
+    *    the hive partition column counts liveRows of non-null-partition
+    *    files instead (path-borne, DV-exact);
     *  - GROUP BY the hive PARTITION KEY: the same aggregates answered per
     *    partition value from the per-file stats (every file must carry a
     *    path-borne value — an old-layout file after partition-spec
@@ -690,14 +710,34 @@ final class GraftScanBuilder(
           BigDecimal(e.maxKey.get)).isSuccess)
     // statsColumns twin of [[statsUsable]]: every file must carry a finite
     // footer range for the PHYSICAL column and no deletion vector (the
-    // extremum may be deleted). A file that is all-null for the column has
-    // no range entry — correctly rejecting the pushdown (its rows cannot
-    // move MIN/MAX, but a sibling usable file is not guaranteed here).
+    // extremum may be deleted) — EXCEPT a provably ALL-NULL file (null
+    // count == rows), which has no range but contributes nothing to a
+    // null-ignoring MIN/MAX and may simply be skipped.
     def extraUsable(fs: Seq[FileEntry], phys: String): Boolean =
       fs.forall(e => e.dvPath.isEmpty &&
-        e.extra.get(phys).exists(r => r.mn.isDefined && r.mx.isDefined &&
+        (e.extra.get(phys).exists(r => r.mn.isDefined && r.mx.isDefined &&
           scala.util.Try(BigDecimal(r.mn.get) +
-            BigDecimal(r.mx.get)).isSuccess))
+            BigDecimal(r.mx.get)).isSuccess) ||
+          e.nulls.get(phys).contains(e.rows)))
+    // COUNT(col) (non-distinct, null-excluding) is answerable when every
+    // file carries a null count for the column: sum(rows − nulls). Any
+    // deletion vector rejects (the deleted rows' null-ness is unknown).
+    // The hive PARTITION column counts from liveRows instead: a file's
+    // rows all share its path value (null partition ⇒ all null), and
+    // liveRows stays exact under deletion vectors.
+    def countable(fs: Seq[FileEntry], c: String): Option[Long] =
+      if (m.partitionKey.contains(c)) {
+        val vals = fs.map(e => GraftScan.pathPartValue(m.partitionKey, e))
+        if (vals.contains(None)) None // flat-layout file: value unknown
+        else Some(fs.zip(vals.flatten).collect {
+          case (e, v) if v != GraftScan.NullPartitionName => e.liveRows
+        }.sum)
+      } else {
+        val phys = m.physicalName(c)
+        if (fs.forall(e => e.dvPath.isEmpty && e.nulls.contains(phys)))
+          Some(fs.map(e => e.rows - e.nulls(phys)).sum)
+        else None
+      }
     // a ZERO floating-point extremum is sign-ambiguous in parquet stats
     // (readers widen +0.0 → -0.0 per the spec's FP-stats guidance) — fine
     // for pruning, not for an exact answer: reject the pushdown
@@ -747,9 +787,10 @@ final class GraftScanBuilder(
           val phys = m.physicalName(c)
           if (fs.nonEmpty && !extraUsable(fs, phys)) return None
           aggFields += StructField(s"manifest_agg_$i", dt, nullable = true)
-          values += (if (fs.isEmpty) null
+          val ranged = fs.filter(_.extra.contains(phys)) // all-null files skip
+          values += (if (ranged.isEmpty) null
             else {
-              val s = fs.map(_.extra(phys).mn.get).minBy(BigDecimal(_))
+              val s = ranged.map(_.extra(phys).mn.get).minBy(BigDecimal(_))
               if (fpAmbiguous(dt, s)) return None
               scala.util.Try(typeDecode(dt, s)).getOrElse(return None)
             })
@@ -761,12 +802,20 @@ final class GraftScanBuilder(
           val phys = m.physicalName(c)
           if (fs.nonEmpty && !extraUsable(fs, phys)) return None
           aggFields += StructField(s"manifest_agg_$i", dt, nullable = true)
-          values += (if (fs.isEmpty) null
+          val ranged = fs.filter(_.extra.contains(phys)) // all-null files skip
+          values += (if (ranged.isEmpty) null
             else {
-              val s = fs.map(_.extra(phys).mx.get).maxBy(BigDecimal(_))
+              val s = ranged.map(_.extra(phys).mx.get).maxBy(BigDecimal(_))
               if (fpAmbiguous(dt, s)) return None
               scala.util.Try(typeDecode(dt, s)).getOrElse(return None)
             })
+        case (ct: org.apache.spark.sql.connector.expressions.aggregate.Count,
+            i) if !ct.isDistinct && colOf(ct.column).isDefined =>
+          val c = colOf(ct.column).get
+          val n = countable(fs, c).getOrElse(return None)
+          aggFields += StructField(s"manifest_agg_$i", LongType,
+            nullable = false)
+          values += n
         case _ => return None
       }
       values.toArray
@@ -812,7 +861,7 @@ final class GraftScanBuilder(
       }
     }
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
-      extraBounds, consumedPartFilter, partNotNull, partRange)
+      extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes)
   }
 }
 
@@ -922,7 +971,10 @@ final class GraftScan(
     /** Hidden-partitioning [lo, hi] on the transform partition's PATH value
       * (lexical — chronological for day/month, prefix-monotone for
       * truncate), derived from source-column ranges. Pruning-only. */
-    partRange: (Option[String], Option[String]) = (None, None))
+    partRange: (Option[String], Option[String]) = (None, None),
+    /** `IS [NOT] NULL` conjuncts (column, isNull) — pruning-only against
+      * per-file null counts; files without a count are never skipped. */
+    nullPrunes: Seq[(String, Boolean)] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -964,9 +1016,21 @@ final class GraftScan(
     // kept (conservative); overlap checks use the declared type's space.
     // FileEntry.extra is keyed by PHYSICAL name (rename-stable), filters
     // arrive logical — translate.
-    extraBounds.foldLeft(parted) { case (fs, (c, num, lo, hi)) =>
-      fs.filter(e => e.extra.get(m.physicalName(c))
-        .forall(r => CowTable.rangeOverlaps(r, lo, hi, num)))
+    val ranged2 =
+      extraBounds.foldLeft(parted) { case (fs, (c, num, lo, hi)) =>
+        fs.filter(e => e.extra.get(m.physicalName(c))
+          .forall(r => CowTable.rangeOverlaps(r, lo, hi, num)))
+      }
+    // NULL-count skipping: zero nulls ⇒ IS NULL matches nothing; all null
+    // ⇒ IS NOT NULL matches nothing. Both stay valid under deletion
+    // vectors (deletions only remove rows — they cannot create a match).
+    nullPrunes.foldLeft(ranged2) { case (fs, (c, isNull)) =>
+      val phys = m.physicalName(c)
+      fs.filter(e => e.nulls.get(phys) match {
+        case Some(n) if isNull => n > 0
+        case Some(n) => n < e.rows
+        case None => true // unknown: never skip
+      })
     }
   }
 
@@ -1049,6 +1113,7 @@ final class GraftScan(
       s" keyRangeFilters=${bounds.size}" +
       s" partitionFilterValues=${partValues.fold(0)(_.size)}" +
       s" statsColFilters=${extraBounds.size}" +
+      s" nullFilters=${nullPrunes.size}" +
       s" columnar=$columnar"
 
   /** Batch CDF read (Delta `spark.read.option("readChangeFeed","true")`

@@ -35,6 +35,12 @@ final case class FileEntry(
       * file is never skipped on it (pre-upgrade manifests degrade safely).
       */
     extra: Map[String, ColRange] = Map.empty,
+    /** Per-column NULL counts (physical name → count) for the key and
+      * [[TableConfig.statsColumns]] columns, from parquet footer
+      * null-count stats: `IS [NOT] NULL` file skipping and COUNT(col)
+      * manifest pushdown feed on these. Absent column ⇒ unknown ⇒ never
+      * skipped / never pushed (pre-upgrade manifests degrade safely). */
+    nulls: Map[String, Long] = Map.empty,
     /** The comma-joined cluster-column signature this file was Z-ORDERED
       * under, set by [[CowTable.optimize]] on its output files and carried
       * verbatim while the file survives commits untouched. Lets OPTIMIZE
@@ -2896,8 +2902,24 @@ final class CowTable private[storage] (
         val (emn, emx) = colStat(k, n, dt)
         if (emn.isEmpty || emx.isEmpty) None else Some(k -> ColRange(emn, emx))
       }.toMap
+      // NULL counts per examined column — set in every row group or not at
+      // all (a partial sum would under-count and misprune IS NULL). An
+      // all-null column legitimately has a null count and no min/max.
+      def colNulls(key: String): Option[Long] = {
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == key))
+        if (blocks.isEmpty || chunks.size != blocks.size) None
+        else {
+          val stats = chunks.map(_.getStatistics)
+          if (stats.exists(s => s == null || !s.isNumNullsSet)) None
+          else Some(stats.map(_.getNumNulls).sum)
+        }
+      }
+      val nullsMap = (cols.map(_._1) ++ extras.map(_._1)).distinct
+        .flatMap(k => colNulls(k).map(k -> _)).toMap
       FileEntry(relativize(file.toString), rows, mn, mx, mn2, mx2,
-        bytes = Try(Files.size(file)).getOrElse(0L), extra = extraMap)
+        bytes = Try(Files.size(file)).getOrElse(0L), extra = extraMap,
+        nulls = nullsMap)
     } finally reader.close()
   }
 

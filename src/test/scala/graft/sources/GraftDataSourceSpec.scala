@@ -171,14 +171,14 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(g.queryExecution.executedPlan.toString.contains("manifest_agg_"))
     assert(g.as[(String, Double, Double)].collect().toSet == Set(
       ("c0", 6.0, 180.0), ("c1", 2.0, 176.0), ("c2", 4.0, 178.0)))
-    // a file that is ALL-NULL for the column has no range → falls back,
-    // and the real scan returns the right (null-ignoring) extremum
+    // a file that is provably ALL-NULL for the column (null count == rows)
+    // has no range but contributes nothing — the extremum still pushes
     val nt = CowTable(spark, dir + "/n", TableConfig("n", Seq("id"),
       statsColumns = Seq("v")))
     nt.create(Seq((1L, Some(5.0)), (2L, Some(9.0))).toDF("id", "v"))
     nt.upsert(Seq((3L, None: Option[Double])).toDF("id", "v"))
     val nAgg = spark.read.format("graft").load(dir + "/n").agg(max($"v"))
-    assert(!nAgg.queryExecution.executedPlan.toString
+    assert(nAgg.queryExecution.executedPlan.toString
       .contains("manifest_agg_"))
     assert(nAgg.head().getDouble(0) == 9.0)
     // STRING statsColumns never push an extremum (truncation-unsafe)
@@ -186,6 +186,48 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(!sMin.queryExecution.executedPlan.toString
       .contains("manifest_agg_"))
     assert(sMin.head().getString(0) == "L1")
+  }
+
+  test("null-count stats: COUNT(col) pushes, IS [NOT] NULL prunes files") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/n", TableConfig("n", Seq("id"),
+      statsColumns = Seq("v")))
+    // file 1: v fully populated; file 2: v ALL NULL
+    t.create((1L to 100L).map(i => (i, Some(i * 1.0))).toDF("id", "v")
+      .coalesce(1))
+    t.upsert((101L to 120L).map(i => (i, None: Option[Double]))
+      .toDF("id", "v").coalesce(1))
+    val df = spark.read.format("graft").load(dir + "/n")
+    // COUNT(col) answers from footer null counts — zero files read
+    val c = df.agg(count($"v").as("nv"), count($"id").as("nk"),
+      count(lit(1)).as("n"))
+    assert(c.queryExecution.executedPlan.toString.contains("manifest_agg_"),
+      s"expected COUNT(col) pushdown in:\n${c.queryExecution.executedPlan}")
+    assert(c.as[(Long, Long, Long)].head() == (100L, 120L, 120L))
+    // IS NOT NULL skips the all-null file; IS NULL skips the no-null file
+    val nn = df.filter($"v".isNotNull)
+    assert(nn.queryExecution.executedPlan.toString.contains("files=1/2"),
+      s"expected null-count skip in:\n${nn.queryExecution.executedPlan}")
+    assert(nn.count() == 100L)
+    val isn = df.filter($"v".isNull)
+    assert(isn.queryExecution.executedPlan.toString.contains("files=1/2"))
+    assert(isn.select("id").as[Long].collect().toSet ==
+      (101L to 120L).toSet)
+    // MIN/MAX still push with an all-null file in the set (it provably
+    // contributes nothing) — the round-trip the null counts enable
+    val mm = df.agg(min($"v"), max($"v"))
+    assert(mm.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(mm.as[(Double, Double)].head() == (1.0, 100.0))
+    // deletion vectors reject COUNT(col) (deleted rows' null-ness unknown)
+    val d = CowTable(spark, dir + "/dv", TableConfig("dv", Seq("id"),
+      changeDataFeed = true, deletionVectors = true,
+      statsColumns = Seq("v")))
+    d.create((1L to 50L).map(i =>
+      (i, if (i % 5 == 0) None else Some(i * 1.0))).toDF("id", "v"))
+    d.delete(Seq(Tuple1(7L)).toDF("id"))
+    val dc = spark.read.format("graft").load(dir + "/dv").agg(count($"v"))
+    assert(!dc.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(dc.as[Long].head() == 39L) // 40 non-null minus deleted id=7
   }
 
   test("partition filters consume exactly: filtered rollups push to the manifest") {
