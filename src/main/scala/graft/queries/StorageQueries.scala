@@ -2094,5 +2094,66 @@ object StorageQueries {
         mm.group(1).toInt < mm.group(2).toInt),
         s"expected IS NULL to skip no-null files in:\n$desc")
       agg.crossJoin(nullScan.agg(count(lit(1)).as("n_null")))
+    },
+
+    // STREAMING WRITE-AUDIT-PUBLISH: every micro-batch stages on a fresh
+    // BRANCH, the expectation audit runs against the STAGED state, and
+    // only a clean batch fast-forwards onto main — a poisoned batch drops
+    // its branch whole and main never serves a single unaudited row (the
+    // per-batch WAP loop Iceberg documents as its streaming-audit
+    // pattern). Bucket 1's batch carries injected negative values → its
+    // ENTIRE batch is rejected; buckets 0 and 2 publish. One file per
+    // bucket + maxFilesPerTrigger(1) pins batch = bucket, so the oracle
+    // replays exactly: initial slice + clean buckets of the stream slice.
+    Q("q197_stream_wap",
+      s"""SELECT event_id, user_id, event_type, value FROM events
+         |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+         |UNION ALL
+         |SELECT event_id, user_id, event_type, value FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND user_id % 3 <> 1
+         |""".stripMargin) { (s, d) =>
+      val base = tableDir("q197")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val main = CowTable(s, base + "/main",
+        TableConfig("ev_wap", Seq("event_id")))
+      main.create(t(s, d, "events").filter(col("ts") < cut)
+        .select(cols.map(col): _*))
+      // stream source: one file per bucket; bucket 1 poisoned upstream
+      val src = base + "/src"
+      t(s, d, "events").filter(col("ts") >= cut)
+        .withColumn("bucket", col("user_id") % 3)
+        .withColumn("value",
+          when(col("user_id") % 3 === 1 && col("event_id") % 7 === 0,
+            lit(-1.0)).otherwise(col("value")))
+        .select(col("bucket") +: cols.map(col): _*)
+        .repartition(1)
+        .write.partitionBy("bucket").mode("overwrite").parquet(src)
+      val schema = org.apache.spark.sql.types.StructType(
+        main.read().schema.fields)
+      var published = 0
+      var rejected = 0
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val name = s"ing$id"
+          val b = main.createBranch(name) // WRITE on the audited fork
+          b.upsert(batch.select(cols.map(col): _*))
+          // AUDIT the staged state; PUBLISH only a clean batch
+          if (b.read().filter(col("value") < 0).isEmpty) {
+            main.fastForward(name); published += 1
+          } else rejected += 1
+          main.dropBranch(name)
+          ()
+        }
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(published == 2 && rejected == 1,
+        s"expected 2 published + 1 rejected batches, got $published/$rejected")
+      main.read().select(cols.map(col): _*)
     })
 }

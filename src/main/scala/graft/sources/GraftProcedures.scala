@@ -33,7 +33,8 @@ object GraftProcedures {
       "evolve_partition", "create_matview", "refresh_matview",
       "purge_vectors", "tag", "drop_tag", "generate_manifest",
       "create_release", "drop_release", "list_releases",
-      "create_branch", "drop_branch", "fast_forward", "list_branches")
+      "create_branch", "drop_branch", "fast_forward", "list_branches",
+      "vacuum_age")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -89,6 +90,16 @@ object GraftProcedures {
           StructField("deleted_files", IntegerType, nullable = false)))) {
         args =>
           Array[Any](open(str(args, 0)).vacuum(args.getInt(1)).size)
+      })
+      // CALL lake.vacuum_age('t', 86400000): age-based retention — every
+      // version current within the window survives (Delta RETAIN-hours
+      // shape; tag pins still hold through the delegated vacuum)
+      case "vacuum_age" => Some(proc("vacuum_age",
+        Seq(in("table", StringType), in("retain_ms", LongType)),
+        resultSchema = StructType(Seq(
+          StructField("deleted_files", IntegerType, nullable = false)))) {
+        args =>
+          Array[Any](open(str(args, 0)).vacuumOlderThan(args.getLong(1)).size)
       })
       // CALL lake.evolve_partition('t', 'region') / ('t') to un-partition:
       // partition-spec evolution as SQL (CowTable.alterPartitionKey —

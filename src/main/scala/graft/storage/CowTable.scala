@@ -1875,6 +1875,23 @@ final class CowTable private[storage] (
     doomed ++ sweepOrphans(cur, orphanOlderThanMs)
   }
 
+  /** AGE-based retention (the Delta `VACUUM ... RETAIN n HOURS` shape):
+    * retains every version that was CURRENT at any instant inside the
+    * window — i.e. back to (and including) the newest version committed at
+    * or before `now − retainMs`, so `TIMESTAMP AS OF` anywhere in the
+    * window keeps resolving — then delegates to [[vacuum]]'s
+    * reachability + tag-pinning logic. Uses the injectable commit clock,
+    * so retention tests are deterministic. */
+  def vacuumOlderThan(retainMs: Long): Seq[String] = {
+    val cur = currentVersion
+    require(cur > 0, s"table ${config.tableName} does not exist")
+    require(retainMs >= 0, "retainMs must be non-negative")
+    val cutoff = clockMs() - retainMs
+    var v = cur
+    while (v > 1 && manifest(v).commitTimeMs > cutoff) v -= 1
+    vacuum(retainLast = cur - v + 1)
+  }
+
   /** Unreferenced version dirs + `_cdc/` children older than the age guard
     * (see [[vacuum]]). Returns the swept root-relative dir paths. */
   private def sweepOrphans(cur: Int, olderThanMs: Long): Seq[String] = {

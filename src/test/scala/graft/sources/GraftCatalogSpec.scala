@@ -417,6 +417,11 @@ class GraftCatalogSpec extends SparkSpec {
     val zv = sess.sql("CALL lake.optimize('p')").head().getInt(0)
     assert(zv == 7)
 
+    // age-based retention first: a huge window retains every version
+    assert(sess.sql("CALL lake.vacuum_age('p', 864000000)")
+      .head().getInt(0) == 0)
+    assert(sess.table("lake.default.p").count() == 4)
+
     // vacuum with a retention window drops unreferenced files
     val deleted = sess.sql("CALL lake.vacuum('p', 1)").head().getInt(0)
     assert(deleted >= 1, s"vacuum deleted $deleted")

@@ -690,6 +690,29 @@ class CowTableSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1000L, 2000L, 3000L))
   }
 
+  test("vacuumOlderThan retains every version current inside the window") {
+    val (t, _) = freshTable()
+    // commits at t=1000, 2000, 3000, 4000; "now" for the vacuum = 10000
+    val ticks = Iterator(1000L, 2000L, 3000L, 4000L, 10000L, 10000L)
+    t.withClock(() => ticks.next())
+    t.create(Seq((1L, "a")).toDF("id", "name"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "name"))
+    t.overwrite(Seq((3L, "c")).toDF("id", "name"))
+    t.overwrite(Seq((4L, "d")).toDF("id", "name"))
+    // window [10000-7500, 10000] = [2500, 10000]: v3/v4 committed inside,
+    // v2 was CURRENT at the window start (commit 2000 ≤ 2500) — retained
+    // so TIMESTAMP AS OF 2500 keeps resolving; only v1 expires
+    val deleted = t.vacuumOlderThan(retainMs = 7500L)
+    assert(deleted.nonEmpty)
+    assert(t.earliestReadableVersion == 2)
+    assert(t.readVersion(2).as[(Long, String)].head() == ((2L, "b")))
+    assertThrows[IllegalArgumentException] { t.readVersion(1) }
+    // a zero-width window keeps only the current version
+    assert(t.vacuumOlderThan(retainMs = 0L).nonEmpty)
+    assert(t.earliestReadableVersion == 4)
+    assert(t.read().as[(Long, String)].head() == ((4L, "d")))
+  }
+
   test("vacuum retaining everything deletes nothing") {
     val (t, _) = freshTable()
     t.create(Seq((1L, "a")).toDF("id", "name"))
