@@ -88,6 +88,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
 
+    // PERSISTED-VIEW resolution: expand `FROM <graftCatalog>.default.<v>`
+    // (or `<graftCatalog>.<v>`) into the stored definition — the read-side
+    // half of CALL lake.create_view (vanilla Spark 4.1 routes neither view
+    // DDL nor reads to a DSv2 ViewCatalog; the public lake engines install
+    // the same kind of rule). Nested views expand across fixed-point
+    // iterations; a later-created reference cycle fails the analyzer's
+    // max-iteration guard instead of looping. Unqualified names are left
+    // alone — qualification is what scopes the lookup to a graft catalog.
+    ext.injectResolutionRule { session =>
+      new org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(
+            plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          plan.resolveOperatorsUp {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedRelation =>
+              val parts = u.multipartIdentifier
+              val catAndName = parts match {
+                case Seq(c, ns, n) if ns.equalsIgnoreCase("default") =>
+                  Some((c, n))
+                case Seq(c, n) => Some((c, n))
+                case _ => None
+              }
+              catAndName.flatMap { case (c, n) =>
+                scala.util.Try(
+                  session.sessionState.catalogManager.catalog(c)).toOption
+                  .collect { case g: graft.sources.GraftCatalog => g }
+                  .flatMap(_.viewSql(n))
+                  .map(sql => org.apache.spark.sql.catalyst.plans.logical
+                    .SubqueryAlias(n,
+                      session.sessionState.sqlParser.parsePlan(sql)))
+              }.getOrElse(u)
+          }
+      }
+    }
+
     register("byte_histogram", { es =>
       val sig = "BINARY, INT literal"
       arity(es, 2, "byte_histogram", sig)

@@ -2155,5 +2155,55 @@ object StorageQueries {
       require(published == 2 && rejected == 1,
         s"expected 2 published + 1 rejected batches, got $published/$rejected")
       main.read().select(cols.map(col): _*)
+    },
+
+    // PERSISTED LAKE VIEWS: `CALL lake.create_view` validates the
+    // definition by analysis and stores it durably in the warehouse;
+    // SELECT expands it through the GraftExtensions resolution rule
+    // (vanilla Spark 4.1 routes neither view DDL nor reads to a DSv2
+    // ViewCatalog — graft installs the rule the public lake engines do).
+    // Views COMPOSE (a view over a view) and track the BASE TABLE: rows
+    // inserted after create are visible. Oracle replays the nested
+    // predicate stack over the post-insert state.
+    Q("q198_lake_views",
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM (SELECT c_custkey, c_name, c_acctbal FROM customer
+        |      UNION ALL SELECT 700001, 'late', 5000.00)
+        |WHERE c_acctbal > 1000 AND c_custkey % 2 = 0
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q198")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val tbl = CowTable(s, lake + "/cust_v",
+        TableConfig("cust_v", Seq("c_custkey")))
+      tbl.create(t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal"))
+      graft.storage.LakeRegistry.register(lake, tbl.config, "cust_v")
+      // view resolution needs the extension — build a sibling session on
+      // the same SparkContext, restoring the verify session afterwards
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val es = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      try {
+        es.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+        es.conf.set("spark.sql.catalog.lake.warehouse", lake)
+        es.sql("CALL lake.create_view('bigcust', 'SELECT c_custkey, " +
+          "c_name, c_acctbal FROM lake.default.cust_v " +
+          "WHERE c_acctbal > 1000')")
+        es.sql("CALL lake.create_view('even_big', " +
+          "'SELECT * FROM lake.default.bigcust WHERE c_custkey % 2 = 0')")
+        // the views track the base table — a later insert is visible
+        es.sql("INSERT INTO lake.default.cust_v VALUES " +
+          "(700001, 'late', 5000.00)")
+        require(es.sql("CALL lake.list_views()").collect()
+          .map(_.getString(0)).toSeq == Seq("bigcust", "even_big"),
+          "both view definitions must be listed")
+        es.sql("SELECT c_custkey, c_name, " +
+          "CAST(c_acctbal AS DOUBLE) AS c_acctbal " +
+          "FROM lake.default.even_big")
+      } finally {
+        org.apache.spark.sql.SparkSession.setDefaultSession(s)
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+      }
     })
 }

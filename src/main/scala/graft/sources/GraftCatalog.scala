@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * catalog operation; `CowTable.vacuum`/delete handle data lifecycle).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -152,6 +153,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     requireNs(ident.namespace())
     if (entryFor(ident).isDefined)
       throw new TableAlreadyExistsException(ident)
+    require(!Files.exists(viewFile(ident.name())),
+      s"graft: a VIEW named ${ident.name()} already exists in the lake")
     // identity → hive partitionKey; days/months/bucket/truncate → a
     // PARTITION TRANSFORM spec (hidden partitioning: the table partitions
     // on a generated column, scans prune from source-column predicates)
@@ -441,6 +444,102 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     requireNs(namespace)
     GraftProcedures.list()
+  }
+
+  // ---- persisted VIEWS (ViewCatalog): CREATE/DROP/SHOW VIEW as SQL -------
+  // A view is a named, PERSISTED query definition — one JSON file under
+  // <warehouse>/_views/<name>.json (atomic tmp+move write, so readers see
+  // whole definitions or none). Spark's analyzer expands the stored SQL at
+  // query time against the stored catalog/namespace context, so a view
+  // over lake tables keeps working in any later session. Names share the
+  // lake's flat namespace with tables — collisions rejected both ways.
+
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+  import GraftViews.ViewDef
+
+  private def viewFile(name: String): Path = GraftViews.file(warehouse, name)
+
+  /** Stored SQL of a lake view (the extension resolution rule's lookup). */
+  private[graft] def viewSql(name: String): Option[String] =
+    GraftViews.read(warehouse, name).map(_.sql)
+
+  private def readViewDef(ident: Identifier): Option[ViewDef] = {
+    requireNs(ident.namespace())
+    GraftViews.read(warehouse, ident.name())
+  }
+
+  private def asView(ident: Identifier, d: ViewDef): View = new View {
+    override def name(): String = ident.name()
+    override def query(): String = d.sql
+    override def currentCatalog(): String = d.currentCatalog
+    override def currentNamespace(): Array[String] =
+      d.currentNamespace.toArray
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
+        .asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] =
+      d.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = d.columnAliases.toArray
+    override def columnComments(): Array[String] = d.columnComments.toArray
+    override def properties(): java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      d.properties.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    requireNs(namespace.toArray)
+    GraftViews.list(warehouse)
+      .map(n => Identifier.of(Array("default"), n)).toArray
+  }
+
+  override def loadView(ident: Identifier): View =
+    readViewDef(ident).map(asView(ident, _)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        ident))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    requireNs(ident.namespace())
+    require(entryFor(ident).isEmpty,
+      s"graft: a TABLE named ${ident.name()} already exists in the lake")
+    val d = ViewDef(info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema().json,
+      info.queryColumnNames().toSeq,
+      Option(info.columnAliases()).fold(Seq.empty[String])(_.toSeq),
+      Option(info.columnComments()).fold(Seq.empty[String])(
+        _.toSeq.map(c => if (c == null) "" else c)),
+      {
+        import scala.jdk.CollectionConverters._
+        Option(info.properties()).fold(Map.empty[String, String])(
+          _.asScala.toMap)
+      })
+    if (!GraftViews.create(warehouse, ident.name(), d))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    asView(ident, d)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "graft: ALTER VIEW is not supported — CREATE OR REPLACE VIEW instead")
+
+  override def dropView(ident: Identifier): Boolean = {
+    requireNs(ident.namespace())
+    GraftViews.delete(warehouse, ident.name())
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireNs(oldIdent.namespace()); requireNs(newIdent.namespace())
+    if (!Files.exists(viewFile(oldIdent.name())))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        oldIdent)
+    require(entryFor(newIdent).isEmpty,
+      s"graft: a TABLE named ${newIdent.name()} already exists in the lake")
+    if (!GraftViews.rename(warehouse, oldIdent.name(), newIdent.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
   }
 
   // ---- namespaces: exactly one, `default` --------------------------------

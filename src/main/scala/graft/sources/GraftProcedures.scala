@@ -34,7 +34,7 @@ object GraftProcedures {
       "purge_vectors", "tag", "drop_tag", "generate_manifest",
       "create_release", "drop_release", "list_releases",
       "create_branch", "drop_branch", "fast_forward", "list_branches",
-      "vacuum_age")
+      "vacuum_age", "create_view", "drop_view", "list_views")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -100,6 +100,48 @@ object GraftProcedures {
           StructField("deleted_files", IntegerType, nullable = false)))) {
         args =>
           Array[Any](open(str(args, 0)).vacuumOlderThan(args.getLong(1)).size)
+      })
+      // CALL lake.create_view('v', 'SELECT ...'): PERSISTED view — the
+      // definition is validated by ANALYZING it in the calling session
+      // (parse errors, missing tables, and self-reference all fail here,
+      // loudly, before anything lands), then written atomically. SELECT
+      // resolution of lake views is installed by graft.GraftExtensions
+      // (vanilla Spark 4.1 routes neither CREATE VIEW DDL nor reads to a
+      // DSv2 ViewCatalog — same approach as the public lake engines).
+      case "create_view" => Some(proc("create_view",
+        Seq(in("name", StringType), in("sql", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("view", StringType, nullable = false)))) { args =>
+        val name = str(args, 0)
+        val sql = str(args, 1)
+        require(!LakeRegistry.entries(warehouse)
+          .exists(_.table_name == name),
+          s"create_view: a TABLE named $name already exists in the lake")
+        val s = SparkSession.active
+        val schema = s.sql(sql).schema // analysis-validates the definition
+        require(GraftViews.create(warehouse, name, GraftViews.ViewDef(
+          sql, "", Seq("default"), schema.json,
+          schema.fieldNames.toSeq, Nil, Nil, Map.empty)),
+          s"create_view: view $name already exists — drop it first")
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(name))
+      })
+      case "drop_view" => Some(proc("drop_view",
+        Seq(in("name", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false)))) { args =>
+        Array[Any](GraftViews.delete(warehouse, str(args, 0)))
+      })
+      // CALL lake.list_views(): one row per persisted view (name + sql)
+      case "list_views" => Some(procRows("list_views", Seq(),
+        resultSchema = StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("sql", StringType, nullable = false)))) { _ =>
+        GraftViews.list(warehouse).map { n =>
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              GraftViews.read(warehouse, n).fold("")(_.sql)))
+        }.toArray
       })
       // CALL lake.evolve_partition('t', 'region') / ('t') to un-partition:
       // partition-spec evolution as SQL (CowTable.alterPartitionKey —

@@ -148,4 +148,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("persisted lake views: CALL create_view + SELECT through the rule") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val lake = java.nio.file.Files.createTempDirectory("views").toString
+      s.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      s.sql("CREATE TABLE lake.default.vt (id BIGINT, v DOUBLE) " +
+        "OPTIONS (primaryKey 'id')")
+      s.sql("INSERT INTO lake.default.vt VALUES (1, 1.5), (2, -2.0), " +
+        "(3, 3.5)")
+      // CREATE: validated by analysis — a bad definition fails loudly
+      s.sql("CALL lake.create_view('pos', " +
+        "'SELECT id, v FROM lake.default.vt WHERE v > 0')")
+      intercept[Exception](s.sql(
+        "CALL lake.create_view('bad', 'SELECT * FROM lake.default.nope')"))
+      intercept[Exception](s.sql( // self-reference: not yet resolvable
+        "CALL lake.create_view('self', 'SELECT * FROM lake.default.self')"))
+      // SELECT expands the stored definition (both qualifications)
+      assert(s.sql("SELECT sum(v) FROM lake.default.pos")
+        .head().getDouble(0) == 5.0)
+      assert(s.sql("SELECT count(*) FROM lake.pos").head().getLong(0) == 2L)
+      // the view tracks the BASE TABLE, not a snapshot
+      s.sql("INSERT INTO lake.default.vt VALUES (4, 10.0)")
+      assert(s.sql("SELECT count(*) FROM lake.default.pos")
+        .head().getLong(0) == 3L)
+      // views compose: a view over a view expands across iterations
+      s.sql("CALL lake.create_view('big', " +
+        "'SELECT id FROM lake.default.pos WHERE v > 2')")
+      assert(s.sql("SELECT id FROM lake.default.big ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L, 4L))
+      // list + drop; a table name can never be shadowed by a view
+      assert(s.sql("CALL lake.list_views()").collect()
+        .map(_.getString(0)).toSeq == Seq("big", "pos"))
+      intercept[Exception](s.sql(
+        "CALL lake.create_view('vt', 'SELECT 1 AS x')"))
+      s.sql("CALL lake.drop_view('big')")
+      intercept[Exception](
+        s.sql("SELECT * FROM lake.default.big").collect())
+      // the definition persists on disk: a SECOND extension session reads it
+      assert(graft.sources.GraftViews.read(lake, "pos").get.sql
+        .contains("WHERE v > 0"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

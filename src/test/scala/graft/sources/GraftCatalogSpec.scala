@@ -430,6 +430,38 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sess.sql("CALL lake.no_such_proc('p')") }
   }
 
+  test("ViewCatalog API: create/load/list/rename/drop + collision fences") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.vt (id BIGINT, v DOUBLE) " +
+      "OPTIONS (primaryKey 'id')")
+    val cat = sess.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    def info(name: String, sql: String) = new ViewInfo(
+      Identifier.of(Array("default"), name), sql, "lake", Array("default"),
+      new org.apache.spark.sql.types.StructType().add("id", "long"),
+      Array("id"), Array.empty, Array.empty,
+      java.util.Collections.emptyMap())
+    cat.createView(info("pos", "SELECT id FROM lake.default.vt WHERE v > 0"))
+    // load returns the stored definition; a second create is loud
+    val v = cat.loadView(Identifier.of(Array("default"), "pos"))
+    assert(v.query().contains("WHERE v > 0") && v.name() == "pos")
+    intercept[Exception](cat.createView(info("pos", "SELECT 1 AS id")))
+    // a view may not shadow a table, nor a table a view
+    intercept[Exception](cat.createView(info("vt", "SELECT 1 AS id")))
+    intercept[Exception](sess.sql(
+      "CREATE TABLE lake.default.pos (id BIGINT) OPTIONS (primaryKey 'id')"))
+    // list / rename / drop round-trip, persisted on disk
+    assert(cat.listViews("default").map(_.name()).toSeq == Seq("pos"))
+    cat.renameView(Identifier.of(Array("default"), "pos"),
+      Identifier.of(Array("default"), "pos2"))
+    assert(GraftViews.read(lake, "pos2").isDefined &&
+      GraftViews.read(lake, "pos").isEmpty)
+    assert(cat.dropView(Identifier.of(Array("default"), "pos2")))
+    assert(cat.listViews("default").isEmpty)
+  }
+
   test("CALL diff: snapshot reconciliation rows via SQL") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
