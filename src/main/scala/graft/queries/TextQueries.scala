@@ -860,6 +860,27 @@ object TextQueries {
         .select("doc_id", "lang", "rn")
     },
 
+    // DETERMINISTIC GLOBAL TRAINING ORDER ("shuffle once, train
+    // anywhere"): a seeded md5 permutation of the corpus materialized as
+    // an explicit 0-based rank — every epoch/restart/engine reading the
+    // corpus sees the SAME order with no re-shuffle. Never a
+    // single-partition `row_number() OVER (ORDER BY ...)` (the whole
+    // corpus through one task): a deterministic key-prefix bucket
+    // (monotone in the key — never a sampled range partitioner, whose
+    // boundaries drift run to run) + per-bucket distributed rank +
+    // O(buckets) offsets. The oracle replays the naive global window —
+    // exactness of the scalable form against the textbook one.
+    Q("q199_training_order",
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  - 1 AS BIGINT) AS ord
+        |FROM documents
+        |""".stripMargin) { (s, d) =>
+      graft.operators.GlobalOrder.rank(
+        docs(s, d).select("doc_id"), "doc_id", "epoch0", numPartitions = 8)
+        .select("doc_id", "ord")
+    },
+
     // EXPECTATIONS-GATED LAKE INGEST (the quarantine DEPLOYMENT form):
     // batch 1 arrives with doc_id%10==0 rows MALFORMED (null n_chars →
     // quarantined under constraint semantics), batch 2 re-delivers them

@@ -70,7 +70,76 @@ object GraftMetadataTables {
       () => partitionRows(root)))
     case "tags" => Some(new MetaTable(
       s"${e.table_name}$$tags", TagsSchema, () => tagRows(root)))
+    case "detail" => Some(new MetaTable(
+      s"${e.table_name}$$detail", DetailSchema, () => detailRows(e, root)))
     case _ => None
+  }
+
+  /** DESCRIBE-DETAIL parity (`$detail`): ONE row of table-level facts —
+    * identity/layout/size/feature flags/ref counts — folded from the
+    * current manifest, no jobs, no data IO. The at-a-glance row an
+    * operator reads before deciding on compact/optimize/vacuum. */
+  val DetailSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("earliest_readable_version", IntegerType, nullable = false),
+    StructField("created_at", TimestampType, nullable = true),
+    StructField("last_modified", TimestampType, nullable = true),
+    StructField("num_files", LongType, nullable = false),
+    StructField("num_rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("dv_files", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("primary_key", StringType, nullable = false),
+    StructField("partition_key", StringType, nullable = true),
+    StructField("partition_spec", StringType, nullable = true),
+    StructField("stats_columns", StringType, nullable = true),
+    StructField("change_data_feed", BooleanType, nullable = false),
+    StructField("deletion_vectors", BooleanType, nullable = false),
+    StructField("bloom_index", BooleanType, nullable = false),
+    StructField("num_tags", IntegerType, nullable = false),
+    StructField("num_branches", IntegerType, nullable = false)))
+
+  private def detailRows(e: LakeRegistry.Entry, root: Path)
+      : Array[InternalRow] = {
+    val cur = CowTable.currentVersionAt(root)
+    if (cur == 0) return Array.empty
+    val m = CowTable.manifestAt(root, cur)
+    val earliest = CowTable.earliestReadableAt(root)
+    val createdMs = scala.util.Try(
+      CowTable.manifestAt(root, earliest).commitTimeMs).getOrElse(0L)
+    def bytesOf(f: graft.storage.FileEntry): Long =
+      if (f.bytes > 0) f.bytes
+      else scala.util.Try(
+        java.nio.file.Files.size(root.resolve(f.path))).getOrElse(0L)
+    val branches = {
+      val dir = root.resolve("_branches")
+      if (!java.nio.file.Files.isDirectory(dir)) 0
+      else scala.util.Using.resource(java.nio.file.Files.list(dir))(s => {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(d => java.nio.file.Files.exists(
+          d.resolve("_branch_meta.json")))
+      })
+    }
+    Array(new GenericInternalRow(Array[Any](
+      UTF8String.fromString(e.table_name),
+      UTF8String.fromString(root.toString),
+      cur, earliest,
+      if (createdMs > 0) createdMs * 1000L else null,
+      if (m.commitTimeMs > 0) m.commitTimeMs * 1000L else null,
+      m.files.size.toLong, m.files.map(_.liveRows).sum,
+      m.files.map(bytesOf).sum,
+      m.files.count(_.dvPath.isDefined).toLong,
+      m.files.map(_.dvRows).sum,
+      UTF8String.fromString(m.primaryKey.mkString(",")),
+      m.partitionKey.map(UTF8String.fromString).orNull,
+      m.partitionSpec.map(UTF8String.fromString).orNull,
+      if (m.statsColumns.isEmpty) null
+      else UTF8String.fromString(m.statsColumns.mkString(",")),
+      m.changeDataFeed, m.deletionVectors, m.bloomIndex,
+      CowTable.tagsAt(root).size, branches
+    )): InternalRow)
   }
 
   val TagsSchema: StructType = StructType(Seq(

@@ -201,6 +201,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(parts.length == 1 && parts.head.isNullAt(0))
     assert(parts.head.getLong(2) == 3L)
     assert(parts.head.getLong(3) > 0L && parts.head.getLong(4) > 0L)
+
+    // $detail: the one-row DESCRIBE DETAIL — identity, size, flags, refs
+    val det = sess.sql(
+      "SELECT name, version, num_files, num_rows, size_bytes, primary_key, " +
+        "change_data_feed, deletion_vectors, num_tags, num_branches " +
+        "FROM lake.default.`h$detail`").head()
+    assert(det.getString(0) == "h" && det.getInt(1) == 3)
+    assert(det.getLong(3) == 3L && det.getLong(4) > 0L)
+    assert(det.getString(5) == "id")
+    assert(!det.getBoolean(6) && !det.getBoolean(7))
+    assert(det.getInt(8) == 0 && det.getInt(9) == 0)
   }
 
   test("ALTER TABLE SET TBLPROPERTIES adjusts durable behavior in place") {
