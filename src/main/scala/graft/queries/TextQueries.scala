@@ -881,6 +881,38 @@ object TextQueries {
         .select("doc_id", "ord")
     },
 
+    // LINEAR TEXT-CLASSIFIER SCORING (the fastText-style quality-filter
+    // shape): score(doc) = Σ_tokens weight[md5-bucket(token)] over 64
+    // hashed feature buckets — the inference pass a corpus-quality filter
+    // runs over every document. NO UDF anywhere: split/lower/md5/conv and
+    // one hash aggregate, all codegen'd; the weights here are a
+    // deterministic function of the bucket so the oracle replays the
+    // whole model bit-exactly (a real model just swaps in a broadcast
+    // weight table — same plan shape).
+    Q("q200_linear_classifier",
+      raw"""WITH occ AS (SELECT doc_id, lower(w) AS w FROM (
+           |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+           |      AS w FROM documents) WHERE len(w) > 0),
+           |f AS (SELECT doc_id,
+           |    ((('0x' || substr(md5(w), 1, 12))::BIGINT % 64) % 13) - 6
+           |      AS wt FROM occ)
+           |SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  sum(wt) > 0 AS positive
+           |FROM f GROUP BY doc_id
+           |""".stripMargin) { (s, d) =>
+      val w = explode(split(trim(lower(col("text"))), "\\s+")).as("w")
+      val bucket = conv(substring(md5(col("w")), 1, 12), 16, 10)
+        .cast("long") % 64L
+      docs(s, d).select(col("doc_id"), w)
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id")
+        .agg(sum(bucket % 13L - 6L).as("score"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("score"), col("n_tokens"),
+          (col("score") > 0).as("positive"))
+    },
+
     // EXPECTATIONS-GATED LAKE INGEST (the quarantine DEPLOYMENT form):
     // batch 1 arrives with doc_id%10==0 rows MALFORMED (null n_chars →
     // quarantined under constraint semantics), batch 2 re-delivers them

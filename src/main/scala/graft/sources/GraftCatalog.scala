@@ -314,8 +314,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           graft.storage.ColumnDefaults.metadataFor(
             SparkSession.active, ident.name(), colName, add.dataType(), sql)
         }
-        schema = StructType(schema.fields :+ StructField(
-          colName, add.dataType(), nullable = true, metadata))
+        val fld0 = StructField(colName, add.dataType(), nullable = true,
+          metadata)
+        schema = StructType(schema.fields :+
+          Option(add.comment()).fold(fld0)(fld0.withComment))
+      // ALTER COLUMN ... COMMENT: metadata-only, rides the schema field
+      // (Spark's StructField comment convention) and survives data commits
+      case uc: TableChange.UpdateColumnComment =>
+        require(uc.fieldNames().length == 1,
+          s"graft: nested column comments are not supported " +
+            s"(${uc.fieldNames().mkString(".")})")
+        val colName = uc.fieldNames()(0)
+        require(schema.fieldNames.contains(colName),
+          s"graft: no column $colName in ${ident.name()}")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == colName) f.withComment(uc.newComment()) else f))
       case sp: TableChange.SetProperty =>
         cfg = applyProperty(cfg, sp.property, Some(sp.value))
         if (sp.property == "statsColumns") statsTouched = true

@@ -2612,12 +2612,15 @@ final class CowTable private[storage] (
       }
     }
     val entries = fresh ++ carryOver
-    // INITIAL-DEFAULT metadata survives data commits: API writes carry
-    // df-derived schemas that lose field metadata, which would silently
-    // strip a declared DEFAULT on the first upsert — re-attach the
-    // parent's default annotations for same-named fields. An explicit
-    // dropColumn + addColumn re-add starts clean (the parent no longer
-    // carries the field when the re-add commits).
+    // FIELD METADATA (initial defaults, comments) survives data commits:
+    // API writes carry df-derived schemas whose fields have EMPTY
+    // metadata, which would silently strip a declared DEFAULT or COMMENT
+    // on the first upsert — re-attach the parent's metadata for
+    // same-named fields whose commit-side metadata is empty. A field
+    // arriving WITH metadata keeps its own (an ALTER that changed it is
+    // authoritative); an explicit dropColumn + addColumn re-add starts
+    // clean (the parent no longer carries the field when the re-add
+    // commits).
     val schemaD =
       if (parent < 1) schema
       else {
@@ -2625,8 +2628,9 @@ final class CowTable private[storage] (
           .fields.map(f => f.name -> f).toMap
         StructType(schema.fields.map { f =>
           pf.get(f.name) match {
-            case Some(p) if p.metadata.contains(ColumnDefaults.ExistsKey) &&
-                !f.metadata.contains(ColumnDefaults.ExistsKey) =>
+            case Some(p)
+              if f.metadata == org.apache.spark.sql.types.Metadata.empty &&
+                p.metadata != org.apache.spark.sql.types.Metadata.empty =>
               f.copy(metadata = p.metadata)
             case _ => f
           }

@@ -441,6 +441,28 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sess.sql("CALL lake.no_such_proc('p')") }
   }
 
+  test("column comments: ALTER sets them, data commits preserve them") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.cm (id BIGINT, v DOUBLE) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("ALTER TABLE lake.default.cm ALTER COLUMN v " +
+      "COMMENT 'metric value'")
+    sess.sql("ALTER TABLE lake.default.cm ADD COLUMN w INT COMMENT 'weight'")
+    def comments() = sess.table("lake.default.cm").schema.fields
+      .map(f => f.name -> f.getComment()).toMap
+    assert(comments() == Map("id" -> None, "v" -> Some("metric value"),
+      "w" -> Some("weight")))
+    // a df-derived data commit (INSERT) must not strip the comments
+    sess.sql("INSERT INTO lake.default.cm VALUES (1, 2.0, 3)")
+    assert(comments()("v").contains("metric value") &&
+      comments()("w").contains("weight"))
+    // DESCRIBE surfaces them
+    val desc = sess.sql("DESCRIBE TABLE lake.default.cm").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("v") == "metric value" && desc("w") == "weight")
+  }
+
   test("ViewCatalog API: create/load/list/rename/drop + collision fences") {
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
     val lake = tmpDir("cat")
