@@ -95,6 +95,24 @@ class IdempotentWriteSpec extends SparkSpec {
     assert(t2.read().filter($"id" === 1L).select("bal").as[Long].head == 7L)
   }
 
+  test("deletion-vector tables honor the marker on the MOR paths") {
+    val dir = tmpDir("txn") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      changeDataFeed = true, deletionVectors = true))
+    t.create((1L to 30L).map(i => (i, i)).toDF("id", "bal"))
+    // DV delete, replayed: one sidecar commit, no double-mark
+    assert(t.withTxn("mor", 1L).delete(Seq(Tuple1(3L)).toDF("id")) == 2)
+    assert(t.withTxn("mor", 1L).delete(Seq(Tuple1(4L)).toDF("id")) == 2)
+    assert(t.read().count() == 29 &&
+      t.read().filter($"id" === 4L).count() == 1)
+    // MOR upsert (sidecar preimages + appended batch), replayed r-m-w
+    def bump() = t.read().filter($"id" % 10 === 0)
+      .withColumn("bal", $"bal" + 1)
+    assert(t.withTxn("mor", 2L).upsert(bump()) == 3)
+    assert(t.withTxn("mor", 2L).upsert(bump()) == 3)
+    assert(t.read().filter($"id" === 10L).select("bal").as[Long].head == 11L)
+  }
+
   test("overwrite and create honor the marker") {
     val dir = tmpDir("txn") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
