@@ -913,6 +913,30 @@ object TextQueries {
           (col("score") > 0).as("positive"))
     },
 
+    // FUZZY (edit-distance) JOIN — entity matching on near-identical keys:
+    // every customer-name pair within Levenshtein 1, found EXACTLY via
+    // q-gram prefix filtering (ED-Join), never all-pairs. The adversarial
+    // part is real here: every name shares the "Customer#0000…" template,
+    // so a naive shared-gram join is quadratic on the template grams —
+    // rarest-first prefixes keep those grams OUT of the candidate index.
+    // Oracle = brute force with the length prefilter on the same probe
+    // subset (bounded: the subset keeps the cross join sub-second).
+    Q("q201_fuzzy_join",
+      """WITH n AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |           WHERE c_custkey % 20 = 0)
+        |SELECT a.id AS id_1, b.id AS id_2,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |  AND abs(length(a.s) - length(b.s)) <= 1
+        |  AND levenshtein(a.s, b.s) <= 1
+        |""".stripMargin) { (s, d) =>
+      graft.text.FuzzyJoin.editDistanceJoin(
+        Tables.table(s, d, "customer")
+          .filter(col("c_custkey") % 20 === 0)
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", maxDist = 1)
+    },
+
     // EXPECTATIONS-GATED LAKE INGEST (the quarantine DEPLOYMENT form):
     // batch 1 arrives with doc_id%10==0 rows MALFORMED (null n_chars →
     // quarantined under constraint semantics), batch 2 re-delivers them

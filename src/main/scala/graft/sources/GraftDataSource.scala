@@ -636,28 +636,9 @@ final class GraftScanBuilder(
         : Option[String] =
       colOf(e).filter(c => c != pk && m.statsColumns.contains(c))
     def typeDecodable(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt match {
-        case LongType | org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.DateType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => true
-        case _ => false
-      }
+      GraftScan.statDecodable(dt)
     def typeDecode(dt: org.apache.spark.sql.types.DataType, s: String): Any =
-      dt match {
-        case LongType => s.toLong
-        case org.apache.spark.sql.types.IntegerType => s.toInt
-        case org.apache.spark.sql.types.ShortType => s.toShort
-        case org.apache.spark.sql.types.ByteType => s.toByte
-        case org.apache.spark.sql.types.DoubleType => s.toDouble
-        case org.apache.spark.sql.types.FloatType => s.toFloat
-        case org.apache.spark.sql.types.DateType => s.toLong.toInt // epoch days
-        case _ => s.toLong // timestamps: internal rep IS epoch micros
-      }
+      GraftScan.statDecode(dt, s)
     def decodable: Boolean = typeDecodable(pkType)
     def decode(s: String): Any = typeDecode(pkType, s)
     // The files the aggregation ranges over: all of them, minus partition
@@ -952,6 +933,36 @@ object GraftScan {
          _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
     case _ => false
   }
+
+  /** Stat-string space ↔ Catalyst internal value, EXACT for these types
+    * only (shared by aggregate pushdown and CBO column statistics):
+    * numerics round-trip, temporal stats are already the internal
+    * micros/days representation. */
+  private[sources] def statDecodable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  private[sources] def statDecode(
+      dt: org.apache.spark.sql.types.DataType, s: String): Any = dt match {
+    case org.apache.spark.sql.types.LongType => s.toLong
+    case org.apache.spark.sql.types.IntegerType => s.toInt
+    case org.apache.spark.sql.types.ShortType => s.toShort
+    case org.apache.spark.sql.types.ByteType => s.toByte
+    case org.apache.spark.sql.types.DoubleType => s.toDouble
+    case org.apache.spark.sql.types.FloatType => s.toFloat
+    case org.apache.spark.sql.types.DateType => s.toLong.toInt // epoch days
+    case _ => s.toLong // timestamps: internal rep IS epoch micros
+  }
 }
 
 final class GraftScan(
@@ -1099,11 +1110,97 @@ final class GraftScan(
       else scala.util.Try(java.nio.file.Files.size(root.resolve(e.path)))
         .getOrElse(0L)
     }.sum
+    // COLUMN STATISTICS for CBO (estimates by contract — deletion vectors
+    // may make ranges/null counts slightly stale-wide, which only makes
+    // the optimizer conservative, never wrong):
+    //  - leading PRIMARY KEY: ndv = live rows (unique by table contract),
+    //    min/max folded from per-file footer stats;
+    //  - statsColumns: min/max from the manifest ranges, null counts when
+    //    every kept file carries one;
+    //  - hive PARTITION column: ndv = distinct path values, null count =
+    //    rows of the null-partition directory.
+    // Feeds join reordering/sizing under spark.sql.cbo.* without any
+    // ANALYZE TABLE pass — the manifest already knows.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    def mk(ndv: Option[Long], mn: Option[Any], mx: Option[Any],
+        nulls: Option[Long]) =
+      new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+        override def distinctCount(): java.util.OptionalLong =
+          ndv.fold(java.util.OptionalLong.empty())(
+            java.util.OptionalLong.of)
+        override def min(): java.util.Optional[Object] =
+          mn.fold(java.util.Optional.empty[Object]())(v =>
+            java.util.Optional.of(v.asInstanceOf[Object]))
+        override def max(): java.util.Optional[Object] =
+          mx.fold(java.util.Optional.empty[Object]())(v =>
+            java.util.Optional.of(v.asInstanceOf[Object]))
+        override def nullCount(): java.util.OptionalLong =
+          nulls.fold(java.util.OptionalLong.empty())(
+            java.util.OptionalLong.of)
+      }
+    val schema = m.schemaJson
+    def dtOf(c: String) = CowTable.structFromJson(schema)
+      .find(_.name == c).map(_.dataType)
+    def fold(get: FileEntry => Option[String], dt:
+        org.apache.spark.sql.types.DataType, isMin: Boolean): Option[Any] =
+      scala.util.Try {
+        val vs = kept.flatMap(get)
+        if (vs.size != kept.size || vs.isEmpty) None
+        else Some(GraftScan.statDecode(dt,
+          if (isMin) vs.minBy(BigDecimal(_)) else vs.maxBy(BigDecimal(_))))
+      }.toOption.flatten
+    def nullsOf(phys: String): Option[Long] = {
+      val ns = kept.flatMap(_.nulls.get(phys))
+      if (ns.size == kept.size && kept.nonEmpty) Some(ns.sum) else None
+    }
+    if (!streamOpts.readChangeFeed && kept.nonEmpty) {
+      m.primaryKey.headOption.foreach { pk =>
+        dtOf(pk).filter(GraftScan.statDecodable).foreach { dt =>
+          if (required.fieldNames.contains(pk))
+            colStats.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(pk),
+              mk(Some(rowCount), fold(_.minKey, dt, isMin = true),
+                fold(_.maxKey, dt, isMin = false),
+                nullsOf(m.physicalName(pk))))
+        }
+      }
+      m.statsColumns.filterNot(m.primaryKey.headOption.contains)
+        .filter(required.fieldNames.contains).foreach { c =>
+          dtOf(c).filter(GraftScan.statDecodable).foreach { dt =>
+            val phys = m.physicalName(c)
+            colStats.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(c),
+              mk(None, fold(_.extra.get(phys).flatMap(_.mn), dt, true),
+                fold(_.extra.get(phys).flatMap(_.mx), dt, false),
+                nullsOf(phys)))
+          }
+        }
+      m.partitionKey.filter(required.fieldNames.contains).foreach { pc =>
+        val vals = kept.map(e => GraftScan.pathPartValue(m.partitionKey, e))
+        if (!vals.contains(None)) {
+          val nullRows = kept.zip(vals.flatten)
+            .filter(_._2 == GraftScan.NullPartitionName).map(_._1.liveRows)
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(pc),
+            mk(Some(vals.flatten.distinct.size.toLong), None, None,
+              Some(nullRows.sum)))
+        }
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(sizeBytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rowCount)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

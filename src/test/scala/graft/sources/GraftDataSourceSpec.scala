@@ -188,6 +188,40 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(sMin.head().getString(0) == "L1")
   }
 
+  test("CBO column statistics flow from the manifest (no ANALYZE pass)") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/cs", TableConfig("cs", Seq("id"),
+      partitionKey = Some("cat"), statsColumns = Seq("v")))
+    t.create((1L to 300L).map(i =>
+      (i, s"c${i % 3}", if (i % 10 == 0) None else Some(i * 2.0)))
+      .toDF("id", "cat", "v").repartition(4))
+    val df = spark.read.format("graft").load(dir + "/cs")
+    val prev = (spark.conf.getOption("spark.sql.cbo.enabled"),
+      spark.conf.getOption("spark.sql.cbo.planStats.enabled"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(300)))
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      val id = byName("id")
+      assert(id.distinctCount.contains(BigInt(300))) // pk: ndv == rows
+      assert(id.min.contains(1L) && id.max.contains(300L))
+      assert(id.nullCount.contains(BigInt(0)))
+      val v = byName("v")
+      assert(v.min.contains(2.0) && v.max.contains(598.0)) // 300 is null
+      assert(v.nullCount.contains(BigInt(30)))
+      val cat = byName("cat")
+      assert(cat.distinctCount.contains(BigInt(3)))
+      assert(cat.nullCount.contains(BigInt(0)))
+    } finally {
+      def restore(k: String, o: Option[String]) =
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.cbo.enabled", prev._1)
+      restore("spark.sql.cbo.planStats.enabled", prev._2)
+    }
+  }
+
   test("null-count stats: COUNT(col) pushes, IS [NOT] NULL prunes files") {
     val dir = tmpDir("dsv2")
     val t = CowTable(spark, dir + "/n", TableConfig("n", Seq("id"),
