@@ -105,4 +105,38 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select("id_1", "id_2", "dist")
   }
+
+  /** Two-sided variant — entity RESOLUTION of a probe set against a master
+    * list: (probe_id, master_id, dist) for every cross-side pair within
+    * `maxDist`. Runs the same prefix-filtered machinery over the tagged
+    * union (one index, not probe×master), keeping only cross-side
+    * survivors — ids may collide between the two inputs (tags
+    * disambiguate). */
+  def editDistanceLookup(probe: DataFrame, probeId: String, probeStr: String,
+      master: DataFrame, masterId: String, masterStr: String,
+      maxDist: Int, q: Int = 3,
+      maxBucket: Long = 1L << 20,
+      maxShortBucket: Long = 1L << 22): DataFrame = {
+    val p = probe.select(
+      concat(lit("p:"), col(probeId).cast("string")).as("__tid"),
+      col(probeStr).as("__str"))
+    val m = master.select(
+      concat(lit("m:"), col(masterId).cast("string")).as("__tid"),
+      col(masterStr).as("__str"))
+    val pairs = editDistanceJoin(p.unionAll(m), "__tid", "__str",
+      maxDist, q, maxBucket, maxShortBucket)
+    // normalize so probe is always the left side, then strip tags
+    val oriented = pairs
+      .select(col("id_1").as("a"), col("id_2").as("b"), col("dist"))
+      .filter(substring(col("a"), 1, 2) =!= substring(col("b"), 1, 2))
+      .select(
+        when(col("a").startsWith("p:"), col("a")).otherwise(col("b"))
+          .as("pt"),
+        when(col("a").startsWith("p:"), col("b")).otherwise(col("a"))
+          .as("mt"),
+        col("dist"))
+    oriented.select(
+      expr("substring(pt, 3)").as("probe_id"),
+      expr("substring(mt, 3)").as("master_id"), col("dist"))
+  }
 }

@@ -65,6 +65,23 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(run(rows, k) == brute(rows, k), s"k=$k")
   }
 
+  test("two-sided lookup: probe vs master, cross-side pairs only") {
+    val probe = Seq((1L, "jon smith"), (2L, "jane doe"), (3L, "nobody"))
+      .toDF("pid", "name")
+    val master = Seq((1L, "john smith"), (2L, "jane roe"), (3L, "jane doe"))
+      .toDF("mid", "name")
+    val got = FuzzyJoin.editDistanceLookup(
+      probe, "pid", "name", master, "mid", "name", maxDist = 1)
+      .select($"probe_id", $"master_id", $"dist")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("1", "1", 1L), ("2", "2", 1L), ("2", "3", 0L)))
+    // probe-probe and master-master pairs never leak through
+    val probeDup = Seq((1L, "aaa"), (2L, "aaa")).toDF("pid", "name")
+    val masterOne = Seq((9L, "zzz")).toDF("mid", "name")
+    assert(FuzzyJoin.editDistanceLookup(
+      probeDup, "pid", "name", masterOne, "mid", "name", 1).count() == 0)
+  }
+
   test("hot-prefix guard trips loud instead of going quadratic") {
     val rows = (1L to 50L).map(i => (i, s"aaaaaaaa$i"))
     val e = intercept[IllegalArgumentException] {
