@@ -8,16 +8,15 @@ import org.apache.spark.sql.functions._
   * templated-name corpus 1× / 4× / 16× and record what actually bounds the
   * work:
   *
-  *  - `cand_pairs`  — candidate pairs the rarest-first q-gram prefix index
-  *                    emits (the quantity a naive shared-gram join makes
-  *                    quadratic on the template grams);
   *  - `out_pairs`   — verified pairs (the answer);
-  *  - `cand_ratio`  — candidates / output: the exactness overhead. The
-  *                    claim under test is that candidates track OUTPUT,
-  *                    not n² — a probe row where cand_pairs grows ~n²
-  *                    while out_pairs doesn't would falsify the prefix
-  *                    filter's usefulness at scale;
-  *  - `join_sec`    — wall-clock of the full join (index + verify).
+  *  - `join_sec`    — wall-clock of the full exact join (index + verify);
+  *                    the claim under test is that it tracks OUTPUT, not
+  *                    n²;
+  *  - `naive_gram_join_rows` — the counterfactual: Σ bucket² over raw
+  *                    q-grams = what a naive shared-gram candidate join
+  *                    would materialize on this corpus (the template
+  *                    grams make it quadratic) — the quantity the
+  *                    rarest-first prefix index never produces.
   *
   * The corpus is the adversarial real-world shape: every name shares a
   * long constant template prefix ("Entity#…"), ids differ in a digit
@@ -52,19 +51,13 @@ object FuzzyScaleProbe {
       val names = spark.range(1, n + 1)
         .select($"id", concat(lit("Entity#"),
           format_string("%09d", $"id" * 7 % 1000000)).as("s"))
-      // candidate count: the join WITHOUT the final verify filter — rerun
-      // of the same plan shape, counted separately for the ratio
       val (outPairs, sec) = time {
         FuzzyJoin.editDistanceJoin(names.toDF(), "id", "s", maxDist = 1)
           .count()
       }
-      // candidates = verified-at-any-distance pairs the index emitted:
-      // re-run with the verify threshold lifted to the maximum possible
-      // distance so the filter keeps everything the index produced
-      val cands = FuzzyJoin.editDistanceJoin(
-        names.toDF(), "id", "s", maxDist = 1)
-        .count() // exact candidates aren't observable post-verify; report
-      // the internal candidate bound via the prefix-index row count instead
+      // the counterfactual: what a NAIVE shared-gram candidate join would
+      // materialize on this corpus (Σ bucket² over raw q-grams) — the
+      // quantity the rarest-first prefix index avoids ever producing
       val prefixRows = {
         val q = 3
         val grams = names
@@ -80,7 +73,6 @@ object FuzzyScaleProbe {
         s""""naive_gram_join_rows":$prefixRows,""" +
         s""""naive_vs_out":${if (outPairs == 0) -1
           else prefixRows / math.max(outPairs, 1)}}""")
-      require(cands == outPairs, "determinism check")
     }
     spark.stop()
   }
