@@ -325,14 +325,17 @@ final class CowTable private[storage] (
   def create(df: DataFrame): Int = {
     if (txnAlreadyApplied()) return currentVersion // replayed create batch
     require(currentVersion == 0, s"table ${config.tableName} already exists")
-    writeVersion(df, df.schema, carryOver = Nil, parent = 0)
+    try writeVersion(df, df.schema, carryOver = Nil, parent = 0)
+    finally txn = None // one-operation scope even on no-op/failure paths
   }
 
   /** Full-snapshot overwrite (reference Delta path sink mode=overwrite,
     * src/delta/delta-initial-load.py:61-78). */
   def overwrite(df: DataFrame): Int = {
     if (txnAlreadyApplied()) return currentVersion
-    writeVersion(df, df.schema, carryOver = Nil, parent = currentVersion)
+    try writeVersion(df, df.schema, carryOver = Nil,
+      parent = currentVersion)
+    finally txn = None
   }
 
   /** Columns rename/drop must not touch: table-mechanics columns whose
@@ -554,7 +557,10 @@ final class CowTable private[storage] (
   def upsert(source: DataFrame, assertUniqueKeys: Boolean = false): Int = {
     if (txnAlreadyApplied()) return currentVersion // replayed batch: no-op
     if (assertUniqueKeys) MergeEngine.assertKeyUnique(source, config.primaryKey)
-    upsertFrom(currentVersion, source)
+    // finally-clear: an EMPTY batch no-ops without committing, and the
+    // armed marker must not leak onto the next (un-tagged) operation
+    try upsertFrom(currentVersion, source)
+    finally txn = None
   }
 
   /** [[upsert]] against an explicit snapshot version — the commit rebases
@@ -618,7 +624,8 @@ final class CowTable private[storage] (
     * (reference: src/iceberg/iceberg-cdc-load.py:147-150). */
   def delete(deleteKeys: DataFrame): Int = {
     if (txnAlreadyApplied()) return currentVersion // replayed batch: no-op
-    deleteFrom(currentVersion, deleteKeys)
+    try deleteFrom(currentVersion, deleteKeys)
+    finally txn = None // see [[upsert]]'s empty-batch note
   }
 
   /** [[delete]] against an explicit snapshot version (see [[upsertFrom]]). */

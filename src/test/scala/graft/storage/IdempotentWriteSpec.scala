@@ -60,6 +60,12 @@ class IdempotentWriteSpec extends SparkSpec {
     assert(t.currentVersion == 3)
     val v2 = t.upsert(df((4L, 4L)))
     assert(v2 == 4 && t.read().count() == 4)
+    // an EMPTY tagged batch no-ops WITHOUT committing — and must not leak
+    // its marker onto the next un-tagged mutation
+    assert(t.withTxn("app", 9L).upsert(df().limit(0)) == 4)
+    assert(t.lastTxnVersion("app").contains(5L)) // 9 never committed
+    val v3 = t.upsert(df((5L, 5L)))
+    assert(v3 == 5 && t.manifest(5).streamQueryId.isEmpty)
   }
 
   test("appIds are independent; versions are high-water marks") {
