@@ -2205,5 +2205,33 @@ object StorageQueries {
         org.apache.spark.sql.SparkSession.setDefaultSession(s)
         org.apache.spark.sql.SparkSession.setActiveSession(s)
       }
+    },
+
+    // INTEGRITY VALIDATION (fsck) after a full mutation lifecycle:
+    // create → upsert → DV delete → optimize → purge must leave a table
+    // whose manifest matches the filesystem byte-for-byte (files, DV
+    // sidecars, footer row counts) and whose primary key stayed unique —
+    // the invariants every pruning/merge shortcut in the engine assumes.
+    // The oracle is the all-ok verdict (the lifecycle is the test).
+    Q("q202_validate",
+      """SELECT 'dv_sidecars_exist' AS check, TRUE AS ok
+        |UNION ALL SELECT 'files_exist', TRUE
+        |UNION ALL SELECT 'key_unique', TRUE
+        |UNION ALL SELECT 'row_counts_match', TRUE
+        |""".stripMargin) { (s, d) =>
+      val dir = tableDir("q202") + "/cust_fsck"
+      CowTable.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
+      val t0 = CowTable(s, dir, TableConfig("cust_fsck", Seq("c_custkey"),
+        changeDataFeed = true, deletionVectors = true))
+      t0.create(t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal").repartition(4))
+      t0.upsert(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") + 7, 2).as("c_acctbal")))
+      t0.delete(t(s, d, "customer").filter(col("c_custkey") % 11 === 0)
+        .select("c_custkey"))
+      t0.optimize()
+      t0.purgeDeletionVectors()
+      t0.validate().select("check", "ok")
     })
 }

@@ -34,7 +34,7 @@ object GraftProcedures {
       "purge_vectors", "tag", "drop_tag", "generate_manifest",
       "create_release", "drop_release", "list_releases",
       "create_branch", "drop_branch", "fast_forward", "list_branches",
-      "vacuum_age", "create_view", "drop_view", "list_views")
+      "vacuum_age", "create_view", "drop_view", "list_views", "validate")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -130,6 +130,21 @@ object GraftProcedures {
         resultSchema = StructType(Seq(
           StructField("dropped", BooleanType, nullable = false)))) { args =>
         Array[Any](GraftViews.delete(warehouse, str(args, 0)))
+      })
+      // CALL lake.validate('t'): integrity fsck — manifest vs filesystem
+      // (files, DV sidecars, footer row counts) + key uniqueness; one row
+      // per check, all ok ⇒ every pruning/merge shortcut is trustworthy
+      case "validate" => Some(procRows("validate",
+        Seq(in("table", StringType)),
+        resultSchema = StructType(Seq(
+          StructField("check", StringType, nullable = false),
+          StructField("ok", BooleanType, nullable = false),
+          StructField("detail", StringType, nullable = false)))) { args =>
+        open(str(args, 0)).validate().collect().map(r => Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          r.getBoolean(1),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2))
+        )).toArray
       })
       // CALL lake.list_views(): one row per persisted view (name + sql)
       case "list_views" => Some(procRows("list_views", Seq(),

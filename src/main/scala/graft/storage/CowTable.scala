@@ -1701,6 +1701,74 @@ final class CowTable private[storage] (
       checkConstraintsOpt = Some(bm.checkConstraints))
   }
 
+  /** TABLE INTEGRITY VALIDATION (fsck): does the manifest's picture of the
+    * current snapshot match reality, and do the table's own invariants
+    * hold? One row per check — all `ok` means a reader can trust every
+    * pruning/merge shortcut the engine takes:
+    *
+    *  - `files_exist`      — every manifest-referenced data file is on
+    *                         disk (a lost file = silent data loss at scan);
+    *  - `dv_sidecars_exist`— every referenced deletion-vector sidecar dir
+    *                         exists (a lost sidecar RESURRECTS deleted
+    *                         rows);
+    *  - `row_counts_match` — per-file footer row counts equal the manifest
+    *                         (stats feed COUNT(*) pushdown and CBO);
+    *  - `key_unique`       — the primary key is globally unique (the
+    *                         invariant every merge/upsert shortcut assumes;
+    *                         raw appends can silently violate it).
+    *
+    * Metadata checks are O(files) driver IO; `key_unique` is the one
+    * distributed aggregate. Returns (check, ok, detail). */
+  def validate(): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion
+    require(cur > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(cur)
+    val missing = m.files.filterNot(e => Files.exists(root.resolve(e.path)))
+    val missingDv = m.files.flatMap(_.dvPath).distinct
+      .filterNot(p => Files.isDirectory(root.resolve(p)))
+    // footer row counts, in parallel like statFiles; unreadable files
+    // count as mismatches (they would fail the scan anyway)
+    import scala.collection.parallel.CollectionConverters._
+    val countMismatch = m.files.filter(e =>
+      Files.exists(root.resolve(e.path))).par.flatMap { e =>
+      val got = Try {
+        import scala.jdk.CollectionConverters._
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(root.resolve(e.path).toUri),
+            spark.sessionState.newHadoopConf()))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.getOrElse(-1L)
+      if (got == e.rows) None else Some(s"${e.path}: manifest=${e.rows} " +
+        s"footer=$got")
+    }.seq.toSeq
+    // the uniqueness scan READS the table — it cannot run over the very
+    // corruption the metadata checks just found (a missing file/sidecar
+    // would crash it); report it un-validated instead
+    val keyRow: (String, Boolean, String) =
+      if (missing.nonEmpty || missingDv.nonEmpty)
+        ("key_unique", false,
+          "not checked: missing files/sidecars (fix those first)")
+      else {
+        val dup = read().groupBy(config.primaryKey.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(5).collect()
+        ("key_unique", dup.isEmpty,
+          dup.take(3).map(_.toString).mkString("; "))
+      }
+    def row(check: String, bad: Seq[String]): (String, Boolean, String) =
+      (check, bad.isEmpty,
+        if (bad.isEmpty) "" else bad.take(3).mkString("; "))
+    Seq(
+      row("files_exist", missing.map(_.path)),
+      row("dv_sidecars_exist", missingDv),
+      row("row_counts_match", countMismatch),
+      keyRow
+    ).toDF("check", "ok", "detail")
+  }
+
   /** Commit log as a DataFrame (DESCRIBE HISTORY analog): one row per
     * version with parent, row count, file count, and the dataChange flag.
     * O(versions) manifest reads — pure metadata, no data scanned. */

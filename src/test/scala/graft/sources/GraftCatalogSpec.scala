@@ -433,6 +433,11 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getInt(0) == 0)
     assert(sess.table("lake.default.p").count() == 4)
 
+    // integrity fsck via SQL: a healthy table passes all four checks
+    val fsck = sess.sql("CALL lake.validate('p')").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(fsck.size == 4 && fsck.values.forall(identity), s"got $fsck")
+
     // vacuum with a retention window drops unreferenced files
     val deleted = sess.sql("CALL lake.vacuum('p', 1)").head().getInt(0)
     assert(deleted >= 1, s"vacuum deleted $deleted")
