@@ -125,6 +125,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     }
 
+    // SQL MERGE: bound the group-discovery subquery by the source's keys
+    // (see MergeSourcePrune) — the SQL path's analog of the API upsert's
+    // candidate-file pruning.
+    ext.injectOptimizerRule(session =>
+      new graft.sources.MergeSourcePrune(session))
+    // hidden-partitioning writes: re-derive the generated partition column
+    // inside SQL/connector write plans (see TransformRecompute)
+    ext.injectOptimizerRule(session =>
+      new graft.sources.TransformRecompute(session))
+
     register("byte_histogram", { es =>
       val sig = "BINARY, INT literal"
       arity(es, 2, "byte_histogram", sig)

@@ -201,6 +201,21 @@ final class GraftTable(
   private def timeTravel: Boolean =
     props.containsKey("versionAsOf") || props.containsKey("timestampAsOf")
 
+  /** The PARTITION TRANSFORM this table is hidden-partitioned by, if any —
+    * what [[TransformRecompute]] keys on to re-derive the generated column
+    * inside SQL/connector writes. */
+  private[sources] def transformSpec
+      : Option[graft.storage.PartitionTransform] =
+    mOpt.flatMap(_.partitionSpec)
+      .map(graft.storage.PartitionTransform.parse)
+
+  // SQL/connector writes on this table need the session rules (generated-
+  // column recompute; MERGE source bounds): installing at TABLE RESOLUTION
+  // (analysis) guarantees they are in place before this very statement
+  // optimizes, extensions or not.
+  scala.util.Try(GraftSessionRules.ensureInstalled(
+    org.apache.spark.sql.SparkSession.active)): Unit
+
   /** No backticks: Spark renders this name inside SQL-identifier error
     * messages (e.g. TOO_MANY_DATA_COLUMNS), and embedded quoting makes the
     * real error unreadable (INVALID_ATTRIBUTE_NAME_SYNTAX). */
@@ -271,14 +286,14 @@ final class GraftTable(
     if (timeTravel) throw new UnsupportedOperationException(
       s"graft: cannot write through a time-travel read of $root " +
         "(versionAsOf/timestampAsOf) — writes target the current version")
-    mOpt.flatMap(_.partitionSpec).foreach { sp =>
-      throw new UnsupportedOperationException(
-        s"graft: $root is partitioned by the transform $sp; connector " +
-          "writes bypass the generated-column funnel — mutate through " +
-          "the CowTable API")
-    }
+    // hidden-partitioning tables: BATCH writes are fine — the generated
+    // column is re-derived by [[TransformRecompute]] before the write plans
+    // (installed at table resolution above); only STREAMING writes stay
+    // fenced (micro-batch plans bypass the batch optimizer batch carrying
+    // the rule) — GraftWriteBuilder.toStreaming throws.
     new GraftWriteBuilder(root, version, tableSchema, primaryKey,
-      partitionKey, info)
+      partitionKey, info,
+      transformSpec = mOpt.flatMap(_.partitionSpec))
   }
 
   /** `_file`: which data file a row lives in. Queryable (`SELECT _file`),
@@ -306,12 +321,10 @@ final class GraftTable(
       s"graft: cannot mutate a time-travel read of $root")
     val m = mOpt.getOrElse(throw new IllegalArgumentException(
       s"graft: no table at $root (no committed manifests)"))
-    m.partitionSpec.foreach { sp =>
-      throw new UnsupportedOperationException(
-        s"graft: $root is partitioned by the transform $sp; SQL row-level " +
-          "writers bypass the generated-column funnel — mutate through " +
-          "the CowTable API (upsert/delete)")
-    }
+    // hidden-partitioning tables flow through: the replacement rows'
+    // generated column is re-derived by [[TransformRecompute]] (installed
+    // at table resolution), and the row-level write already clusters and
+    // hive-lays-out on m.partitionKey — the generated column itself.
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     if (m.deletionVectors && info.command() != Command.MERGE)
       new GraftDvRowLevelOperationBuilder(root, version, m, tableSchema, info)

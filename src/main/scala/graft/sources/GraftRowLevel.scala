@@ -65,6 +65,23 @@ final class GraftRowLevelOperation(
     * committing without a planned scan replaces nothing). */
   @volatile private[sources] var scannedFiles: Option[Seq[FileEntry]] = None
 
+  /** SOURCE-BOUNDED candidate groups ([[MergeSourcePrune]]): the paths of
+    * files whose key stats can contain at least one merge-source key. Set
+    * before execution by the optimizer rule; both scan instances (the
+    * matching-rows subquery AND the ReplaceData scan) intersect with it, so
+    * the group-discovery subquery reads O(candidate files) instead of the
+    * whole column-pruned table. None ⇒ no prune (full behavior). Files a
+    * source key cannot reach hold no matched rows, so dropping them from a
+    * group-based plan only moves them from "scanned and rewritten
+    * unchanged" to "carried" — never wrong. */
+  @volatile private[sources] var sourceKeyFiles: Option[Set[String]] = None
+
+  /** One-shot guard for [[MergeSourcePrune]] across optimizer fixed-point
+    * iterations (the bounds job must run at most once per statement). */
+  @volatile private[sources] var sourcePruneAttempted: Boolean = false
+
+  private[sources] def manifest: CommitManifest = m
+
   override def command(): Command = cmd
 
   override def description(): String =
@@ -103,11 +120,18 @@ final class GraftRowLevelScan(
 
   @volatile private var kept: Seq[FileEntry] = m.files
 
+  /** Runtime-filtered files ∩ source-bounded candidates (if the optimizer
+    * computed them) — what this scan actually reads. */
+  private def effectiveKept: Seq[FileEntry] = op.sourceKeyFiles match {
+    case Some(allowed) => kept.filter(e => allowed(e.path))
+    case None => kept
+  }
+
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft row-level scan $root v${m.version} " +
-      s"files=${kept.size}/${m.files.size}"
+      s"files=${effectiveKept.size}/${m.files.size}"
 
   override def toBatch: Batch = this
 
@@ -160,8 +184,9 @@ final class GraftRowLevelScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    op.scannedFiles = Some(kept)
-    kept.map { e =>
+    val planned = effectiveKept
+    op.scannedFiles = Some(planned)
+    planned.map { e =>
       // existing deletion vectors MUST ride along: a group rewrite re-emits
       // every surviving row of a scanned file — reading marked rows back
       // would resurrect previously DV-deleted rows in the rewritten file
@@ -176,7 +201,7 @@ final class GraftRowLevelScan(
     // (same degrades as GraftScan — the columnar path would silently
     // null-fill `_pos` as an absent file column)
     new GraftReaderFactory(required,
-      columnar = kept.forall(_.dvPath.isEmpty) &&
+      columnar = effectiveKept.forall(_.dvPath.isEmpty) &&
         !required.fieldNames.contains(GraftTable.PosColumnName),
       mapping = m.columnMapping)
 }

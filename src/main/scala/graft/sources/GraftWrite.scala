@@ -207,7 +207,12 @@ object GraftParquetIO {
 final class GraftWriteBuilder(
     root: Path, parent: Int, tableSchema: StructType,
     primaryKey: Seq[String], partitionKey: Option[String],
-    info: LogicalWriteInfo)
+    info: LogicalWriteInfo,
+    /** Present on hidden-partitioning tables: batch writes get their
+      * generated column re-derived by [[TransformRecompute]]; STREAMING
+      * writes have no batch-optimizer pass carrying that rule, so they stay
+      * fenced in [[build]]'s `toStreaming`. */
+    transformSpec: Option[String] = None)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -311,6 +316,12 @@ final class GraftWriteBuilder(
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         if (overwrite) throw new UnsupportedOperationException(
           "graft streaming sink supports append output mode only")
+        transformSpec.foreach { sp =>
+          throw new UnsupportedOperationException(
+            s"graft: $root is partitioned by the transform $sp; the " +
+              "STREAMING sink bypasses the generated-column funnel — " +
+              "stream through foreachBatch + CowTable.upsert instead")
+        }
         new GraftStreamingWrite(root, info.schema(), primaryKey,
           partitionKey, info.queryId())
       }

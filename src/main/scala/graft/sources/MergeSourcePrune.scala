@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.storage.CowTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, MergeRows, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** SOURCE-BOUNDED group discovery for SQL `MERGE INTO` on graft tables.
+  *
+  * Spark's group-based rewrite finds the affected groups with a runtime
+  * subquery that joins the (column-pruned) WHOLE target with the source —
+  * O(table) per MERGE, the one scale creep the API upsert path doesn't have
+  * (it prunes candidate files against the source keys first,
+  * [[graft.storage.CowTable]] `pruneFiles`). This rule gives the SQL path
+  * the same property: before execution, run one tiny driver job computing
+  * the merge SOURCE's distinct key set (or, above a cap, its [min, max]),
+  * intersect it with the manifest's per-file key stats, and hand the
+  * surviving candidate paths to [[GraftRowLevelOperation]] — BOTH scan
+  * instances (the matching-rows subquery and the ReplaceData scan) then
+  * read O(candidate files). At 100 TB a 100-row CDC MERGE scans a handful
+  * of files to discover its groups instead of the whole key column. Same
+  * find-touched-files-first design the public lake engines use for MERGE;
+  * the reference's CDC apply step is exactly such a MERGE
+  * (src/iceberg/iceberg-cdc-load.py:130-150).
+  *
+  * Safety rules (decline ⇒ full scan, never wrong):
+  *   - only `EqualTo` conjuncts on the table's stat-tracked leading key are
+  *     used (null keys can't equal-match, so null-blind file stats prune
+  *     exactly; a `<=>` condition is ignored);
+  *   - a MERGE with NOT MATCHED BY SOURCE clauses touches target rows the
+  *     source can't reach — no prune;
+  *   - streaming or non-deterministic sources are never re-evaluated;
+  *   - any failure in the bounds job falls back to no prune.
+  */
+final class MergeSourcePrune(session: SparkSession)
+  extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Above this many distinct source keys, fall back from the exact key-set
+    * probe to a [min, max] range intersection (same spirit as the API
+    * path's `graft.pruneKeyLimit`, kept small: the key set is collected to
+    * the driver). */
+  private def keyLimit: Int =
+    session.conf.get("graft.mergeSourceKeyLimit", "4096").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case rd: ReplaceData => attempt(rd)
+      case _ => ()
+    }
+    plan
+  }
+
+  private def attempt(rd: ReplaceData): Unit = rd.table match {
+    case r: DataSourceV2Relation =>
+      ColumnBridge.rowLevelOperationOf(r.table) match {
+        case Some(op: GraftRowLevelOperation) if !op.sourcePruneAttempted =>
+          op.sourcePruneAttempted = true
+          // any surprise (exotic plan shape, unparseable stat value) must
+          // degrade to the unpruned scan, not fail the MERGE
+          scala.util.Try(candidatePaths(rd, r.table, op)).toOption.flatten
+            .foreach(paths => op.sourceKeyFiles = Some(paths))
+        case _ => ()
+      }
+    case _ => ()
+  }
+
+  /** Every group-based MERGE carries ONE synthetic
+    * `Keep(Copy, true, <target row>)` in its not-matched-by-source
+    * instructions — the pass-through that re-emits unmatched target rows of
+    * scanned groups. Anything else there is a REAL `WHEN NOT MATCHED BY
+    * SOURCE` action: it touches rows the source can't reach, so source-key
+    * pruning is unsound. */
+  private def hasRealNotMatchedBySource(mr: MergeRows): Boolean =
+    mr.notMatchedBySourceInstructions.exists {
+      case k: MergeRows.Keep =>
+        k.context != MergeRows.Copy ||
+          k.condition != org.apache.spark.sql.catalyst.expressions
+            .Literal.TrueLiteral
+      case _ => true
+    }
+
+  private def candidatePaths(
+      rd: ReplaceData, tbl: Table,
+      op: GraftRowLevelOperation): Option[Set[String]] = {
+    val mr = rd.query.collectFirst { case m: MergeRows => m } match {
+      case Some(m) => m
+      case None => return None // UPDATE/DELETE rewrites: not this rule's job
+    }
+    if (hasRealNotMatchedBySource(mr)) return None
+    val join = mr.child match {
+      case j: Join => j
+      case _ => return None
+    }
+    val cond = join.condition.getOrElse(return None)
+    // depending on where in optimization this runs, the target read is a
+    // plain relation (pre-pushdown) or a scan relation (post-pushdown)
+    def hasTarget(p: LogicalPlan): Boolean = p.exists {
+      case r: DataSourceV2Relation => r.table eq tbl
+      case s: DataSourceV2ScanRelation => s.relation.table eq tbl
+      case _ => false
+    }
+    val (targetSide, sourceSide) =
+      (hasTarget(join.left), hasTarget(join.right)) match {
+        case (true, false) => (join.left, join.right)
+        case (false, true) => (join.right, join.left)
+        case _ => return None // self-merge or unrecognized shape
+      }
+    if (sourceSide.isStreaming) return None
+    if (sourceSide.exists(_.expressions.exists(!_.deterministic)))
+      return None
+
+    val m = op.manifest
+    val keyName = m.primaryKey.headOption.getOrElse(return None)
+    val resolver = session.sessionState.conf.resolver
+    val targetKey = targetSide.output
+      .find(a => resolver(a.name, keyName)).getOrElse(return None)
+    val srcKey: Expression =
+      splitConjunctivePredicates(cond).collectFirst {
+        case EqualTo(l: Attribute, r) if l.exprId == targetKey.exprId &&
+          r.references.subsetOf(sourceSide.outputSet) => r
+        case EqualTo(l, r: Attribute) if r.exprId == targetKey.exprId &&
+          l.references.subsetOf(sourceSide.outputSet) => l
+      }.getOrElse(return None)
+
+    val keysDf = ColumnBridge.ofRows(session,
+      Project(Seq(Alias(srcKey, "__graft_merge_key")()), sourceSide))
+    val cap = keyLimit
+    val keys = keysDf.distinct().limit(cap + 1).collect()
+      .map(_.get(0)).filter(_ != null).toSeq
+    val candidates =
+      if (keys.size <= cap) CowTable.filesContainingAny(m, keys, colIdx = 0)
+      else {
+        val bounds = ColumnBridge.ofRows(session,
+          Aggregate(Nil, Seq(
+            Alias(Min(srcKey).toAggregateExpression(), "__graft_lo")(),
+            Alias(Max(srcKey).toAggregateExpression(), "__graft_hi")()),
+            sourceSide)).collect().head
+        if (bounds.isNullAt(0) || bounds.isNullAt(1)) return None
+        CowTable.filesInRange(m, Some(bounds.get(0)), Some(bounds.get(1)))
+      }
+    logInfo(s"graft MERGE source-bounded prune: ${candidates.size}/" +
+      s"${m.files.size} candidate files for ${keys.size}" +
+      s"${if (keys.size > cap) "+" else ""} source keys")
+    Some(candidates.map(_.path).toSet)
+  }
+}

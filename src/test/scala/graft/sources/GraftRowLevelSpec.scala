@@ -139,6 +139,104 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(t.read().count() == 1000)
   }
 
+  // ---- source-bounded group discovery (MergeSourcePrune) ---------------
+  // Disabling Spark's runtime group filter isolates the optimizer rule:
+  // without it, ONLY the source-key prune can keep untouched files out of
+  // the rewrite — carried files prove the candidate set was computed.
+
+  private val GroupFilterConf =
+    "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+
+  private def withoutRuntimeGroupFilter(body: => Unit): Unit = {
+    spark.conf.set(GroupFilterConf, "false")
+    try body finally spark.conf.set(GroupFilterConf, "true")
+  }
+
+  test("MERGE source bounds prune groups without runtime group filtering") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      clusterByKey = true))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    val v1Files = t.manifest(1).files.map(_.path).toSet
+    assert(v1Files.size == 4)
+    Seq((7L, "updated"), (401L, "inserted")).toDF("id", "name")
+      .createOrReplaceTempView("rl_sb_src")
+    withSqlTable(dir, "rl_sb") {
+      withoutRuntimeGroupFilter {
+        spark.sql(
+          """MERGE INTO rl_sb t USING rl_sb_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |""".stripMargin)
+      }
+    }
+    val carried = t.manifest(2).files.map(_.path).toSet.intersect(v1Files)
+    assert(carried.size == 3,
+      s"source-bounded prune must carry 3 of 4 files, got ${carried.size}")
+    assert(t.read().count() == 401)
+    assert(t.read().filter($"id" === 7L).as[(Long, String)].collect()
+      .toSeq == Seq((7L, "updated")))
+    assert(t.read().filter($"id".isin(6L, 8L, 401L)).count() == 3)
+  }
+
+  test("MERGE source bounds: key-set overflow falls back to [min,max]") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      clusterByKey = true))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    val v1Files = t.manifest(1).files.map(_.path).toSet
+    // both keys live in the lowest-range file; cap of 1 forces the
+    // min/max-range path, which must still reduce to that one file
+    Seq((7L, "u7"), (12L, "u12")).toDF("id", "name")
+      .createOrReplaceTempView("rl_mm_src")
+    spark.conf.set("graft.mergeSourceKeyLimit", "1")
+    try withSqlTable(dir, "rl_mm") {
+      withoutRuntimeGroupFilter {
+        spark.sql(
+          """MERGE INTO rl_mm t USING rl_mm_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |""".stripMargin)
+      }
+    } finally spark.conf.unset("graft.mergeSourceKeyLimit")
+    val carried = t.manifest(2).files.map(_.path).toSet.intersect(v1Files)
+    assert(carried.size == 3,
+      s"range fallback must carry 3 of 4 files, got ${carried.size}")
+    assert(t.read().count() == 400)
+    assert(t.read().filter($"id".isin(7L, 12L)).as[(Long, String)]
+      .collect().toSet == Set((7L, "u7"), (12L, "u12")))
+  }
+
+  test("MERGE source bounds decline on NOT MATCHED BY SOURCE") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      clusterByKey = true))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    val v1Files = t.manifest(1).files.map(_.path).toSet
+    Seq((7L, "seen")).toDF("id", "name")
+      .createOrReplaceTempView("rl_nmbs_src")
+    withSqlTable(dir, "rl_nmbs") {
+      withoutRuntimeGroupFilter {
+        spark.sql(
+          """MERGE INTO rl_nmbs t USING rl_nmbs_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET t.name = s.name
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.name = 'stale'
+            |""".stripMargin)
+      }
+    }
+    // rows the source can't reach ARE affected — the prune must have
+    // declined, every file rewritten, and every row marked
+    val carried = t.manifest(2).files.map(_.path).toSet.intersect(v1Files)
+    assert(carried.isEmpty,
+      s"NMBS merge must rewrite all groups, carried $carried")
+    assert(t.read().filter($"name" === "stale").count() == 399)
+    assert(t.read().filter($"id" === 7L).as[(Long, String)].collect()
+      .toSeq == Seq((7L, "seen")))
+  }
+
   test("SQL UPDATE rewrites in place") {
     val dir = tmpDir("rl") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))

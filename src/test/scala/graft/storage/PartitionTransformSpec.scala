@@ -158,23 +158,11 @@ class PartitionTransformSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
-  test("fences: connector writes, SQL row-level, evolution, DV are loud") {
+  test("remaining fences: partition evolution, DV config, double key are loud") {
     val dir = tmpDir("pt") + "/t"
     val t = CowTable(spark, dir,
       TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)")))
     t.create(ev((1L, "2024-03-01 10:00:00", 1.0)))
-    val e1 = intercept[Exception] {
-      ev((9L, "2024-03-09 00:00:00", 9.0)).write.format("graft")
-        .mode("append").save(dir)
-    }
-    assert(e1.getMessage.contains("generated-column funnel"))
-    spark.sql("DROP TABLE IF EXISTS pt_fence")
-    spark.sql(s"CREATE TABLE pt_fence USING graft LOCATION '$dir'")
-    try {
-      val e2 = intercept[Exception] {
-        spark.sql("DELETE FROM pt_fence WHERE id = 1") }
-      assert(e2.getMessage.contains("generated-column funnel"))
-    } finally spark.sql("DROP TABLE IF EXISTS pt_fence")
     val e3 = intercept[IllegalArgumentException](
       t.alterPartitionKey(Some("v")))
     assert(e3.getMessage.contains("transform"))
@@ -186,6 +174,130 @@ class PartitionTransformSpec extends SparkSpec {
       TableConfig("t", Seq("id"), partitionKey = Some("v"),
         partitionSpec = Some("day(ts)"))
     }
+  }
+
+  // ---- unfenced SQL/connector mutations (TransformRecompute, round 13):
+  // Iceberg's whole point for days(ts)/bucket(N) is that mutations keep
+  // working; the generated column is re-derived inside the write plan.
+
+  test("connector INSERT INTO recomputes the generated column") {
+    val dir = tmpDir("pt") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)")))
+    t.create(ev((1L, "2024-03-01 10:00:00", 1.0)))
+    // append WITHOUT ts_day via DataFrame API: schema must align to the
+    // table, so carry a deliberately WRONG generated value — the funnel
+    // must overwrite it
+    ev((9L, "2024-03-09 00:00:00", 9.0))
+      .withColumn("ts_day", lit("1999-01-01").cast("date"))
+      .write.format("graft").mode("append").save(dir)
+    val got = t.read().selectExpr("id", "CAST(ts_day AS STRING)")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "2024-03-01"), (9L, "2024-03-09")))
+    assert(t.manifest(t.currentVersion).files.forall(e =>
+      !e.path.contains("1999-01-01")))
+    assert(t.manifest(t.currentVersion).files.exists(
+      _.path.contains("ts_day=2024-03-09")))
+  }
+
+  test("SQL MERGE/UPDATE/DELETE on a day(ts) table; UPDATE moves the day dir") {
+    val dir = tmpDir("pt") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)")))
+    t.create(ev(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-02 10:00:00", 2.0),
+      (3L, "2024-03-03 10:00:00", 3.0)))
+    spark.sql("DROP TABLE IF EXISTS pt_mut")
+    spark.sql(s"CREATE TABLE pt_mut USING graft LOCATION '$dir'")
+    try {
+      // MERGE: update row 1's value, insert row 4 (ts_day derived, the
+      // source's wrong literal ignored)
+      ev((1L, "2024-03-01 10:00:00", 10.0), (4L, "2024-03-04 09:00:00", 4.0))
+        .withColumn("ts_day", lit("1999-01-01").cast("date"))
+        .createOrReplaceTempView("pt_mut_src")
+      spark.sql(
+        """MERGE INTO pt_mut t USING pt_mut_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      assert(spark.sql(
+        "SELECT id, CAST(ts_day AS STRING) FROM pt_mut")
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "2024-03-01"), (2L, "2024-03-02"), (3L, "2024-03-03"),
+          (4L, "2024-03-04")))
+      assert(spark.sql("SELECT v FROM pt_mut WHERE id = 1")
+        .as[Double].head() == 10.0)
+      // UPDATE that moves ts across a day boundary: the row must MOVE to
+      // the new hive dir (generated column re-derived, not stale)
+      spark.sql(
+        "UPDATE pt_mut SET ts = TIMESTAMP '2024-03-07 08:00:00' WHERE id = 2")
+      assert(spark.sql(
+        "SELECT CAST(ts_day AS STRING) FROM pt_mut WHERE id = 2")
+        .as[String].head() == "2024-03-07")
+      assert(t.manifest(t.currentVersion).files.exists(
+        _.path.contains("ts_day=2024-03-07")))
+      // source-predicate pruning still works after the mutations
+      val nFiles = t.manifest(t.currentVersion).files.size
+      val scan = spark.read.format("graft").load(dir)
+        .filter($"ts" >= "2024-03-07 00:00:00")
+      val plan = scan.queryExecution.executedPlan.toString
+      val fm = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan).get
+      assert(fm.group(1).toInt < fm.group(2).toInt,
+        s"expected day pruning after mutations in:\n$plan")
+      assert(scan.select("id").as[Long].collect().toSet == Set(2L))
+      // DELETE
+      spark.sql("DELETE FROM pt_mut WHERE id = 3")
+      assert(spark.sql("SELECT id FROM pt_mut").as[Long].collect().toSet ==
+        Set(1L, 2L, 4L))
+    } finally spark.sql("DROP TABLE IF EXISTS pt_mut")
+  }
+
+  test("SQL INSERT INTO + static partition OVERWRITE on a transform table") {
+    val dir = tmpDir("pt") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)")))
+    t.create(ev((1L, "2024-03-01 10:00:00", 1.0)))
+    spark.sql("DROP TABLE IF EXISTS pt_ins")
+    spark.sql(s"CREATE TABLE pt_ins USING graft LOCATION '$dir'")
+    try {
+      spark.sql(
+        """INSERT INTO pt_ins
+          |SELECT 5L, TIMESTAMP '2024-03-05 12:00:00', 5.0, DATE '1999-01-01'
+          |""".stripMargin)
+      assert(spark.sql(
+        "SELECT id, CAST(ts_day AS STRING) FROM pt_ins")
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "2024-03-01"), (5L, "2024-03-05")))
+      // static partition overwrite addresses the GENERATED column directly
+      spark.sql(
+        """INSERT OVERWRITE pt_ins PARTITION (ts_day = '2024-03-05')
+          |SELECT 6L, TIMESTAMP '2024-03-05 18:00:00', 6.0
+          |""".stripMargin)
+      assert(spark.sql("SELECT id FROM pt_ins").as[Long].collect().toSet ==
+        Set(1L, 6L))
+    } finally spark.sql("DROP TABLE IF EXISTS pt_ins")
+  }
+
+  test("streaming sink on a transform table stays fenced loud") {
+    val base = tmpDir("pt")
+    val srcT = CowTable(spark, base + "/src", TableConfig("src", Seq("id")))
+    srcT.create(ev((1L, "2024-03-01 10:00:00", 1.0)))
+    val dstT = CowTable(spark, base + "/dst",
+      TableConfig("dst", Seq("id"), partitionSpec = Some("day(ts)")))
+    dstT.create(ev((9L, "2024-03-09 10:00:00", 9.0)))
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(base + "/src")
+        .writeStream.format("graft")
+        .option("path", base + "/dst").option("primaryKey", "id")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) +: chain(x.getCause)
+    assert(chain(e).exists(_.contains("generated-column funnel")),
+      s"expected the streaming fence, got: ${chain(e)}")
   }
 
   test("SQL surface: CREATE TABLE PARTITIONED BY (days(ts)) + INSERT-free population") {
