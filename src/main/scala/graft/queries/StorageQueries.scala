@@ -2323,5 +2323,63 @@ object StorageQueries {
         s"hidden partitioning must still prune, got files=${fm.group(0)}")
       s.read.format("graft").load(root)
         .select("event_id", "user_id", "event_type", "value", "ts", "ts_day")
+    },
+
+    // DV-TABLE MERGE THROUGH THE DELTA PATH (round 13, VERDICT r12 #6): a
+    // mixed UPDATE/DELETE/INSERT MERGE on a deletion-vector table must
+    // rewrite NO data file — deletes and update-preimages become positions
+    // in a sidecar, updated/inserted rows land in fresh files (require-
+    // asserted against the manifest below). This is the reference's CDC
+    // MERGE statement (delta-cdc-load.py:121-141) at Delta's
+    // deletion-vector write economics: a 100-row batch against a 100 TB
+    // table costs O(matched rows), not O(touched file bytes).
+    Q("q204_dv_merge",
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT c_custkey, c_name,
+        |       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM base WHERE c_custkey % 11 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, 0.0 AS c_acctbal
+        |FROM base WHERE c_custkey % 13 = 0
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q204")
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val tbl = CowTable.replace(s, root,
+        TableConfig("cust_dvm", Seq("c_custkey"), clusterByKey = true,
+          changeDataFeed = true, deletionVectors = true),
+        cust.repartition(4))
+      val before = tbl.manifest(tbl.currentVersion).files.map(_.path).toSet
+      cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("D").as("op"))
+        .unionByName(cust.filter(
+          col("c_custkey") % 7 === 0 && col("c_custkey") % 11 =!= 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 100).as("c_acctbal"), lit("U").as("op")))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), lit(0.0).as("c_acctbal"), lit("I").as("op")))
+        .createOrReplaceTempView("q204_src")
+      s.sql("DROP TABLE IF EXISTS q204_t")
+      s.sql(s"CREATE TABLE q204_t USING graft LOCATION '$root'")
+      s.sql(
+        """MERGE INTO q204_t t USING q204_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.c_acctbal = s.c_acctbal
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+          |  VALUES (s.c_custkey, s.c_name, s.c_acctbal)
+          |""".stripMargin)
+      s.sql("DROP TABLE IF EXISTS q204_t")
+      val after = tbl.manifest(tbl.currentVersion).files
+      require(before.subsetOf(after.map(_.path).toSet),
+        "DV MERGE must rewrite no data file (delta path): dropped " +
+          before.diff(after.map(_.path).toSet).toString)
+      require(after.exists(_.dvPath.isDefined),
+        "DV MERGE must mark deleted/updated positions in a sidecar")
+      tbl.read().select("c_custkey", "c_name", "c_acctbal")
     })
 }

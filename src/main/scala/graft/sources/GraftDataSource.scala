@@ -308,12 +308,11 @@ final class GraftTable(
     Array(GraftTable.FileMetadataColumn, GraftTable.PosMetadataColumn)
 
   /** SQL MERGE INTO / UPDATE / DELETE. Group-based copy-on-write rewrite by
-    * default ([[GraftRowLevelOperation]]); DELETE/UPDATE on a
-    * deletion-vector table route through the DELTA-BASED path
-    * ([[GraftDvRowLevelOperation]]) — positions marked in a sidecar, only
-    * updated rows rewritten, O(matched rows) instead of O(touched file
-    * bytes). MERGE stays group-based (it owns schema evolution and
-    * arbitrary action shapes). */
+    * default ([[GraftRowLevelOperation]]); EVERY row-level command on a
+    * deletion-vector table routes through the DELTA-BASED path
+    * ([[GraftDvRowLevelOperation]]) — positions marked in a sidecar,
+    * updated/inserted rows written fresh, O(affected rows) instead of
+    * O(touched file bytes), no data file ever rewritten. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -325,8 +324,10 @@ final class GraftTable(
     // generated column is re-derived by [[TransformRecompute]] (installed
     // at table resolution), and the row-level write already clusters and
     // hive-lays-out on m.partitionKey — the generated column itself.
-    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-    if (m.deletionVectors && info.command() != Command.MERGE)
+    // DV tables route EVERY command (incl. MERGE since round 13) through
+    // the delta path: positions sidecar + fresh update/insert files, no
+    // data-file rewrite ever.
+    if (m.deletionVectors)
       new GraftDvRowLevelOperationBuilder(root, version, m, tableSchema, info)
     else
       new GraftRowLevelOperationBuilder(root, version, m, tableSchema, info)

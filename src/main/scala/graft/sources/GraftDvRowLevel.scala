@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** DELTA-BASED row-level operations (SQL `DELETE` / `UPDATE`) for
+/** DELTA-BASED row-level operations (SQL `DELETE` / `UPDATE` / `MERGE`) for
   * deletion-vector tables — Spark's `SupportsDelta` contract instead of the
   * group-based ReplaceData rewrite of [[GraftRowLevelOperation]]:
   *
@@ -30,19 +30,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     metadata columns Spark resolves as the ROW ID: `_file` (which data
   *     file) and `_pos` (row position within it) — a (file, pos) pair IS a
   *     deletion-vector entry.
-  *   - Spark feeds the writer only the MATCHED rows: `delete(meta, id)` /
-  *     `update(meta, id, row)`. Tasks append marked positions to transport
-  *     parquet files and write updated rows as fresh data files — commit
-  *     cost O(matched rows), never O(touched file bytes). The commit folds
-  *     positions into a sidecar and publishes via the usual manifest CAS
-  *     ([[CowTable.commitDeltaDv]]).
+  *   - Spark feeds the writer only the AFFECTED rows: `delete(meta, id)` /
+  *     `update(meta, id, row)` / `insert(row)`. Tasks append marked
+  *     positions to transport parquet files (update- and delete-marks
+  *     SEPARATELY, so mixed-clause MERGEs type their change-feed rows
+  *     exactly) and write updated/inserted rows as fresh data files —
+  *     commit cost O(affected rows), never O(touched file bytes). The
+  *     commit folds positions into a sidecar and publishes via the usual
+  *     manifest CAS ([[CowTable.commitDeltaDv]]).
   *
   * This is the reference's own CDC apply statement
   * (reference: src/delta/delta-cdc-load.py:138-141, a SQL MERGE/DELETE)
   * getting the merge-on-read write economics Delta deletion vectors give
   * it — without this, a DV-enabled table mutated through SQL silently pays
-  * full copy-on-write costs. MERGE keeps the group-based path (it owns
-  * schema evolution and arbitrary action shapes).
+  * full copy-on-write costs. Since round 13, MERGE routes here too (the
+  * delta writer's insert() covers NOT MATCHED rows; schema-evolution
+  * merges re-resolve the table post-ALTER like every other path): a MERGE
+  * on a DV table REWRITES NO DATA FILE — positions sidecar + fresh
+  * update/insert files only.
   */
 final class GraftDvRowLevelOperationBuilder(
     root: Path, version: Int, m: CommitManifest, tableSchema: StructType,
@@ -123,17 +128,18 @@ final class GraftDvDeltaBatchWrite(
     tbl.commitDeltaDv(parent,
       insertFiles = msgs.flatMap(_.inserts),
       updateFiles = msgs.flatMap(_.updates),
-      posFiles = msgs.flatMap(_.posFiles),
-      isUpdate = cmd == Command.UPDATE)
+      updPosFiles = msgs.flatMap(_.updPosFiles),
+      delPosFiles = msgs.flatMap(_.delPosFiles))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case GraftDvDeltaCommitMessage(ins, upd, pos) =>
+      case GraftDvDeltaCommitMessage(ins, upd, updPos, delPos) =>
         (ins ++ upd).foreach { case (p, _) =>
           Files.deleteIfExists(root.resolve(p))
         }
-        pos.foreach(p => Files.deleteIfExists(root.resolve(p)))
+        (updPos ++ delPos).foreach(p =>
+          Files.deleteIfExists(root.resolve(p)))
       case _ => ()
     }
     Try(Files.deleteIfExists(root.resolve(verSeg)))
@@ -141,10 +147,11 @@ final class GraftDvDeltaBatchWrite(
 }
 
 /** (relative path, rows) of inserted and updated data files, plus the
-  * task's transport parquet of marked (path, pos) rows. */
+  * task's transport parquets of marked (path, pos) rows — update-marks and
+  * delete-marks apart (change-feed preimage typing). */
 final case class GraftDvDeltaCommitMessage(
     inserts: Seq[(String, Long)], updates: Seq[(String, Long)],
-    posFiles: Seq[String])
+    updPosFiles: Seq[String], delPosFiles: Seq[String])
   extends WriterCommitMessage
 
 final class GraftDvDeltaWriterFactory(
@@ -179,35 +186,53 @@ final class GraftDvDeltaWriter(
     StructField("pos", LongType, nullable = false)))
   private val posType = GraftParquetIO.messageType(posSchema)
   private val posFactory = new SimpleGroupFactory(posType)
-  private var posWriter: ParquetWriter[Group] = _
-  private var posPath: String = _
 
-  private def mark(id: InternalRow): Unit = {
-    if (posWriter == null) {
-      posPath = f"$verSeg/dvpending/mark-$partitionId%05d-$taskId.parquet"
-      val abs = Paths.get(rootStr).resolve(posPath)
-      Files.createDirectories(abs.getParent)
-      posWriter = ExampleParquetWriter
-        .builder(new org.apache.hadoop.fs.Path(abs.toString))
-        .withType(posType)
-        .withConf(new org.apache.hadoop.conf.Configuration())
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+  /** One mark stream (update- or delete-marks): lazily opened transport
+    * parquet of root-relative (path, pos) rows. */
+  private final class MarkStream(tag: String) {
+    private var writer: ParquetWriter[Group] = _
+    var path: String = _
+    def mark(id: InternalRow): Unit = {
+      if (writer == null) {
+        path = f"$verSeg/dvpending/$tag%s-$partitionId%05d-$taskId.parquet"
+        val abs = Paths.get(rootStr).resolve(path)
+        Files.createDirectories(abs.getParent)
+        writer = ExampleParquetWriter
+          .builder(new org.apache.hadoop.fs.Path(abs.toString))
+          .withType(posType)
+          .withConf(new org.apache.hadoop.conf.Configuration())
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .build()
+      }
+      // `_file` rides as the ABSOLUTE path ([[GraftPartitionReader]]); the
+      // sidecar convention is root-relative
+      val absFile = id.getUTF8String(fileIdx).toString
+      val g = posFactory.newGroup()
+      g.add(0, Binary.fromString(absFile.substring(rootStr.length + 1)))
+      g.add(1, id.getLong(posIdx))
+      writer.write(g)
     }
-    // `_file` rides as the ABSOLUTE path ([[GraftPartitionReader]]); the
-    // sidecar convention is root-relative
-    val absFile = id.getUTF8String(fileIdx).toString
-    val g = posFactory.newGroup()
-    g.add(0, Binary.fromString(absFile.substring(rootStr.length + 1)))
-    g.add(1, id.getLong(posIdx))
-    posWriter.write(g)
+    def finish(): Seq[String] =
+      if (writer == null) Nil
+      else { writer.close(); writer = null; Seq(path) }
+    def abort(): Unit = {
+      if (writer != null) { writer.close(); writer = null }
+      if (path != null)
+        Files.deleteIfExists(Paths.get(rootStr).resolve(path))
+    }
+    def close(): Unit =
+      if (writer != null) { writer.close(); writer = null }
   }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit = mark(id)
+  private val updMarks = new MarkStream("updmark")
+  private val delMarks = new MarkStream("delmark")
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    delMarks.mark(id)
 
   override def update(
       meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    mark(id)
+    updMarks.mark(id)
     upd.write(row)
   }
 
@@ -218,24 +243,20 @@ final class GraftDvDeltaWriter(
   override def commit(): WriterCommitMessage = {
     val i = ins.commit() match { case GraftCommitMessage(fs) => fs }
     val u = upd.commit() match { case GraftCommitMessage(fs) => fs }
-    val p = if (posWriter != null) {
-      posWriter.close(); posWriter = null
-      Seq(posPath)
-    } else Nil
-    GraftDvDeltaCommitMessage(i, u, p)
+    GraftDvDeltaCommitMessage(i, u, updMarks.finish(), delMarks.finish())
   }
 
   override def abort(): Unit = {
     ins.abort()
     upd.abort()
-    if (posWriter != null) { posWriter.close(); posWriter = null }
-    if (posPath != null)
-      Files.deleteIfExists(Paths.get(rootStr).resolve(posPath))
+    updMarks.abort()
+    delMarks.abort()
   }
 
   override def close(): Unit = {
     ins.close()
     upd.close()
-    if (posWriter != null) { posWriter.close(); posWriter = null }
+    updMarks.close()
+    delMarks.close()
   }
 }

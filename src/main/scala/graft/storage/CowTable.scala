@@ -750,16 +750,22 @@ final class CowTable private[storage] (
       parent: Int,
       insertFiles: Seq[(String, Long)],
       updateFiles: Seq[(String, Long)],
-      posFiles: Seq[String],
-      isUpdate: Boolean): Int = {
+      updPosFiles: Seq[String],
+      delPosFiles: Seq[String]): Int = {
     val m = manifest(parent)
     val schema = structFromJson(m.schemaJson)
     val v = parent + 1
-    val posDf: Option[DataFrame] =
-      if (posFiles.isEmpty) None
+    def loadPos(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
       else Some(spark.read
-        .parquet(posFiles.map(p => root.resolve(p).toString): _*)
+        .parquet(fs.map(p => root.resolve(p).toString): _*)
         .select(col("path"), col("pos")))
+    val updPosDf = loadPos(updPosFiles)
+    val delPosDf = loadPos(delPosFiles)
+    val posDf: Option[DataFrame] = (updPosDf, delPosDf) match {
+      case (Some(a), Some(b)) => Some(a.unionAll(b))
+      case (a, b) => a.orElse(b)
+    }
     // touched file set: distinct paths of the marks — bounded by file count
     val touchedPaths: Set[String] = posDf.fold(Set.empty[String])(
       _.select("path").distinct().collect().map(_.getString(0)).toSet)
@@ -776,10 +782,12 @@ final class CowTable private[storage] (
       "row-level DV write", m.columnMapping)
     // CDF (deletionVectors requires changeDataFeed): preimages are the
     // marked rows read back from the touched files (existing vectors
-    // already subtracted — a position can't tombstone twice), post-images
-    // and inserts are the freshly written files
+    // already subtracted — a position can't tombstone twice), TYPED by
+    // which clause marked them (a mixed MERGE deletes some rows and
+    // updates others in one statement); post-images and inserts are the
+    // freshly written files
     val cdc = {
-      val pre = posDf.filter(_ => touched.nonEmpty).map { df =>
+      def pre(df: DataFrame, changeType: String): DataFrame = {
         val marks = df.select(col("path").as("__mark_path"),
           col("pos").as("__mark_pos"))
         val withPos = readFilesWithPositions(m, touched)
@@ -787,9 +795,12 @@ final class CowTable private[storage] (
           withPos("__rel") === marks("__mark_path") &&
             withPos("__pos") === marks("__mark_pos"), "left_semi")
           .drop("__rel", "__pos")
-          .withColumn("_change_type",
-            lit(if (isUpdate) "update_preimage" else "delete"))
+          .withColumn("_change_type", lit(changeType))
       }
+      val preUpd = updPosDf.filter(_ => touched.nonEmpty)
+        .map(pre(_, "update_preimage"))
+      val preDel = delPosDf.filter(_ => touched.nonEmpty)
+        .map(pre(_, "delete"))
       val post =
         if (freshUpd.isEmpty) None
         else Some(readFiles(m, freshUpd)
@@ -798,7 +809,7 @@ final class CowTable private[storage] (
         if (freshIns.isEmpty) None
         else Some(readFiles(m, freshIns)
           .withColumn("_change_type", lit("insert")))
-      val parts = Seq(pre, post, ins).flatten
+      val parts = Seq(preUpd, preDel, post, ins).flatten
       if (parts.isEmpty) None
       else writeCdc(parts.reduce(_ unionByName _), v, m.columnMapping)
     }
@@ -809,7 +820,8 @@ final class CowTable private[storage] (
       updatedEntries ++ untouched, schema, dataChange = true, cdcDir = cdc,
       mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
     // the position files were transport, not table data
-    posFiles.foreach(p => Try(Files.deleteIfExists(root.resolve(p))))
+    (updPosFiles ++ delPosFiles).foreach(p =>
+      Try(Files.deleteIfExists(root.resolve(p))))
     out
   }
 

@@ -375,15 +375,60 @@ class DeletionVectorSpec extends SparkSpec {
     t.delete(Seq(42L).toDF("id")) // Scala-API DV delete: sidecar attached
     sess.range(40, 45).selectExpr("id", "id * 2.0 AS v")
       .where("id != 42").createOrReplaceTempView("src")
+    val before = t.manifest(t.currentVersion).files.map(_.path).toSet
     sess.sql(
       """MERGE INTO lake.default.t t USING src s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    // the group rewrite scanned files WITH their vectors: 42 stays dead
+    // the delta scan subtracts the vectors before matching: 42 stays dead
     val got = sess.table("lake.default.t").as[(Long, Double)].collect().toMap
     assert(!got.contains(42L))
     assert(got(41L) == 82.0 && got(44L) == 88.0)
     assert(got.size == 99)
+    // the round-13 contract: a MERGE on a DV table REWRITES NO DATA FILE —
+    // every pre-merge file is still referenced (now vectored), the merge
+    // added only fresh update/insert files + a positions sidecar
+    val after = t.manifest(t.currentVersion).files
+    assert(before.subsetOf(after.map(_.path).toSet),
+      s"DV MERGE must not rewrite data files; dropped " +
+        s"${before.diff(after.map(_.path).toSet)}")
+  }
+
+  test("DV MERGE with mixed UPDATE/DELETE/INSERT clauses: delta path, typed CDF") {
+    val lake = tmpDir("dvmergemix")
+    val sess = dvSqlSession(lake)
+    val t = LakeRegistry.open(spark, lake, "t")
+    val preVersion = t.currentVersion
+    val before = t.manifest(preVersion).files.map(_.path).toSet
+    // id 10 updated, id 20 deleted, id 200 inserted — one statement
+    // (view on SESS: temp views are session-scoped)
+    sess.sql(
+      """SELECT * FROM VALUES (10L, 111.0, 'U'), (20L, 0.0, 'D'),
+        |  (200L, 222.0, 'I') AS v(id, v, op)""".stripMargin)
+      .createOrReplaceTempView("mix_src")
+    sess.sql(
+      """MERGE INTO lake.default.t t USING mix_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        |""".stripMargin)
+    val got = sess.table("lake.default.t").as[(Long, Double)]
+      .collect().toMap
+    assert(got(10L) == 111.0 && !got.contains(20L) && got(200L) == 222.0)
+    assert(got.size == 100) // 100 base − 1 deleted + 1 inserted
+    // no data file rewritten
+    val m2 = t.manifest(t.currentVersion)
+    assert(before.subsetOf(m2.files.map(_.path).toSet))
+    // both touched rows live as DV marks, not rewrites
+    assert(m2.files.exists(_.dvPath.isDefined))
+    // change feed typed per clause: delete vs update_preimage/postimage
+    val feed = t.readChangeFeed(preVersion, t.currentVersion)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed.contains((20L, "delete")), s"feed=$feed")
+    assert(feed.contains((10L, "update_preimage")), s"feed=$feed")
+    assert(feed.contains((10L, "update_postimage")), s"feed=$feed")
+    assert(feed.contains((200L, "insert")), s"feed=$feed")
+    assert(!feed.contains((20L, "update_preimage")))
   }
 
   test("SQL surface: deletionVectors via TBLPROPERTIES reaches the config") {
