@@ -31,68 +31,94 @@ object TextDedup {
     * duplicate group (pairs alone can chain: a~b, b~c must collapse to one
     * cluster even if a~c was never a candidate).
     *
-    * Iterative min-label propagation: each round every node takes the min of
-    * its own and its neighbors' labels; converges in O(component diameter)
-    * rounds — small by construction for near-dup graphs. Each round is one
-    * join + aggregation (no cartesian); lineage is cut per round via
-    * persist, and the loop exits on a converged count. Driver involvement is
-    * O(diameter) job submissions, not per-row work.
+    * Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — the two-operation alternating
+    * algorithm): each round rewires every node's strictly-larger neighbors
+    * (large-star), then its smaller neighbors (small-star), to the
+    * neighborhood minimum. Converges in O(log n) rounds regardless of
+    * component SHAPE — the property that matters at 100 TB, where crawl
+    * dup-chains produce chain-shaped components whose diameter (and thus a
+    * label-propagation round count) grows with the chain length. Each round
+    * is two aggregations + two joins over the CURRENT edge set (which only
+    * ever shrinks toward star form); lineage is cut per round and the loop
+    * exits when the edge set reaches its star-form fixpoint.
     */
   def nearDupClusters(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIterations: Int = 50): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // materialize the pair input ONCE before the symmetric union: each union
-    // branch is a separate subtree, so an un-materialized `pairs` plan (e.g.
-    // the whole LSH+verify pipeline of nearDupPairs composed lazily) would
-    // execute in full twice before clustering even starts
-    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      maxIterations: Int = 50): DataFrame =
+    nearDupClustersWithRounds(pairs, idA, idB, maxIterations)._1
+
+  /** [[nearDupClusters]] plus the number of star rounds it took — the
+    * O(log n)-convergence evidence the scale specs assert on. */
+  private[text] def nearDupClustersWithRounds(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIterations: Int = 50): (DataFrame, Int) = {
+    // materialize the pair input ONCE: the plan behind `pairs` (e.g. the
+    // whole LSH+verify pipeline) must not re-execute per derived branch
+    val p = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .localCheckpoint()
-    val edges = p
-      .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist(lvl)
-    // `cur` is always the PERSISTED frame of the latest round (the changed
-    // count materializes it before the previous round's cache is released —
-    // unpersisting earlier would silently recompute the whole chain).
-    var cur = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .withColumn("__chg", lit(false)).persist(lvl)
-    cur.count()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIterations) {
-      val labels = cur.select("id", "cluster_id")
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("cluster_id").as("__nmin"))
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
-            .as("cluster_id"),
-          coalesce(col("__nmin") < col("cluster_id"), lit(false)).as("__chg"))
-        .persist(lvl)
-      changed = next.filter(col("__chg")).count()
-      cur.unpersist(blocking = false)
-      cur = next
-      it += 1
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    // canonical (u > v) proper edges; self-pairs carry no connectivity.
+    // EVERY round is localCheckpoint'd, not merely persisted: each star
+    // round references its input ~4x (sym + self-aggregation joins), so an
+    // un-truncated logical plan grows ~4^rounds nodes and catalyst analysis
+    // time explodes long before the data does — checkpointing resets the
+    // plan to a leaf per round (the iterative-algorithm idiom).
+    var e = p.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    // LARGE-STAR: center every node u; attach each strictly larger neighbor
+    // to m = min(N(u) ∪ {u}). Output edges stay canonical (m < v).
+    def largeStar(in: DataFrame): DataFrame = {
+      val s = sym(in)
+      val mins = s.groupBy(col("u").as("__c")).agg(min("v").as("__mn"))
+        .select(col("__c"), least(col("__c"), col("__mn")).as("__m"))
+      s.join(mins, s("u") === col("__c"))
+        .filter(col("v") > s("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
     }
-    edges.unpersist(blocking = false)
-    // returning silently-partial labels would split one duplicate group
-    // across several cluster ids downstream — fail loudly instead (and
-    // release the round cache on BOTH exits: the final labels leave this
-    // call checkpointed, never still-persisted)
-    if (changed != 0) {
-      cur.unpersist(blocking = false)
+    // SMALL-STAR on canonical edges: center u's neighbors are all smaller;
+    // attach them (and u) to their minimum m.
+    def smallStar(in: DataFrame): DataFrame = {
+      val mins = in.groupBy("u").agg(min("v").as("__m"))
+      val rewired = in.join(mins, "u")
+        .filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+      rewired.unionAll(mins.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxIterations) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint test: both are distinct sets, so equal counts + empty
+      // difference ⇔ equal sets (one extra bounded job per round)
+      converged = next.count() == e.count() &&
+        next.exceptAll(e).limit(1).isEmpty
+      e = next
+      rounds += 1
+    }
+    if (!converged && rounds >= maxIterations) {
       throw new IllegalArgumentException(
-        s"nearDupClusters did not converge within $maxIterations rounds " +
-          s"($changed labels still changing) — a component's diameter " +
-          "exceeds maxIterations; raise it")
+        s"nearDupClusters did not converge within $maxIterations star " +
+          "rounds — pathological input (rounds are O(log n) by " +
+          "construction); raise maxIterations")
     }
-    val out = cur.select(col("id").as("doc_id"), col("cluster_id"))
+    // star-form fixpoint: every non-root points straight at its component
+    // min. Nodes appear in the ORIGINAL pair list (incl. self-pairs) even
+    // when star rewiring dropped their edges — label them via left join.
+    val labels = sym(e).groupBy(col("u").as("id"))
+      .agg(min("v").as("__nm"))
+      .select(col("id"), least(col("id"), col("__nm")).as("__lbl"))
+    val nodes = sym(p).select(col("u").as("id")).distinct()
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("__lbl"), col("id")).as("cluster_id"))
       .localCheckpoint()
-    cur.unpersist(blocking = false)
-    out
+    (out, rounds)
   }
 
   /** Exploded LSH bucket table (id, band, band_key): `bands` bands of

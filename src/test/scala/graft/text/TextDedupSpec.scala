@@ -185,4 +185,27 @@ class TextDedupSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(TextDedup.nearDupClusters(pairs).count() == 0)
   }
+
+  test("nearDupClusters: a 1000-link chain converges in O(log n) rounds") {
+    // the crawl-dup-chain shape: diameter 1000. Min-label propagation
+    // needs ~1000 rounds here; alternating large-star/small-star must
+    // finish in ~log2(1000) ≈ 10.
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, rounds) = TextDedup.nearDupClustersWithRounds(pairs)
+    assert(rounds <= 14, // ~log2(1000) + the no-change detection round
+      s"expected O(log n) convergence, took $rounds rounds")
+    val labels = out.as[(Long, Long)].collect()
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 1L),
+      s"all 1000 chained nodes must share cluster 1, got " +
+        s"${labels.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("nearDupClusters: self-pairs and reversed duplicates are harmless") {
+    val pairs = Seq((5L, 5L), (2L, 1L), (1L, 2L), (3L, 2L))
+      .toDF("id_a", "id_b")
+    val out = TextDedup.nearDupClusters(pairs).as[(Long, Long)]
+      .collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L))
+  }
 }
