@@ -337,7 +337,12 @@ final class GraftTable(
 final class GraftScanBuilder(
     root: Path, m: CommitManifest, fullSchema: StructType,
     columnar: Boolean = true,
-    streamOpts: GraftStreamOptions = GraftStreamOptions())
+    streamOpts: GraftStreamOptions = GraftStreamOptions(),
+    /** Late-bound candidate-file set ([[MergeSourcePrune]] via
+      * [[SourceBoundedRowLevelOp]]): evaluated at partition-planning time,
+      * AFTER the optimizer rule ran its source-bounds job. None ⇒ no extra
+      * pruning. Only row-level operations pass a real thunk. */
+    dynamicKeep: () => Option[Set[String]] = () => None)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -856,7 +861,8 @@ final class GraftScanBuilder(
       }
     }
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
-      extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes)
+      extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes,
+      dynamicKeep)
   }
 }
 
@@ -999,7 +1005,11 @@ final class GraftScan(
     partRange: (Option[String], Option[String]) = (None, None),
     /** `IS [NOT] NULL` conjuncts (column, isNull) — pruning-only against
       * per-file null counts; files without a count are never skipped. */
-    nullPrunes: Seq[(String, Boolean)] = Nil)
+    nullPrunes: Seq[(String, Boolean)] = Nil,
+    /** Late-bound candidate set (source-bounded MERGE prune): consulted at
+      * partition-planning time, same soundness contract as runtime
+      * filtering — only drops files the merge source cannot reach. */
+    dynamicKeep: () => Option[Set[String]] = () => None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1333,7 +1343,13 @@ final class GraftScan(
   private def dvRef(e: FileEntry): Option[(String, String)] =
     e.dvPath.map(p => (root.resolve(p).toString, e.path))
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Source-bounded MERGE candidates (set by the optimizer rule after this
+    // scan was built): shrink `kept` exactly like a runtime filter — group
+    // VALUES still come from the `planned` snapshot, so key-grouped
+    // partitioning stays stable (a fully-pruned value yields an empty
+    // group, never a shorter group list).
+    dynamicKeep().foreach(paths => kept = kept.filter(e => paths(e.path)))
     keyGroups match {
       case Some(groups) =>
         val pk = m.partitionKey.get
@@ -1355,6 +1371,7 @@ final class GraftScan(
           dvRef(e))
       }.toArray
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // deletion-vectored files need the position-skipping row reader; the

@@ -62,9 +62,12 @@ final class GraftDvRowLevelOperation(
     root: Path, parent: Int, m: CommitManifest, tableSchema: StructType,
     cmd: Command)
   extends RowLevelOperation
-  with org.apache.spark.sql.connector.write.SupportsDelta {
+  with org.apache.spark.sql.connector.write.SupportsDelta
+  with SourceBoundedRowLevelOp {
 
   override def command(): Command = cmd
+
+  private[sources] def manifest: CommitManifest = m
 
   override def description(): String =
     s"graft delta (deletion-vector) row-level $cmd on $root v$parent"
@@ -76,9 +79,13 @@ final class GraftDvRowLevelOperation(
 
   /** The ordinary table scan: pushed-filter file pruning + DV subtraction
     * come with it; row mode is forced because `_pos` is a running per-file
-    * counter only the row reader maintains. */
+    * counter only the row reader maintains. A delta MERGE has no static
+    * predicates and no runtime group filter, so the scan also honors the
+    * [[MergeSourcePrune]] candidate set (dynamicKeep) — match discovery
+    * reads O(candidate files), not the table. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, m, tableSchema, columnar = false)
+    new GraftScanBuilder(root, m, tableSchema, columnar = false,
+      dynamicKeep = () => sourceKeyFiles)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new GraftDvDeltaWriteBuilder(root, parent, m, tableSchema, cmd, info)

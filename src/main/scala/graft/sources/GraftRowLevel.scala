@@ -54,10 +54,28 @@ final class GraftRowLevelOperationBuilder(
     new GraftRowLevelOperation(root, version, m, tableSchema, info.command())
 }
 
+/** Side channel for [[MergeSourcePrune]], shared by the group-based and
+  * delta-based (deletion-vector) row-level operations: the optimizer rule
+  * computes the merge SOURCE's candidate file paths before execution; the
+  * operation's scan(s) intersect with them at partition-planning time.
+  * None ⇒ no prune (full behavior). */
+private[sources] trait SourceBoundedRowLevelOp {
+  /** Paths of files whose key stats can contain at least one merge-source
+    * key. Files a source key cannot reach hold no matched rows, so
+    * dropping them from match discovery is always sound. */
+  @volatile private[sources] var sourceKeyFiles: Option[Set[String]] = None
+
+  /** One-shot guard across optimizer fixed-point iterations (the bounds
+    * job must run at most once per statement). */
+  @volatile private[sources] var sourcePruneAttempted: Boolean = false
+
+  private[sources] def manifest: CommitManifest
+}
+
 final class GraftRowLevelOperation(
     root: Path, parent: Int, m: CommitManifest, tableSchema: StructType,
     cmd: Command)
-  extends RowLevelOperation {
+  extends RowLevelOperation with SourceBoundedRowLevelOp {
 
   /** Files the ReplaceData scan actually planned — the groups the commit
     * replaces. Written by [[GraftRowLevelScan.planInputPartitions]] (driver-
@@ -65,20 +83,12 @@ final class GraftRowLevelOperation(
     * committing without a planned scan replaces nothing). */
   @volatile private[sources] var scannedFiles: Option[Seq[FileEntry]] = None
 
-  /** SOURCE-BOUNDED candidate groups ([[MergeSourcePrune]]): the paths of
-    * files whose key stats can contain at least one merge-source key. Set
-    * before execution by the optimizer rule; both scan instances (the
-    * matching-rows subquery AND the ReplaceData scan) intersect with it, so
-    * the group-discovery subquery reads O(candidate files) instead of the
-    * whole column-pruned table. None ⇒ no prune (full behavior). Files a
-    * source key cannot reach hold no matched rows, so dropping them from a
-    * group-based plan only moves them from "scanned and rewritten
-    * unchanged" to "carried" — never wrong. */
-  @volatile private[sources] var sourceKeyFiles: Option[Set[String]] = None
-
-  /** One-shot guard for [[MergeSourcePrune]] across optimizer fixed-point
-    * iterations (the bounds job must run at most once per statement). */
-  @volatile private[sources] var sourcePruneAttempted: Boolean = false
+  // sourceKeyFiles ([[SourceBoundedRowLevelOp]]): both scan instances (the
+  // matching-rows subquery AND the ReplaceData scan) intersect with it, so
+  // group discovery reads O(candidate files) instead of the whole
+  // column-pruned table. Files a source key cannot reach hold no matched
+  // rows, so dropping them from a group-based plan only moves them from
+  // "scanned and rewritten unchanged" to "carried" — never wrong.
 
   private[sources] def manifest: CommitManifest = m
 

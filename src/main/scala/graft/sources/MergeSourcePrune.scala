@@ -4,7 +4,7 @@ import graft.storage.CowTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, MergeRows, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, MergeRows, Project, ReplaceData, WriteDelta}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -20,9 +20,11 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   * the same property: before execution, run one tiny driver job computing
   * the merge SOURCE's distinct key set (or, above a cap, its [min, max]),
   * intersect it with the manifest's per-file key stats, and hand the
-  * surviving candidate paths to [[GraftRowLevelOperation]] — BOTH scan
-  * instances (the matching-rows subquery and the ReplaceData scan) then
-  * read O(candidate files). At 100 TB a 100-row CDC MERGE scans a handful
+  * surviving candidate paths to the operation ([[SourceBoundedRowLevelOp]]:
+  * the group-based [[GraftRowLevelOperation]] AND the deletion-vector
+  * delta path [[GraftDvRowLevelOperation]]) — every scan instance (the
+  * matching-rows subquery, the ReplaceData scan, the WriteDelta match
+  * scan) then reads O(candidate files). At 100 TB a 100-row CDC MERGE scans a handful
   * of files to discover its groups instead of the whole key column. Same
   * find-touched-files-first design the public lake engines use for MERGE;
   * the reference's CDC apply step is exactly such a MERGE
@@ -49,25 +51,30 @@ final class MergeSourcePrune(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
-      case rd: ReplaceData => attempt(rd)
+      // group-based (COW) and delta-based (deletion-vector) rewrites both
+      // discover matches by scanning the target — the same source-bounds
+      // prune applies to either
+      case rd: ReplaceData => attempt(rd.table, rd.query)
+      case wd: WriteDelta => attempt(wd.table, wd.query)
       case _ => ()
     }
     plan
   }
 
-  private def attempt(rd: ReplaceData): Unit = rd.table match {
-    case r: DataSourceV2Relation =>
-      ColumnBridge.rowLevelOperationOf(r.table) match {
-        case Some(op: GraftRowLevelOperation) if !op.sourcePruneAttempted =>
-          op.sourcePruneAttempted = true
-          // any surprise (exotic plan shape, unparseable stat value) must
-          // degrade to the unpruned scan, not fail the MERGE
-          scala.util.Try(candidatePaths(rd, r.table, op)).toOption.flatten
-            .foreach(paths => op.sourceKeyFiles = Some(paths))
-        case _ => ()
-      }
-    case _ => ()
-  }
+  private def attempt(tableRel: LogicalPlan, query: LogicalPlan): Unit =
+    tableRel match {
+      case r: DataSourceV2Relation =>
+        ColumnBridge.rowLevelOperationOf(r.table) match {
+          case Some(op: SourceBoundedRowLevelOp) if !op.sourcePruneAttempted =>
+            op.sourcePruneAttempted = true
+            // any surprise (exotic plan shape, unparseable stat value) must
+            // degrade to the unpruned scan, not fail the MERGE
+            scala.util.Try(candidatePaths(query, r.table, op)).toOption.flatten
+              .foreach(paths => op.sourceKeyFiles = Some(paths))
+          case _ => ()
+        }
+      case _ => ()
+    }
 
   /** Every group-based MERGE carries ONE synthetic
     * `Keep(Copy, true, <target row>)` in its not-matched-by-source
@@ -85,14 +92,21 @@ final class MergeSourcePrune(session: SparkSession)
     }
 
   private def candidatePaths(
-      rd: ReplaceData, tbl: Table,
-      op: GraftRowLevelOperation): Option[Set[String]] = {
-    val mr = rd.query.collectFirst { case m: MergeRows => m } match {
+      query: LogicalPlan, tbl: Table,
+      op: SourceBoundedRowLevelOp): Option[Set[String]] = {
+    val mr = query.collectFirst { case m: MergeRows => m } match {
       case Some(m) => m
       case None => return None // UPDATE/DELETE rewrites: not this rule's job
     }
     if (hasRealNotMatchedBySource(mr)) return None
-    val join = mr.child match {
+    // group mode puts the Join directly under MergeRows; delta mode
+    // interposes a Project (row-id / from-target bookkeeping columns)
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => unwrap(c)
+      case other => other
+    }
+    val join = unwrap(mr.child) match {
       case j: Join => j
       case _ => return None
     }

@@ -431,6 +431,38 @@ class DeletionVectorSpec extends SparkSpec {
     assert(!feed.contains((20L, "update_preimage")))
   }
 
+  test("DV MERGE source bounds: match scan reads only candidate files") {
+    val dir = tmpDir("dvsb") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      changeDataFeed = true, deletionVectors = true, clusterByKey = true))
+    t.create((1L to 400L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(4))
+    assert(t.manifest(1).files.size == 4)
+    val before = t.manifest(1).files.map(_.path).toSet
+    Seq((7L, 77.0), (401L, 401.0)).toDF("id", "v")
+      .createOrReplaceTempView("dv_sb_src")
+    spark.sql("DROP TABLE IF EXISTS dv_sb")
+    try {
+      spark.sql(s"CREATE TABLE dv_sb USING graft LOCATION '$dir'")
+      val merge = spark.sql(
+        """MERGE INTO dv_sb t USING dv_sb_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      // delta path (no group filter exists here): only MergeSourcePrune can
+      // bound the match scan — of the 4 range-clustered files exactly one
+      // can contain source key 7 (401 is beyond every max)
+      val plan = merge.queryExecution.executedPlan.toString
+      assert(plan.contains("files=1/4"),
+        s"expected source-bounded delta match scan files=1/4 in:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS dv_sb")
+    val m2 = t.manifest(t.currentVersion)
+    assert(before.subsetOf(m2.files.map(_.path).toSet)) // no rewrite
+    val got = t.read().as[(Long, Double)].collect().toMap
+    assert(got(7L) == 77.0 && got(401L) == 401.0 && got.size == 401)
+    assert(got(6L) == 6.0 && got(8L) == 8.0) // co-located rows untouched
+  }
+
   test("SQL surface: deletionVectors via TBLPROPERTIES reaches the config") {
     val lake = tmpDir("dvsql")
     val sess = spark.newSession()
