@@ -122,6 +122,70 @@ class BranchSpec extends SparkSpec {
     assert(e.getMessage.contains("partition layout"))
   }
 
+  test("OPTIMIZE on a branch: publish carries the clustered files") {
+    val dir = tmpDir("branch") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    val b = t.createBranch("maint")
+    b.optimize() // z-order the BRANCH — main must stay untouched
+    val bHead = b.manifest(b.currentVersion)
+    assert(bHead.files.nonEmpty && bHead.files.forall(
+      _.zorderBy.contains("id")))
+    assert(t.currentVersion == 1 &&
+      t.manifest(1).files.forall(_.zorderBy.isEmpty))
+    // publish: the clustered files (and their signatures) land on main
+    val v = t.fastForward("maint")
+    val mHead = t.manifest(v)
+    assert(mHead.files.map(_.path).toSet == bHead.files.map(_.path).toSet)
+    assert(mHead.files.forall(_.zorderBy.contains("id")))
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      (1L to 400L).map(i => (i, s"n$i")).toSet)
+    // signatures survived the publish: incremental OPTIMIZE on main
+    // recognizes the branch's work and is a commit-free no-op
+    assert(t.optimize() == v && t.currentVersion == v)
+  }
+
+  test("matview + WAP: one refresh absorbs a branch publish; branch base " +
+      "fails loud after drop") {
+    val lake = tmpDir("branchmv")
+    val t = CowTable(spark, lake + "/base",
+      TableConfig("base", Seq("id"), changeDataFeed = true))
+    t.create(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "grp", "v"))
+    val mv = graft.pipeline.MatView(
+      spark, lake + "/mv", t, Seq("grp"), Seq("v"))
+    mv.refresh()
+    // the documented pattern: MV on MAIN, mutations audited on a branch —
+    // the MV cannot see un-published work…
+    val b = t.createBranch("wap")
+    b.upsert(Seq((1L, "a", 11.0), (4L, "b", 40.0)).toDF("id", "grp", "v"))
+    b.delete(Seq(Tuple1(2L)).toDF("id"))
+    assert(mv.refresh() == 0) // main unchanged: nothing to do
+    // …and the publish's netted change feed drives ONE exact refresh
+    t.fastForward("wap")
+    assert(mv.refresh() == 1)
+    assert(mv.read()
+      .select($"grp", $"n_rows", $"sum_v".cast("double"))
+      .as[(String, Long, Double)].collect().toSet ==
+      Set(("a", 1L, 11.0), ("b", 2L, 70.0)))
+    // a matview built directly against a BRANCH handle works while the
+    // branch lives, but dies WITH the branch — loud, not silently stale
+    val b2 = t.createBranch("wap2")
+    val mvB = graft.pipeline.MatView(
+      spark, lake + "/mv_branch", b2, Seq("grp"), Seq("v"))
+    mvB.refresh()
+    b2.upsert(Seq((5L, "c", 50.0)).toDF("id", "grp", "v"))
+    assert(mvB.refresh() == 1)
+    t.dropBranch("wap2")
+    intercept[Exception](t.branch("wap2")) // handle re-open fails…
+    // …and a stale handle's refresh must FAIL, not silently no-op (a
+    // 0-change return would be invisible staleness)
+    val stale = scala.util.Try(mvB.refresh())
+    assert(stale.isFailure,
+      s"refresh on a dropped branch must fail loud, got $stale")
+  }
+
   test("SQL surface: CALL create_branch / fast_forward / drop_branch") {
     val lake = tmpDir("branch")
     val t = CowTable(spark, lake + "/events",
