@@ -118,21 +118,30 @@ object ScaleProbe {
       spark.sql(s"DROP TABLE IF EXISTS $sql")
       spark.sql(s"CREATE TABLE $sql USING graft LOCATION '$root/li'")
       // key-unique source (the synthetic lineitem repeats (orderkey, line#)
-      // pairs; a real CDC merge dedups its batch first — CdcDedup's job)
-      df.filter($"l_orderkey".between(12000, 14000))
-        .dropDuplicates("l_orderkey", "l_linenumber").limit(1000)
-        .withColumn("l_quantity", $"l_quantity" + 2)
-        .createOrReplaceTempView("sp_batch")
-      spark.table("sp_batch").cache().count()
-      val (_, tMerge) = time {
-        spark.sql(
-          s"""MERGE INTO $sql t USING sp_batch s
-             |ON t.l_orderkey = s.l_orderkey
-             |  AND t.l_linenumber = s.l_linenumber
-             |WHEN MATCHED THEN UPDATE SET t.l_quantity = s.l_quantity
-             |WHEN NOT MATCHED THEN INSERT *
-             |""".stripMargin)
+      // pairs; a real CDC merge dedups its batch first — CdcDedup's job).
+      // TWO merges over different key windows: the first is the warm-up
+      // (JIT + shuffle-service init right after the big create dominates
+      // it), the second is the reported per-statement cost.
+      def mergeBatch(lo: Int, hi: Int): Double = {
+        df.filter($"l_orderkey".between(lo, hi))
+          .dropDuplicates("l_orderkey", "l_linenumber").limit(1000)
+          .withColumn("l_quantity", $"l_quantity" + 2)
+          .createOrReplaceTempView("sp_batch")
+        spark.table("sp_batch").cache().count()
+        val (_, sec) = time {
+          spark.sql(
+            s"""MERGE INTO $sql t USING sp_batch s
+               |ON t.l_orderkey = s.l_orderkey
+               |  AND t.l_linenumber = s.l_linenumber
+               |WHEN MATCHED THEN UPDATE SET t.l_quantity = s.l_quantity
+               |WHEN NOT MATCHED THEN INSERT *
+               |""".stripMargin)
+        }
+        spark.table("sp_batch").unpersist()
+        sec
       }
+      val tMergeWarm = mergeBatch(12000, 14000)
+      val tMerge = mergeBatch(16000, 18000)
       val mergeTouched = freshFiles(t.currentVersion)
 
       // CDC litter: 5 tiny insert commits of brand-new keys, then compact
@@ -191,13 +200,13 @@ object ScaleProbe {
         s""""upsert_sec":${f"$tUpsert%.2f"},"upsert_files":$touched,""" +
         s""""delete_sec":${f"$tDelete%.2f"},""" +
         s""""feed_sec":${f"$tFeed%.2f"},"feed_rows":$nChanges,""" +
+        s""""merge_sql_warm_sec":${f"$tMergeWarm%.2f"},""" +
         s""""merge_sql_sec":${f"$tMerge%.2f"},"merge_files":$mergeTouched,""" +
         s""""compact_sec":${f"$tCompact%.2f"},"compact_files":$compacted,""" +
         s""""zorder_full_sec":${f"$tZFull%.2f"},""" +
         s""""zorder_incr_sec":${f"$tZIncr%.2f"},""" +
         s""""zorder_incr_files":$zIncrFiles}""")
       batch.unpersist(); dk.unpersist()
-      spark.table("sp_batch").unpersist()
       spark.sql(s"DROP TABLE IF EXISTS $sql")
     }
     spark.stop()

@@ -1015,6 +1015,16 @@ final class GraftScan(
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
+  /** Identity for [[MergeSourcePrune]]'s subquery-scan matching. */
+  private[sources] def tableKey: (String, Int) = (root.toString, m.version)
+
+  /** Second late-bound candidate set, SET (not thunked) by
+    * [[MergeSourcePrune]] on the matching-rows subquery scan Spark's
+    * runtime group filter builds over the PLAIN table — that scan has no
+    * static predicates, so without this it reads the whole table to
+    * discover matched groups. Same soundness as [[dynamicKeep]]. */
+  @volatile private[sources] var extraKeep: Option[Set[String]] = None
+
   private def pathPartValue(e: FileEntry): Option[String] =
     GraftScan.pathPartValue(m.partitionKey, e)
 
@@ -1350,6 +1360,7 @@ final class GraftScan(
     // partitioning stays stable (a fully-pruned value yields an empty
     // group, never a shorter group list).
     dynamicKeep().foreach(paths => kept = kept.filter(e => paths(e.path)))
+    extraKeep.foreach(paths => kept = kept.filter(e => paths(e.path)))
     keyGroups match {
       case Some(groups) =>
         val pk = m.partitionKey.get

@@ -69,6 +69,8 @@ final class GraftDvRowLevelOperation(
 
   private[sources] def manifest: CommitManifest = m
 
+  private[sources] def tableRoot: Path = root
+
   override def description(): String =
     s"graft delta (deletion-vector) row-level $cmd on $root v$parent"
 

@@ -70,6 +70,8 @@ private[sources] trait SourceBoundedRowLevelOp {
   @volatile private[sources] var sourcePruneAttempted: Boolean = false
 
   private[sources] def manifest: CommitManifest
+
+  private[sources] def tableRoot: Path
 }
 
 final class GraftRowLevelOperation(
@@ -91,6 +93,8 @@ final class GraftRowLevelOperation(
   // "scanned and rewritten unchanged" to "carried" — never wrong.
 
   private[sources] def manifest: CommitManifest = m
+
+  private[sources] def tableRoot: Path = root
 
   override def command(): Command = cmd
 

@@ -49,7 +49,13 @@ final class MergeSourcePrune(session: SparkSession)
   private def keyLimit: Int =
     session.conf.get("graft.mergeSourceKeyLimit", "4096").toInt
 
+  /** Escape hatch / benchmark isolation: `graft.mergeSourcePrune.enabled`
+    * = false skips the rule (full behavior via the unpruned scan). */
+  private def enabled: Boolean =
+    session.conf.get("graft.mergeSourcePrune.enabled", "true").toBoolean
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
     plan.foreach {
       // group-based (COW) and delta-based (deletion-vector) rewrites both
       // discover matches by scanning the target — the same source-bounds
@@ -70,11 +76,49 @@ final class MergeSourcePrune(session: SparkSession)
             // any surprise (exotic plan shape, unparseable stat value) must
             // degrade to the unpruned scan, not fail the MERGE
             scala.util.Try(candidatePaths(query, r.table, op)).toOption.flatten
-              .foreach(paths => op.sourceKeyFiles = Some(paths))
+              .foreach { paths =>
+                op.sourceKeyFiles = Some(paths)
+                boundGroupFilterSubquery(query, op, paths)
+              }
           case _ => ()
         }
       case _ => ()
     }
+
+  /** Spark's runtime group filter (RowLevelOperationRuntimeGroupFiltering,
+    * which ran earlier in the optimizer) discovers matched groups with a
+    * `DynamicPruningExpression(InSubquery(...))` whose build plan joins a
+    * FRESH scan of the plain table (projecting `_file`) with the source —
+    * that scan has no static predicates, so it reads the WHOLE table. The
+    * candidate set bounds it exactly like the operation's own scans: a file
+    * no source key can reach cannot contain a matched row. The `_file`
+    * projection requirement keeps the source side of the build join (which
+    * may legitimately read the same table) out of reach. */
+  private def boundGroupFilterSubquery(
+      query: LogicalPlan, op: SourceBoundedRowLevelOp,
+      paths: Set[String]): Unit = {
+    val key = (op.tableRoot.toString, op.manifest.version)
+    query.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case dp: org.apache.spark.sql.catalyst.expressions
+            .DynamicPruningExpression =>
+          dp.child.foreach {
+            case in: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+              in.query.plan.foreach {
+                case sr: DataSourceV2ScanRelation => sr.scan match {
+                  case g: GraftScan if g.tableKey == key &&
+                    sr.output.exists(_.name == GraftTable.FileColumnName) =>
+                    g.extraKeep = Some(paths)
+                  case _ => ()
+                }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      })
+    }
+  }
 
   /** Every group-based MERGE carries ONE synthetic
     * `Keep(Copy, true, <target row>)` in its not-matched-by-source

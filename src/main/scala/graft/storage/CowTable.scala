@@ -2228,16 +2228,25 @@ final class CowTable private[storage] (
     * side of schema-merge-on-write). Files are grouped by the version segment
     * they live in so hive-style partition-value inference (basePath) works
     * per group. */
+  /** Directory prefix of a relative file path up to (excluding) the first
+    * hive `k=v` segment — the basePath hive-partition inference needs. The
+    * delta write path nests hive dirs under per-kind subdirs
+    * (`<verSeg>/u/...`, `<verSeg>/i/...`), so the version segment alone is
+    * not always the inference root: mixing the two kinds under one
+    * basePath trips CONFLICTING_DIRECTORY_STRUCTURES. */
+  private def inferenceBase(p: String): String =
+    p.split('/').dropRight(1).takeWhile(!_.contains('=')).mkString("/")
+
   private def readFiles(m: CommitManifest, files: Seq[FileEntry]): DataFrame = {
     val schema = structFromJson(m.schemaJson)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
       val (dvFiles, plain) = files.partition(_.dvPath.isDefined)
-      val plainParts = plain.groupBy(_.path.takeWhile(_ != '/'))
-        .toSeq.sortBy(_._1).map { case (verSeg, fs) =>
+      val plainParts = plain.groupBy(e => inferenceBase(e.path))
+        .toSeq.sortBy(_._1).map { case (base, fs) =>
           val df = spark.read
-            .option("basePath", root.resolve(verSeg).toString)
+            .option("basePath", root.resolve(base).toString)
             .parquet(fs.map(f => root.resolve(f.path).toString): _*)
           conform(df, schema, m.columnMapping)
         }
@@ -2247,10 +2256,10 @@ final class CowTable private[storage] (
       // (a sidecar is O(deleted rows), transient until the next rewrite).
       val rootAbs = root.toString
       val dvParts = dvFiles
-        .groupBy(e => (e.path.takeWhile(_ != '/'), e.dvPath.get))
-        .toSeq.sortBy(_._1).map { case ((verSeg, dvp), fs) =>
+        .groupBy(e => (inferenceBase(e.path), e.dvPath.get))
+        .toSeq.sortBy(_._1).map { case ((base, dvp), fs) =>
           val raw = spark.read
-            .option("basePath", root.resolve(verSeg).toString)
+            .option("basePath", root.resolve(base).toString)
             .parquet(fs.map(f => root.resolve(f.path).toString): _*)
           val dv = spark.read.parquet(root.resolve(dvp).toString)
             .select(col("path").as("__dv_path"), col("pos").as("__dv_pos"))
@@ -2284,10 +2293,10 @@ final class CowTable private[storage] (
         StructType(schema.fields :+ StructField("__rel", StringType) :+
           StructField("__pos", LongType)))
     val rootAbs = root.toString
-    files.groupBy(e => (e.path.takeWhile(_ != '/'), e.dvPath))
-      .toSeq.sortBy(_._1).map { case ((verSeg, dvp), fs) =>
+    files.groupBy(e => (inferenceBase(e.path), e.dvPath))
+      .toSeq.sortBy(_._1).map { case ((base, dvp), fs) =>
         val raw = spark.read
-          .option("basePath", root.resolve(verSeg).toString)
+          .option("basePath", root.resolve(base).toString)
           .parquet(fs.map(f => root.resolve(f.path).toString): _*)
           .withColumn("__rel",
             expr(s"substring(regexp_replace(_metadata.file_path, " +
@@ -3175,17 +3184,43 @@ object CowTable {
     * — bounds the [[manifestAt]] fold chain (≤ 7 extra metadata reads). */
   private[graft] val ManifestCheckpointEvery: Int = 8
 
+  /** Driver-side cache of FOLDED manifests. Manifest files are append-only
+    * (rollback/restore commit NEW versions; they never rewrite an existing
+    * file), so a parsed manifest is immutable — but a table dir may be
+    * deleted and recreated at the same path with the same version numbers
+    * (tests, `CowTable.replace`), so the key carries the file's identity
+    * (mtime-ns, size) alongside (path, version). Bounded LRU: a 100k-file
+    * table's checkpoint manifest parse is the dominant per-statement driver
+    * cost without this (every scan/write/commit re-read it). */
+  private val ManifestCacheMax = 64
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), CommitManifest](
+      ManifestCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), CommitManifest])
+          : Boolean = size() > ManifestCacheMax
+    })
+
   private[graft] def manifestAt(root: Path, version: Int): CommitManifest = {
-    val m = Serialization.read[CommitManifest](Files.readString(
-      root.resolve("_manifests").resolve(f"v$version%05d.json")))
-    m.deltaRemoved match {
-      case None => m
+    val p = root.resolve("_manifests").resolve(f"v$version%05d.json")
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (p.toAbsolutePath.toString,
+      attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS),
+      attrs.size())
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
+    val m0 = Serialization.read[CommitManifest](Files.readString(p))
+    val m = m0.deltaRemoved match {
+      case None => m0
       case Some(removed) => // fold onto version-1 (chain checkpoint-bounded)
         val prev = manifestAt(root, version - 1)
         val rm = removed.toSet
-        m.copy(files = prev.files.filterNot(e => rm(e.path)) ++ m.files,
+        m0.copy(files = prev.files.filterNot(e => rm(e.path)) ++ m0.files,
           deltaRemoved = None)
     }
+    manifestCache.put(key, m)
+    m
   }
 
   /** A filter/merge bound in the manifest stats' value space: temporal

@@ -180,6 +180,37 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(t.read().filter($"id".isin(6L, 8L, 401L)).count() == 3)
   }
 
+  test("MERGE source bounds also reach the group-filter subquery scan") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      clusterByKey = true))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    Seq((7L, "updated"), (401L, "inserted")).toDF("id", "name")
+      .createOrReplaceTempView("rl_sq_src")
+    withSqlTable(dir, "rl_sq") {
+      val merge = spark.sql(
+        """MERGE INTO rl_sq t USING rl_sq_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      // Spark's matching-rows subquery scans the PLAIN table (no static
+      // predicates) — the rule must bound it to the candidate set, or
+      // group discovery reads O(table) at 100 TB. The plain scan line is
+      // the one with keyRangeFilters; the row-level scans assert their own
+      // pruning in the sibling cases.
+      val plan = merge.queryExecution.executedPlan.toString
+      val subqScan = plan.linesIterator.find(l =>
+        l.contains("keyRangeFilters") && l.contains("_file")).getOrElse(
+        fail(s"no group-filter subquery scan in:\n$plan"))
+      assert(subqScan.contains("files=1/4"),
+        s"subquery scan must read candidates only, got: $subqScan")
+    }
+    assert(t.read().count() == 401)
+    assert(t.read().filter($"id" === 7L).as[(Long, String)].collect()
+      .toSeq == Seq((7L, "updated")))
+  }
+
   test("MERGE source bounds: key-set overflow falls back to [min,max]") {
     val dir = tmpDir("rl") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
