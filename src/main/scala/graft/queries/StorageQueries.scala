@@ -2381,5 +2381,81 @@ object StorageQueries {
       require(after.exists(_.dvPath.isDefined),
         "DV MERGE must mark deleted/updated positions in a sidecar")
       tbl.read().select("c_custkey", "c_name", "c_acctbal")
+    },
+
+    // DELETION VECTORS ON A HIDDEN-PARTITIONING TABLE (round 13): the two
+    // features compose — Iceberg tables are routinely BOTH
+    // `PARTITIONED BY (days(ts))` AND mutated with positional deletes. The
+    // delta path writes only sidecars + fresh files, and the fresh files'
+    // generated column is re-derived inside the write plan
+    // (TransformRecompute on WriteDelta), so updated rows land in their
+    // derived day dirs while the old day's file is never rewritten: a
+    // cross-day "move" costs one position mark + one small file. Both
+    // manifest-asserted below; pruning re-asserted post-mutation.
+    Q("q205_dv_hidden_partition",
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'),
+        |upd AS (
+        |  SELECT event_id, value + 500 AS value,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 3 DAY AS ts
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-14 00:00:00'),
+        |merged AS (
+        |  SELECT b.event_id, b.user_id, b.event_type,
+        |         COALESCE(u.value, b.value) AS value,
+        |         COALESCE(u.ts, b.ts) AS ts
+        |  FROM base b LEFT JOIN upd u ON b.event_id = u.event_id)
+        |SELECT event_id, user_id, event_type, value, ts,
+        |       CAST(ts AS DATE) AS ts_day
+        |FROM merged WHERE event_type <> 'error'
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q205")
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      def slice(lo: String, hi: String): DataFrame = ev.filter(
+        col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+      val tbl = CowTable.replace(s, root,
+        TableConfig("events_dvhp", Seq("event_id"),
+          partitionSpec = Some("day(ts)"),
+          changeDataFeed = true, deletionVectors = true),
+        slice("2024-01-10 00:00:00", "2024-01-20 00:00:00"))
+      val before = tbl.manifest(tbl.currentVersion).files.map(_.path).toSet
+      slice("2024-01-12 00:00:00", "2024-01-14 00:00:00")
+        .select(col("event_id"), (col("value") + 500).as("value"),
+          (col("ts") + expr("INTERVAL 3 DAYS")).as("ts"))
+        .withColumn("ts_day", lit("1999-01-01").cast("date"))
+        .createOrReplaceTempView("q205_src")
+      s.sql("DROP TABLE IF EXISTS q205_t")
+      s.sql(s"CREATE TABLE q205_t USING graft LOCATION '$root'")
+      s.sql(
+        """MERGE INTO q205_t t USING q205_src s ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET t.value = s.value, t.ts = s.ts
+          |""".stripMargin)
+      s.sql("DELETE FROM q205_t WHERE event_type = 'error'")
+      s.sql("DROP TABLE IF EXISTS q205_t")
+      val m = tbl.manifest(tbl.currentVersion)
+      require(before.subsetOf(m.files.map(_.path).toSet),
+        "DV+transform mutations must rewrite no data file: dropped " +
+          before.diff(m.files.map(_.path).toSet).toString)
+      require(m.files.exists(_.dvPath.isDefined),
+        "DV+transform mutations must mark positions in a sidecar")
+      require(m.files.forall(e => !e.path.contains("1999-01-01")),
+        "generated column must be re-derived, not trusted from the source")
+      val probe = s.read.format("graft").load(root)
+        .filter(col("ts") >= lit("2024-01-19 00:00:00").cast("timestamp"))
+      val plan = probe.queryExecution.executedPlan.toString
+      val fm = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+        .getOrElse(throw new IllegalStateException(
+          s"no manifest scan in plan:\n$plan"))
+      require(fm.group(1).toInt < fm.group(2).toInt,
+        s"hidden partitioning must still prune, got files=${fm.group(0)}")
+      s.read.format("graft").load(root)
+        .select("event_id", "user_id", "event_type", "value", "ts", "ts_day")
     })
 }

@@ -87,13 +87,21 @@ final class TransformRecompute(session: SparkSession)
     val q = w.query
     if (!q.resolved) return w
     val resolver = session.sessionState.conf.resolver
-    val genAttr = q.output.find(a => resolver(a.name, t.name)).getOrElse(
+    val genAttr = q.output.find(a => resolver(a.name, t.name)).getOrElse {
+      // a DELTA-path DELETE writes no rows — its plan carries only the
+      // operation + row-id (_file, _pos) columns, so there is nothing to
+      // recompute and no generated column to find
+      val deltaDeleteShape =
+        w.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .WriteDelta] && q.output.forall(a => !resolver(a.name, t.source))
+      if (deltaDeleteShape) return w
       // defensive: a write aligned to the table schema always carries the
       // generated column; anything else must not silently skip the funnel
       throw new IllegalStateException(
         s"graft: write on a ${t.spec}-partitioned table lacks the " +
           s"generated column ${t.name} — cannot guarantee the " +
-          "generated-column invariant"))
+          "generated-column invariant")
+    }
     // idempotency across fixed-point iterations: the injected alias is
     // metadata-tagged; its presence in the top projection means this write
     // is already funneled

@@ -93,9 +93,14 @@ final case class TableConfig(
       * drift it), and scans derive partition pruning from predicates on
       * `c` itself — hidden partitioning. Mutually exclusive with an
       * identity [[partitionKey]]; the effective partition key becomes the
-      * generated column's name. Mutations flow through the Scala API /
-      * CowTable funnel (connector writes and the DV/MOR path are fenced
-      * loud — they write files without passing the generation funnel). */
+      * generated column's name. Every mutation path recomputes the
+      * generated column — the CowTable funnel for API writes, the
+      * [[graft.sources.TransformRecompute]] plan rule for SQL/connector
+      * writes INCLUDING the deletion-vector delta path (its appended
+      * update/insert files carry re-derived values and land in the
+      * derived hive dirs), and a bound per-row recompute inside the
+      * STREAMING sink's writer (epoch write plans bypass optimizer
+      * rules). */
     partitionSpec: Option[String] = None) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
   require(!deletionVectors || changeDataFeed,
@@ -106,10 +111,6 @@ final case class TableConfig(
     partitionKey == partitionSpec.map(PartitionTransform.parse(_).name),
     s"table $tableName: partitionSpec and partitionKey are mutually " +
       "exclusive (the transform's generated column IS the partition key)")
-  require(!(partitionSpec.isDefined && deletionVectors),
-    s"table $tableName: deletionVectors with a partition transform is not " +
-      "supported (the MOR delta writers append files without passing the " +
-      "generated-column funnel)")
   partitionSpec.foreach(PartitionTransform.parse) // loud on a bad spec
 
   /** Parsed transform, when configured. */
