@@ -210,8 +210,10 @@ final class GraftWriteBuilder(
     info: LogicalWriteInfo,
     /** Present on hidden-partitioning tables: batch writes get their
       * generated column re-derived by [[TransformRecompute]]; STREAMING
-      * writes have no batch-optimizer pass carrying that rule, so they stay
-      * fenced in [[build]]'s `toStreaming`. */
+      * writes have no batch-optimizer pass carrying that rule, so
+      * `toStreaming` binds the transform expression into the writer itself
+      * (per-row recompute of the hive dir segment — the column is dropped
+      * from file bytes on every partitioned write path). */
     transformSpec: Option[String] = None)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsOverwrite
@@ -316,14 +318,25 @@ final class GraftWriteBuilder(
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         if (overwrite) throw new UnsupportedOperationException(
           "graft streaming sink supports append output mode only")
-        transformSpec.foreach { sp =>
-          throw new UnsupportedOperationException(
-            s"graft: $root is partitioned by the transform $sp; the " +
-              "STREAMING sink bypasses the generated-column funnel — " +
-              "stream through foreachBatch + CowTable.upsert instead")
+        // HIDDEN PARTITIONING: no optimizer rule runs over a streaming
+        // epoch's write plan, so the generated column is re-derived IN THE
+        // WRITER — a bound expression over the epoch's rows computes the
+        // hive dir segment (the column is dropped from file bytes either
+        // way, so the stream may omit it or carry junk; drift impossible).
+        val genExpr = transformSpec.map { sp =>
+          val t = graft.storage.PartitionTransform.parse(sp)
+          require(info.schema().fieldNames.contains(t.source),
+            s"graft: streaming write on a $sp-partitioned table must " +
+              s"carry the transform source column ${t.source}")
+          val genDt = tableSchema(t.name).dataType
+          org.apache.spark.sql.graftshim.ColumnBridge.bindToSchema(
+            org.apache.spark.sql.SparkSession.active, info.schema(),
+            t.expr, genDt)
         }
         new GraftStreamingWrite(root, info.schema(), primaryKey,
-          partitionKey, info.queryId())
+          partitionKey, info.queryId(), genExpr,
+          genDt = transformSpec.map(sp => tableSchema(
+            graft.storage.PartitionTransform.parse(sp).name).dataType))
       }
     }
   }
@@ -342,7 +355,13 @@ final class GraftWriteBuilder(
   * Spark, idempotent by the manifest. */
 final class GraftStreamingWrite(
     root: Path, writeSchema: StructType,
-    primaryKey: Seq[String], partitionKey: Option[String], queryId: String)
+    primaryKey: Seq[String], partitionKey: Option[String], queryId: String,
+    /** Hidden partitioning: bound expression re-deriving the generated
+      * column from each row of `writeSchema` (see GraftWriteBuilder's
+      * `toStreaming`); with its declared type for dir-value rendering. */
+    genExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      None,
+    genDt: Option[org.apache.spark.sql.types.DataType] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def table(spark: SparkSession): CowTable =
@@ -363,7 +382,7 @@ final class GraftStreamingWrite(
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(root.toString, queryId,
       GraftParquetIO.physicalSchema(writeSchema, startMapping).json,
-      partitionKey)
+      partitionKey, genExpr, genDt)
 
   override def commit(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -442,7 +461,10 @@ final class GraftStreamingWrite(
   * name, and only commit-reported files are ever referenced. */
 final class GraftStreamingWriterFactory(
     rootStr: String, queryId: String, schemaJson: String,
-    partitionKey: Option[String])
+    partitionKey: Option[String],
+    genExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      None,
+    genDt: Option[org.apache.spark.sql.types.DataType] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long,
@@ -450,7 +472,9 @@ final class GraftStreamingWriterFactory(
     new GraftDataWriter(rootStr,
       f"se-${queryId.replace("-", "").take(8)}-e$epochId%06d",
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionKey, partitionId, taskId)
+      partitionKey, partitionId, taskId,
+      genEval = genExpr.map(e => (r: InternalRow) => e.eval(r)),
+      genDt = genDt)
 }
 
 final case class GraftCommitMessage(files: Seq[(String, Long)])
@@ -617,15 +641,29 @@ final class GraftWriterFactory(
   * on abort. */
 final class GraftDataWriter(
     rootStr: String, verSeg: String, schema: StructType,
-    partitionKey: Option[String], partitionId: Int, taskId: Long)
+    partitionKey: Option[String], partitionId: Int, taskId: Long,
+    /** Hidden partitioning (streaming sink): compute the generated
+      * column's value from the row instead of reading it — the incoming
+      * value (if any) is never trusted, matching the funnel/plan-rule
+      * recompute of the batch paths. `genDt` renders the computed value. */
+    genEval: Option[InternalRow => Any] = None,
+    genDt: Option[org.apache.spark.sql.types.DataType] = None)
   extends DataWriter[InternalRow] {
 
   private val partIdx: Int =
     partitionKey.filter(schema.fieldNames.contains)
       .map(schema.fieldIndex).getOrElse(-1)
   private val renderPart: (InternalRow, Int) => Option[String] =
-    if (partIdx < 0) null
+    if (genEval.isDefined)
+      GraftParquetIO.partitionValueRenderer(genDt.getOrElse(
+        throw new IllegalStateException(
+          "graft writer: genEval requires genDt")))
+    else if (partIdx < 0) null
     else GraftParquetIO.partitionValueRenderer(schema.fields(partIdx).dataType)
+  // holder row for rendering a COMPUTED partition value through the same
+  // (row, ordinal) renderer the stored-column path uses
+  private val genHolder =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
 
   /** Physical file schema: the write schema minus the hive partition column;
     * setter j reads row ordinal rowOrdinals(j). */
@@ -645,9 +683,15 @@ final class GraftDataWriter(
   private val done = scala.collection.mutable.ListBuffer[(String, Long)]()
 
   private def dirSegment(r: InternalRow): String =
-    if (partIdx < 0) ""
+    if (genEval.isEmpty && partIdx < 0) ""
     else {
-      val v = renderPart(r, partIdx)
+      val rendered = genEval match {
+        case Some(f) =>
+          genHolder.update(0, f(r))
+          renderPart(genHolder, 0)
+        case None => renderPart(r, partIdx)
+      }
+      val v = rendered
         .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName)
         .getOrElse("__HIVE_DEFAULT_PARTITION__")

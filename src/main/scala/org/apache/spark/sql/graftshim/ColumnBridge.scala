@@ -43,6 +43,39 @@ object ColumnBridge {
     case _ => t
   }
 
+  /** Resolve `c` against a relation of exactly `schema`'s attributes,
+    * replace RuntimeReplaceable nodes, cast to `dt`, and BIND references by
+    * ordinal — yielding an executor-evaluable expression over
+    * `InternalRow`s of `schema`. Used by the streaming sink to re-derive a
+    * hidden-partitioning table's generated column per row (no optimizer
+    * rule runs over a streaming epoch's write plan, so the recompute must
+    * live in the writer). The analysis pass applies the same implicit casts
+    * and session-timezone bindings the SQL funnel would. */
+  def bindToSchema(
+      session: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      c: Column,
+      dt: org.apache.spark.sql.types.DataType): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSeq, BindReferences, Cast, RuntimeReplaceable}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    val probe = ofRows(session, LocalRelation(attrs)).select(c.as("__g"))
+    val analyzed = probe.queryExecution.analyzed match {
+      case Project(Seq(al: Alias), _) => al.child
+      case other => throw new IllegalStateException(
+        s"graftshim: unexpected bind analysis shape: $other")
+    }
+    val replaced = analyzed.transformUp {
+      case r: RuntimeReplaceable => r.replacement
+    }
+    val cast =
+      if (replaced.dataType == dt) replaced
+      else Cast(replaced, dt,
+        Some(session.sessionState.conf.sessionLocalTimeZone))
+    BindReferences.bindReference(cast, AttributeSeq(attrs))
+  }
+
   /** Eagerly CONVERT the Column's node tree to catalyst expressions
     * (unresolved functions become `UnresolvedFunction`s the analyzer then
     * resolves) instead of wrapping it in a lazy `ColumnNodeExpression`.

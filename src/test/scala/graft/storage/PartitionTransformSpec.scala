@@ -158,7 +158,7 @@ class PartitionTransformSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
-  test("remaining fences: partition evolution, DV config, double key are loud") {
+  test("remaining fences: partition evolution, double key are loud") {
     val dir = tmpDir("pt") + "/t"
     val t = CowTable(spark, dir,
       TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)")))
@@ -167,13 +167,103 @@ class PartitionTransformSpec extends SparkSpec {
       t.alterPartitionKey(Some("v")))
     assert(e3.getMessage.contains("transform"))
     intercept[IllegalArgumentException] {
-      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)"),
-        changeDataFeed = true, deletionVectors = true)
-    }
-    intercept[IllegalArgumentException] {
       TableConfig("t", Seq("id"), partitionKey = Some("v"),
         partitionSpec = Some("day(ts)"))
     }
+  }
+
+  test("deletion vectors + day transform: delta MERGE/DELETE keep layout, " +
+      "rewrite nothing") {
+    val dir = tmpDir("ptdv") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)"),
+        changeDataFeed = true, deletionVectors = true))
+    t.create(ev(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-01 11:00:00", 2.0),
+      (3L, "2024-03-02 10:00:00", 3.0), (4L, "2024-03-03 10:00:00", 4.0)))
+    val preV = t.currentVersion
+    val before = t.manifest(preV).files.map(_.path).toSet
+    // MERGE: move id=1 ACROSS a day boundary (+2 days, with a WRONG ts_day
+    // the engine must override), delete id=3, insert id=9 — one statement
+    ev((1L, "2024-03-03 10:00:00", 11.0))
+      .withColumn("op", lit("U"))
+      .unionByName(ev((3L, "2024-03-02 10:00:00", 0.0))
+        .withColumn("op", lit("D")))
+      .unionByName(ev((9L, "2024-03-09 09:00:00", 9.0))
+        .withColumn("op", lit("I")))
+      .withColumn("ts_day", lit("1999-01-01").cast("date"))
+      .createOrReplaceTempView("ptdv_src")
+    spark.sql("DROP TABLE IF EXISTS ptdv_t")
+    try {
+      spark.sql(s"CREATE TABLE ptdv_t USING graft LOCATION '$dir'")
+      spark.sql(
+        """MERGE INTO ptdv_t t USING ptdv_src s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.ts = s.ts, t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, ts, v, ts_day)
+          |  VALUES (s.id, s.ts, s.v, s.ts_day)
+          |""".stripMargin)
+      spark.sql("DELETE FROM ptdv_t WHERE id = 4")
+    } finally spark.sql("DROP TABLE IF EXISTS ptdv_t")
+    val m2 = t.manifest(t.currentVersion)
+    // delta path: every pre-merge data file still referenced, positions in
+    // sidecars — the cross-day "move" never rewrote the old day's file
+    assert(before.subsetOf(m2.files.map(_.path).toSet),
+      s"DV+transform MERGE must rewrite nothing; dropped " +
+        s"${before.diff(m2.files.map(_.path).toSet)}")
+    assert(m2.files.exists(_.dvPath.isDefined))
+    // the generated column was re-derived, never trusted from the source
+    assert(m2.files.forall(e => !e.path.contains("1999-01-01")))
+    assert(m2.files.exists(_.path.contains("ts_day=2024-03-03")))
+    assert(m2.files.exists(_.path.contains("ts_day=2024-03-09")))
+    // content exact: 1 moved+updated, 3 and 4 deleted, 9 inserted
+    assert(t.read().selectExpr("id", "CAST(ts_day AS STRING)", "v")
+      .as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "2024-03-03", 11.0), (2L, "2024-03-01", 2.0),
+        (9L, "2024-03-09", 9.0)))
+    // hidden partitioning still prunes on the SOURCE column post-mutation
+    val scan = spark.read.format("graft").load(dir)
+      .filter($"ts" >= "2024-03-09 00:00:00")
+    assert(scan.select("id").as[Long].collect().toSeq == Seq(9L))
+    val fm = """files=(\d+)/(\d+)""".r
+      .findFirstMatchIn(scan.queryExecution.executedPlan.toString).get
+    assert(fm.group(1).toInt < fm.group(2).toInt,
+      s"expected day pruning, got files=${fm.group(0)}")
+    // CDF typed per clause across the whole lifecycle
+    val feed = t.readChangeFeed(preV, t.currentVersion)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed.contains((1L, "update_preimage")))
+    assert(feed.contains((1L, "update_postimage")))
+    assert(feed.contains((3L, "delete")) && feed.contains((4L, "delete")))
+    assert(feed.contains((9L, "insert")))
+    // purge retires the vectors; content identical, layout preserved
+    t.purgeDeletionVectors()
+    assert(t.read().selectExpr("id", "CAST(ts_day AS STRING)", "v")
+      .as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "2024-03-03", 11.0), (2L, "2024-03-01", 2.0),
+        (9L, "2024-03-09", 9.0)))
+    assert(t.manifest(t.currentVersion).files.forall(_.dvPath.isEmpty))
+  }
+
+  test("deletion vectors + day transform: API MOR upsert and delete") {
+    val dir = tmpDir("ptdv") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)"),
+        changeDataFeed = true, deletionVectors = true))
+    t.create(ev(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-02 10:00:00", 2.0)))
+    val before = t.manifest(1).files.map(_.path).toSet
+    // API DV delete: sidecar only
+    t.delete(Seq(Tuple1(2L)).toDF("id"))
+    assert(t.manifest(t.currentVersion).files.map(_.path).toSet == before)
+    // API upsert (funnel recomputes the generated column; batch omits it)
+    t.upsert(ev((5L, "2024-03-05 10:00:00", 5.0)))
+    val m = t.manifest(t.currentVersion)
+    assert(before.subsetOf(m.files.map(_.path).toSet))
+    assert(m.files.exists(_.path.contains("ts_day=2024-03-05")))
+    assert(t.read().selectExpr("id", "CAST(ts_day AS STRING)")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "2024-03-01"), (5L, "2024-03-05")))
   }
 
   // ---- unfenced SQL/connector mutations (TransformRecompute, round 13):
@@ -278,26 +368,52 @@ class PartitionTransformSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pt_ins")
   }
 
-  test("streaming sink on a transform table stays fenced loud") {
+  test("streaming sink on a transform table re-derives the generated column") {
     val base = tmpDir("pt")
     val srcT = CowTable(spark, base + "/src", TableConfig("src", Seq("id")))
-    srcT.create(ev((1L, "2024-03-01 10:00:00", 1.0)))
+    // the stream payload carries a deliberately WRONG ts_day — the sink
+    // computes the dir from ts and drops the column from file bytes, so
+    // drift is impossible by construction
+    srcT.create(ev(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-02 23:59:59", 2.0),
+      (3L, "2024-03-05 00:00:00", 3.0)))
     val dstT = CowTable(spark, base + "/dst",
       TableConfig("dst", Seq("id"), partitionSpec = Some("day(ts)")))
     dstT.create(ev((9L, "2024-03-09 10:00:00", 9.0)))
-    val e = intercept[Exception] {
-      val q = spark.readStream.format("graft").load(base + "/src")
-        .writeStream.format("graft")
-        .option("path", base + "/dst").option("primaryKey", "id")
-        .option("checkpointLocation", base + "/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    def chain(x: Throwable): Seq[String] =
-      if (x == null) Nil else String.valueOf(x.getMessage) +: chain(x.getCause)
-    assert(chain(e).exists(_.contains("generated-column funnel")),
-      s"expected the streaming fence, got: ${chain(e)}")
+    val q = spark.readStream.format("graft").load(base + "/src")
+      .withColumn("ts_day", lit("1999-01-01").cast("date"))
+      .writeStream.format("graft")
+      .option("path", base + "/dst").option("primaryKey", "id")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val m = dstT.manifest(dstT.currentVersion)
+    assert(m.files.forall(e => !e.path.contains("1999-01-01")))
+    assert(m.files.exists(_.path.contains("ts_day=2024-03-01")))
+    assert(m.files.exists(_.path.contains("ts_day=2024-03-05")))
+    assert(dstT.read().selectExpr("id", "CAST(ts_day AS STRING)")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "2024-03-01"), (2L, "2024-03-02"), (3L, "2024-03-05"),
+        (9L, "2024-03-09")))
+    // a stream OMITTING the generated column works identically (the dir is
+    // computed, the bytes never held the column)
+    val src2 = CowTable(spark, base + "/src2", TableConfig("src2", Seq("id")))
+    src2.create(ev((5L, "2024-03-07 12:00:00", 5.0)))
+    val q2 = spark.readStream.format("graft").load(base + "/src2")
+      .writeStream.format("graft")
+      .option("path", base + "/dst").option("primaryKey", "id")
+      .option("checkpointLocation", base + "/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(dstT.read().filter($"id" === 5L)
+      .selectExpr("CAST(ts_day AS STRING)").as[String].collect().toSeq ==
+      Seq("2024-03-07"))
+    // the transform's pruning contract holds over the streamed rows
+    val scan = spark.read.format("graft").load(base + "/dst")
+      .filter($"ts" >= "2024-03-07 00:00:00")
+    assert(scan.select("id").as[Long].collect().toSet == Set(5L, 9L))
   }
 
   test("SQL surface: CREATE TABLE PARTITIONED BY (days(ts)) + INSERT-free population") {
