@@ -266,17 +266,41 @@ final class GraftTable(
     val columnar = Seq(Option(options.get("columnar")),
       Option(props.get("columnar"))).flatten.headOption
       .forall(_.trim.toBoolean)
+    // TIMESTAMP window options (Delta CDF parity): resolved here against
+    // commit times, so both the batch feed and the streaming source see
+    // plain versions. Timestamps are UTC wall-clock (commit stamps are
+    // epoch millis); version + timestamp for the same bound conflict loud.
+    def tsMs(key: String): Option[Long] =
+      Option(options.get(key)).map { s =>
+        val t0 = s.trim
+        val ldt =
+          try java.time.LocalDateTime.parse(t0.replace(' ', 'T'))
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDate.parse(t0).atStartOfDay()
+          }
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    val startTs = tsMs("startingTimestamp")
+    val endTs = tsMs("endingTimestamp")
+    require(startTs.isEmpty || Option(options.get("startingVersion")).isEmpty,
+      s"graft: startingVersion and startingTimestamp conflict on $root")
+    require(endTs.isEmpty || Option(options.get("endingVersion")).isEmpty,
+      s"graft: endingVersion and endingTimestamp conflict on $root")
     // streaming-read options (ignored by batch scans)
     val streamOpts = GraftStreamOptions(
       startingVersion = Option(options.get("startingVersion"))
-        .map(_.trim.toInt).getOrElse(0),
+        .map(_.trim.toInt)
+        .orElse(startTs.map(CowTable.versionAtOrAfter(root, _)))
+        .getOrElse(0),
       ignoreChanges = Option(options.get("ignoreChanges"))
         .exists(_.trim.toBoolean),
       maxCommitsPerBatch = Option(options.get("maxCommitsPerBatch"))
         .map(_.trim.toInt),
       readChangeFeed = cdfRead,
       endingVersion = Option(options.get("endingVersion"))
-        .map(_.trim.toInt))
+        .map(_.trim.toInt)
+        .orElse(endTs.map(CowTable.versionAtOrBefore(root, _))))
     new GraftScanBuilder(root, m, schema(), columnar, streamOpts)
   }
 

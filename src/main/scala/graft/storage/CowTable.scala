@@ -3223,6 +3223,31 @@ object CowTable {
     m
   }
 
+  /** Delta CDF timestamp-option resolution (`startingTimestamp`): the
+    * EARLIEST version committed at or after `tsMs` — loud when the
+    * timestamp is past the last commit (Delta's convention: such a feed
+    * would silently be empty forever). Commit times are monotone under the
+    * single-writer discipline; O(versions) metadata reads, cache-served. */
+  private[graft] def versionAtOrAfter(root: Path, tsMs: Long): Int = {
+    val cur = currentVersionAt(root)
+    require(cur > 0, s"graft: no table at $root")
+    (1 to cur).find(v => manifestAt(root, v).commitTimeMs >= tsMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: startingTimestamp $tsMs is after the last commit " +
+          s"(${manifestAt(root, cur).commitTimeMs}) of $root"))
+  }
+
+  /** `endingTimestamp` twin: the LATEST version committed at or before
+    * `tsMs` — loud when the timestamp precedes the first commit. */
+  private[graft] def versionAtOrBefore(root: Path, tsMs: Long): Int = {
+    val cur = currentVersionAt(root)
+    require(cur > 0, s"graft: no table at $root")
+    (1 to cur).takeWhile(v => manifestAt(root, v).commitTimeMs <= tsMs)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"graft: endingTimestamp $tsMs precedes the first commit " +
+          s"(${manifestAt(root, 1).commitTimeMs}) of $root"))
+  }
+
   /** A filter/merge bound in the manifest stats' value space: temporal
     * values become their physical integers (micros / days since epoch). */
   private[graft] def statValueString(v: Any): String = v match {

@@ -130,6 +130,55 @@ class ChangeDataFeedSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("startingTimestamp/endingTimestamp window the batch feed (Delta parity)") {
+    val dir = tmpDir("cdf")
+    // deterministic commit clock: v1 @ 10:00, v2 @ 11:00, v3 @ 12:00 UTC
+    def utcMs(s: String): Long = java.time.LocalDateTime
+      .parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val ticks = Iterator("2024-05-01 10:00:00", "2024-05-01 11:00:00",
+      "2024-05-01 12:00:00").map(utcMs)
+    val t = CowTable(spark, dir + "/t", cfg).withClock(() => ticks.next())
+    t.create((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))        // v1
+    t.upsert(Seq((5L, "V5"), (31L, "v31")).toDF("id", "v"))            // v2
+    t.delete(Seq(Tuple1(7L)).toDF("id"))                               // v3
+
+    def feed(opts: (String, String)*) = opts.foldLeft(
+      spark.read.format("graft").option("readChangeFeed", "true")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(dir + "/t")
+
+    // a timestamp BETWEEN v1 and v2 starts the feed at v2 (earliest commit
+    // at-or-after); an exact commit time is inclusive
+    assert(feed("startingTimestamp" -> "2024-05-01 10:30:00")
+      .select("_commit_version").distinct().as[Int].collect().toSet ==
+      Set(2, 3))
+    assert(feed("startingTimestamp" -> "2024-05-01 11:00:00",
+        "endingTimestamp" -> "2024-05-01 11:59:59")
+      .select("id", "_commit_version", "_change_type")
+      .as[(Long, Int, String)].collect().toSet ==
+      Set((5L, 2, "update_preimage"), (5L, 2, "update_postimage"),
+        (31L, 2, "insert")))
+    // a DATE string parses as midnight
+    assert(feed("endingTimestamp" -> "2024-05-02")
+      .select("_commit_version").distinct().as[Int].collect().toSet ==
+      Set(1, 2, 3))
+    // out-of-range and conflicting options fail loud
+    def msgChain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "|" + msgChain(x.getCause)
+    val late = intercept[Exception](
+      feed("startingTimestamp" -> "2024-05-01 12:00:01").collect())
+    assert(msgChain(late).contains("after the last commit"), msgChain(late))
+    val early = intercept[Exception](
+      feed("endingTimestamp" -> "2024-05-01 09:00:00").collect())
+    assert(msgChain(early).contains("precedes the first commit"),
+      msgChain(early))
+    val conflict = intercept[Exception](
+      feed("startingVersion" -> "2",
+        "startingTimestamp" -> "2024-05-01 11:00:00").collect())
+    assert(msgChain(conflict).contains("conflict"), msgChain(conflict))
+  }
+
   test("precombine upstream + schema evolution still feed exactly") {
     val dir = tmpDir("cdf")
     val t = CowTable(spark, dir + "/t", cfg)
