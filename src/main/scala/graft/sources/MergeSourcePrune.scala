@@ -54,6 +54,14 @@ final class MergeSourcePrune(session: SparkSession)
   private def enabled: Boolean =
     session.conf.get("graft.mergeSourcePrune.enabled", "true").toBoolean
 
+  /** Below this many manifest files the bounds job cannot pay for itself —
+    * it is one extra Spark job (~0.3–0.6 s locally) while the runtime group
+    * filter already bounds the rewrite on a handful of files. The prune is
+    * a BIG-table device (flat-at-×32 evidence in BASELINE.md); specs that
+    * exercise it on tiny fixtures set this to 0. */
+  private def minFiles: Int =
+    session.conf.get("graft.mergeSourcePruneMinFiles", "64").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.foreach {
@@ -71,7 +79,8 @@ final class MergeSourcePrune(session: SparkSession)
     tableRel match {
       case r: DataSourceV2Relation =>
         ColumnBridge.rowLevelOperationOf(r.table) match {
-          case Some(op: SourceBoundedRowLevelOp) if !op.sourcePruneAttempted =>
+          case Some(op: SourceBoundedRowLevelOp) if !op.sourcePruneAttempted
+              && op.manifest.files.size >= minFiles =>
             op.sourcePruneAttempted = true
             // any surprise (exotic plan shape, unparseable stat value) must
             // degrade to the unpruned scan, not fail the MERGE

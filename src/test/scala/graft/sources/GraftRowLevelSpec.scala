@@ -147,10 +147,18 @@ class GraftRowLevelSpec extends SparkSpec {
   private val GroupFilterConf =
     "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
 
-  private def withoutRuntimeGroupFilter(body: => Unit): Unit = {
-    spark.conf.set(GroupFilterConf, "false")
-    try body finally spark.conf.set(GroupFilterConf, "true")
+  /** The bounds job skips tables below `graft.mergeSourcePruneMinFiles`
+    * (it cannot pay for itself there); these fixtures are 4 files. */
+  private def withSourcePruneAlways(body: => Unit): Unit = {
+    spark.conf.set("graft.mergeSourcePruneMinFiles", "0")
+    try body finally spark.conf.unset("graft.mergeSourcePruneMinFiles")
   }
+
+  private def withoutRuntimeGroupFilter(body: => Unit): Unit =
+    withSourcePruneAlways {
+      spark.conf.set(GroupFilterConf, "false")
+      try body finally spark.conf.set(GroupFilterConf, "true")
+    }
 
   test("MERGE source bounds prune groups without runtime group filtering") {
     val dir = tmpDir("rl") + "/t"
@@ -188,7 +196,7 @@ class GraftRowLevelSpec extends SparkSpec {
       .repartition(4))
     Seq((7L, "updated"), (401L, "inserted")).toDF("id", "name")
       .createOrReplaceTempView("rl_sq_src")
-    withSqlTable(dir, "rl_sq") {
+    withSqlTable(dir, "rl_sq") { withSourcePruneAlways {
       val merge = spark.sql(
         """MERGE INTO rl_sq t USING rl_sq_src s ON t.id = s.id
           |WHEN MATCHED THEN UPDATE SET *
@@ -205,7 +213,7 @@ class GraftRowLevelSpec extends SparkSpec {
         fail(s"no group-filter subquery scan in:\n$plan"))
       assert(subqScan.contains("files=1/4"),
         s"subquery scan must read candidates only, got: $subqScan")
-    }
+    } }
     assert(t.read().count() == 401)
     assert(t.read().filter($"id" === 7L).as[(Long, String)].collect()
       .toSeq == Seq((7L, "updated")))

@@ -442,6 +442,8 @@ class DeletionVectorSpec extends SparkSpec {
     Seq((7L, 77.0), (401L, 401.0)).toDF("id", "v")
       .createOrReplaceTempView("dv_sb_src")
     spark.sql("DROP TABLE IF EXISTS dv_sb")
+    // the 4-file fixture is below the bounds-job threshold — opt in
+    spark.conf.set("graft.mergeSourcePruneMinFiles", "0")
     try {
       spark.sql(s"CREATE TABLE dv_sb USING graft LOCATION '$dir'")
       val merge = spark.sql(
@@ -455,7 +457,10 @@ class DeletionVectorSpec extends SparkSpec {
       val plan = merge.queryExecution.executedPlan.toString
       assert(plan.contains("files=1/4"),
         s"expected source-bounded delta match scan files=1/4 in:\n$plan")
-    } finally spark.sql("DROP TABLE IF EXISTS dv_sb")
+    } finally {
+      spark.conf.unset("graft.mergeSourcePruneMinFiles")
+      spark.sql("DROP TABLE IF EXISTS dv_sb")
+    }
     val m2 = t.manifest(t.currentVersion)
     assert(before.subsetOf(m2.files.map(_.path).toSet)) // no rewrite
     val got = t.read().as[(Long, Double)].collect().toMap
