@@ -2457,5 +2457,47 @@ object StorageQueries {
         s"hidden partitioning must still prune, got files=${fm.group(0)}")
       s.read.format("graft").load(root)
         .select("event_id", "user_id", "event_type", "value", "ts", "ts_day")
+    },
+
+    // CDF TIMESTAMP WINDOWING (round 13, Delta startingTimestamp/
+    // endingTimestamp option parity): q109's change set, but the window is
+    // expressed in COMMIT TIME — an injected deterministic clock stamps
+    // v1/v2/v3 at 10:00/11:00/12:00 UTC and the feed is windowed to
+    // [10:30, 11:30], which must resolve to exactly v2 (earliest commit
+    // at-or-after the start, latest at-or-before the end). Only the option
+    // resolution differs from q109; the semantics must not.
+    Q("q206_cdf_timestamp_window",
+      """SELECT c_custkey, round(c_acctbal + 50, 2) AS c_acctbal,
+        |  CAST(2 AS INT) AS _commit_version,
+        |  'update_postimage' AS _change_type
+        |FROM customer WHERE c_custkey % 17 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, CAST(2 AS INT), 'update_preimage'
+        |FROM customer WHERE c_custkey % 17 = 0
+        |""".stripMargin) { (s, d) =>
+      val base = tableDir("q206")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(base))
+      val c = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      def utcMs(str: String): Long = java.time.LocalDateTime
+        .parse(str.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val times = Seq("2024-05-01 10:00:00", "2024-05-01 11:00:00",
+        "2024-05-01 12:00:00").map(utcMs)
+      val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tbl = CowTable(s, base,
+        TableConfig("cust_cdf_ts", Seq("c_custkey"), changeDataFeed = true))
+        .withClock(() => times(math.min(tick.getAndIncrement(), 2)))
+      tbl.create(c)                                            // v1 @ 10:00
+      tbl.upsert(c.filter(col("c_custkey") % 17 === 0)         // v2 @ 11:00
+        .withColumn("c_acctbal", round(col("c_acctbal") + 50, 2)))
+      tbl.delete(c.filter(col("c_custkey") % 23 === 0)         // v3 @ 12:00
+        .select("c_custkey"))
+      s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "2024-05-01 10:30:00")
+        .option("endingTimestamp", "2024-05-01 11:30:00")
+        .load(base)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("_commit_version"), col("_change_type"))
     })
 }
