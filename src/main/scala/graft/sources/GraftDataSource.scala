@@ -148,7 +148,21 @@ object GraftDataSource {
           s"graft: no tag '$s' at $root (tags: " +
             s"${CowTable.tagsAt(root).keys.toSeq.sorted.mkString(", ")})"))
     }.getOrElse {
-      Option(options.get("timestampAsOf")).map(_.trim.toLong) match {
+      // epoch millis OR a timestamp/date string (Delta accepts both;
+      // strings are UTC wall-clock like the commit stamps)
+      Option(options.get("timestampAsOf")).map { s0 =>
+        val s = s0.trim
+        if (s.matches("-?\\d+")) s.toLong
+        else {
+          val ldt =
+            try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDate.parse(s).atStartOfDay()
+            }
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+      } match {
         case None => cur
         case Some(ts) =>
           (1 to cur).takeWhile(CowTable.manifestAt(root, _).commitTimeMs <= ts)

@@ -375,7 +375,11 @@ class GraftDataSourceSpec extends SparkSpec {
 
   test("versionAsOf / timestampAsOf options time-travel") {
     val dir = tmpDir("dsv2")
-    val ticks = Iterator(1000L, 2000L)
+    def utcMs(s: String): Long = java.time.LocalDateTime
+      .parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val ticks = Iterator(
+      utcMs("2024-05-01 10:00:00"), utcMs("2024-05-01 11:00:00"))
     val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
       .withClock(() => ticks.next())
     t.create(Seq((1L, "v1")).toDF("id", "name"))
@@ -387,8 +391,12 @@ class GraftDataSourceSpec extends SparkSpec {
     }
     assert(load() == Seq((1L, "v2")))
     assert(load("versionAsOf" -> "1") == Seq((1L, "v1")))
-    assert(load("timestampAsOf" -> "1500") == Seq((1L, "v1")))
-    assert(load("timestampAsOf" -> "2000") == Seq((1L, "v2")))
+    // epoch millis AND timestamp/date strings (Delta accepts both; UTC)
+    assert(load("timestampAsOf" ->
+      (utcMs("2024-05-01 10:30:00")).toString) == Seq((1L, "v1")))
+    assert(load("timestampAsOf" -> "2024-05-01 10:30:00") == Seq((1L, "v1")))
+    assert(load("timestampAsOf" -> "2024-05-01 11:00:00") == Seq((1L, "v2")))
+    assert(load("timestampAsOf" -> "2024-05-02") == Seq((1L, "v2")))
   }
 
   test("SQL surface: CREATE TABLE ... USING graft LOCATION") {
