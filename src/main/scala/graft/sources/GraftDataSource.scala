@@ -264,8 +264,9 @@ final class GraftTable(
     * transform — what lets SQL address `PARTITION (pk = v)` in INSERT
     * OVERWRITE and routes dynamic-mode overwrites to
     * [[GraftWriteBuilder.overwriteDynamicPartitions]]. Hidden-partitioning
-    * tables report their GENERATED column (the layout truth); their
-    * connector writes stay fenced in the write builder. */
+    * tables report their GENERATED column (the layout truth); every write
+    * path re-derives it (TransformRecompute for batch plans, the bound
+    * writer expression for streaming epochs). */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
     partitionKey.map(k =>
@@ -324,11 +325,11 @@ final class GraftTable(
     if (timeTravel) throw new UnsupportedOperationException(
       s"graft: cannot write through a time-travel read of $root " +
         "(versionAsOf/timestampAsOf) — writes target the current version")
-    // hidden-partitioning tables: BATCH writes are fine — the generated
-    // column is re-derived by [[TransformRecompute]] before the write plans
-    // (installed at table resolution above); only STREAMING writes stay
-    // fenced (micro-batch plans bypass the batch optimizer batch carrying
-    // the rule) — GraftWriteBuilder.toStreaming throws.
+    // hidden-partitioning tables: BATCH writes re-derive the generated
+    // column via [[TransformRecompute]] before the write plans (installed
+    // at table resolution above); STREAMING writes re-derive it per row in
+    // the writer (GraftWriteBuilder.toStreaming binds the transform
+    // expression — epoch plans bypass the batch optimizer).
     new GraftWriteBuilder(root, version, tableSchema, primaryKey,
       partitionKey, info,
       transformSpec = mOpt.flatMap(_.partitionSpec))
