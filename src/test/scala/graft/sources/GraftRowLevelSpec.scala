@@ -276,6 +276,49 @@ class GraftRowLevelSpec extends SparkSpec {
       .toSeq == Seq((7L, "seen")))
   }
 
+  test("property: source-bounded MERGE matches a relational replay on " +
+      "random tables and batches") {
+    // the round-13 prune stack (source bounds + bounded group-filter
+    // subquery) must be invisible to results across random layouts: key
+    // counts, file counts, clustered or not, batches mixing updates,
+    // inserts, and keys beyond every file's range (the all-pruned edge)
+    val rnd = new scala.util.Random(20260815L)
+    for (i <- 1 to 4) {
+      val n = 50 + rnd.nextInt(300)
+      val nFiles = 1 + rnd.nextInt(6)
+      val dir = tmpDir("rlprop") + s"/t$i"
+      val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+        clusterByKey = rnd.nextBoolean()))
+      val base = (1L to n).map(k => (k, s"n$k"))
+      t.create(base.toDF("id", "name").repartition(nFiles))
+      val batch = (1 to 1 + rnd.nextInt(40)).map { _ =>
+        val k = 1L + rnd.nextInt(n + 60) // keys past n insert
+        (k.toLong, s"u$k")
+      }.distinctBy(_._1)
+      batch.toDF("id", "name").createOrReplaceTempView(s"rlp_src_$i")
+      withSqlTable(dir, s"rlp_$i") {
+        withSourcePruneAlways {
+          spark.sql(
+            s"""MERGE INTO rlp_$i t USING rlp_src_$i s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *
+               |""".stripMargin)
+        }
+      }
+      val bm = batch.toMap
+      val expected =
+        base.map { case (k, v) => k -> bm.getOrElse(k, v) }.toMap ++
+          bm.filter { case (k, _) => k > n }
+      val got = t.read().as[(Long, String)].collect().toMap
+      assert(got == expected,
+        s"case $i (n=$n files=$nFiles batch=${batch.size}): " +
+          s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- expected.keySet).take(5)} " +
+          s"wrong=${expected.collect { case (k, v)
+            if got.get(k).exists(_ != v) => k }.take(5)}")
+    }
+  }
+
   test("SQL UPDATE rewrites in place") {
     val dir = tmpDir("rl") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
