@@ -468,6 +468,70 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got(6L) == 6.0 && got(8L) == 8.0) // co-located rows untouched
   }
 
+  test("property: delta-path MERGE matches a relational replay; never " +
+      "rewrites a data file") {
+    val rnd = new scala.util.Random(20260813L)
+    for (i <- 1 to 3) {
+      val n = 40 + rnd.nextInt(200)
+      val nFiles = 1 + rnd.nextInt(5)
+      val dir = tmpDir("dvprop") + s"/t$i"
+      val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+        changeDataFeed = true, deletionVectors = true,
+        clusterByKey = rnd.nextBoolean()))
+      val base = (1L to n).map(k => (k, k * 1.0))
+      t.create(base.toDF("id", "v").repartition(nFiles))
+      val before = t.manifest(1).files.map(_.path).toSet
+      // random clause mix: op D deletes, U updates, keys past n insert
+      val batch = (1 to 1 + rnd.nextInt(35)).map { _ =>
+        val k = (1L + rnd.nextInt(n + 40)).toLong
+        val op = rnd.nextInt(3) match {
+          case 0 => "D"; case 1 => "U"; case _ => "I"
+        }
+        (k, k * 10.0, if (k > n) "I" else op)
+      }.distinctBy(_._1)
+      batch.toDF("id", "v", "op").createOrReplaceTempView(s"dvp_src_$i")
+      spark.sql(s"DROP TABLE IF EXISTS dvp_$i")
+      try {
+        spark.sql(s"CREATE TABLE dvp_$i USING graft LOCATION '$dir'")
+        spark.sql(
+          s"""MERGE INTO dvp_$i t USING dvp_src_$i s ON t.id = s.id
+             |WHEN MATCHED AND s.op = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET t.v = s.v
+             |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+             |""".stripMargin)
+      } finally spark.sql(s"DROP TABLE IF EXISTS dvp_$i")
+      val bm = batch.map(b => b._1 -> b).toMap
+      val expected =
+        base.flatMap { case (k, v) => bm.get(k) match {
+          case Some((_, _, "D")) => None
+          case Some((_, nv, _)) => Some(k -> nv)
+          case None => Some(k -> v)
+        }}.toMap ++
+          bm.collect { case (k, (_, nv, _)) if k > n => k -> nv }
+      val got = t.read().as[(Long, Double)].collect().toMap
+      assert(got == expected,
+        s"case $i (n=$n files=$nFiles batch=${batch.size}): " +
+          s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- expected.keySet).take(5)}")
+      // the delta-path invariant, whatever the clause mix
+      val after = t.manifest(t.currentVersion).files.map(_.path).toSet
+      assert(before.subsetOf(after),
+        s"case $i rewrote data files: ${before.diff(after).take(3)}")
+      // CDF accounts for exactly the touched rows, typed per clause
+      val feed = t.readChangeFeed(1, t.currentVersion)
+        .select("id", "_change_type").as[(Long, String)].collect()
+      val deleted = base.map(_._1).toSet
+        .intersect(bm.collect { case (k, (_, _, "D")) => k }.toSet)
+      val updated = base.map(_._1).toSet
+        .intersect(bm.collect { case (k, (_, _, op)) if op != "D" => k }.toSet)
+      val inserted = expected.keySet -- base.map(_._1).toSet
+      assert(feed.count(_._2 == "delete") == deleted.size)
+      assert(feed.count(_._2 == "update_preimage") == updated.size)
+      assert(feed.count(_._2 == "update_postimage") == updated.size)
+      assert(feed.count(_._2 == "insert") == inserted.size)
+    }
+  }
+
   test("SQL surface: deletionVectors via TBLPROPERTIES reaches the config") {
     val lake = tmpDir("dvsql")
     val sess = spark.newSession()
