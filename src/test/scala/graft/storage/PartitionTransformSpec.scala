@@ -416,6 +416,69 @@ class PartitionTransformSpec extends SparkSpec {
     assert(scan.select("id").as[Long].collect().toSet == Set(5L, 9L))
   }
 
+  test("property: transform layout round-trips adversarial values on API " +
+      "and SQL write paths") {
+    // the generated column is DROPPED from file bytes — reads re-derive it
+    // from the hive dir, so the whole (derive → escapePathName → dir →
+    // unescape → parse) loop must be the identity for ANY source value:
+    // unicode, hive metacharacters, pre-1970 timestamps, nulls
+    val rnd = new scala.util.Random(20260814L)
+    // ASCII-only: this container's JVM runs sun.jnu.encoding=ANSI_X3.4-1968,
+    // so the FILESYSTEM cannot take non-ASCII dir names (vanilla Spark's own
+    // partitionBy fails identically — environment, not engine; standard hive
+    // escaping keeps non-ASCII raw, and on UTF-8 filesystems it works)
+    val tricky = Seq("a=b", "x/y", "sp ace", "%25", "#hash", "colon:c",
+      "dot.", "tab\tchar", "+plus+", "comma,sep", "'quote", "0", "\\back")
+    def randStr(): String =
+      if (rnd.nextInt(3) == 0) tricky(rnd.nextInt(tricky.size))
+      else rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
+    def randTs(): java.sql.Timestamp = // 1932..2096, second precision
+      new java.sql.Timestamp((rnd.nextLong() % 2000000000L) * 2000L)
+    for ((spec, idx) <- Seq("day(ts)", "month(ts)",
+        s"bucket(${1 + rnd.nextInt(16)},name)",
+        s"truncate(${1 + rnd.nextInt(5)},name)").zipWithIndex) {
+      val isTs = spec.startsWith("day") || spec.startsWith("month")
+      val dir = tmpDir("ptprop") + s"/t$idx"
+      val t = CowTable(spark, dir,
+        TableConfig("t", Seq("id"), partitionSpec = Some(spec)))
+      def rows(r: Range) = r.map { k =>
+        val nullSrc = rnd.nextInt(7) == 0
+        if (isTs) (k.toLong, if (nullSrc) null else randTs(), null: String)
+        else (k.toLong, null: java.sql.Timestamp,
+          if (nullSrc) null else randStr())
+      }
+      def frame(r: Range) =
+        if (isTs) rows(r).map(x => (x._1, x._2)).toDF("id", "ts")
+        else rows(r).map(x => (x._1, x._3)).toDF("id", "name")
+      val tr = PartitionTransform.parse(spec)
+      t.create(frame(1 to 40))                    // API funnel
+      t.upsert(frame(41 to 60))                   // API funnel, second path
+      spark.sql(s"DROP TABLE IF EXISTS ptp_$idx")
+      try {                                       // SQL MERGE (insert-only)
+        spark.sql(s"CREATE TABLE ptp_$idx USING graft LOCATION '$dir'")
+        frame(61 to 80)
+          .withColumn(tr.name, lit(null).cast(t.read().schema(tr.name)
+            .dataType))
+          .createOrReplaceTempView(s"ptp_src_$idx")
+        spark.sql(
+          s"""MERGE INTO ptp_$idx t USING ptp_src_$idx s ON t.id = s.id
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+      } finally spark.sql(s"DROP TABLE IF EXISTS ptp_$idx")
+      // path-derived generated values ≡ direct expression evaluation
+      val got = t.read()
+        .selectExpr("id", s"CAST(${tr.name} AS STRING)")
+        .as[(Long, String)].collect().toMap
+      val expected = t.read().drop(tr.name)
+        .withColumn(tr.name, tr.expr)
+        .selectExpr("id", s"CAST(${tr.name} AS STRING)")
+        .as[(Long, String)].collect().toMap
+      assert(got.size == 80 && got == expected,
+        s"$spec: ${got.toSet.diff(expected.toSet).take(5)} vs " +
+          s"${expected.toSet.diff(got.toSet).take(5)}")
+    }
+  }
+
   test("SQL surface: CREATE TABLE PARTITIONED BY (days(ts)) + INSERT-free population") {
     val lake = tmpDir("ptlake")
     val sess = spark.newSession()
