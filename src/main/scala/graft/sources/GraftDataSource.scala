@@ -185,7 +185,8 @@ final class GraftTable(
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val mOpt: Option[CommitManifest] =
     if (version > 0) Some(CowTable.manifestAt(root, version)) else None
@@ -371,6 +372,41 @@ final class GraftTable(
     else
       new GraftRowLevelOperationBuilder(root, version, m, tableSchema, info)
   }
+
+  /** METADATA-ONLY DELETE (`SupportsDeleteV2` via the V1-filter flavor).
+    * Spark's `OptimizeMetadataOnlyDeleteFromTable` (preCBO) offers every
+    * rewritten DELETE's condition here first: accept iff the conjunction
+    * decides EVERY file All-or-No from manifest metadata alone
+    * ([[MetadataDelete]] — partition path values, hidden-partition
+    * transform intervals, file min/max stats, null counts). Accepted ⇒
+    * the whole statement becomes [[CowTable.metadataDeleteFiles]]'s single
+    * manifest CAS — zero data jobs, the retention-job shape (`DELETE WHERE
+    * day < X`) Iceberg/Delta answer in O(metadata). Declined ⇒ Spark keeps
+    * the ordinary row-level rewrite: a decline is never wrong, only
+    * slower. `TRUNCATE TABLE` rides the same path (the inherited default
+    * passes `AlwaysTrue`, which covers every file). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !timeTravel && mOpt.exists(m => scala.util.Try(
+      MetadataDelete.coveredFiles(m, tableSchema, filters.toIndexedSeq)
+        .isDefined).getOrElse(false))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (timeTravel) throw new UnsupportedOperationException(
+      s"graft: cannot mutate a time-travel read of $root")
+    // re-evaluate against the CURRENT manifest (the handle may predate a
+    // concurrent commit); coverage lost in between fails loud rather than
+    // silently deleting the wrong files
+    val cur = CowTable.manifestAt(root, CowTable.currentVersionAt(root))
+    val covered = MetadataDelete.coveredFiles(
+      cur, CowTable.structFromJson(cur.schemaJson), filters.toIndexedSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"graft: metadata-only DELETE on $root is no longer decidable " +
+          s"from metadata at v${cur.version} (concurrent commit?) — " +
+          "re-run the DELETE"))
+    CowTable(org.apache.spark.sql.SparkSession.active, root.toString,
+      cur.tableConfig(root.getFileName.toString))
+      .metadataDeleteFiles(covered.map(_.path).toSet): Unit
+  }
 }
 
 final class GraftScanBuilder(
@@ -411,39 +447,8 @@ final class GraftScanBuilder(
     * string the partition directory renders for that source value. None =
     * the runtime type isn't safely mappable (then we never prune on it). */
   private def transformedPathValue(
-      t: PartitionTransform, v: Any): Option[String] = {
-    def utcDate(x: Any): Option[java.time.LocalDate] = x match {
-      case ts: java.sql.Timestamp =>
-        Some(ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
-      case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
-      case i: java.time.Instant =>
-        Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
-      case d: java.sql.Date => Some(d.toLocalDate)
-      case ld: java.time.LocalDate => Some(ld)
-      case _ => None
-    }
-    def str(x: Any): Option[String] = x match {
-      case s: String => Some(s)
-      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-           _: java.lang.Byte => Some(String.valueOf(x))
-      case _ => None
-    }
-    t.kind match {
-      case "day" => utcDate(v).map(_.toString)
-      case "month" =>
-        utcDate(v).map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
-      case "bucket" =>
-        str(v).map(s => PartitionTransform.bucketLocal(s, t.param).toString)
-      case "truncate" =>
-        // code-point-counted prefix — Spark's substring semantics
-        str(v).map { s =>
-          val cps = s.codePoints().toArray
-          new String(cps, 0, math.min(t.param, cps.length))
-        }
-      case _ => None
-    }
-  }
+      t: PartitionTransform, v: Any): Option[String] =
+    GraftScanBuilder.literalPathValue(t, v)
 
   /** Derive partition constraints from SOURCE-column conjuncts: equality /
     * IN map through the transform for every kind; ranges only for
@@ -902,6 +907,48 @@ final class GraftScanBuilder(
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
       extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes,
       dynamicKeep)
+  }
+}
+
+object GraftScanBuilder {
+  /** Driver-side replay of a partition transform on a literal — the exact
+    * string the partition directory renders for that source value. Shared
+    * by scan-time pruning ([[GraftScanBuilder]]) and metadata-delete
+    * coverage ([[MetadataDelete]]). None = the runtime type isn't safely
+    * mappable (then callers never prune on it). */
+  private[sources] def literalPathValue(
+      t: PartitionTransform, v: Any): Option[String] = {
+    def utcDate(x: Any): Option[java.time.LocalDate] = x match {
+      case ts: java.sql.Timestamp =>
+        Some(ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
+      case i: java.time.Instant =>
+        Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case ld: java.time.LocalDate => Some(ld)
+      case _ => None
+    }
+    def str(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => Some(String.valueOf(x))
+      case _ => None
+    }
+    t.kind match {
+      case "day" => utcDate(v).map(_.toString)
+      case "month" =>
+        utcDate(v).map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      case "bucket" =>
+        str(v).map(s => PartitionTransform.bucketLocal(s, t.param).toString)
+      case "truncate" =>
+        // code-point-counted prefix — Spark's substring semantics
+        str(v).map { s =>
+          val cps = s.codePoints().toArray
+          new String(cps, 0, math.min(t.param, cps.length))
+        }
+      case _ => None
+    }
   }
 }
 

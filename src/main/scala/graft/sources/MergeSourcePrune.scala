@@ -79,16 +79,25 @@ final class MergeSourcePrune(session: SparkSession)
     tableRel match {
       case r: DataSourceV2Relation =>
         ColumnBridge.rowLevelOperationOf(r.table) match {
-          case Some(op: SourceBoundedRowLevelOp) if !op.sourcePruneAttempted
-              && op.manifest.files.size >= minFiles =>
-            op.sourcePruneAttempted = true
-            // any surprise (exotic plan shape, unparseable stat value) must
-            // degrade to the unpruned scan, not fail the MERGE
-            scala.util.Try(candidatePaths(query, r.table, op)).toOption.flatten
-              .foreach { paths =>
-                op.sourceKeyFiles = Some(paths)
-                boundGroupFilterSubquery(query, op, paths)
-              }
+          case Some(op: SourceBoundedRowLevelOp)
+              if op.manifest.files.size >= minFiles =>
+            if (!op.sourcePruneAttempted) {
+              op.sourcePruneAttempted = true
+              // any surprise (exotic plan shape, unparseable stat value)
+              // must degrade to the unpruned scan, not fail the MERGE
+              scala.util.Try(candidatePaths(query, r.table, op)).toOption
+                .flatten.foreach(paths => op.sourceKeyFiles = Some(paths))
+            }
+            // REBIND on every optimizer pass (idempotent, plan-walk only):
+            // the one-shot guard covers only the bounds JOB. An instance of
+            // this rule registered in the operator-optimization batch (the
+            // GraftExtensions injectOptimizerRule path) runs BEFORE Spark's
+            // PartitionPruning batch plants the group filter's
+            // DynamicPruningExpression — were the whole attempt one-shot,
+            // the later extraOptimizations instance (the only one that SEES
+            // the DPE) would skip and the subquery scan would stay O(table).
+            op.sourceKeyFiles.foreach(paths =>
+              boundGroupFilterSubquery(query, op, paths))
           case _ => ()
         }
       case _ => ()
@@ -100,9 +109,19 @@ final class MergeSourcePrune(session: SparkSession)
     * FRESH scan of the plain table (projecting `_file`) with the source —
     * that scan has no static predicates, so it reads the WHOLE table. The
     * candidate set bounds it exactly like the operation's own scans: a file
-    * no source key can reach cannot contain a matched row. The `_file`
-    * projection requirement keeps the source side of the build join (which
-    * may legitimately read the same table) out of reach. */
+    * no source key can reach cannot contain a matched row.
+    *
+    * WHICH scan: only the one whose own `_file` attribute IS the
+    * subquery's output value (exprId traced). The build join's SOURCE side
+    * may legitimately re-read the same table with `_file` projected (e.g.
+    * `USING (SELECT *, _file ...) s ON t.id = s.other_col`) — bounding THAT
+    * scan would filter source rows by leading-pk stats computed over the
+    * join-key values, silently dropping legitimate source rows whenever
+    * the join key is not the source row's own pk. Matching name+table
+    * alone cannot tell the two apart; the output exprId can, because the
+    * group filter's build plan projects the TARGET scan's `_file`
+    * attribute unaliased. An aliased/exotic shape simply never matches —
+    * a safe decline to the unpruned subquery scan. */
   private def boundGroupFilterSubquery(
       query: LogicalPlan, op: SourceBoundedRowLevelOp,
       paths: Set[String]): Unit = {
@@ -113,10 +132,13 @@ final class MergeSourcePrune(session: SparkSession)
             .DynamicPruningExpression =>
           dp.child.foreach {
             case in: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+              val outIds = in.query.plan.output.map(_.exprId).toSet
               in.query.plan.foreach {
                 case sr: DataSourceV2ScanRelation => sr.scan match {
                   case g: GraftScan if g.tableKey == key &&
-                    sr.output.exists(_.name == GraftTable.FileColumnName) =>
+                    sr.output.exists(a =>
+                      a.name == GraftTable.FileColumnName &&
+                        outIds.contains(a.exprId)) =>
                     g.extraKeep = Some(paths)
                   case _ => ()
                 }

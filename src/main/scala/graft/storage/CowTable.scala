@@ -855,6 +855,28 @@ final class CowTable private[storage] (
     })
   }
 
+  /** METADATA-ONLY DELETE: publish a new version whose manifest simply
+    * DROPS `dropPaths`' entries — zero data read, zero data written, one
+    * manifest CAS. The retention-job fast path ([[graft.sources.GraftTable]]
+    * `deleteWhere` via Spark's `SupportsDeleteV2`): when a DELETE predicate
+    * provably covers whole files ([[graft.sources.MetadataDelete]]), the
+    * answer is this commit, not a rewrite — at 100 TB the difference
+    * between O(manifest) and a day of data jobs (Iceberg/Delta do exactly
+    * this for partition-aligned deletes). A dropped entry's deletion-vector
+    * sidecar pointer drops with it. `dataChange=true`: rows logically left
+    * the table, and with no `cdcDir` the change feed's file-diff fallback
+    * emits the dropped files' live rows as deletes. Returns the new
+    * version (the current one when nothing matches). */
+  def metadataDeleteFiles(dropPaths: Set[String]): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val (dropped, kept) = m.files.partition(e => dropPaths.contains(e.path))
+    if (dropped.isEmpty) return parent
+    commitAt(parent, Nil, kept, structFromJson(m.schemaJson),
+      mappingOpt = Some((m.columnMapping, m.effectiveUsedPhysical)))
+  }
+
   /** Rewrite every deletion-vectored file WITHOUT its deleted rows and
     * clear the vectors — the MOR "compaction" that bounds read-side
     * subtraction cost. O(vectored file bytes); a rewrite-only commit
