@@ -2499,5 +2499,68 @@ object StorageQueries {
         .load(base)
         .select(col("c_custkey"), col("c_acctbal"),
           col("_commit_version"), col("_change_type"))
+    },
+
+    // METADATA-ONLY DELETE (round 15, oracle-gating round 14's
+    // SupportsDeleteV2 path — the retention-job shape of the reference's
+    // CDC table lifecycle, where Iceberg/Delta answer day-aligned
+    // `DELETE WHERE ts < X` in O(metadata); cf.
+    // /root/reference/src/iceberg/iceberg-cdc-load.py:130-150). The cut
+    // must become ONE manifest commit: zero data read, zero data written,
+    // covered day dirs dropped, a dropped entry's DV sidecar dropped with
+    // it — all manifest-asserted below. The returned frame is the change
+    // feed across the MIXED range (materialized-CDF row-level DV delete at
+    // v2, metadata-only drop at v3), which DuckDB replays row-exactly.
+    Q("q207_metadata_delete",
+      """WITH base AS (
+        |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT event_id, event_type,
+        |       'delete' AS _change_type, CAST(2 AS INT) AS _commit_version
+        |FROM base WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, event_type,
+        |       'delete' AS _change_type, CAST(3 AS INT) AS _commit_version
+        |FROM base WHERE event_type <> 'error'
+        |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q207")
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      val tbl = CowTable.replace(s, root,
+        TableConfig("events_mdel", Seq("event_id"),
+          partitionSpec = Some("day(ts)"),
+          changeDataFeed = true, deletionVectors = true), ev)     // v1
+      s.sql("DROP TABLE IF EXISTS q207_t")
+      s.sql(s"CREATE TABLE q207_t USING graft LOCATION '$root'")
+      // row-level DV delete first (not metadata-decidable): sidecars land
+      // in the soon-to-be-dropped early days, materialized CDF at v2
+      s.sql("DELETE FROM q207_t WHERE event_type = 'error'")      // v2
+      val mid = tbl.manifest(2)
+      require(mid.files.exists(_.dvPath.isDefined),
+        "row-level delete must vector positions, not rewrite")
+      val before = mid.files
+      // day-aligned retention cut: every file decides All-or-No from the
+      // manifest alone (day-dir values; DV stats are a safe superset) —
+      // metadata-only, exactly one commit
+      s.sql("DELETE FROM q207_t WHERE ts < TIMESTAMP '2024-01-05 00:00:00'")
+      s.sql("DROP TABLE IF EXISTS q207_t")
+      val fin = tbl.manifest(tbl.currentVersion)
+      require(fin.version == 3,
+        s"metadata delete must be exactly one commit, got v${fin.version}")
+      require(fin.files.map(_.path).toSet.subsetOf(
+        before.map(_.path).toSet),
+        "metadata delete must write no data file")
+      require(fin.files.forall(e =>
+        !e.path.matches(""".*ts_day=2024-01-0[1-4]/.*""")),
+        "all covered day dirs must drop")
+      require(before.exists(e => e.dvPath.isDefined &&
+        !fin.files.exists(_.path == e.path)),
+        "a dropped entry must take its DV sidecar with it")
+      tbl.readChangeFeed(1, 3)
+        .select(col("event_id"), col("event_type"),
+          col("_change_type"), col("_commit_version"))
     })
 }

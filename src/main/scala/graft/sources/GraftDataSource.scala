@@ -403,9 +403,14 @@ final class GraftTable(
         s"graft: metadata-only DELETE on $root is no longer decidable " +
           s"from metadata at v${cur.version} (concurrent commit?) — " +
           "re-run the DELETE"))
+    // commit pinned at parent=cur.version: a commit interleaving between
+    // the coverage read above and this publish trips the hard-link CAS
+    // (ConcurrentWriteException) instead of silently dropping a stale
+    // file set on top of the newer manifest
     CowTable(org.apache.spark.sql.SparkSession.active, root.toString,
       cur.tableConfig(root.getFileName.toString))
-      .metadataDeleteFiles(covered.map(_.path).toSet): Unit
+      .metadataDeleteFiles(covered.map(_.path).toSet,
+        expectedParent = Some(cur.version)): Unit
   }
 }
 

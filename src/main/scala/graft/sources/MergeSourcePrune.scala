@@ -96,8 +96,11 @@ final class MergeSourcePrune(session: SparkSession)
             // DynamicPruningExpression — were the whole attempt one-shot,
             // the later extraOptimizations instance (the only one that SEES
             // the DPE) would skip and the subquery scan would stay O(table).
-            op.sourceKeyFiles.foreach(paths =>
-              boundGroupFilterSubquery(query, op, paths))
+            // Try: the bind is purely an optimization — an unexpected
+            // plan shape in the DPE walk must degrade to the unpruned
+            // subquery scan, never abort the statement
+            op.sourceKeyFiles.foreach(paths => scala.util.Try(
+              boundGroupFilterSubquery(query, op, paths)): Unit)
           case _ => ()
         }
       case _ => ()

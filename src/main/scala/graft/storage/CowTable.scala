@@ -866,9 +866,18 @@ final class CowTable private[storage] (
     * sidecar pointer drops with it. `dataChange=true`: rows logically left
     * the table, and with no `cdcDir` the change feed's file-diff fallback
     * emits the dropped files' live rows as deletes. Returns the new
-    * version (the current one when nothing matches). */
-  def metadataDeleteFiles(dropPaths: Set[String]): Int = {
-    val parent = currentVersion
+    * version (the current one when nothing matches).
+    *
+    * `expectedParent` pins the commit to the manifest version the drop
+    * set was COMPUTED against: a concurrent commit landing in between
+    * then trips `commitAt`'s hard-link CAS (ConcurrentWriteException)
+    * instead of silently publishing stale coverage on top of the newer
+    * manifest (files added/rewritten in the covered range would survive,
+    * keeping rows the predicate matched). Callers that compute coverage
+    * and commit in one breath may omit it. */
+  def metadataDeleteFiles(
+      dropPaths: Set[String], expectedParent: Option[Int] = None): Int = {
+    val parent = expectedParent.getOrElse(currentVersion)
     require(parent > 0, s"table ${config.tableName} does not exist")
     val m = manifest(parent)
     val (dropped, kept) = m.files.partition(e => dropPaths.contains(e.path))

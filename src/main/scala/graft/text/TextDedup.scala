@@ -50,25 +50,34 @@ object TextDedup {
 
   /** [[nearDupClusters]] plus the number of star rounds it took — the
     * O(log n)-convergence evidence the scale specs assert on. */
+  /** Plan-cutting materialization for the iterative rounds: RELIABLE
+    * `checkpoint()` when the context has a checkpoint dir configured
+    * (cluster mode — survives executor loss, where a lost
+    * localCheckpoint partition kills the whole multi-round job),
+    * `localCheckpoint()` otherwise (local/test: no HDFS round-trip). */
+  private def checkpointed(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   private[text] def nearDupClustersWithRounds(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIterations: Int = 50): (DataFrame, Int) = {
     // materialize the pair input ONCE: the plan behind `pairs` (e.g. the
     // whole LSH+verify pipeline) must not re-execute per derived branch
-    val p = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .localCheckpoint()
+    val p = checkpointed(pairs.select(col(idA).as("u"), col(idB).as("v")))
     def sym(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     // canonical (u > v) proper edges; self-pairs carry no connectivity.
-    // EVERY round is localCheckpoint'd, not merely persisted: each star
+    // EVERY round is checkpointed, not merely persisted: each star
     // round references its input ~4x (sym + self-aggregation joins), so an
     // un-truncated logical plan grows ~4^rounds nodes and catalyst analysis
     // time explodes long before the data does — checkpointing resets the
     // plan to a leaf per round (the iterative-algorithm idiom).
-    var e = p.filter(col("u") =!= col("v"))
+    var e = checkpointed(p.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     // LARGE-STAR: center every node u; attach each strictly larger neighbor
     // to m = min(N(u) ∪ {u}). Output edges stay canonical (m < v).
     def largeStar(in: DataFrame): DataFrame = {
@@ -91,14 +100,24 @@ object TextDedup {
         .filter(col("u") =!= col("v")).distinct()
     }
     var rounds = 0
-    var converged = e.isEmpty
+    var eCnt = e.count()
+    var converged = eCnt == 0
     while (!converged && rounds < maxIterations) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      // fixpoint test: both are distinct sets, so equal counts + empty
-      // difference ⇔ equal sets (one extra bounded job per round)
-      converged = next.count() == e.count() &&
-        next.exceptAll(e).limit(1).isEmpty
-      e = next
+      // fixpoint test FUSED into the materialization: a left join against
+      // the previous edge set rides the same checkpoint job (both are
+      // distinct sets, so |next| == |e| plus next ⊆ e ⇔ equal sets), and
+      // the test itself is then ONE shuffle-free aggregate over the
+      // checkpointed leaf — round 14 ran a separate count() AND an
+      // exceptAll (an extra shuffle join) per round.
+      val next = checkpointed(smallStar(largeStar(e))
+        .join(e.withColumn("__in_e", lit(true)), Seq("u", "v"), "left"))
+      val stat = next.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__in_e").isNull, 1L).otherwise(0L)).as("fresh"))
+        .head()
+      converged = stat.getLong(0) == eCnt && stat.getLong(1) == 0L
+      eCnt = stat.getLong(0)
+      e = next.select("u", "v")
       rounds += 1
     }
     if (!converged && rounds >= maxIterations) {
@@ -114,10 +133,9 @@ object TextDedup {
       .agg(min("v").as("__nm"))
       .select(col("id"), least(col("id"), col("__nm")).as("__lbl"))
     val nodes = sym(p).select(col("u").as("id")).distinct()
-    val out = nodes.join(labels, Seq("id"), "left")
+    val out = checkpointed(nodes.join(labels, Seq("id"), "left")
       .select(col("id").as("doc_id"),
-        coalesce(col("__lbl"), col("id")).as("cluster_id"))
-      .localCheckpoint()
+        coalesce(col("__lbl"), col("id")).as("cluster_id")))
     (out, rounds)
   }
 

@@ -219,6 +219,95 @@ class GraftRowLevelSpec extends SparkSpec {
       .toSeq == Seq((7L, "updated")))
   }
 
+  test("MERGE source bounds: a self-reading source with _file projected " +
+      "is never bounded (exprId guard)") {
+    val dir = tmpDir("rl") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      clusterByKey = true))
+    t.create((1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4))
+    withSqlTable(dir, "rl_self") { withSourcePruneAlways {
+      // The source re-reads the TARGET with `_file` projected and SHIFTS
+      // the join key: source row (id i ≤ 100) matches target id i+200.
+      // Matching scans by name+table alone would bound the SOURCE side's
+      // scan inside the group-filter build plan by candidate files
+      // computed from the JOIN-KEY values (201..300) — reading rows
+      // 201..300, shifting them to 401..500, matching nothing, and
+      // silently losing the whole update. The exprId guard bounds only
+      // the scan whose `_file` attribute the subquery projects.
+      // (`s._file` in the clause condition keeps the projection alive
+      // through column pruning.)
+      spark.sql(
+        """MERGE INTO rl_self t
+          |USING (SELECT id + 200 AS id, name, _file FROM rl_self
+          |       WHERE id <= 100) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s._file IS NOT NULL
+          |  THEN UPDATE SET t.name = s.name
+          |""".stripMargin)
+    } }
+    assert(t.read().count() == 400)
+    // row-exact: every matched row carries its SOURCE row's name
+    assert(t.read().filter($"id".between(201L, 300L))
+      .select("id", "name").as[(Long, String)].collect().toSet ==
+      (1L to 100L).map(i => (i + 200, s"n$i")).toSet)
+    assert(t.read().filter(!$"id".between(201L, 300L))
+      .select("id", "name").as[(Long, String)].collect().toSet ==
+      ((1L to 200L) ++ (301L to 400L)).map(i => (i, s"n$i")).toSet)
+  }
+
+  test("extensions session: the operator-batch rule instance rebinds the " +
+      "group-filter subquery planted after it (rebind path)") {
+    // An extensions-built session carries TWO MergeSourcePrune instances:
+    // the injected one runs in the operator-optimization batch BEFORE
+    // Spark's PartitionPruning plants the group filter's
+    // DynamicPruningExpression (it claims the one-shot bounds JOB), and
+    // the extraOptimizations one (installed at table resolution) runs
+    // after. Were the whole attempt one-shot, the later instance would
+    // skip and the subquery scan would stay O(table) — this asserts the
+    // per-pass rebind keeps it bounded.
+    val base = graft.TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val dir = tmpDir("rl") + "/t"
+      val t = CowTable(s, dir, TableConfig("t", Seq("id"),
+        clusterByKey = true))
+      t.create(s.range(1, 401).selectExpr("id", "concat('n', id) AS name")
+        .repartition(4))
+      s.createDataFrame(Seq((7L, "updated"), (401L, "inserted")))
+        .toDF("id", "name").createOrReplaceTempView("rl_ext_src")
+      s.conf.set("graft.mergeSourcePruneMinFiles", "0")
+      s.sql("DROP TABLE IF EXISTS rl_ext")
+      s.sql(s"CREATE TABLE rl_ext USING graft LOCATION '$dir'")
+      val merge = s.sql(
+        """MERGE INTO rl_ext t USING rl_ext_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      val plan = merge.queryExecution.executedPlan.toString
+      val subqScan = plan.linesIterator.find(l =>
+        l.contains("keyRangeFilters") && l.contains("_file")).getOrElse(
+        fail(s"no group-filter subquery scan in:\n$plan"))
+      assert(subqScan.contains("files=1/4"),
+        s"extensions-batch instance must rebind the subquery scan to the " +
+          s"candidate set, got: $subqScan")
+      assert(t.read().count() == 401)
+      assert(t.read().filter(col("id") === 7L).select("name")
+        .head().getString(0) == "updated")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS rl_ext")
+      s.conf.unset("graft.mergeSourcePruneMinFiles")
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("MERGE source bounds: key-set overflow falls back to [min,max]") {
     val dir = tmpDir("rl") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id"),

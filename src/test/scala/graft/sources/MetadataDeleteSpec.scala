@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
 class MetadataDeleteSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Plan-only probe — MUST NOT execute the statement. A default-mode
+    * `executePlan(..).optimizedPlan` eagerly EXECUTES a DML command and
+    * returns a `CommandResult` whose inner command `exists` never
+    * traverses (constant-false probe + the DELETE runs as a side
+    * effect — the round-14 red-suite bug). `CommandExecutionMode.SKIP`
+    * optimizes the real plan without running it. */
   private def optimizedDelete(sql: String): LogicalPlan =
     spark.sessionState.executePlan(
-      spark.sessionState.sqlParser.parsePlan(sql)).optimizedPlan
+      spark.sessionState.sqlParser.parsePlan(sql),
+      org.apache.spark.sql.execution.CommandExecutionMode.SKIP).optimizedPlan
 
   private def isMetadataOnly(sql: String): Boolean =
     optimizedDelete(sql).exists {
@@ -164,7 +171,9 @@ class MetadataDeleteSpec extends SparkSpec {
       .filter(col("id") % 11 =!= 0).count()
     // the change feed's file-diff fallback emits exactly the dropped
     // files' LIVE rows (dv-marked positions already left at v2) as deletes
-    val feed = t.readChangeFeed(vBefore + 1, t.currentVersion)
+    // fromVersion is the EXCLUSIVE base: this window is exactly the
+    // metadata-delete commit
+    val feed = t.readChangeFeed(vBefore, t.currentVersion)
     assert(feed.filter(col("_change_type") === "delete").count() ==
       expectLive)
     assert(feed.filter(col("_change_type") =!= "delete").count() == 0)

@@ -138,6 +138,121 @@ class ConcurrentRebaseSpec extends SparkSpec {
     assert(e.getMessage.contains("may contain"), e.getMessage)
   }
 
+  // ---------------------------------------------------------------------
+  // CONFLICT MATRIX cells (README "Concurrency conflict matrix" documents
+  // the full table; branch-publish ∥ base-write lives in BranchSpec).
+  // ---------------------------------------------------------------------
+
+  test("matrix: SQL MERGE ∥ SQL MERGE on disjoint keys — both land " +
+      "(footprint rebase), any interleaving") {
+    val dir = tmpDir("rb") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      clusterByKey = true))
+    t.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id"))
+    Seq((1L, "A1"), (2L, "A2")).toDF("id", "v")
+      .createOrReplaceTempView("rb_mm_a")
+    Seq((99L, "B99"), (101L, "B101")).toDF("id", "v")
+      .createOrReplaceTempView("rb_mm_b")
+    spark.sql("DROP TABLE IF EXISTS rb_mm")
+    spark.sql(s"CREATE TABLE rb_mm USING graft LOCATION '$dir'")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def merge(view: String): java.util.concurrent.Future[_] =
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.countDown(); gate.await()
+          spark.sql(s"MERGE INTO rb_mm t USING $view s ON t.id = s.id " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *")
+        }
+      })
+    try {
+      val (fa, fb) = (merge("rb_mm_a"), merge("rb_mm_b"))
+      fa.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      fb.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    } finally {
+      pool.shutdown()
+      spark.sql("DROP TABLE IF EXISTS rb_mm")
+    }
+    assert(t.currentVersion == 3, "both statements must commit")
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got.size == 101)
+    assert(got(1L) == "A1" && got(2L) == "A2")
+    assert(got(99L) == "B99" && got(101L) == "B101")
+    assert(got(50L) == "v50")
+  }
+
+  test("matrix: blind append rebases over a compaction winner; the " +
+      "compacted layout is carried") {
+    val t = mk(tmpDir("rb"))
+    val v1 = t.currentVersion
+    assert(t.compact(targetPartitions = 1) == 2) // reorg winner: folds 4→1
+    val binned = t.manifest(2).files.map(_.path).toSet
+    // stale pure-insert batch pinned at v1: provably disjoint from every
+    // file the compaction rewrote — rebases, both land
+    val v = t.upsertFrom(v1,
+      Seq((200L, "N200"), (201L, "N201")).toDF("id", "v"))
+    assert(v == 3)
+    assert(binned.subsetOf(t.manifest(3).files.map(_.path).toSet),
+      "the rebase must carry the winner's compacted layout")
+    assert(t.read().count() == 102)
+    assert(t.read().filter($"id" >= 200L).count() == 2)
+  }
+
+  test("matrix: a compaction racing an append loses LOUD; the retry " +
+      "folds the appended file too") {
+    val t = mk(tmpDir("rb"))
+    val m1 = t.manifest(1)
+    t.upsert(Seq((200L, "N200")).toDF("id", "v")) // append wins: v2
+    // a reorg commit computed against v1 carries no rebase context (a
+    // rebased carry would DROP the winner's file): hard CAS failure
+    intercept[ConcurrentWriteException] {
+      t.commitAt(1, Nil, m1.files,
+        CowTable.structFromJson(m1.schemaJson), dataChange = false)
+    }
+    // retry reads the current head and folds everything, appended row incl.
+    assert(t.compact(targetPartitions = 1) == 3)
+    assert(t.read().count() == 101)
+    assert(t.read().filter($"id" === 200L).count() == 1)
+  }
+
+  test("matrix: DV delete ∥ purge — in-place sidecar changes cannot " +
+      "rebase, stale writer fails loud, fresh retry lands") {
+    val dir = tmpDir("rb")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      changeDataFeed = true, deletionVectors = true))
+    t.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id"))
+    t.delete(Seq(Tuple1(10L)).toDF("id"))     // v2: sidecar on file 1
+    t.purgeDeletionVectors()                  // v3 winner: rewrote that file
+    // a DV delete pinned at v2 would point its sidecar at a replaced file
+    intercept[ConcurrentWriteException] {
+      t.deleteFrom(2, Seq(Tuple1(11L)).toDF("id"))
+    }
+    // fresh handle sees the purged layout and lands as v4
+    t.delete(Seq(Tuple1(11L)).toDF("id"))
+    assert(t.currentVersion == 4)
+    assert(t.read().count() == 98)
+  }
+
+  test("matrix: metadata delete ∥ row-level delete — the pinned parent " +
+      "trips the CAS instead of committing stale coverage") {
+    val t = mk(tmpDir("rb"))
+    val drop = t.manifest(1).files.minBy(_.minKey.get.toLong) // keys 1..25
+    t.delete(Seq(Tuple1(50L)).toDF("id")) // row-level winner: v2
+    // coverage computed against v1 must NOT publish on top of v2 silently
+    intercept[ConcurrentWriteException] {
+      t.metadataDeleteFiles(Set(drop.path), expectedParent = Some(1))
+    }
+    assert(t.currentVersion == 2, "the losing attempt must move nothing")
+    // recomputed against the current head (the file survived v2): lands
+    assert(t.metadataDeleteFiles(Set(drop.path),
+      expectedParent = Some(2)) == 3)
+    assert(t.read().count() == 74) // 100 - file[1..25] - key 50
+    assert(t.read().filter($"id" <= 25L).count() == 0)
+  }
+
   test("keyRangesOverlap: numeric vs utf8, missing stats conservative") {
     def e(mn: String, mx: String) =
       FileEntry("p", 1L, Some(mn), Some(mx))

@@ -206,11 +206,17 @@ class PartitionTransformSpec extends SparkSpec {
       spark.sql("DELETE FROM ptdv_t WHERE id = 4")
     } finally spark.sql("DROP TABLE IF EXISTS ptdv_t")
     val m2 = t.manifest(t.currentVersion)
-    // delta path: every pre-merge data file still referenced, positions in
-    // sidecars — the cross-day "move" never rewrote the old day's file
-    assert(before.subsetOf(m2.files.map(_.path).toSet),
-      s"DV+transform MERGE must rewrite nothing; dropped " +
-        s"${before.diff(m2.files.map(_.path).toSet)}")
+    // delta path: the MERGE rewrote nothing (positions in sidecars — the
+    // cross-day "move" never rewrote the old day's file). The trailing
+    // `DELETE WHERE id = 4` is METADATA-ONLY since round 14 (id=4 is a
+    // whole single-row file: min=max=4, every other file's range excludes
+    // it) and DROPS that file — zero bytes written, strictly better than
+    // a sidecar — so exactly one pre-merge file may vanish.
+    val dropped = before.diff(m2.files.map(_.path).toSet)
+    assert(dropped.size == 1 &&
+      dropped.forall(_.contains("ts_day=2024-03-03")),
+      s"only id=4's whole file may drop (metadata-only DELETE); dropped " +
+        s"$dropped")
     assert(m2.files.exists(_.dvPath.isDefined))
     // the generated column was re-derived, never trusted from the source
     assert(m2.files.forall(e => !e.path.contains("1999-01-01")))
@@ -243,6 +249,40 @@ class PartitionTransformSpec extends SparkSpec {
       Set((1L, "2024-03-03", 11.0), (2L, "2024-03-01", 2.0),
         (9L, "2024-03-09", 9.0)))
     assert(t.manifest(t.currentVersion).files.forall(_.dvPath.isEmpty))
+  }
+
+  test("delta path: SQL DELETE strictly inside a file's key range keeps " +
+      "the sidecar contract — no file dropped, positions vectored") {
+    val dir = tmpDir("ptdv") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)"),
+        changeDataFeed = true, deletionVectors = true))
+    t.create(ev(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-01 11:00:00", 2.0),
+      (3L, "2024-03-02 10:00:00", 3.0)))
+    val preV = t.currentVersion
+    val before = t.manifest(preV).files.map(_.path).toSet
+    spark.sql("DROP TABLE IF EXISTS ptdv_sc")
+    try {
+      spark.sql(s"CREATE TABLE ptdv_sc USING graft LOCATION '$dir'")
+      // the 03-01 file holds {1,2}: id=2 is strictly inside its key range
+      // (min=1 < 2 = max), so metadata cannot decide All-or-No — this must
+      // DECLINE to the row-level delta path and write a sidecar
+      spark.sql("DELETE FROM ptdv_sc WHERE id = 2")
+    } finally spark.sql("DROP TABLE IF EXISTS ptdv_sc")
+    val m2 = t.manifest(t.currentVersion)
+    assert(before.subsetOf(m2.files.map(_.path).toSet),
+      s"sidecar path must keep every file; dropped " +
+        s"${before.diff(m2.files.map(_.path).toSet)}")
+    assert(m2.files.exists(e =>
+      e.dvPath.isDefined && e.path.contains("ts_day=2024-03-01")),
+      "the partially-covered file must carry a deletion vector")
+    assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // materialized CDF for the row-level commit: exactly one delete row
+    // (fromVersion is the exclusive base)
+    val feed = t.readChangeFeed(preV, t.currentVersion)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(feed == Seq((2L, "delete")))
   }
 
   test("deletion vectors + day transform: API MOR upsert and delete") {
