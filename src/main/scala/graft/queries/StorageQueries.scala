@@ -2562,5 +2562,39 @@ object StorageQueries {
       tbl.readChangeFeed(1, 3)
         .select(col("event_id"), col("event_type"),
           col("_change_type"), col("_commit_version"))
+    },
+
+    // HOUR-GRAIN HIDDEN PARTITIONING (round 15 — Iceberg's hours(ts)
+    // transform, the grain streaming ingest lands at before daily
+    // compaction rolls it up): q173's shape one level finer. The
+    // generated column is a zero-padded 'yyyy-MM-dd-HH' string (lexical
+    // order = temporal order), derived in the commit funnel, and scans
+    // prune hour dirs from SOURCE-timestamp predicates (require-asserted).
+    // The base slice keeps the dir count bounded (3 days = ≤72 hour dirs).
+    Q("q208_hour_partitioning",
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(ts AS TIMESTAMP) AS ts,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-30 12:00:00'
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q208")
+      CowTable.replaceIfChanged(s, root,
+        TableConfig("events_hourly", Seq("event_id"),
+          partitionSpec = Some("hour(ts)")),
+        contentSig = d,
+        t(s, d, "events")
+          .select("event_id", "user_id", "event_type", "value", "ts")
+          .filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp")))
+      val scan = s.read.format("graft").load(root)
+        .filter(col("ts") >= lit("2024-01-30 12:00:00").cast("timestamp"))
+      val plan = scan.queryExecution.executedPlan.toString
+      val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+        .getOrElse(throw new IllegalStateException(
+          s"no manifest scan in plan:\n$plan"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"hidden partitioning must prune hour files, got files=${m.group(0)}")
+      scan.select("event_id", "user_id", "event_type", "value", "ts",
+        "ts_hour")
     })
 }

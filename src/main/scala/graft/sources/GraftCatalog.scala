@@ -167,6 +167,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case t if (t.name() == "months" || t.name() == "month") &&
         t.references().length == 1 =>
         Right(s"month(${t.references()(0).fieldNames().mkString(".")})")
+      case t if (t.name() == "hours" || t.name() == "hour") &&
+        t.references().length == 1 =>
+        Right(s"hour(${t.references()(0).fieldNames().mkString(".")})")
+      case t if (t.name() == "years" || t.name() == "year") &&
+        t.references().length == 1 =>
+        Right(s"year(${t.references()(0).fieldNames().mkString(".")})")
       case t if (t.name() == "bucket" || t.name() == "truncate") &&
         t.references().length == 1 =>
         // one field reference + one int literal, argument order free
@@ -187,7 +193,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         Right(s"$kind($param,$src)")
       case other => throw new UnsupportedOperationException(
         s"graft: unsupported partitioning $other — use identity, days, " +
-          "months, bucket(N, c), or truncate(W, c)")
+          "months, hours, years, bucket(N, c), or truncate(W, c)")
     }
     val (partitionKey, partitionSpec) = keysAndSpecs match {
       case Seq() => (None, None)

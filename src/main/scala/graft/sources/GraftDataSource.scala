@@ -940,10 +940,24 @@ object GraftScanBuilder {
            _: java.lang.Byte => Some(String.valueOf(x))
       case _ => None
     }
+    def utcDateTime(x: Any): Option[java.time.LocalDateTime] = x match {
+      case ts: java.sql.Timestamp =>
+        Some(ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+      case ldt: java.time.LocalDateTime => Some(ldt)
+      case i: java.time.Instant =>
+        Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+      case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
+      case ld: java.time.LocalDate => Some(ld.atStartOfDay)
+      case _ => None
+    }
     t.kind match {
       case "day" => utcDate(v).map(_.toString)
       case "month" =>
         utcDate(v).map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      case "hour" =>
+        utcDateTime(v).map(dt => f"${dt.getYear}%04d-${dt.getMonthValue}%02d-" +
+          f"${dt.getDayOfMonth}%02d-${dt.getHour}%02d")
+      case "year" => utcDate(v).map(d => f"${d.getYear}%04d")
       case "bucket" =>
         str(v).map(s => PartitionTransform.bucketLocal(s, t.param).toString)
       case "truncate" =>

@@ -205,30 +205,48 @@ private[sources] object MetadataDelete {
       scala.util.Try(PartitionTransform.parse(s)).toOption)
 
   /** The INCLUSIVE integer interval (micros or epoch-days, matching the
-    * source column's stat space) a day/month partition value brackets its
-    * rows inside — `None` for other transforms / unparseable paths. */
+    * source column's stat space) a day/month/hour/year partition value
+    * brackets its rows inside — `None` for other transforms /
+    * unparseable paths. */
   private def sourceInterval(
       t: PartitionTransform, srcType: DataType, pv: String)
       : Option[(Long, Long)] = {
-    def dayRange: Option[(java.time.LocalDate, java.time.LocalDate)] =
+    // hour brackets sub-day: a LocalDateTime range (others are day-aligned)
+    def dtRange: Option[(java.time.LocalDateTime, java.time.LocalDateTime)] =
       t.kind match {
         case "day" =>
           scala.util.Try(java.time.LocalDate.parse(pv)).toOption
-            .map(d => (d, d.plusDays(1)))
+            .map(d => (d.atStartOfDay, d.plusDays(1).atStartOfDay))
         case "month" =>
           scala.util.Try(java.time.YearMonth.parse(pv)).toOption
-            .map(ym => (ym.atDay(1), ym.plusMonths(1).atDay(1)))
+            .map(ym => (ym.atDay(1).atStartOfDay,
+              ym.plusMonths(1).atDay(1).atStartOfDay))
+        case "hour" =>
+          scala.util.Try {
+            require(pv.length == 13 && pv.charAt(10) == '-')
+            val h = pv.substring(11, 13).toInt
+            require(h >= 0 && h < 24)
+            val dt = java.time.LocalDate.parse(pv.substring(0, 10))
+              .atStartOfDay.plusHours(h)
+            (dt, dt.plusHours(1))
+          }.toOption
+        case "year" =>
+          scala.util.Try(java.time.Year.parse(pv)).toOption
+            .map(y => (y.atDay(1).atStartOfDay,
+              y.plusYears(1).atDay(1).atStartOfDay))
         case _ => None
       }
-    dayRange.flatMap { case (lo, hiEx) =>
+    dtRange.flatMap { case (lo, hiEx) =>
+      def micros(dt: java.time.LocalDateTime): Long =
+        dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
       srcType match {
         // timestamp stats are epoch micros; NTZ stats are wall-clock micros
         // "as if UTC" — the same arithmetic either way (the transform replay
         // is UTC-fixed, mirroring GraftScanBuilder.transformedPathValue)
         case TimestampType | TimestampNTZType =>
-          Some((lo.toEpochDay * 86400000000L,
-            hiEx.toEpochDay * 86400000000L - 1L))
-        case DateType => Some((lo.toEpochDay, hiEx.toEpochDay - 1L))
+          Some((micros(lo), micros(hiEx) - 1L))
+        case DateType if t.kind != "hour" =>
+          Some((lo.toLocalDate.toEpochDay, hiEx.toLocalDate.toEpochDay - 1L))
         case _ => None
       }
     }

@@ -43,14 +43,21 @@ final case class PartitionTransform(
 
   /** Canonical spec string, the durable form manifests carry. */
   def spec: String = kind match {
-    case "day" | "month" => s"$kind($source)"
+    case "day" | "month" | "hour" | "year" => s"$kind($source)"
     case _ => s"$kind($param,$source)"
   }
 
-  /** The generation expression over the source column. */
+  /** The generation expression over the source column. All time
+    * transforms render UTC-fixed path values (sessions run UTC; the
+    * driver-side replays in [[graft.sources.GraftScanBuilder]] and
+    * [[graft.sources.MetadataDelete]] assume the same) — `hour` and
+    * `year` render zero-padded strings so the path's LEXICAL order is
+    * the source's temporal order (what range pruning relies on). */
   def expr: Column = kind match {
     case "day" => to_date(col(source))
     case "month" => date_format(col(source), "yyyy-MM")
+    case "hour" => date_format(col(source), "yyyy-MM-dd-HH")
+    case "year" => date_format(col(source), "yyyy")
     case "bucket" => PartitionTransform.bucketOf(col(source), param)
     case "truncate" => substring(col(source).cast("string"), 1, param)
   }
@@ -60,13 +67,15 @@ final case class PartitionTransform(
   def applyTo(value: Column): Column = kind match {
     case "day" => to_date(value)
     case "month" => date_format(value, "yyyy-MM")
+    case "hour" => date_format(value, "yyyy-MM-dd-HH")
+    case "year" => date_format(value, "yyyy")
     case "bucket" => PartitionTransform.bucketOf(value, param)
     case "truncate" => substring(value.cast("string"), 1, param)
   }
 
   /** Range predicates on the source survive the transform only for
-    * ORDER-PRESERVING transforms (day/month/truncate-on-string are
-    * monotone; bucket is not). */
+    * ORDER-PRESERVING transforms (day/month/hour/year/truncate-on-string
+    * are monotone in the path's lexical order; bucket is not). */
   def orderPreserving: Boolean = kind != "bucket"
 }
 
@@ -89,7 +98,7 @@ object PartitionTransform {
     java.lang.Long.parseLong(hex, 16) % n
   }
 
-  private val NoParam = """(day|month)\(([^,()]+)\)""".r
+  private val NoParam = """(day|month|hour|year)\(([^,()]+)\)""".r
   private val WithParam = """(bucket|truncate)\((\d+),([^,()]+)\)""".r
 
   /** Parse the canonical spec string (loud on anything else). */
@@ -101,6 +110,6 @@ object PartitionTransform {
       PartitionTransform(k, src.trim, n)
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other' — expected day(c), " +
-        "month(c), bucket(N,c), or truncate(W,c)")
+        "month(c), hour(c), year(c), bucket(N,c), or truncate(W,c)")
   }
 }

@@ -84,10 +84,15 @@ object TextDedup {
       val s = sym(in)
       val mins = s.groupBy(col("u").as("__c")).agg(min("v").as("__mn"))
         .select(col("__c"), least(col("__c"), col("__mn")).as("__m"))
+      // no trailing distinct: duplicate (v,m) pairs across centers are
+      // rare mid-convergence and zero at fixpoint, and smallStar's final
+      // distinct restores set semantics — dropping it removes one
+      // exchange per round (on tiny late-round edge sets the per-stage
+      // overhead IS the cost)
       s.join(mins, s("u") === col("__c"))
         .filter(col("v") > s("u"))
         .select(col("v").as("u"), col("__m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
     // SMALL-STAR on canonical edges: center u's neighbors are all smaller;
     // attach them (and u) to their minimum m.
@@ -100,24 +105,24 @@ object TextDedup {
         .filter(col("u") =!= col("v")).distinct()
     }
     var rounds = 0
-    var eCnt = e.count()
-    var converged = eCnt == 0
+    var converged = false
     while (!converged && rounds < maxIterations) {
-      // fixpoint test FUSED into the materialization: a left join against
-      // the previous edge set rides the same checkpoint job (both are
-      // distinct sets, so |next| == |e| plus next ⊆ e ⇔ equal sets), and
-      // the test itself is then ONE shuffle-free aggregate over the
-      // checkpointed leaf — round 14 ran a separate count() AND an
-      // exceptAll (an extra shuffle join) per round.
-      val next = checkpointed(smallStar(largeStar(e))
-        .join(e.withColumn("__in_e", lit(true)), Seq("u", "v"), "left"))
-      val stat = next.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("__in_e").isNull, 1L).otherwise(0L)).as("fresh"))
+      // fixpoint test FUSED into the materialization: a FULL-OUTER flag
+      // join against the previous edge set rides the same checkpoint job
+      // (next == e ⇔ no row is new AND no row is gone), and the test
+      // itself is then ONE shuffle-free aggregate over the checkpointed
+      // leaf — round 14 ran a separate count() AND an exceptAll (an extra
+      // shuffle join) per round, plus an upfront count.
+      val j = checkpointed(smallStar(largeStar(e))
+        .withColumn("__nw", lit(true))
+        .join(e.withColumn("__old", lit(true)), Seq("u", "v"), "full_outer"))
+      val stat = j.agg(
+        sum(when(col("__old").isNull, 1L).otherwise(0L)).as("fresh"),
+        sum(when(col("__nw").isNull, 1L).otherwise(0L)).as("gone"))
         .head()
-      converged = stat.getLong(0) == eCnt && stat.getLong(1) == 0L
-      eCnt = stat.getLong(0)
-      e = next.select("u", "v")
+      converged = (stat.isNullAt(0) || stat.getLong(0) == 0L) &&
+        (stat.isNullAt(1) || stat.getLong(1) == 0L)
+      e = j.filter(col("__nw").isNotNull).select("u", "v")
       rounds += 1
     }
     if (!converged && rounds >= maxIterations) {

@@ -71,6 +71,36 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(before.map(_.path).toSet.diff(m.files.map(_.path).toSet).nonEmpty)
   }
 
+  test("hour-aligned retention DELETE on an hour(ts) table is " +
+      "metadata-only") {
+    val dir = tmpDir("mdel") + "/t"
+    val hourly = (1 to 96).map { i =>
+      (i.toLong, s"u${i % 5}",
+        java.sql.Timestamp.valueOf(
+          f"2024-01-${1 + (i - 1) / 48}%02d ${(i - 1) / 2 % 24}%02d:30:00"),
+        i * 1.0)
+    }.toDF("id", "user", "ts", "v")
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      partitionSpec = Some("hour(ts)")))
+    t.create(hourly)
+    val before = t.manifest(t.currentVersion).files
+    withSqlTable(dir, "mdel_hour") {
+      val sql = "DELETE FROM mdel_hour WHERE ts < TIMESTAMP " +
+        "'2024-01-01 12:00:00'"
+      assert(isMetadataOnly(sql), "hour-aligned cut must convert")
+      spark.sql(sql)
+      assert(spark.table("mdel_hour").count() ==
+        hourly.filter(
+          col("ts") >= lit("2024-01-01 12:00:00").cast("timestamp")).count())
+    }
+    val m = t.manifest(t.currentVersion)
+    assert(m.version == 2 && m.files.map(_.path).toSet
+      .subsetOf(before.map(_.path).toSet), "zero data files written")
+    assert(m.files.forall(e =>
+      !e.path.matches(""".*ts_hour=2024-01-01-(0\d|10|11)/.*""")),
+      "all covered hour dirs dropped")
+  }
+
   test("mid-day cut declines to the row-level rewrite, same result") {
     val dir = tmpDir("mdel") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id"),

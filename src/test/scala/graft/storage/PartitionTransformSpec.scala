@@ -18,7 +18,10 @@ class PartitionTransformSpec extends SparkSpec {
       PartitionTransform("bucket", "id", 16))
     assert(PartitionTransform.parse("truncate(4,name)").spec ==
       "truncate(4,name)")
-    intercept[IllegalArgumentException](PartitionTransform.parse("hour(ts)"))
+    assert(PartitionTransform.parse("hour(ts)").name == "ts_hour")
+    assert(PartitionTransform.parse("year(ts)").spec == "year(ts)")
+    intercept[IllegalArgumentException](
+      PartitionTransform.parse("minute(ts)"))
     intercept[IllegalArgumentException](PartitionTransform.parse("bucket(0,x)"))
     intercept[IllegalArgumentException](PartitionTransform.parse("day(a,b)"))
   }
@@ -55,6 +58,45 @@ class PartitionTransformSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet ==
       Set((1L, "2024-03-01"), (2L, "2024-03-01"), (3L, "2024-03-02"),
         (4L, "2024-03-05")))
+  }
+
+  test("hour and year transforms: layout, round-trip, source pruning") {
+    val dir = tmpDir("pt") + "/t"
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), partitionSpec = Some("hour(ts)")))
+    t.create(ev(
+      (1L, "2024-03-01 10:15:00", 1.0), (2L, "2024-03-01 10:45:00", 2.0),
+      (3L, "2024-03-01 11:05:00", 3.0), (4L, "2024-03-02 00:00:00", 4.0)))
+    val dirs = t.manifest(1).files.map(_.path.split('/').dropRight(1)
+      .find(_.startsWith("ts_hour=")).get).distinct.sorted
+    assert(dirs == Seq("ts_hour=2024-03-01-10", "ts_hour=2024-03-01-11",
+      "ts_hour=2024-03-02-00"))
+    // scans prune hour dirs from predicates on the SOURCE timestamp
+    val scan = spark.read.format("graft").load(dir)
+      .filter($"ts" >= "2024-03-01 11:00:00")
+    assert(scan.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    val fm = """files=(\d+)/(\d+)""".r
+      .findFirstMatchIn(scan.queryExecution.executedPlan.toString).get
+    assert(fm.group(1).toInt < fm.group(2).toInt,
+      s"expected hour pruning, got files=${fm.group(0)}")
+
+    val dir2 = tmpDir("pt") + "/t"
+    val t2 = CowTable(spark, dir2,
+      TableConfig("t", Seq("id"), partitionSpec = Some("year(ts)")))
+    t2.create(ev(
+      (1L, "2023-06-01 00:00:00", 1.0), (2L, "2024-02-01 00:00:00", 2.0)))
+    assert(t2.manifest(1).files.map(_.path.split('/').dropRight(1)
+      .find(_.startsWith("ts_year=")).get).distinct.sorted ==
+      Seq("ts_year=2023", "ts_year=2024"))
+    // bound INSIDE 2023: a boundary cut (< 2024-01-01) keeps the bound
+    // partition conservatively (LessThan pruning is inclusive of it)
+    val scan2 = spark.read.format("graft").load(dir2)
+      .filter($"ts" < "2023-07-01 00:00:00")
+    assert(scan2.select("id").as[Long].collect().toSeq == Seq(1L))
+    val fm2 = """files=(\d+)/(\d+)""".r
+      .findFirstMatchIn(scan2.queryExecution.executedPlan.toString).get
+    assert(fm2.group(1).toInt < fm2.group(2).toInt,
+      s"expected year pruning, got files=${fm2.group(0)}")
   }
 
   test("generation funnel: upsert batches can omit or even drift the column") {
