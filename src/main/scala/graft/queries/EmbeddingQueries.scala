@@ -471,5 +471,91 @@ object EmbeddingQueries {
             cents, 2, 5))
         graft.similarity.SemDedup.incrementalFlags(canonTbl.read(), batch,
           "vec_id", "embedding", cents, 2, 5)
+    },
+
+    // IVF-PQ ANN with refine (round 15 — the FAISS-standard memory-bound
+    // shape, IndexIVFPQ + IndexRefine): the coarse quantizer prunes lists
+    // exactly like q55/q183; the candidate PRE-RANK reads ONLY 8
+    // product-quantization code ids per candidate (≈64× less state than
+    // the 64 int64 lanes) via an integer ADC table; then just the top
+    // refine·k ADC survivors per query are exact-rescored from raw
+    // vectors. Every stage — coarse assignment, per-subspace encode
+    // (argmax 2·(sub·c)−‖c‖², ties → lowest code), ADC sums,
+    // reconstruction norms, both rank cuts — is deterministic, so the
+    // oracle replays the approximate result ROW-EXACTLY (codebook +
+    // centroid literals below are the identical seeded sequences the
+    // operator embeds).
+    Q("q209_ann_ivfpq", {
+      val cents = Similarity.ivfCentroids(8, 64)
+      val cvalues = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ",", "]")}::BIGINT[], ${c.map(x => x * x).sum})"
+      }.mkString(", ")
+      val cb = Similarity.pqCodebooks(8, 16, 8)
+      val cbValues = (for {
+        (codes, j) <- cb.zipWithIndex
+        (cv, c) <- codes.zipWithIndex
+      } yield s"($j, $c, ${cv.mkString("[", ",", "]")}::BIGINT[], " +
+        s"${cv.map(x => x * x).sum})").mkString(", ")
+      s"""WITH m AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+         |      FROM m WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0),
+         |cents AS (SELECT * FROM (VALUES $cvalues) AS t(cid, cv, cn2)),
+         |scoredc AS (SELECT n.vec_id, n.qv, n.n2, c.cid,
+         |    2*CAST(list_sum(list_transform(list_zip(n.qv, c.cv),
+         |      z -> z[1]*z[2])) AS BIGINT) - c.cn2 AS s
+         |  FROM n CROSS JOIN cents c),
+         |rankedc AS (SELECT vec_id, qv, n2, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM scoredc),
+         |corpus AS (SELECT vec_id, qv, n2, cid FROM rankedc WHERE rn = 1),
+         |probes AS (SELECT vec_id, qv, n2, cid FROM rankedc
+         |  WHERE rn <= 2 AND vec_id % 50 = 0),
+         |cb AS (SELECT * FROM (VALUES $cbValues) AS t(j, cc, cv, cn2)),
+         |sub AS (SELECT c.vec_id, g.j,
+         |    list_slice(c.qv, g.j*8+1, g.j*8+8) AS sv
+         |  FROM corpus c CROSS JOIN generate_series(0, 7) AS g(j)),
+         |enc AS (SELECT s.vec_id, s.j, b.cc, b.cn2,
+         |    2*CAST(list_sum(list_transform(list_zip(s.sv, b.cv),
+         |      z -> z[1]*z[2])) AS BIGINT) - b.cn2 AS s
+         |  FROM sub s JOIN cb b ON b.j = s.j),
+         |codes AS (SELECT vec_id, j, cc, cn2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY s DESC, cc) AS rn FROM enc) WHERE rn = 1),
+         |lut AS (SELECT p.vec_id AS query_id, p.cid, p.n2 AS qn2, b.j, b.cc,
+         |    CAST(list_sum(list_transform(list_zip(
+         |      list_slice(p.qv, b.j*8+1, b.j*8+8), b.cv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS qd
+         |  FROM probes p CROSS JOIN cb b),
+         |pairs AS (SELECT l.query_id, c.vec_id AS neighbor_id, l.qn2,
+         |    CAST(SUM(l.qd) AS BIGINT) AS adot,
+         |    CAST(SUM(k.cn2) AS BIGINT) AS vn2
+         |  FROM corpus c
+         |  JOIN codes k ON k.vec_id = c.vec_id
+         |  JOIN lut l ON l.cid = c.cid AND l.j = k.j AND l.cc = k.cc
+         |  WHERE l.query_id <> c.vec_id
+         |  GROUP BY l.query_id, c.vec_id, l.qn2),
+         |adctop AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(adot AS DOUBLE) /
+         |        sqrt(CAST(qn2 AS DOUBLE) * CAST(vn2 AS DOUBLE)) DESC,
+         |      neighbor_id) AS arank FROM pairs)
+         |  WHERE arank <= 40),
+         |refined AS (SELECT a.query_id, a.neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+         |      z -> z[1]*z[2])) AS DOUBLE) /
+         |    sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+         |  FROM adctop a
+         |  JOIN n c ON c.vec_id = a.neighbor_id
+         |  JOIN n q ON q.vec_id = a.query_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM refined)
+         |WHERE rank <= 10
+         |""".stripMargin
+    }) { (s, d) =>
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", 10)
     })
 }

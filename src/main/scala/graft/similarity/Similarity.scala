@@ -393,4 +393,129 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  // ------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (IVF-PQ — the FAISS-standard 100 TB ANN shape):
+  // each vector is stored as m sub-space code ids instead of dim int64
+  // lanes (m=8 codes for dim=64 ⇒ ~64× less candidate state), and
+  // ranking reads ONLY the codes via an integer ADC (asymmetric distance
+  // computation) table the query precomputes once. Codebooks are
+  // deterministic seeded gaussians quantized to integer thousandths —
+  // the same replayability contract as [[ivfCentroids]], so an external
+  // SQL engine reproduces encode + ADC bit-exactly.
+  // ------------------------------------------------------------------
+
+  /** Deterministic data-independent PQ codebooks: `m` subspaces × `k`
+    * codes of `subDim` integer-thousandth gaussians. */
+  def pqCodebooks(m: Int = 8, k: Int = 16, subDim: Int = 8,
+      seed: Long = 11L): Seq[Seq[Seq[Long]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(m)(Seq.fill(k)(
+      Seq.fill(subDim)(math.round(rnd.nextGaussian() * 1000))))
+  }
+
+  private def arrN2(v: Column): Column =
+    aggregate(v, lit(0L), (a, x) => a + x * x)
+
+  /** PQ-encode a quantized vector: array of `m` code ids, per subspace
+    * the L2-nearest code (argmax 2·(sub·c) − ‖c‖², integer-exact; first
+    * max ⇔ lowest code id — `array_position` keeps the tie rule). */
+  private def pqCodes(qv: Column, cb: Seq[Seq[Seq[Long]]]): Column = {
+    val m = cb.size
+    val subDim = cb.head.head.size
+    val cbLit = typedLit(cb)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(qv, j * subDim + 1, lit(subDim))
+      val scores = transform(element_at(cbLit, (j + 1).cast("int")),
+        cvec => lit(2L) * dotQ(sub, cvec) - arrN2(cvec))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    })
+  }
+
+  /** The query's ADC lookup table: lut[j][c] = sub_j(query) · cb[j][c]
+    * (m×k int64 cells, computed once per query, broadcast with it). */
+  private def pqLut(qv: Column, cb: Seq[Seq[Seq[Long]]]): Column = {
+    val m = cb.size
+    val subDim = cb.head.head.size
+    val cbLit = typedLit(cb)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(element_at(cbLit, (j + 1).cast("int")),
+        cvec => dotQ(slice(qv, j * subDim + 1, lit(subDim)), cvec)))
+  }
+
+  /** IVF-PQ approximate top-k with a REFINE stage (FAISS's
+    * IndexIVFPQ + IndexRefine shape): the coarse quantizer prunes lists
+    * (`nProbe` of `nLists`, same machinery as [[ivfTopK]]); candidates
+    * are then PRE-RANKED without touching raw vectors — approx
+    * dot(q,v) = Σ_j lut[j][code_j(v)] and reconstruction norm
+    * ‖v̂‖² = Σ_j ‖cb[j][code_j]‖², exact int64 sums over the m stored
+    * codes — and only the top `refine·k` ADC survivors per query have
+    * their RAW vectors fetched for the exact final rescore. At 100 TB
+    * this is the memory-bound regime's answer: the scan that does the
+    * work reads ~m bytes per candidate (≈64× less than the raw lanes for
+    * dim=64/m=8), and the exact read is a keyed fetch of refine·k rows
+    * per query, not a corpus scan. PQ alone cannot separate vectors
+    * inside one quantization cell (cluster-mates share codes — ties);
+    * the refine pass restores that resolution. Every stage —
+    * assignment, encode (argmax 2·(sub·c)−‖c‖², ties → lowest code),
+    * ADC sums, both rank cuts (ties → neighbor_id) — is deterministic,
+    * so an external engine replays the result row-exactly. Output:
+    * (query_id, neighbor_id, cosine, rank), the [[ivfTopK]] contract. */
+  def ivfPqTopK(
+      vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
+      m: Int = 8, pqK: Int = 16, refine: Int = 4,
+      seedIvf: Long = 7L, seedPq: Long = 11L): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim must split into $m subspaces")
+    require(refine >= 1, "pq: refine factor must be >= 1")
+    val cb = pqCodebooks(m, pqK, dim / m, seedPq)
+    val cn2 = typedLit(cb.map(_.map(c => c.map(x => x * x).sum)))
+    val cdf = centroidFrame(vectors.sparkSession,
+      ivfCentroids(nLists, dim, seedIvf))
+    val corpusRaw = prepared(vectors, idCol, vecCol)
+      .withColumnRenamed(idCol, "__id")
+    // ADC side: one coarse assignment + PQ encode, raw vector DROPPED
+    val corpus = assignLists(corpusRaw, cdf, 1)
+      .select(col("__id").as("neighbor_id"), col("cid"),
+        pqCodes(col("__qv"), cb).as("__codes"))
+      .withColumn("__vn2",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(cn2, (j + 1).cast("int")),
+            (element_at(col("__codes"), (j + 1).cast("int")) + 1)
+              .cast("int"))))
+    val queryPrepared = prepared(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "__id")
+    val probes = assignLists(queryPrepared, cdf, nProbe)
+      .select(col("__id").as("query_id"), col("cid"),
+        pqLut(col("__qv"), cb).as("__lut"), col("__n2").as("__qn2"))
+    val adcTop = corpus.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adot",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(col("__lut"), (j + 1).cast("int")),
+            (element_at(col("__codes"), (j + 1).cast("int")) + 1)
+              .cast("int"))))
+      .withColumn("__arank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy((col("__adot").cast("double") /
+            sqrt(col("__qn2").cast("double") * col("__vn2").cast("double")))
+            .desc, col("neighbor_id"))))
+      .filter(col("__arank") <= refine * k)
+      .select("query_id", "neighbor_id")
+    // REFINE: exact rescore of the refine·k ADC survivors only
+    adcTop
+      .join(corpusRaw.select(col("__id").as("neighbor_id"),
+        col("__qv").as("__cqv"), col("__n2").as("__cn2")), Seq("neighbor_id"))
+      .join(broadcast(queryPrepared.select(col("__id").as("query_id"),
+        col("__qv").as("__qqv"), col("__n2").as("__qn2"))), Seq("query_id"))
+      .withColumn("cosine",
+        dotQ(col("__qqv"), col("__cqv")).cast("double") /
+          sqrt(col("__qn2").cast("double") * col("__cn2").cast("double")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -89,6 +89,46 @@ class SimilaritySpec extends SparkSpec {
       s"mean IVF recall ${recalls.sum / recalls.size} too low")
   }
 
+  test("ivfPqTopK: code-only ADC ranking, decent recall on clustered " +
+      "data, deterministic across repartitionings") {
+    val rnd = new scala.util.Random(23)
+    val centers = Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian()))
+    val vecs = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 25
+    } yield (ci * 100L + j,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding", 5,
+      nLists = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.values.forall(_.size <= 5))
+    // clustered data: codes alone cannot separate cluster-mates (shared
+    // quantization cell ⇒ tied ADC scores), but the refine rescore of the
+    // refine·k ADC survivors restores most of the exact neighborhood
+    val recalls = exact.keys.toSeq.map { q =>
+      (pq.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean IVF-PQ recall ${recalls.sum / recalls.size} too low")
+    // deterministic integer ADC + tie-broken cuts ⇒ identical result
+    // regardless of physical layout
+    val again = Similarity.ivfPqTopK(vecs.repartition(7), queries,
+      "vec_id", "embedding", 5, nLists = 4, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val first = Similarity.ivfPqTopK(vecs, queries,
+      "vec_id", "embedding", 5, nLists = 4, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == first)
+  }
+
   test("ivfProbeIndex over ivfIndex reproduces ivfTopK exactly") {
     val rnd = new scala.util.Random(41)
     val vecs = (1L to 120L)
