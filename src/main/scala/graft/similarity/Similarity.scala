@@ -420,7 +420,7 @@ object Similarity {
   /** PQ-encode a quantized vector: array of `m` code ids, per subspace
     * the L2-nearest code (argmax 2·(sub·c) − ‖c‖², integer-exact; first
     * max ⇔ lowest code id — `array_position` keeps the tie rule). */
-  private def pqCodes(qv: Column, cb: Seq[Seq[Seq[Long]]]): Column = {
+  private[similarity] def pqCodes(qv: Column, cb: Seq[Seq[Seq[Long]]]): Column = {
     val m = cb.size
     val subDim = cb.head.head.size
     val cbLit = typedLit(cb)
@@ -466,24 +466,62 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
       m: Int = 8, pqK: Int = 16, refine: Int = 4,
+      seedIvf: Long = 7L, seedPq: Long = 11L): DataFrame =
+    pqProbeIndex(
+      pqIndex(vectors, idCol, vecCol, nLists, dim, m, pqK, seedIvf, seedPq),
+      vectors, queries, idCol, vecCol, k, nLists, nProbe, dim, m, pqK,
+      refine, seedIvf, seedPq)
+
+  /** Σ_j lookup[j][codes[j]] as one codegen'd fold — the ADC hot loop
+    * (also reused for the reconstruction norm with the ‖code‖² table). */
+  private def codeFold(lookup: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+      acc + element_at(element_at(lookup, (j + 1).cast("int")),
+        (element_at(codes, (j + 1).cast("int")) + 1).cast("int")))
+
+  /** Persistable IVF-PQ index rows: `(idCol, cid, codes, vn2)` — m code
+    * ids + the reconstruction norm per vector, the code-only ANN state
+    * the ADC pre-rank reads (~m small ints per vector vs dim int64
+    * lanes). Encoding is per-row independent, so the index is
+    * INCREMENTAL exactly like [[ivfIndex]]: indexing a new batch is one
+    * broadcast centroid+codebook pass over the BATCH, and
+    * index(corpus) ∪ index(batch) ≡ index(corpus ∪ batch). */
+  def pqIndex(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 8, dim: Int = 64, m: Int = 8, pqK: Int = 16,
       seedIvf: Long = 7L, seedPq: Long = 11L): DataFrame = {
     require(dim % m == 0, s"pq: dim $dim must split into $m subspaces")
-    require(refine >= 1, "pq: refine factor must be >= 1")
     val cb = pqCodebooks(m, pqK, dim / m, seedPq)
     val cn2 = typedLit(cb.map(_.map(c => c.map(x => x * x).sum)))
     val cdf = centroidFrame(vectors.sparkSession,
       ivfCentroids(nLists, dim, seedIvf))
-    val corpusRaw = prepared(vectors, idCol, vecCol)
-      .withColumnRenamed(idCol, "__id")
-    // ADC side: one coarse assignment + PQ encode, raw vector DROPPED
-    val corpus = assignLists(corpusRaw, cdf, 1)
-      .select(col("__id").as("neighbor_id"), col("cid"),
-        pqCodes(col("__qv"), cb).as("__codes"))
-      .withColumn("__vn2",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
-          acc + element_at(element_at(cn2, (j + 1).cast("int")),
-            (element_at(col("__codes"), (j + 1).cast("int")) + 1)
-              .cast("int"))))
+    assignLists(
+      prepared(vectors, idCol, vecCol).withColumnRenamed(idCol, "__id"),
+      cdf, 1)
+      .select(col("__id").as(idCol), col("cid"),
+        pqCodes(col("__qv"), cb).as("codes"))
+      .withColumn("vn2", codeFold(cn2, col("codes"), m))
+  }
+
+  /** ADC pre-rank over a PERSISTED [[pqIndex]] + exact refine: queries
+    * are centroid-assigned (`nProbe` lists), pre-ranked against the
+    * index's CODES only (approx dot = Σ_j lut[j][code_j], norm from the
+    * stored `vn2`), and the top `refine·k` survivors per query are
+    * exact-rescored via a KEYED fetch from the raw corpus — the raw
+    * vectors are never scanned, only the code rows are. */
+  def pqProbeIndex(
+      index: DataFrame, vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
+      m: Int = 8, pqK: Int = 16, refine: Int = 4,
+      seedIvf: Long = 7L, seedPq: Long = 11L): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim must split into $m subspaces")
+    require(refine >= 1, "pq: refine factor must be >= 1")
+    val cb = pqCodebooks(m, pqK, dim / m, seedPq)
+    val cdf = centroidFrame(vectors.sparkSession,
+      ivfCentroids(nLists, dim, seedIvf))
+    val corpus = index.select(col(idCol).as("neighbor_id"), col("cid"),
+      col("codes").as("__codes"), col("vn2").as("__vn2"))
     val queryPrepared = prepared(queries, idCol, vecCol)
       .withColumnRenamed(idCol, "__id")
     val probes = assignLists(queryPrepared, cdf, nProbe)
@@ -491,11 +529,7 @@ object Similarity {
         pqLut(col("__qv"), cb).as("__lut"), col("__n2").as("__qn2"))
     val adcTop = corpus.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__adot",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
-          acc + element_at(element_at(col("__lut"), (j + 1).cast("int")),
-            (element_at(col("__codes"), (j + 1).cast("int")) + 1)
-              .cast("int"))))
+      .withColumn("__adot", codeFold(col("__lut"), col("__codes"), m))
       .withColumn("__arank",
         row_number().over(Window.partitionBy("query_id")
           .orderBy((col("__adot").cast("double") /
@@ -505,8 +539,10 @@ object Similarity {
       .select("query_id", "neighbor_id")
     // REFINE: exact rescore of the refine·k ADC survivors only
     adcTop
-      .join(corpusRaw.select(col("__id").as("neighbor_id"),
-        col("__qv").as("__cqv"), col("__n2").as("__cn2")), Seq("neighbor_id"))
+      .join(prepared(vectors, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"),
+          col("__qv").as("__cqv"), col("__n2").as("__cn2")),
+        Seq("neighbor_id"))
       .join(broadcast(queryPrepared.select(col("__id").as("query_id"),
         col("__qv").as("__qqv"), col("__n2").as("__qn2"))), Seq("query_id"))
       .withColumn("cosine",

@@ -129,6 +129,51 @@ class SimilaritySpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("pq encode: differential vs brute-force nearest code, ties to " +
+      "lowest id; pqIndex is per-row incremental") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(8, 16, 8)
+    val idx = Similarity.pqIndex(vecs, "vec_id", "embedding")
+    val got = idx.select("vec_id", "codes", "vn2")
+      .as[(Long, Seq[Int], Long)].collect()
+      .map { case (k, c, n) => k -> (c, n) }.toMap
+    // brute force over the SAME quantized integers
+    val qvs = vecs.select(col("vec_id"),
+      Similarity.quantVec(col("embedding")).as("qv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    got.foreach { case (id, (codes, vn2)) =>
+      val qv = qvs(id)
+      val expected = (0 until 8).map { j =>
+        val sub = qv.slice(j * 8, j * 8 + 8)
+        val scores = cb(j).map(c =>
+          2L * sub.zip(c).map { case (a, b) => a * b }.sum -
+            c.map(x => x * x).sum)
+        scores.indexOf(scores.max) // first max = lowest code id
+      }
+      assert(codes == expected, s"vec $id: engine codes $codes != $expected")
+      assert(vn2 == expected.zipWithIndex.map { case (c, j) =>
+        cb(j)(c).map(x => x * x).sum }.sum)
+    }
+    // per-row independence: index(a) ∪ index(b) ≡ index(a ∪ b)
+    val (a, b) = (vecs.filter($"vec_id" < 30), vecs.filter($"vec_id" >= 30))
+    val unioned = Similarity.pqIndex(a, "vec_id", "embedding")
+      .unionByName(Similarity.pqIndex(b, "vec_id", "embedding"))
+      .as[(Long, Long, Seq[Int], Long)].collect().toSet
+    assert(unioned == idx.as[(Long, Long, Seq[Int], Long)].collect().toSet)
+    // probing the persisted index reproduces the one-shot operator
+    val queries = vecs.filter($"vec_id" % 20 === 0)
+    val viaIndex = Similarity.pqProbeIndex(idx, vecs, queries,
+      "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val oneShot = Similarity.ivfPqTopK(vecs, queries,
+      "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIndex == oneShot)
+  }
+
   test("ivfProbeIndex over ivfIndex reproduces ivfTopK exactly") {
     val rnd = new scala.util.Random(41)
     val vecs = (1L to 120L)
