@@ -2596,5 +2596,41 @@ object StorageQueries {
         s"hidden partitioning must prune hour files, got files=${m.group(0)}")
       scan.select("event_id", "user_id", "event_type", "value", "ts",
         "ts_hour")
+    },
+
+    // TOPN PUSHDOWN (round 15 — SupportsPushDownTopN): the "latest N
+    // events" timeline read every lake dashboard runs (the reference's
+    // ordered `_commit_time` scans, /root/reference/src/hudi/
+    // hudi-cdc-load.py:131). `ORDER BY ts DESC LIMIT 50` on a
+    // day-partitioned, ts-statted table must certify a manifest-level
+    // threshold and read only the tail-day files — at 100 TB the
+    // difference between scanning everything and scanning two files.
+    // Pruning is partial (Spark keeps the global sort), so the DuckDB
+    // replay is row-exact by construction; the event_id tiebreak makes
+    // the top-50 SET unique.
+    Q("q210_topn_pushdown",
+      """SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |ORDER BY ts DESC NULLS LAST, event_id
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      val root = tableDir("q210")
+      CowTable.replaceIfChanged(s, root,
+        TableConfig("events_topn", Seq("event_id"),
+          partitionSpec = Some("day(ts)"), statsColumns = Seq("ts")),
+        contentSig = d,
+        t(s, d, "events").select("event_id", "event_type", "ts"))
+      val top = s.read.format("graft").load(root)
+        .select("event_id", "event_type", "ts")
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(50)
+      val plan = top.queryExecution.executedPlan.toString
+      require(plan.contains("pushedTopN=ts DESC LIMIT 50"),
+        s"TopN must reach the scan, got:\n$plan")
+      val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+        .getOrElse(throw new IllegalStateException(
+          s"no manifest scan in plan:\n$plan"))
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"TopN must prune tail-day files, got files=${m.group(0)}")
+      top
     })
 }

@@ -425,7 +425,9 @@ final class GraftScanBuilder(
     dynamicKeep: () => Option[Set[String]] = () => None)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   // set when the whole aggregation is answerable from the manifest:
@@ -886,6 +888,57 @@ final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private var topNPush: Option[GraftTopN] = None
+  private var limitPush: Option[Int] = None
+
+  /** TopN pushdown — PRUNING-ONLY (always partial): accept when the first
+    * sort key is the leading primary-key column or a declared stats column,
+    * so [[TopNFilePrune]] can certify a threshold from manifest bounds and
+    * drop files no top-k row can live in. Any other shape declines (no
+    * pruning beats wrong pruning); Spark keeps the full sort+limit either
+    * way, so acceptance never changes results — only bytes read. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    if (streamOpts.readChangeFeed || limit <= 0 || orders.isEmpty)
+      return false
+    val col = orders.head.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames.head
+      case _ => return false
+    }
+    val isPk = m.primaryKey.headOption.contains(col)
+    val phys = m.physicalName(col)
+    val statted = m.files.exists(_.extra.contains(phys))
+    // hidden partitioning: the transform SOURCE column is orderable from
+    // partition-dir intervals (day/hour/month/year over temporal types —
+    // the same evidence metadata-delete trusts), numeric stat space
+    val viaTransform = transform.exists(tr => tr.source == col &&
+      Set("day", "month", "hour", "year")(tr.kind)) && numericStat(col)
+    if (!isPk && !statted && !viaTransform) return false
+    topNPush = Some(GraftTopN(
+      col, phys, isPk,
+      numeric = if (isPk) m.keyNumeric else numericStat(col),
+      desc = orders.head.direction() == SortDirection.DESCENDING,
+      nullsFirst = orders.head.nullOrdering() == NullOrdering.NULLS_FIRST,
+      limit = limit, viaTransform = viaTransform && !isPk,
+      srcType = fullSchema.find(_.name == col).map(_.dataType)))
+    true
+  }
+
+  /** Bare-LIMIT pushdown — keep manifest-order files until their exact
+    * live-row sum covers the limit (any rows satisfy an unordered LIMIT).
+    * Always partial: Spark's own Limit stays on top. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (streamOpts.readChangeFeed || limit <= 0) return false
+    limitPush = Some(limit)
+    true
+  }
+
+  /** The scan stays a superset source — Spark must keep the sort/limit. */
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = {
     pushedAgg.foreach { case (schema, groupRows) =>
       return new Scan with org.apache.spark.sql.connector.read.LocalScan {
@@ -911,7 +964,7 @@ final class GraftScanBuilder(
     }
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
       extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes,
-      dynamicKeep)
+      dynamicKeep, topNPush, limitPush)
   }
 }
 
@@ -1077,6 +1130,34 @@ object GraftScan {
     case _ => false
   }
 
+  /** Hidden-partitioning TopN evidence: files without footer stats for the
+    * transform SOURCE column borrow their partition-dir interval as bounds
+    * (valid bounds by writer attribution: every row of a `ts_day=d` file
+    * has a non-null ts inside day `d`, so the null count is exactly 0).
+    * Null-dir / pathless / unparseable files stay untouched (statless ⇒
+    * kept). Returns prune-only COPIES — callers must not plan them. */
+  private[sources] def withTransformBounds(
+      m: graft.storage.CommitManifest, files: Seq[FileEntry],
+      t: GraftTopN): Seq[FileEntry] = {
+    val tr = m.partitionSpec.flatMap(s =>
+      scala.util.Try(PartitionTransform.parse(s)).toOption)
+      .getOrElse(return files)
+    val srcType = t.srcType.getOrElse(return files)
+    files.map { e =>
+      if (e.extra.contains(t.phys)) e
+      else pathPartValue(m.partitionKey, e)
+        .filter(_ != NullPartitionName)
+        .flatMap(pv => MetadataDelete.sourceInterval(tr, srcType, pv))
+        .fold(e) { case (lo, hi) =>
+          e.copy(
+            extra = e.extra +
+              (t.phys -> graft.storage.ColRange(
+                Some(lo.toString), Some(hi.toString))),
+            nulls = e.nulls + (t.phys -> 0L))
+        }
+    }
+  }
+
   private[sources] def statDecode(
       dt: org.apache.spark.sql.types.DataType, s: String): Any = dt match {
     case org.apache.spark.sql.types.LongType => s.toLong
@@ -1114,7 +1195,16 @@ final class GraftScan(
     /** Late-bound candidate set (source-bounded MERGE prune): consulted at
       * partition-planning time, same soundness contract as runtime
       * filtering — only drops files the merge source cannot reach. */
-    dynamicKeep: () => Option[Set[String]] = () => None)
+    dynamicKeep: () => Option[Set[String]] = () => None,
+    /** Pushed TopN (partial): prune files no top-k row can live in —
+      * [[TopNFilePrune.pruneTopN]]'s certified-threshold rule. Spark only
+      * pushes a TopN when no residual filter sits between it and the scan,
+      * so the guarantee accumulation runs over exactly the scan's output
+      * files (consumed partition filters prune EXACTLY and compose). */
+    topN: Option[GraftTopN] = None,
+    /** Pushed bare LIMIT (partial): manifest-order prefix covering the
+      * limit in exact live rows. */
+    pushedLimit: Option[Int] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1174,7 +1264,7 @@ final class GraftScan(
     // NULL-count skipping: zero nulls ⇒ IS NULL matches nothing; all null
     // ⇒ IS NOT NULL matches nothing. Both stay valid under deletion
     // vectors (deletions only remove rows — they cannot create a match).
-    nullPrunes.foldLeft(ranged2) { case (fs, (c, isNull)) =>
+    val nulled = nullPrunes.foldLeft(ranged2) { case (fs, (c, isNull)) =>
       val phys = m.physicalName(c)
       fs.filter(e => e.nulls.get(phys) match {
         case Some(n) if isNull => n > 0
@@ -1182,6 +1272,18 @@ final class GraftScan(
         case None => true // unknown: never skip
       })
     }
+    // TopN / LIMIT pruning runs LAST, over the final exact file set.
+    // Hidden partitioning: files without footer stats for the sort column
+    // borrow their partition-dir interval as bounds (prune decisions run
+    // on enriched COPIES; the planned entries stay the originals).
+    val topped = topN.fold(nulled) { t =>
+      val enriched =
+        if (t.viaTransform) GraftScan.withTransformBounds(m, nulled, t)
+        else nulled
+      val keptPaths = TopNFilePrune.pruneTopN(enriched, t).map(_.path).toSet
+      nulled.filter(e => keptPaths(e.path))
+    }
+    pushedLimit.fold(topped)(TopNFilePrune.pruneLimit(topped, _))
   }
 
   /** RUNTIME file pruning — the dynamic-partition-pruning analog for
@@ -1350,6 +1452,9 @@ final class GraftScan(
       s" partitionFilterValues=${partValues.fold(0)(_.size)}" +
       s" statsColFilters=${extraBounds.size}" +
       s" nullFilters=${nullPrunes.size}" +
+      topN.fold("")(t => s" pushedTopN=${t.col} " +
+        s"${if (t.desc) "DESC" else "ASC"} LIMIT ${t.limit}") +
+      pushedLimit.fold("")(l => s" pushedLimit=$l") +
       s" columnar=$columnar"
 
   /** Batch CDF read (Delta `spark.read.option("readChangeFeed","true")`

@@ -208,7 +208,7 @@ private[sources] object MetadataDelete {
     * source column's stat space) a day/month/hour/year partition value
     * brackets its rows inside — `None` for other transforms /
     * unparseable paths. */
-  private def sourceInterval(
+  private[sources] def sourceInterval(
       t: PartitionTransform, srcType: DataType, pv: String)
       : Option[(Long, Long)] = {
     // hour brackets sub-day: a LocalDateTime range (others are day-aligned)
