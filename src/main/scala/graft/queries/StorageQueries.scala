@@ -2632,5 +2632,46 @@ object StorageQueries {
       require(m.group(1).toInt < m.group(2).toInt,
         s"TopN must prune tail-day files, got files=${m.group(0)}")
       top
+    },
+
+    // PARTIAL AGGREGATE PUSHDOWN (round 15): MIN/MAX/COUNT on a table with
+    // deletion vectors. The complete manifest answer is impossible (a
+    // DV'd file's extremum may be deleted), but rejecting the pushdown
+    // outright would re-scan the whole table — the per-file refinement
+    // folds every clean file from the manifest and reads ONLY the DV'd
+    // files (plan-asserted below). The retention-dashboard shape of the
+    // reference's CDC tables after MOR deletes (positional deletes in
+    // /root/reference/src/iceberg/iceberg-cdc-load.py:130-150).
+    Q("q211_partial_agg_pushdown",
+      """WITH kept AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_id >= 50)
+        |SELECT min(event_id) AS mn_id, max(event_id) AS mx_id,
+        |       count(*) AS cnt, count(ts) AS cnt_ts,
+        |       min(ts) AS mn_ts, max(ts) AS mx_ts
+        |FROM kept""".stripMargin) { (s, d) =>
+      val root = tableDir("q211")
+      val tbl = CowTable.replace(s, root,
+        TableConfig("events_pagg", Seq("event_id"),
+          clusterByKey = true, changeDataFeed = true,
+          deletionVectors = true, statsColumns = Seq("ts")),
+        t(s, d, "events").select("event_id", "ts").repartition(8))
+      // MOR delete: a DV sidecar lands on the low-key file(s) only
+      // (range-clustered layout), leaving the rest manifest-answerable
+      tbl.delete(t(s, d, "events")
+        .filter(col("event_id") < 50).select("event_id"))
+      val df = s.read.format("graft").load(root)
+        .agg(min("event_id").as("mn_id"), max("event_id").as("mx_id"),
+          count(lit(1)).as("cnt"), count(col("ts")).as("cnt_ts"),
+          min("ts").as("mn_ts"), max("ts").as("mx_ts"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("partial_agg_pushdown"),
+        s"partial aggregate pushdown must plan, got:\n$plan")
+      val fm = """(\d+)/(\d+) files read""".r.findFirstMatchIn(plan)
+        .getOrElse(throw new IllegalStateException(
+          s"no partial-agg scan in plan:\n$plan"))
+      require(fm.group(1).toInt < fm.group(2).toInt,
+        s"partial agg must fold clean files, got ${fm.group(0)}")
+      df
     })
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, MapType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 connector for CowTable — the catalog-integration surface
@@ -711,22 +711,7 @@ final class GraftScanBuilder(
       GraftScan.statDecode(dt, s)
     def decodable: Boolean = typeDecodable(pkType)
     def decode(s: String): Any = typeDecode(pkType, s)
-    // The files the aggregation ranges over: all of them, minus partition
-    // pruning when a partition filter was CONSUMED in pushFilters (Spark
-    // only attempts aggregate pushdown when no residual filter remains,
-    // so reaching here with partValues set implies the consumption
-    // invariant: every file carries a path value)
-    val aggFiles: Seq[FileEntry] = {
-      val valued = partValues match {
-        case None => m.files
-        case Some(vs) => m.files.filter(e =>
-          GraftScan.pathPartValue(m.partitionKey, e).forall(vs.contains))
-      }
-      if (!partNotNull) valued
-      else valued.filterNot(e =>
-        GraftScan.pathPartValue(m.partitionKey, e)
-          .contains(GraftScan.NullPartitionName))
-    }
+    val aggFiles: Seq[FileEntry] = aggScopeFiles
     // The group structure: no GROUP BY ⇒ one group of all files; GROUP BY
     // exactly the hive partition key ⇒ one group per path-borne partition
     // value (every file must carry one — an old-layout file after
@@ -874,6 +859,200 @@ final class GraftScanBuilder(
     Some((StructType(gField ++ aggFields.toSeq), rows))
   }
 
+  /** The files an aggregation ranges over: all of them, minus partition
+    * pruning when a partition filter was CONSUMED in pushFilters (Spark
+    * only attempts aggregate pushdown when no residual filter remains,
+    * so reaching here with partValues set implies the consumption
+    * invariant: every file carries a path value). */
+  private def aggScopeFiles: Seq[FileEntry] = {
+    val valued = partValues match {
+      case None => m.files
+      case Some(vs) => m.files.filter(e =>
+        GraftScan.pathPartValue(m.partitionKey, e).forall(vs.contains))
+    }
+    if (!partNotNull) valued
+    else valued.filterNot(e =>
+      GraftScan.pathPartValue(m.partitionKey, e)
+        .contains(GraftScan.NullPartitionName))
+  }
+
+  private var partialAgg: Option[PartialAgg.Plan] = None
+
+  /** PARTIAL aggregate pushdown — the per-file refinement tried only when
+    * the complete manifest answer is impossible (see [[PartialAgg]]).
+    * Global MIN/MAX of the leading key / a stats column, COUNT(*), and
+    * COUNT(non-partition col): every file whose manifest evidence answers
+    * EVERY aggregate folds driver-side; DV'd / stat-less / all-null-key /
+    * ±0.0-extremum files are read per-file instead of failing the whole
+    * pushdown. Declines when nothing folds (no benefit over the normal
+    * plan) — declining is always sound, Spark just runs the full scan. */
+  private def tryPartialAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[PartialAgg.Plan] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (streamOpts.readChangeFeed || agg.aggregateExpressions.isEmpty)
+      return None
+    val pk = m.primaryKey.headOption.getOrElse(return None)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    val files = aggScopeFiles
+    if (files.isEmpty) return None
+    // grouping: none (global), or exactly the hive partition key — then
+    // every file must carry a parseable path value (it pins the one group
+    // a DV'd file's pre-aggregated row belongs to)
+    val grouping: Option[(String, DataType)] =
+      agg.groupByExpressions.toSeq match {
+        case Seq() => None
+        case Seq(nr: NamedReference)
+          if m.partitionKey.contains(nr.fieldNames.mkString(".")) =>
+          val pcol = m.partitionKey.get
+          Some((pcol, fullSchema.find(_.name == pcol).map(_.dataType)
+            .getOrElse(return None)))
+        case _ => return None
+      }
+    // group value per file (null = the hive null partition); global reads
+    // share the single unit group
+    val groupOf: Map[String, Any] = grouping match {
+      case None => Map.empty
+      case Some((_, pDt)) =>
+        files.map { e =>
+          val raw = GraftScan.pathPartValue(m.partitionKey, e)
+            .getOrElse(return None) // flat-layout file: group unknown
+          e.path -> scala.util.Try(
+            GraftColumnarPartitionReader.parsePartitionValue(raw, pDt))
+            .getOrElse(return None)
+        }.toMap
+    }
+    // kind: '*' COUNT(*), 'c' COUNT(col), 'm' MIN, 'M' MAX
+    final case class RA(col: Option[String], kind: Char, dt: DataType)
+    val ras: Seq[RA] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => RA(None, '*', LongType)
+      case ct: Count if !ct.isDistinct =>
+        val c = colOf(ct.column).getOrElse(return None)
+        if (m.partitionKey.contains(c)) return None // path-borne: complete-only
+        val f = fullSchema.find(_.name == c).getOrElse(return None)
+        f.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => return None
+          case _ => ()
+        }
+        RA(Some(c), 'c', f.dataType)
+      case mn: Min =>
+        val c = colOf(mn.column).getOrElse(return None)
+        val dt = fullSchema.find(_.name == c).map(_.dataType)
+          .getOrElse(return None)
+        if ((c != pk && !m.statsColumns.contains(c)) ||
+          !GraftScan.statDecodable(dt)) return None
+        RA(Some(c), 'm', dt)
+      case mx: Max =>
+        val c = colOf(mx.column).getOrElse(return None)
+        val dt = fullSchema.find(_.name == c).map(_.dataType)
+          .getOrElse(return None)
+        if ((c != pk && !m.statsColumns.contains(c)) ||
+          !GraftScan.statDecodable(dt)) return None
+        RA(Some(c), 'M', dt)
+      case _ => return None
+    }
+    def fpAmb(dt: DataType, s: String): Boolean = dt match {
+      case DoubleType | FloatType =>
+        scala.util.Try(BigDecimal(s) == 0).getOrElse(true)
+      case _ => false
+    }
+    // one file's manifest answer for one aggregate:
+    //   None = undecidable (read the file); Some(Left(n)) = a count;
+    //   Some(Right(Some(stat))) = an extremum; Some(Right(None)) = the
+    //   file provably contributes nothing (all-null column)
+    def answer(e: FileEntry, ra: RA)
+        : Option[Either[Long, Option[String]]] = ra.kind match {
+      case '*' => Some(Left(e.liveRows)) // exact under deletion vectors
+      case 'c' =>
+        val phys = m.physicalName(ra.col.get)
+        if (e.dvPath.isEmpty && e.nulls.contains(phys))
+          Some(Left(e.rows - e.nulls(phys)))
+        else None // deleted rows' null-ness unknown
+      case _ =>
+        if (e.dvPath.isDefined) return None // the extremum may be deleted
+        val isK = ra.col.contains(pk)
+        val phys = m.physicalName(ra.col.get)
+        val side =
+          if (isK) { if (ra.kind == 'm') e.minKey else e.maxKey }
+          else e.extra.get(phys)
+            .flatMap(r => if (ra.kind == 'm') r.mn else r.mx)
+        side match {
+          // require the per-type decode too, so row construction below
+          // can never fail after a file was accepted
+          case Some(s) if scala.util.Try {
+            BigDecimal(s); GraftScan.statDecode(ra.dt, s)
+          }.isSuccess && !fpAmb(ra.dt, s) => Some(Right(Some(s)))
+          case None if e.nulls.get(phys).contains(e.rows) =>
+            Some(Right(None)) // provably all-null: null-ignoring skip
+          case _ => None
+        }
+    }
+    final class Acc {
+      val counts = Array.fill(ras.size)(0L)
+      val bestStr = Array.fill[String](ras.size)(null)
+    }
+    val folds = scala.collection.mutable.LinkedHashMap.empty[Any, Acc]
+    val reads = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    files.foreach { e =>
+      val ans = ras.map(ra => answer(e, ra))
+      if (ans.exists(_.isEmpty)) reads += e
+      else {
+        val acc = folds.getOrElseUpdate(
+          if (grouping.isDefined) groupOf(e.path) else (), new Acc)
+        ans.zipWithIndex.foreach {
+          case (Some(Left(n)), i) => acc.counts(i) += n
+          case (Some(Right(Some(s))), i) =>
+            val better = acc.bestStr(i) == null || {
+              val c = BigDecimal(s).compare(BigDecimal(acc.bestStr(i)))
+              if (ras(i).kind == 'm') c < 0 else c > 0
+            }
+            if (better) acc.bestStr(i) = s
+          case _ => ()
+        }
+      }
+    }
+    // nothing to read ⇒ the complete path answers (never shadow it);
+    // everything to read ⇒ no benefit over the normal scan
+    if (reads.isEmpty || reads.size == files.size) return None
+    def rowOf(acc: Acc): Array[Any] = ras.zipWithIndex.map {
+      case (RA(_, '*' | 'c', _), i) => acc.counts(i): Any
+      case (ra, i) =>
+        if (acc.bestStr(i) == null) null
+        else GraftScan.statDecode(ra.dt, acc.bestStr(i)) // pre-validated
+    }.toArray
+    val manifestRows: Seq[Array[Any]] =
+      if (grouping.isDefined)
+        folds.toSeq.map { case (gv, acc) => (gv +: rowOf(acc).toSeq).toArray }
+      else Seq(rowOf(folds(())))
+    val readCols: Seq[String] = ras.flatMap(ra =>
+      if (ra.kind == '*') None else ra.col).distinct
+    val readSchema = StructType(readCols.map(c => fullSchema(c)))
+    val specs: Seq[PartialAgg.Spec] = ras.map {
+      case RA(None, _, _) => PartialAgg.CountStarSpec()
+      case RA(Some(c), 'c', _) => PartialAgg.CountColSpec(readCols.indexOf(c))
+      case RA(Some(c), 'm', dt) => PartialAgg.MinSpec(readCols.indexOf(c), dt)
+      case RA(Some(c), _, dt) => PartialAgg.MaxSpec(readCols.indexOf(c), dt)
+    }
+    val gField = grouping.toSeq.map { case (pcol, pDt) =>
+      StructField(pcol, pDt, nullable = true) }
+    val schema = StructType(gField ++ ras.zipWithIndex.map {
+      case (RA(_, '*' | 'c', _), i) =>
+        StructField(s"partial_agg_$i", LongType, nullable = false)
+      case (ra, i) => StructField(s"partial_agg_$i", ra.dt, nullable = true)
+    })
+    val prefixes: Map[String, Array[Any]] =
+      if (grouping.isEmpty) Map.empty
+      else reads.map(e => e.path -> Array[Any](groupOf(e.path))).toMap
+    Some(PartialAgg.Plan(
+      schema, manifestRows, reads.toSeq, readSchema, specs, prefixes))
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = tryManifestAgg(agg).isDefined
@@ -882,7 +1061,8 @@ final class GraftScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     pushedAgg = tryManifestAgg(agg)
-    pushedAgg.isDefined
+    if (pushedAgg.isEmpty) partialAgg = tryPartialAgg(agg)
+    pushedAgg.isDefined || partialAgg.isDefined
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -952,6 +1132,7 @@ final class GraftScanBuilder(
             s"(${groupRows.size} group rows, 0 files read)"
       }
     }
+    partialAgg.foreach { p => return new GraftPartialAggScan(root, m, p) }
     required.fields.foreach { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType =>
