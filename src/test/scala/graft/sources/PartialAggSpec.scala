@@ -107,6 +107,36 @@ class PartialAggSpec extends SparkSpec {
       ("C", 100L, 201L, 300L)))
   }
 
+  test("differential sweep: random DV populations, engine == brute force") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 10) {
+      val dir = tmpDir("pagg")
+      val n = 60 + rnd.nextInt(140)
+      val rows = (1L to n.toLong).map(i =>
+        (i, if (rnd.nextInt(7) == 0) None else Some(rnd.nextInt(1000).toLong)))
+      val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+        clusterByKey = rnd.nextBoolean(), changeDataFeed = true,
+        deletionVectors = true, statsColumns = Seq("v")))
+      t.create(rows.toDF("id", "v").repartition(2 + rnd.nextInt(3)))
+      val deleted = rows.map(_._1).filter(_ => rnd.nextInt(4) == 0)
+      if (deleted.nonEmpty) t.delete(deleted.toDF("id"))
+      val live = rows.filterNot(r => deleted.contains(r._1))
+      val vs = live.flatMap(_._2)
+      val got = spark.read.format("graft").load(dir + "/t")
+        .agg(min("id").as("a"), max("id").as("b"), count(lit(1)).as("c"),
+          count("v").as("d"), min("v").as("e"), max("v").as("f"))
+        .as[(Option[Long], Option[Long], Long, Long, Option[Long], Option[Long])]
+        .head()
+      val want = (live.headOption.map(_ => live.map(_._1).min),
+        live.headOption.map(_ => live.map(_._1).max),
+        live.size.toLong, vs.size.toLong,
+        if (vs.isEmpty) None else Some(vs.min),
+        if (vs.isEmpty) None else Some(vs.max))
+      assert(got == want, s"trial $trial (deleted ${deleted.size}/$n): " +
+        s"$got != $want")
+    }
+  }
+
   test("every file DV'd declines partial (no benefit), results exact") {
     val dir = tmpDir("pagg")
     val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
