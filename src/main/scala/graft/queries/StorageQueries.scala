@@ -2673,5 +2673,28 @@ object StorageQueries {
       require(fm.group(1).toInt < fm.group(2).toInt,
         s"partial agg must fold clean files, got ${fm.group(0)}")
       df
+    },
+
+    // DISTINCT PARTITION VALUES from the manifest (round 15): the
+    // "list partitions" metadata query every lake catalog runs — on a
+    // 100 TB table this must be O(files) driver metadata, zero IO.
+    // `SELECT DISTINCT <partition key>` arrives as a group-by with no
+    // aggregates; the manifest answers it from path-borne values
+    // (plan-asserted: LocalTableScan, no BatchScan).
+    Q("q212_distinct_partitions",
+      """SELECT DISTINCT event_type FROM events ORDER BY event_type
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q212")
+      CowTable.replaceIfChanged(s, root,
+        TableConfig("events_bytype", Seq("event_id"),
+          partitionKey = Some("event_type")),
+        contentSig = d,
+        t(s, d, "events").select("event_id", "event_type", "value"))
+      val df = s.read.format("graft").load(root)
+        .select("event_type").distinct().orderBy("event_type")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"DISTINCT partition key must answer from the manifest:\n$plan")
+      df
     })
 }

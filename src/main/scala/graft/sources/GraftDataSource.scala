@@ -683,7 +683,12 @@ final class GraftScanBuilder(
       : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (streamOpts.readChangeFeed || agg.aggregateExpressions.isEmpty)
+    if (streamOpts.readChangeFeed) return None
+    // `SELECT DISTINCT <partition key>` arrives as a group-by with ZERO
+    // aggregate expressions — answerable as the path-borne value list
+    // (zero IO); the generic group machinery below handles it once the
+    // empty-aggregates guard is scoped to the truly-empty case
+    if (agg.aggregateExpressions.isEmpty && agg.groupByExpressions.isEmpty)
       return None
     val pk = m.primaryKey.headOption.getOrElse(return None)
     val pkType = fullSchema.find(_.name == pk).map(_.dataType)

@@ -69,6 +69,21 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(grouped.count() == 198L)
   }
 
+  test("SELECT DISTINCT partition key answers from the manifest, zero IO") {
+    val dir = tmpDir("dsv2")
+    CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionKey = Some("seg"))).create(Seq(
+      (1L, "A", "x"), (2L, "A", "y"), (3L, "B", "z"),
+      (4L, null.asInstanceOf[String], "w")).toDF("id", "seg", "name"))
+    val df = spark.read.format("graft").load(dir + "/t")
+      .select("seg").distinct()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan) // manifest answer
+    assert(!plan.contains("BatchScan"), plan)     // zero files read
+    assert(df.as[Option[String]].collect().toSet ==
+      Set(Some("A"), Some("B"), None))
+  }
+
   test("MIN/MAX of the leading key answer from footer stats; DV rejects") {
     val dir = tmpDir("dsv2")
     val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
