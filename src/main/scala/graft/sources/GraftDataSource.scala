@@ -313,6 +313,8 @@ final class GraftTable(
         .exists(_.trim.toBoolean),
       maxCommitsPerBatch = Option(options.get("maxCommitsPerBatch"))
         .map(_.trim.toInt),
+      maxRowsPerBatch = Option(options.get("maxRowsPerBatch"))
+        .map(_.trim.toLong),
       readChangeFeed = cdfRead,
       endingVersion = Option(options.get("endingVersion"))
         .map(_.trim.toInt)

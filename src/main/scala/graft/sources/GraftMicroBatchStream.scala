@@ -22,6 +22,15 @@ final case class GraftStreamOptions(
     /** Admission control: at most this many commits per micro-batch (rate
       * limiting for catch-up over a long history). None = all available. */
     maxCommitsPerBatch: Option[Int] = None,
+    /** Admission control by VOLUME: stop admitting commits once their
+      * cumulative added-file row count would exceed this (a backlogged
+      * 100 TB table must bound per-epoch rows, not commit count — one
+      * bulk-load commit can outweigh a thousand CDC ticks). The first
+      * commit of a batch always admits even when alone over the cap
+      * (progress guarantee); composes with [[maxCommitsPerBatch]] as the
+      * tighter of the two. Sizing-only: batch CONTENT semantics are
+      * unchanged. None = unbounded. */
+    maxRowsPerBatch: Option[Long] = None,
     /** Stream the CHANGE FEED instead of the row stream: append commits
       * emit their added rows as `insert`s, mutation commits emit their
       * materialized `_cdc` rows (I/U/D with preimage deletes). Requires
@@ -105,7 +114,35 @@ final class GraftMicroBatchStream(
       case Some(n) => math.min(current, from + n)
       case None => current
     }
-    GraftOffset(math.max(from, capped))
+    val rowCapped = opts.maxRowsPerBatch match {
+      case None => capped
+      case Some(cap) =>
+        // walk forward accumulating each commit's ADDED-file rows (the
+        // emitted volume; 0 for non-dataChange reorgs); admit the first
+        // commit unconditionally. Any manifest trouble defers to batch
+        // planning, where the error message is actionable.
+        scala.util.Try {
+          var v = from
+          var acc = 0L
+          var stop = false
+          while (!stop && v < capped) {
+            val m = CowTable.manifestAt(root, v + 1)
+            val rows =
+              if (!m.dataChange) 0L
+              else {
+                val parentPaths: Set[String] =
+                  if (m.parent <= 0) Set.empty
+                  else CowTable.manifestAt(root, m.parent)
+                    .files.map(_.path).toSet
+                m.files.filterNot(e => parentPaths(e.path)).map(_.rows).sum
+              }
+            if (acc > 0L && acc + rows > cap) stop = true
+            else { acc += rows; v += 1 }
+          }
+          v
+        }.getOrElse(capped)
+    }
+    GraftOffset(math.max(from, rowCapped))
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(

@@ -96,6 +96,27 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(dst.currentVersion == 2, s"v=${dst.currentVersion}")
   }
 
+  test("maxRowsPerBatch paces by volume; an oversized commit still admits") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    t.create(rows(1, 10))    // v1: 10 rows
+    t.upsert(rows(11, 20))   // v2: +10
+    t.upsert(rows(21, 50))   // v3: +30 (alone over the cap)
+    t.upsert(rows(51, 55))   // v4: +5
+    // cap 15: v1 | v2 | v3 (first-commit progress guarantee) | v4
+    drain(dir + "/src", dir + "/dst", dir + "/ckpt",
+      Map("maxRowsPerBatch" -> "15"))
+    assert(dstIds(dir + "/dst") == (1L to 55L).toSet)
+    val dst = CowTable(spark, dir + "/dst", TableConfig("dst", Seq("id")))
+    assert(dst.currentVersion == 4, s"v=${dst.currentVersion}")
+    // cap 25: v1+v2 coalesce (20 ≤ 25), then v3, then v4 — 3 epochs
+    drain(dir + "/src", dir + "/dst2", dir + "/ckpt2",
+      Map("maxRowsPerBatch" -> "25"))
+    assert(dstIds(dir + "/dst2") == (1L to 55L).toSet)
+    val dst2 = CowTable(spark, dir + "/dst2", TableConfig("dst2", Seq("id")))
+    assert(dst2.currentVersion == 3, s"v=${dst2.currentVersion}")
+  }
+
   test("filters apply as residuals; batches read only each commit's adds") {
     val dir = tmpDir("gstream")
     val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))
