@@ -2696,5 +2696,58 @@ object StorageQueries {
       require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
         s"DISTINCT partition key must answer from the manifest:\n$plan")
       df
+    },
+
+    // METADATA-ONLY TYPE WIDENING (round 15 — Delta's type-widening
+    // feature, Iceberg V2 schema evolution): `ALTER COLUMN ... TYPE
+    // BIGINT` on an INT column is ONE schema-bearing reorganization
+    // commit — zero data read, zero data written (require-asserted) —
+    // after which INT32-era files and INT64-era files coexist under one
+    // BIGINT column. Both readers promote at scan time, and stats-based
+    // pruning stays exact because stat strings parse identically under
+    // the wider type. On a 100 TB table this is the difference between
+    // an O(metadata) DDL and a full-table rewrite. The returned
+    // aggregate mixes both eras; DuckDB replays the union logically.
+    Q("q213_type_widening",
+      """WITH base AS (
+        |  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk
+        |  FROM customer),
+        |ins AS (
+        |  SELECT c_custkey + 10000000000 AS ck,
+        |         CAST(c_nationkey AS BIGINT) + 4000000000 AS nk
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT nk, COUNT(*) AS cnt, CAST(SUM(ck) AS BIGINT) AS sum_ck
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |GROUP BY nk ORDER BY nk
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q213")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      t(sess, d, "customer").select("c_custkey", "c_nationkey")
+        .createOrReplaceTempView("cust_src")
+      sess.sql(
+        """CREATE TABLE lake.default.cw OPTIONS (primaryKey 'ck')
+          |AS SELECT c_custkey AS ck, CAST(c_nationkey AS INT) AS nk
+          |FROM cust_src
+          |""".stripMargin)                              // v1 + v2 (INT era)
+      val tbl = CowTable(sess, lake + "/cw", TableConfig("cw", Seq("ck")))
+      val before = tbl.manifest(tbl.currentVersion)
+      sess.sql("ALTER TABLE lake.default.cw ALTER COLUMN nk TYPE BIGINT")
+      val after = tbl.manifest(tbl.currentVersion)
+      require(after.version == before.version + 1 && !after.dataChange &&
+        after.files == before.files,
+        "type widening must be exactly one metadata-only commit")
+      sess.sql(
+        """INSERT INTO lake.default.cw
+          |SELECT c_custkey + 10000000000,
+          |       CAST(c_nationkey AS BIGINT) + 4000000000
+          |FROM cust_src WHERE c_custkey % 10 = 0
+          |""".stripMargin)                              // v4 (BIGINT era)
+      sess.sql(
+        """SELECT nk, COUNT(*) AS cnt, SUM(ck) AS sum_ck
+          |FROM lake.default.cw GROUP BY nk ORDER BY nk
+          |""".stripMargin)
     })
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{
   Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
   TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark CATALOG PLUGIN over a graft lake — the SQL-native front door the
@@ -79,6 +79,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = Paths.get(e.root)
     if (p.isAbsolute) p else Paths.get(warehouse).resolve(p)
   }
+
+  /** Root dir of a registered table — the `table_changes` TVF's resolver
+    * (see [[graft.GraftExtensions]]). */
+  private[graft] def tableRoot(name: String): Option[String] =
+    entryFor(Identifier.of(Array("default"), name))
+      .map(e => rootOf(e).toString)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireNs(namespace)
@@ -324,6 +330,49 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           metadata)
         schema = StructType(schema.fields :+
           Option(add.comment()).fold(fld0)(fld0.withComment))
+      // ALTER COLUMN ... TYPE: METADATA-ONLY lossless widening (Delta's
+      // type-widening feature / Iceberg schema evolution). Old files keep
+      // their narrower physical type — both readers promote at scan time
+      // (the row reader's INT32→Long/Decimal converters, the vectorized
+      // reader's widening updaters), and every stats comparison in the
+      // pruning stack is exact BigDecimal-over-strings, so integral and
+      // same-scale decimal growth stay stat-exact (a pre-widen "5" parses
+      // identically under BIGINT). bucket/truncate transform routing hashes
+      // the CAST-TO-STRING form, which widening leaves byte-identical.
+      // FLOAT→DOUBLE is rejected even though merges allow it (they REWRITE
+      // at the wide type): a float-era stat string is the SHORTEST decimal
+      // form ("0.1"), not the promoted double value (0.10000000149…), so a
+      // metadata-only widen could make stats-skipping wrongly prune a file.
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          s"graft: nested ALTER COLUMN TYPE is not supported " +
+            s"(${ut.fieldNames().mkString(".")})")
+        val colName = ut.fieldNames()(0)
+        val f = schema.fields.find(_.name == colName).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft: no column $colName in ${ident.name()}"))
+        val to = ut.newDataType()
+        require(widenable(f.dataType, to),
+          s"graft: ALTER COLUMN $colName TYPE ${to.sql} is not a lossless " +
+            s"metadata-only widening from ${f.dataType.sql} — supported: " +
+            "TINYINT→SMALLINT→INT→BIGINT and DECIMAL precision growth at " +
+            "the same scale")
+        // a declared DEFAULT refolds under the new type (the stored
+        // EXISTS_DEFAULT literal is typed); every other metadata key
+        // (comment etc.) is preserved as-is
+        val metadata =
+          if (f.metadata.contains(graft.storage.ColumnDefaults.CurrentKey))
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .withMetadata(graft.storage.ColumnDefaults.metadataFor(
+                SparkSession.active, ident.name(), colName, to,
+                f.metadata.getString(
+                  graft.storage.ColumnDefaults.CurrentKey)))
+              .build()
+          else f.metadata
+        schema = StructType(schema.fields.map(x =>
+          if (x.name == colName) x.copy(dataType = to, metadata = metadata)
+          else x))
       // ALTER COLUMN ... COMMENT: metadata-only, rides the schema field
       // (Spark's StructField comment convention) and survives data commits
       case uc: TableChange.UpdateColumnComment =>
@@ -373,6 +422,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (constraintsTouched) Some(cfg.checkConstraints) else None)
     if (cfg != e.config) LakeRegistry.register(warehouse, cfg, e.root)
     loadTable(ident)
+  }
+
+  /** STRICTLY-widening type changes whose metadata-only application is
+    * stat-exact (see the ALTER COLUMN TYPE case above): the upward integral
+    * chain, and decimal precision growth at an unchanged scale (physical
+    * unscaled ints reinterpret exactly; the readers' decimal converters use
+    * the TABLE's scale, so a scale change would silently rescale values —
+    * rejected). */
+  private[sources] def widenable(from: DataType, to: DataType): Boolean = {
+    def rank(d: DataType): Option[Int] = d match {
+      case ByteType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case _ => None
+    }
+    (from, to) match {
+      case (a: DecimalType, b: DecimalType) =>
+        a.scale == b.scale && a.precision < b.precision
+      case (a, b) =>
+        (for { ra <- rank(a); rb <- rank(b) } yield ra < rb).getOrElse(false)
+    }
   }
 
   /** Durable behavior properties adjustable post-create via

@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.{CowTable, TableConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** ALTER COLUMN ... TYPE as METADATA-ONLY lossless widening (Delta's
+  * type-widening feature): the commit carries the new schema and zero data;
+  * pre-widen files keep their narrower physical type and both readers
+  * promote at scan time. Stats-skipping must stay EXACT across the widen —
+  * pre-widen stat strings parse identically under the wider type. */
+class TypeWideningSpec extends SparkSpec {
+
+  private def lakeSession(lake: String): SparkSession = {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    sess
+  }
+
+  test("INT→BIGINT widen is metadata-only; old files promote on read") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.w (id BIGINT, n INT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.w VALUES (1, 10, 'a'), (2, 20, 'b')")
+    sess.sql("ALTER TABLE lake.default.w ALTER COLUMN n TYPE BIGINT") // v3
+    val t = CowTable(spark, lake + "/w", TableConfig("w", Seq("id")))
+    assert(t.currentVersion == 3)
+    // same files, nothing rewritten, reorganization-style commit
+    assert(t.manifest(3).files == t.manifest(2).files)
+    assert(!t.manifest(3).dataChange)
+    assert(CowTable.structFromJson(t.manifest(3).schemaJson)("n")
+      .dataType == LongType)
+    // post-widen write carries values beyond INT range; the scan unions
+    // INT32-physical and INT64-physical files under one LongType column
+    sess.sql("INSERT INTO lake.default.w VALUES (3, 4000000000, 'c')")
+    val got = sess.sql(
+      "SELECT id, n FROM lake.default.w ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == Seq(1L -> 10L, 2L -> 20L, 3L -> 4000000000L),
+      got.toSeq.mkString(", "))
+    assert(sess.sql("SELECT SUM(n) FROM lake.default.w").head().getLong(0)
+      == 4000000030L)
+    // the row-oriented reader promotes identically to the vectorized one
+    val viaRows = spark.read.format("graft").option("columnar", "false")
+      .load(lake + "/w").selectExpr("id", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(viaRows == Seq(1L -> 10L, 2L -> 20L, 3L -> 4000000000L))
+    // a mutation through the row-level path reads promoted values too
+    sess.sql("DELETE FROM lake.default.w WHERE n = 20")
+    assert(sess.table("lake.default.w").count() == 2)
+  }
+
+  test("widened PRIMARY KEY keeps stat-pruning exact across old files") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.k (id INT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.k VALUES (1, 'a'), (2, 'b')")
+    sess.sql("ALTER TABLE lake.default.k ALTER COLUMN id TYPE BIGINT")
+    sess.sql("INSERT INTO lake.default.k VALUES (4000000000, 'c')")
+    // point lookup on a pre-widen key: the INT-era file's stat strings
+    // ("1","2") must still prune the post-widen file and hit exactly
+    val hit = sess.sql("SELECT v FROM lake.default.k WHERE id = 2")
+    val plan = hit.queryExecution.executedPlan.toString
+    val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan).getOrElse(
+      fail(s"no manifest scan in plan:\n$plan"))
+    assert(m.group(1).toInt == 1 && m.group(2).toInt > 1, m.group(0))
+    assert(hit.collect().map(_.getString(0)).toSeq == Seq("b"))
+    // and a beyond-INT lookup prunes the INT-era files
+    val big = sess.sql(
+      "SELECT v FROM lake.default.k WHERE id = 4000000000")
+    val m2 = """files=(\d+)/(\d+)""".r.findFirstMatchIn(
+      big.queryExecution.executedPlan.toString).get
+    assert(m2.group(1).toInt == 1 && m2.group(2).toInt > 1, m2.group(0))
+    assert(big.collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
+  test("DECIMAL widens by precision at the same scale, values exact") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.d (id BIGINT, amt DECIMAL(5,2)) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.d VALUES (1, 123.45), (2, 0.05)")
+    sess.sql("ALTER TABLE lake.default.d ALTER COLUMN amt TYPE DECIMAL(12,2)")
+    val t = CowTable(spark, lake + "/d", TableConfig("d", Seq("id")))
+    assert(!t.manifest(t.currentVersion).dataChange)
+    assert(CowTable.structFromJson(t.manifest(t.currentVersion).schemaJson)(
+      "amt").dataType == DecimalType(12, 2))
+    sess.sql("INSERT INTO lake.default.d VALUES (3, 9876543210.99)")
+    val got = sess.sql("SELECT id, amt FROM lake.default.d ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).toPlainString)
+    assert(got.toSeq == Seq(1L -> "123.45", 2L -> "0.05",
+      3L -> "9876543210.99"), got.toSeq.mkString(", "))
+    assert(sess.sql("SELECT SUM(amt) FROM lake.default.d").head()
+      .getDecimal(0).toPlainString == "9876543334.49")
+  }
+
+  test("a widened column's DEFAULT refolds under the new type") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.f (id BIGINT, v STRING) " +
+      "OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.f VALUES (1, 'a')")
+    sess.sql("ALTER TABLE lake.default.f ADD COLUMN w INT DEFAULT 7")
+    sess.sql("ALTER TABLE lake.default.f ALTER COLUMN w TYPE BIGINT")
+    // the pre-ADD file reads the (re-typed) existence default as a long
+    val got = sess.sql("SELECT id, w FROM lake.default.f").head()
+    assert(got.getLong(0) == 1L && got.getLong(1) == 7L, got.toString)
+    // CURRENT_DEFAULT still resolves for inserts that omit the column
+    sess.sql("INSERT INTO lake.default.f (id, v) VALUES (2, 'b')")
+    assert(sess.sql("SELECT w FROM lake.default.f WHERE id = 2").head()
+      .getLong(0) == 7L)
+  }
+
+  test("non-lossless or stat-unsafe retypes are rejected loudly") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.r (id BIGINT, n INT, x FLOAT, " +
+      "d DOUBLE, a DECIMAL(5,2)) OPTIONS (primaryKey 'id')")
+    sess.sql("INSERT INTO lake.default.r VALUES (1, 1, 1.0, 1.0, 1.00)")
+    def rejected(ddl: String): Unit = {
+      val e = intercept[Exception](sess.sql(ddl))
+      assert(e.getMessage.contains("widening") ||
+        e.getMessage.contains("INVALID") ||
+        e.getMessage.contains("not supported"), s"$ddl → ${e.getMessage}")
+    }
+    rejected("ALTER TABLE lake.default.r ALTER COLUMN id TYPE INT")
+    rejected("ALTER TABLE lake.default.r ALTER COLUMN n TYPE STRING")
+    // float→double promotes losslessly on READ but float-era stat strings
+    // are shortest-form decimals, not the promoted double values — a
+    // metadata-only widen could mis-skip; stays rejected
+    rejected("ALTER TABLE lake.default.r ALTER COLUMN x TYPE DOUBLE")
+    rejected("ALTER TABLE lake.default.r ALTER COLUMN d TYPE FLOAT")
+    rejected("ALTER TABLE lake.default.r ALTER COLUMN a TYPE DECIMAL(10,4)")
+    rejected("ALTER TABLE lake.default.r ALTER COLUMN a TYPE DECIMAL(4,2)")
+    // nothing committed by any rejected attempt
+    val t = CowTable(spark, lake + "/r", TableConfig("r", Seq("id")))
+    assert(t.currentVersion == 2)
+  }
+}

@@ -284,4 +284,31 @@ class ConcurrentRebaseSpec extends SparkSpec {
         CowTable.structFromJson(m.schemaJson), dataChange = false)
     }
   }
+
+  test("matrix: ALTER COLUMN TYPE winner blocks a stale writer's rebase; " +
+      "the retry aligns to the widened schema") {
+    val dir = tmpDir("rb")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", dir)
+    sess.sql("CREATE TABLE lake.default.aw (id BIGINT, n INT) " +
+      "OPTIONS (primaryKey 'id')")                              // v1
+    sess.sql("INSERT INTO lake.default.aw VALUES (1, 10), (2, 20)") // v2
+    val t = CowTable(spark, dir + "/aw", TableConfig("aw", Seq("id")))
+    // winner: metadata-only widen at v3 — a SCHEMA change, which the
+    // rebase contract always treats as blocking (a carried stale file is
+    // only provably safe for pure widening; the conservative loud fail +
+    // retry keeps one rule for every schema change)
+    sess.sql("ALTER TABLE lake.default.aw ALTER COLUMN n TYPE BIGINT")
+    intercept[ConcurrentWriteException] {
+      t.upsertFrom(2, Seq((100L, 5)).toDF("id", "n"))
+    }
+    // the retry re-reads the head, auto-widens its INT batch, and lands;
+    // pre-widen INT32 files and the new write read under one BIGINT column
+    t.upsert(Seq((100L, 5)).toDF("id", "n"))
+    val got = sess.sql(
+      "SELECT id, n FROM lake.default.aw ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 10L, 2L -> 20L, 100L -> 5L), got.mkString(", "))
+  }
 }
