@@ -125,6 +125,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     }
 
+    // ---- table-valued CHANGE-FEED access (Delta's `table_changes` TVF) --
+    // SELECT * FROM table_changes('lake.default.t', 2, 5)       -- versions
+    // SELECT * FROM table_changes('lake.t', '2024-01-02 00:00:00')  -- ts
+    // SELECT * FROM table_changes('/abs/table/root', 3)
+    // Window bounds are INCLUSIVE commit versions (Delta parity; integer
+    // literal = version, string literal = commit timestamp); a missing `to`
+    // reads through the current version. Expands at ANALYSIS time into the
+    // same DSv2 CDF relation `option("readChangeFeed","true")` plans — one
+    // manifest-ranged scan, O(changed commits), never a snapshot diff.
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft", "table_changes"),
+      { es: Seq[Expression] =>
+        val sig = "table STRING literal, from INT version | STRING " +
+          "timestamp [, to INT version | STRING timestamp]"
+        require(es.length == 2 || es.length == 3, "table_changes", sig)
+        val session = org.apache.spark.sql.SparkSession.active
+        val ref = stringArg(es.head, "table_changes", sig)
+        // a path is used as-is; `catalog.[default.]name` resolves through
+        // the registered GraftCatalog's lake registry
+        val path =
+          if (ref.contains("/")) ref
+          else {
+            val (cat, name) = ref.split('.') match {
+              case Array(c, ns, n) if ns.equalsIgnoreCase("default") =>
+                (c, n)
+              case Array(c, n) => (c, n)
+              case _ =>
+                require(false, "table_changes", sig); sys.error("unreachable")
+            }
+            scala.util.Try(
+              session.sessionState.catalogManager.catalog(cat)).toOption
+              .collect { case g: graft.sources.GraftCatalog => g }
+              .flatMap(_.tableRoot(name))
+              .getOrElse(throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "TABLE_OR_VIEW_NOT_FOUND",
+                messageParameters = Map("relationName" -> s"`$ref`")))
+          }
+        def bound(e: Expression, side: String)
+            : (String, String) = e.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            (s"${side}Timestamp", stringArg(e, "table_changes", sig))
+          case _ =>
+            (s"${side}Version",
+              intArg(e, "table_changes", sig).toString)
+        }
+        var reader = session.read.format("graft")
+          .option("readChangeFeed", "true")
+        val (k1, v1) = bound(es(1), "starting")
+        reader = reader.option(k1, v1)
+        if (es.length == 3) {
+          val (k2, v2) = bound(es(2), "ending")
+          reader = reader.option(k2, v2)
+        }
+        reader.load(path).queryExecution.analyzed
+      }))
+
     // SQL MERGE: bound the group-discovery subquery by the source's keys
     // (see MergeSourcePrune) — the SQL path's analog of the API upsert's
     // candidate-file pruning.

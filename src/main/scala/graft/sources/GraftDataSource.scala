@@ -1671,12 +1671,17 @@ final class GraftScan(
       s"graft: change-feed start $startV predates the earliest readable " +
         s"version $earliest (older history was vacuumed)")
     new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
+      // planned once (the range is pinned): a drop-only commit's dropped
+      // files may carry deletion vectors, which need the position-skipping
+      // row reader — the factory must know before Spark fixes the mode
+      private lazy val parts: Array[InputPartition] =
         GraftCdf.partitions(root, startV, endV, "graft batch feed",
           "re-read from a retained version via " +
             "option(\"startingVersion\", ...)")
+      override def planInputPartitions(): Array[InputPartition] = parts
       override def createReaderFactory(): PartitionReaderFactory =
-        new GraftReaderFactory(required, columnar, m.columnMapping)
+        new GraftReaderFactory(required,
+          columnar && !GraftCdf.needsRowMode(parts), m.columnMapping)
     }
   }
 
@@ -1821,6 +1826,12 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
           capacity = 4096): PartitionReader[
             org.apache.spark.sql.vectorized.ColumnarBatch]))
     case gp: GraftInputPartition =>
+      // DV subtraction has no columnar form — every planner that emits a
+      // DV'd partition degrades its scan to row mode; reaching here in
+      // columnar mode anyway must fail, never silently re-emit dead rows
+      if (gp.dv.isDefined) throw new IllegalStateException(
+        s"graft: deletion-vectored file ${gp.filePath} cannot be read " +
+          "columnar — the scan should have degraded to row mode")
       new GraftColumnarPartitionReader(gp.filePath, physRequired,
         gp.partitionValues, capacity = 4096)
   }

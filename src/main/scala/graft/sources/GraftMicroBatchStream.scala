@@ -213,15 +213,25 @@ final class GraftMicroBatchStream(
       }
     }
 
+  /** Set per batch at PLANNING time, consumed by the factory built right
+    * after (Spark's micro-batch exec touches inputPartitions before
+    * readerFactory): a change-feed batch serving a dropped file with a
+    * deletion vector needs the position-skipping row reader. The factory
+    * itself also fails loudly on a DV'd partition in columnar mode, so an
+    * order inversion can never silently re-emit deleted rows. */
+  @volatile private var batchNeedsRowMode = false
+
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].version
     val e = end.asInstanceOf[GraftOffset].version
-    if (opts.readChangeFeed)
-      GraftCdf.partitions(root, s, e, "graft stream",
+    if (opts.readChangeFeed) {
+      val parts = GraftCdf.partitions(root, s, e, "graft stream",
         "restart the change-feed stream from a retained version via " +
           "option(\"startingVersion\", ...)")
-    else addedFiles(s, e).map { case (_, entry) =>
+      batchNeedsRowMode = GraftCdf.needsRowMode(parts)
+      parts
+    } else addedFiles(s, e).map { case (_, entry) =>
       GraftInputPartition(
         root.resolve(entry.path).toString,
         GraftScan.hivePathValues(entry.path))
@@ -268,7 +278,7 @@ final class GraftMicroBatchStream(
           "table schema")
       m.columnMapping
     }
-    new GraftReaderFactory(required, columnar, mapping)
+    new GraftReaderFactory(required, columnar && !batchNeedsRowMode, mapping)
   }
 
   override def commit(end: Offset): Unit = () // engine-side checkpointing
@@ -280,10 +290,12 @@ final class GraftMicroBatchStream(
   * either a commit's materialized `_cdc` files (physical `_change_type`,
   * constant `_commit_version`/`_commit_timestamp`) or — for pure-append
   * commits — its added data files with all metadata columns riding as
-  * partition constants. A rewrite commit without change files fails
-  * loudly: its per-row changes were never recorded and cannot be
-  * reconstructed file-wise (the API's `CowTable.readChangeFeed` can — via
-  * the file-diff join — but a file-partition scan cannot). O(manifests in
+  * partition constants; for DROP-ONLY commits (metadata-only DELETE) —
+  * the dropped files with constant `delete` metadata. A rewrite commit
+  * (removed AND added files) without change files fails loudly: its
+  * per-row changes were never recorded and cannot be reconstructed
+  * file-wise (the API's `CowTable.readChangeFeed` can — via the
+  * file-diff join — but a file-partition scan cannot). O(manifests in
   * range) driver metadata, no data IO at planning. */
 private[sources] object GraftCdf {
   def partitions(root: Path, startV: Int, endV: Int,
@@ -312,22 +324,51 @@ private[sources] object GraftCdf {
             Map("_commit_version" -> v.toString,
               "_commit_timestamp" -> (m.commitTimeMs * 1000L).toString)))
         case None =>
-          val parentPaths: Set[String] =
-            if (m.parent <= 0) Set.empty
-            else CowTable.manifestAt(root, m.parent).files.map(_.path).toSet
-          val removed = parentPaths -- m.files.map(_.path).toSet
-          if (removed.nonEmpty) throw new IllegalStateException(
-            s"$who: commit v$v of $root rewrote files without " +
-              "materialized change rows — create the table with " +
-              "TableConfig(changeDataFeed = true) so mutations record " +
-              "their exact changes, or read appends only (drop the " +
-              "readChangeFeed option).")
-          m.files.filterNot(e => parentPaths.contains(e.path)).map(e =>
+          val parentEntries: Seq[FileEntry] =
+            if (m.parent <= 0) Nil
+            else CowTable.manifestAt(root, m.parent).files
+          val parentPaths: Set[String] = parentEntries.map(_.path).toSet
+          val currentPaths = m.files.map(_.path).toSet
+          val removed = parentPaths -- currentPaths
+          val added = m.files.filterNot(e => parentPaths.contains(e.path))
+          // DROP-ONLY commit (metadata-only DELETE: files removed, none
+          // added): the change set is EXACTLY "every live row of each
+          // dropped file is a delete" — serve the dropped files themselves
+          // with constant delete metadata, subtracting each entry's
+          // PARENT-manifest deletion vector so already-dead rows never
+          // re-emit. A rewrite (removed AND added) stays a loud failure:
+          // its per-row changes were never recorded.
+          if (removed.nonEmpty && added.nonEmpty)
+            throw new IllegalStateException(
+              s"$who: commit v$v of $root rewrote files without " +
+                "materialized change rows — create the table with " +
+                "TableConfig(changeDataFeed = true) so mutations record " +
+                "their exact changes, or read appends only (drop the " +
+                "readChangeFeed option).")
+          val meta = Map(
+            "_commit_version" -> v.toString,
+            "_commit_timestamp" -> (m.commitTimeMs * 1000L).toString)
+          if (removed.nonEmpty)
+            parentEntries.filter(e => removed.contains(e.path))
+              .sortBy(_.path).map(e =>
+                GraftInputPartition(root.resolve(e.path).toString,
+                  GraftScan.hivePathValues(e.path) ++ meta +
+                    ("_change_type" -> "delete"),
+                  e.dvPath.map(p => (root.resolve(p).toString, e.path))))
+          else added.map(e =>
             GraftInputPartition(root.resolve(e.path).toString,
-              GraftScan.hivePathValues(e.path) ++ Map(
-                "_commit_version" -> v.toString,
-                "_commit_timestamp" -> (m.commitTimeMs * 1000L).toString,
-                "_change_type" -> "insert")))
+              GraftScan.hivePathValues(e.path) ++ meta +
+                ("_change_type" -> "insert")))
       }
     }.toArray
+
+  /** True when any planned partition needs the position-skipping ROW
+    * reader (a dropped file carrying its parent's deletion vector) — the
+    * caller must then degrade the whole scan to row mode (Spark rejects
+    * mixed-mode partitions). */
+  def needsRowMode(parts: Array[InputPartition]): Boolean =
+    parts.exists {
+      case g: GraftInputPartition => g.dv.isDefined
+      case _ => false
+    }
 }

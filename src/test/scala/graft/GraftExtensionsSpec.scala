@@ -202,4 +202,59 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("table_changes TVF reads the change feed through SQL") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val lake = java.nio.file.Files.createTempDirectory("tvf").toString
+      s.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      s.sql("CREATE TABLE lake.default.tc (id BIGINT, v STRING) " +
+        "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true')")   // v1
+      s.sql("INSERT INTO lake.default.tc VALUES (1, 'a'), (2, 'b')") // v2
+      Thread.sleep(20) // distinct commit timestamps for the ts form
+      s.sql("INSERT INTO lake.default.tc VALUES (3, 'c')")           // v3
+      s.sql("DELETE FROM lake.default.tc WHERE id = 1")              // v4
+      def rows(sql: String): Seq[(Long, String, Int)] =
+        s.sql(sql).collect().map(r => (r.getLong(0), r.getString(1),
+          r.getInt(2))).toSeq.sortBy(t => (t._3, t._1))
+      // both version bounds INCLUSIVE (Delta parity)
+      assert(rows("SELECT id, _change_type, _commit_version FROM " +
+        "table_changes('lake.default.tc', 2, 3)") ==
+        Seq((1L, "insert", 2), (2L, "insert", 2), (3L, "insert", 3)))
+      // two-part name; a missing `to` reads through the current version
+      assert(rows("SELECT id, _change_type, _commit_version FROM " +
+        "table_changes('lake.tc', 4)") == Seq((1L, "delete", 4)))
+      // path form, single-commit window
+      assert(rows("SELECT id, _change_type, _commit_version FROM " +
+        s"table_changes('$lake/tc', 3, 3)") == Seq((3L, "insert", 3)))
+      // timestamp form: starting at v3's commit instant covers v3..v4
+      val v3ts = graft.storage.CowTable(s, lake + "/tc",
+        graft.storage.TableConfig("tc", Seq("id"))).manifest(3).commitTimeMs
+      val lit = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(v3ts), java.time.ZoneOffset.UTC)
+        .toString
+      assert(rows("SELECT id, _change_type, _commit_version FROM " +
+        s"table_changes('lake.default.tc', '$lit')") ==
+        Seq((3L, "insert", 3), (1L, "delete", 4)))
+      // the TVF composes like any relation: filters and aggregates apply
+      assert(s.sql("SELECT COUNT(*) FROM table_changes('lake.tc', 2) " +
+        "WHERE _change_type = 'insert'").head().getLong(0) == 3L)
+      // errors are loud: unknown table, wrong arity
+      intercept[Exception](s.sql(
+        "SELECT * FROM table_changes('lake.default.nope', 1)"))
+      intercept[Exception](s.sql(
+        "SELECT * FROM table_changes('lake.default.tc')"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

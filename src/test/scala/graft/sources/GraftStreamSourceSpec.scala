@@ -202,6 +202,55 @@ class GraftStreamSourceSpec extends SparkSpec {
       .forall(p => p.size < 2 || p(0) <= p(1)))
   }
 
+  test("readChangeFeed serves a metadata-only DELETE as dropped-file " +
+      "delete rows, minus the files' deletion vectors") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src",
+      TableConfig("t", Seq("id"), changeDataFeed = true,
+        deletionVectors = true))
+    t.create(rows(1, 20))                 // v1: range-clustered files
+    t.delete(Seq(2L).toDF("id"))          // v2: DV sidecar + materialized cdc
+    // whole-file-covered predicate ⇒ metadata-only drop commit at v3
+    spark.sql("DROP TABLE IF EXISTS mdel_cdf_t")
+    spark.sql(s"CREATE TABLE mdel_cdf_t USING graft LOCATION '${dir}/src'")
+    spark.sql("DELETE FROM mdel_cdf_t WHERE id <= 10")
+    spark.sql("DROP TABLE IF EXISTS mdel_cdf_t")
+    val v2 = t.manifest(2)
+    val v3 = t.manifest(3)
+    assert(v3.files.map(_.path).toSet.subsetOf(v2.files.map(_.path).toSet),
+      "the retention cut must be metadata-only (no file written)")
+    assert(v2.files.exists(e => e.dvPath.isDefined &&
+      !v3.files.exists(_.path == e.path)),
+      "a DV'd file must be among the dropped ones for this test to bite")
+    // BATCH feed across the mixed range: v3's deletes come from the
+    // dropped files themselves, with each file's parent DV subtracted —
+    // id=2 was already dead at v2 and must NOT re-emit at v3
+    val got = spark.read.format("graft").option("readChangeFeed", "true")
+      .load(dir + "/src")
+      .filter($"_commit_version" === 3)
+      .select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(got == ((1L to 10L).toSet - 2L).map(_ -> "delete"), got)
+    // STREAMING feed sees the identical change set (row-mode handshake)
+    val sink = "gstream_mdel_cdf"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir + "/src")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(sink)
+      .filter($"_commit_version" === 3)
+      .select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(streamed == got, streamed)
+    // feed totals across the whole range stay exact
+    val all = spark.table(sink).groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(all == Map("insert" -> 20L, "delete" -> 10L), all.toString)
+  }
+
   test("readChangeFeed on a non-CDF table fails loudly at a rewrite") {
     val dir = tmpDir("gstream")
     val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
