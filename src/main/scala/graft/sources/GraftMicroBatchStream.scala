@@ -350,11 +350,19 @@ private[sources] object GraftCdf {
             "_commit_timestamp" -> (m.commitTimeMs * 1000L).toString)
           if (removed.nonEmpty)
             parentEntries.filter(e => removed.contains(e.path))
-              .sortBy(_.path).map(e =>
+              .sortBy(_.path).map { e =>
+                // mirror the vacuumed-_cdc planning-time check: a dropped
+                // file reclaimed by vacuum must fail HERE with the
+                // remediation, not as an executor FileNotFound
+                if (!Files.exists(root.resolve(e.path)))
+                  throw new IllegalStateException(
+                    s"$who: commit v$v's dropped file ${e.path} was " +
+                      s"vacuumed — $remediation")
                 GraftInputPartition(root.resolve(e.path).toString,
                   GraftScan.hivePathValues(e.path) ++ meta +
                     ("_change_type" -> "delete"),
-                  e.dvPath.map(p => (root.resolve(p).toString, e.path))))
+                  e.dvPath.map(p => (root.resolve(p).toString, e.path)))
+              }
           else added.map(e =>
             GraftInputPartition(root.resolve(e.path).toString,
               GraftScan.hivePathValues(e.path) ++ meta +
