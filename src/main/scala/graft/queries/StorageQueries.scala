@@ -2749,5 +2749,53 @@ object StorageQueries {
         """SELECT nk, COUNT(*) AS cnt, SUM(ck) AS sum_ck
           |FROM lake.default.cw GROUP BY nk ORDER BY nk
           |""".stripMargin)
+    },
+
+    // table_changes TVF (round 15 — Delta's SQL change-feed surface): the
+    // incremental-consumer query every downstream sync runs, with no
+    // DataFrame API in sight. `table_changes('t', from)` expands at
+    // analysis time into the SAME DSv2 CDF relation the reader option
+    // plans (O(changed commits) manifest-ranged partitions). The history
+    // mixes a CTAS load, a materialized-CDF DELETE, and a later INSERT;
+    // DuckDB replays all three commits' change rows logically.
+    Q("q214_table_changes_tvf",
+      """WITH base AS (
+        |  SELECT event_id, event_type FROM events WHERE event_id <= 3000)
+        |SELECT event_id, event_type,
+        |       'insert' AS _change_type, CAST(2 AS INT) AS _commit_version
+        |FROM base
+        |UNION ALL
+        |SELECT event_id, event_type,
+        |       'delete' AS _change_type, CAST(3 AS INT) AS _commit_version
+        |FROM base WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id + 1000000, event_type,
+        |       'insert' AS _change_type, CAST(4 AS INT) AS _commit_version
+        |FROM base WHERE event_type <> 'error' AND event_id % 7 = 0
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q214")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      t(sess, d, "events").select("event_id", "event_type")
+        .filter(col("event_id") <= 3000)
+        .createOrReplaceTempView("ev_src")
+      sess.sql(
+        """CREATE TABLE lake.default.tcev
+          |OPTIONS (primaryKey 'event_id', changeDataFeed 'true')
+          |AS SELECT * FROM ev_src
+          |""".stripMargin)                                    // v1 + v2
+      sess.sql("DELETE FROM lake.default.tcev " +
+        "WHERE event_type = 'error'")                          // v3 (cdc)
+      sess.sql(
+        """INSERT INTO lake.default.tcev
+          |SELECT event_id + 1000000, event_type FROM ev_src
+          |WHERE event_type <> 'error' AND event_id % 7 = 0
+          |""".stripMargin)                                    // v4
+      sess.sql(
+        """SELECT event_id, event_type, _change_type, _commit_version
+          |FROM table_changes('lake.default.tcev', 2)
+          |""".stripMargin)
     })
 }

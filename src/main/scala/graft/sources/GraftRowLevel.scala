@@ -286,6 +286,12 @@ final class GraftRowLevelBatchWrite(
       m.columnMapping)
     val scannedPaths = op.scannedFiles.getOrElse(Nil).map(_.path).toSet
     val carry = m.files.filterNot(f => scannedPaths(f.path))
+    // changeDataFeed contract: a group-replace must RECORD its exact
+    // changes (the replaced files' live rows diffed against their
+    // replacements) — without this, the commit is a rewrite the file-
+    // partition feed planner can only reject
+    val cdc = tbl.replaceCdc(m, op.scannedFiles.getOrElse(Nil), fresh,
+      tableSchema)
     op.scannedFiles match {
       // Snapshot-isolation rebase on CAS loss (same contract as CowTable
       // upsert/delete): winners that provably touched a disjoint key range
@@ -293,9 +299,10 @@ final class GraftRowLevelBatchWrite(
       // footprint = stat ranges of what it scanned + what it wrote.
       case Some(scanned) =>
         tbl.commitRowLevelRebased(parent, fresh, carry, tableSchema,
-          scannedPaths, scanned ++ fresh)
+          scannedPaths, scanned ++ fresh, cdcDir = cdc)
       // no planned scan ⇒ no provable read set ⇒ keep plain fail-fast CAS
-      case None => tbl.commitAt(parent, fresh, carry, tableSchema)
+      case None => tbl.commitAt(parent, fresh, carry, tableSchema,
+        cdcDir = cdc)
     }
   }
 

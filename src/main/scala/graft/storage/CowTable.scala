@@ -2515,10 +2515,51 @@ final class CowTable private[storage] (
   private[graft] def commitRowLevelRebased(
       parent: Int, fresh: Seq[FileEntry], carry: Seq[FileEntry],
       schema: StructType, touchedPaths: Set[String],
-      footprint: Seq[FileEntry]): Int =
+      footprint: Seq[FileEntry], cdcDir: Option[String] = None): Int =
     commitWithRebase(parent, fresh, carry, schema, dataChange = true,
-      cdcDir = None, mappingOpt = None,
+      cdcDir = cdcDir, mappingOpt = None,
       rebase = Some(RebaseCtx(touchedPaths, None, footprint)))
+
+  /** Materialized CDF for a GROUP-REPLACE commit (the SQL row-level COW
+    * write — Spark's ReplaceData plan hands us replacement rows, not
+    * per-row actions): the replaced files' LIVE rows full-outer-diffed
+    * against their replacements by primary key. A row the rewrite carried
+    * byte-identical (an untouched file-mate of a touched row) emits
+    * NOTHING, so the feed records the operation's exact changes — the
+    * same action-level contract the API paths materialize. One join over
+    * O(replaced files), the standard CDF write amplification. Returns the
+    * `_cdc` dir for the commit; None when the table doesn't feed. */
+  private[graft] def replaceCdc(m: CommitManifest, scanned: Seq[FileEntry],
+      fresh: Seq[FileEntry], commitSchema: StructType): Option[String] = {
+    if (!config.changeDataFeed || scanned.isEmpty) return None
+    val mV = m.copy(schemaJson = commitSchema.json)
+    val marker = "__graft_present"
+    val a = readFiles(mV, fresh).withColumn(marker, lit(1)).alias("a")
+    val r = readFiles(mV, scanned).withColumn(marker, lit(1)).alias("r")
+    val cond = config.primaryKey.map(k => col(s"a.$k") <=> col(s"r.$k"))
+      .reduce(_ && _)
+    val aPresent = col(s"a.$marker").isNotNull
+    val rPresent = col(s"r.$marker").isNotNull
+    def image(side: String, tpe: String) = struct(
+      commitSchema.fields.toSeq.map(f =>
+        col(s"$side.${f.name}").as(f.name)) :+
+        lit(tpe).as("_change_type"): _*)
+    val identical = commitSchema.fields.toSeq.map(f =>
+      col(s"a.${f.name}") <=> col(s"r.${f.name}")).reduce(_ && _)
+    // a null array branch explodes to ZERO rows — the identical case
+    // vanishes from the feed without needing a typed empty-array literal
+    val rows = when(!aPresent, array(image("r", "delete")))
+      .when(!rPresent, array(image("a", "insert")))
+      .when(identical, lit(null))
+      .otherwise(array(image("r", "update_preimage"),
+        image("a", "update_postimage")))
+    val changes = a.join(r, cond, "full_outer")
+      .select(explode(rows).as("__c"))
+      .select(commitSchema.fields.toSeq.map(f =>
+        col(s"__c.${f.name}").as(f.name)) :+
+        col("__c._change_type").as("_change_type"): _*)
+    writeCdc(changes, m.version + 1, m.columnMapping)
+  }
 
   private def commitWithRebase(
       parent0: Int, fresh: Seq[FileEntry], carry0: Seq[FileEntry],

@@ -26,12 +26,14 @@ class CdfDifferentialSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
 
   test("DSv2 feed ≡ API readChangeFeed over random mutation histories") {
-    for (seed <- 1 to 3) {
+    // dv=true: mutations via DV sidecars; dv=false: the GROUP-REPLACE COW
+    // path (CowTable.replaceCdc materialization) — both planners must agree
+    for ((dv, seed) <- Seq((true, 1), (true, 2), (false, 3), (false, 4))) {
       val rnd = new scala.util.Random(seed)
       val dir = tmpDir("cdfdiff") + "/t"
       val t = CowTable(spark, dir,
         TableConfig("t", Seq("id"), clusterByKey = true,
-          changeDataFeed = true, deletionVectors = true))
+          changeDataFeed = true, deletionVectors = dv))
       var nextId = 41L
       t.create((1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
         .repartitionByRange(4, $"id"))
