@@ -40,7 +40,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class GraftColumnarPartitionReader(
     filePath: String, required: StructType,
-    partitionValues: Map[String, String], capacity: Int)
+    partitionValues: Map[String, String], capacity: Int,
+    /** Pushed source filters (LOGICAL names) + logical→physical mapping,
+      * for ROW-GROUP skipping via parquet's stats filter. Pruning-only:
+      * every filter stays residual above the scan, and conversion declines
+      * per file on any type mismatch ([[ParquetRowGroupFilter]]). */
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    nameMapping: Map[String, String] = Map.empty,
+    /** Files below this size skip the row-group-filter footer read — one
+      * small row group decodes for less than the extra metadata roundtrip
+      * costs. Tests lower it to exercise the path on small fixtures. */
+    rowGroupFilterMinBytes: Long = 4L << 20)
   extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
 
   /** Constant-valued fields: hive partition values win over file content
@@ -75,6 +85,29 @@ final class GraftColumnarPartitionReader(
     conf.set(SQLConf.CASE_SENSITIVE.key, "false")
     conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
     conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    // ROW-GROUP skipping: convert the pushed filters against THIS file's
+    // footer schema (one cheap metadata read; declines on any per-file
+    // type mismatch, e.g. a pre-widening INT32 column under a BIGINT
+    // predicate) and hand parquet the stats-only predicate — whole row
+    // groups a selective clustered predicate can't reach are never
+    // decoded. The base reader picks it up via ParquetInputFormat.
+    // Size-gated: a small file is one small row group, where decode costs
+    // less than the extra footer roundtrip — engage only where whole-group
+    // (or whole-file, via footer stats on columns the MANIFEST doesn't
+    // stat) skipping can actually pay.
+    if (filters.nonEmpty &&
+        java.nio.file.Files.size(
+          java.nio.file.Paths.get(filePath)) >= rowGroupFilterMinBytes) {
+      val fileSchema = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(filePath), conf))
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      ParquetRowGroupFilter.predicateFor(fileSchema, filters, nameMapping)
+        .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(conf, p))
+    }
     // CORRECTED = no calendar rebase: every graft-readable file is written by
     // Spark 3+/parquet-hadoop with proleptic-Gregorian semantics (the same
     // assumption the row-oriented reader makes)

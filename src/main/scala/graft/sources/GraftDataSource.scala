@@ -1152,7 +1152,7 @@ final class GraftScanBuilder(
     }
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
       extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes,
-      dynamicKeep, topNPush, limitPush)
+      dynamicKeep, topNPush, limitPush, pushedSource = pushed.toSeq)
   }
 }
 
@@ -1392,7 +1392,11 @@ final class GraftScan(
     topN: Option[GraftTopN] = None,
     /** Pushed bare LIMIT (partial): manifest-order prefix covering the
       * limit in exact live rows. */
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    /** Every pushed source filter, verbatim — fed to the columnar readers
+      * for parquet ROW-GROUP skipping (per-file typed conversion,
+      * pruning-only; see [[ParquetRowGroupFilter]]). */
+    pushedSource: Seq[Filter] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1643,6 +1647,8 @@ final class GraftScan(
       topN.fold("")(t => s" pushedTopN=${t.col} " +
         s"${if (t.desc) "DESC" else "ASC"} LIMIT ${t.limit}") +
       pushedLimit.fold("")(l => s" pushedLimit=$l") +
+      (if (pushedSource.nonEmpty)
+        s" rowGroupFilterConjuncts=${pushedSource.size}" else "") +
       s" columnar=$columnar"
 
   /** Batch CDF read (Delta `spark.read.option("readChangeFeed","true")`
@@ -1796,11 +1802,16 @@ final class GraftScan(
     new GraftReaderFactory(columnar = columnar &&
       kept.forall(_.dvPath.isEmpty) &&
       !required.fieldNames.contains(GraftTable.PosColumnName),
-      required = required, mapping = m.columnMapping)
+      required = required, mapping = m.columnMapping,
+      filters = pushedSource)
 }
 
 final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
-    mapping: Map[String, String] = Map.empty)
+    mapping: Map[String, String] = Map.empty,
+    /** Pushed source filters for parquet row-group skipping (columnar path
+      * only — the row reader's sequential DV position tracking needs every
+      * row). Pruning-only; all filters stay residual above the scan. */
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
   extends PartitionReaderFactory {
 
   /** COLUMN MAPPING: files (data and `_cdc` alike) store PHYSICAL names,
@@ -1823,7 +1834,8 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
     case g: GraftGroupedPartition =>
       new GraftConcatReader(g.files.map(f => () =>
         new GraftColumnarPartitionReader(f, physRequired, g.partitionValues,
-          capacity = 4096): PartitionReader[
+          capacity = 4096, filters = filters, nameMapping = mapping)
+          : PartitionReader[
             org.apache.spark.sql.vectorized.ColumnarBatch]))
     case gp: GraftInputPartition =>
       // DV subtraction has no columnar form — every planner that emits a
@@ -1833,7 +1845,8 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
         s"graft: deletion-vectored file ${gp.filePath} cannot be read " +
           "columnar — the scan should have degraded to row mode")
       new GraftColumnarPartitionReader(gp.filePath, physRequired,
-        gp.partitionValues, capacity = 4096)
+        gp.partitionValues, capacity = 4096, filters = filters,
+        nameMapping = mapping)
   }
 
   override def createReader(p: InputPartition): PartitionReader[

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.{CowTable, TableConfig}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+/** Parquet ROW-GROUP skipping inside the columnar reader: pushed filters
+  * convert per file against the footer schema ([[ParquetRowGroupFilter]])
+  * and whole row groups a selective predicate can't reach are never
+  * decoded. Pruning-only — every filter stays residual, so conversion
+  * declines must only ever read MORE. */
+class RowGroupFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A single multi-row-group parquet file of ids 1..4000 (tiny block
+    * size ⇒ several groups, each covering a narrow clustered id range). */
+  private def multiGroupFile(dir: String): (String, Int) = {
+    (1L to 4000L).map(i => (i, s"pad-$i-" + "x" * 64)).toDF("id", "pad")
+      .orderBy("id").coalesce(1)
+      .write.option("parquet.block.size", "8192")
+      .option("parquet.page.size", "2048")
+      .parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val groups = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f),
+        new org.apache.hadoop.conf.Configuration()))
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    (f, groups)
+  }
+
+  private def readCount(file: String,
+      filters: Seq[Filter]): Long = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pad",
+        org.apache.spark.sql.types.StringType)))
+    val r = new GraftColumnarPartitionReader(file, schema, Map.empty,
+      capacity = 512, filters = filters, rowGroupFilterMinBytes = 0L)
+    try {
+      var n = 0L
+      while (r.next()) n += r.get().numRows()
+      n
+    } finally r.close()
+  }
+
+  test("a clustered point predicate reads one row group, not the file") {
+    val dir = tmpDir("rgf") + "/p"
+    val (file, groups) = multiGroupFile(dir)
+    assert(groups >= 4, s"fixture needs several row groups, got $groups")
+    val all = readCount(file, Nil)
+    assert(all == 4000L)
+    // group-level granularity is observable at the READER level (no
+    // residual filter here): surviving groups return ALL their rows
+    val hit = readCount(file, Seq(EqualTo("id", 2000L)))
+    assert(hit >= 1L && hit < all / 2,
+      s"point lookup must skip most of $groups groups, read $hit/$all")
+    val range = readCount(file,
+      Seq(GreaterThanOrEqual("id", 3900L)))
+    assert(range >= 101L && range < all / 2, s"range read $range/$all")
+    // a predicate nothing satisfies skips every group
+    assert(readCount(file, Seq(GreaterThan("id", 99999L))) == 0L)
+  }
+
+  test("conversion declines safely: type mismatch, Or-partial, unknown col") {
+    val dir = tmpDir("rgf") + "/d"
+    val (file, _) = multiGroupFile(dir)
+    // INT64 column under an Integer literal: declined ⇒ full read
+    assert(readCount(file,
+      Seq(EqualTo("id", java.lang.Integer.valueOf(1)))) == 4000L)
+    // unknown column: declined
+    assert(readCount(file, Seq(EqualTo("nope", 1L))) == 4000L)
+    // Or with one unconvertible side: the whole Or must decline
+    assert(readCount(file,
+      Seq(Or(EqualTo("id", 1L), EqualTo("nope", 1L)))) == 4000L)
+    // And keeps the convertible side (superset semantics)
+    val and = readCount(file,
+      Seq(And(EqualTo("id", 2000L), EqualTo("nope", 1L))))
+    assert(and >= 1L && and < 2000L, s"And partial read $and")
+    // string equality on the BINARY/string column converts
+    val s = readCount(file, Seq(EqualTo("pad", "pad-1-" + "x" * 64)))
+    assert(s >= 1L && s < 4000L, s"string eq read $s")
+  }
+
+  test("end-to-end results are identical with and without group skipping") {
+    val dir = tmpDir("rgf") + "/t"
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 3000L).map { i =>
+      (i, if (rnd.nextInt(10) == 0) null else s"v${rnd.nextInt(100)}",
+        rnd.nextDouble() * 100 - 50)
+    }
+    val t = CowTable(spark, dir,
+      TableConfig("t", Seq("id"), clusterByKey = true))
+    t.create(rows.toDF("id", "v", "x").repartitionByRange(3, $"id"))
+    val preds = Seq(
+      $"id" >= 1200L && $"id" < 1300L,
+      $"v" === "v42",
+      $"x" > 0.0,
+      $"id" === 77L || $"v" === "v7",
+      $"v".isNull && $"id" <= 500L)
+    for (p <- preds) {
+      val cols = spark.read.format("graft").load(dir).filter(p)
+        .collect().map(_.toString).sorted.toSeq
+      val rowsMode = spark.read.format("graft")
+        .option("columnar", "false").load(dir).filter(p)
+        .collect().map(_.toString).sorted.toSeq
+      assert(cols == rowsMode, s"divergence for $p")
+    }
+  }
+}
