@@ -282,6 +282,12 @@ final class GraftTable(
     val columnar = Seq(Option(options.get("columnar")),
       Option(props.get("columnar"))).flatten.headOption
       .forall(_.trim.toBoolean)
+    // parquet row-group skipping inside surviving files — ON by default;
+    // option/table-property kill switch (pruning-only, so "off" is always
+    // safe, just slower)
+    val rowGroupFilter = Seq(Option(options.get("rowGroupFilter")),
+      Option(props.get("rowGroupFilter"))).flatten.headOption
+      .forall(_.trim.toBoolean)
     // TIMESTAMP window options (Delta CDF parity): resolved here against
     // commit times, so both the batch feed and the streaming source see
     // plain versions. Timestamps are UTC wall-clock (commit stamps are
@@ -319,7 +325,8 @@ final class GraftTable(
       endingVersion = Option(options.get("endingVersion"))
         .map(_.trim.toInt)
         .orElse(endTs.map(CowTable.versionAtOrBefore(root, _))))
-    new GraftScanBuilder(root, m, schema(), columnar, streamOpts)
+    new GraftScanBuilder(root, m, schema(), columnar, streamOpts,
+      rowGroupFilter = rowGroupFilter)
   }
 
   override def newWriteBuilder(
@@ -424,7 +431,10 @@ final class GraftScanBuilder(
       * [[SourceBoundedRowLevelOp]]): evaluated at partition-planning time,
       * AFTER the optimizer rule ran its source-bounds job. None ⇒ no extra
       * pruning. Only row-level operations pass a real thunk. */
-    dynamicKeep: () => Option[Set[String]] = () => None)
+    dynamicKeep: () => Option[Set[String]] = () => None,
+    /** Parquet row-group skipping toggle (option/table property
+      * `rowGroupFilter`, default on). */
+    rowGroupFilter: Boolean = true)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -436,6 +446,7 @@ final class GraftScanBuilder(
   // (output schema, the pre-computed result rows — one per group)
   private var pushedAgg: Option[(StructType, Seq[Array[Any]])] = None
   private var pushed: Array[Filter] = Array.empty
+  private var allPushed: Seq[Filter] = Nil
   private var bounds: Seq[(Option[Any], Option[Any])] = Nil
   private var partValues: Option[Set[String]] = None
   // `pk IS NOT NULL` pushed: null-partition (sentinel-dir) files prune —
@@ -619,6 +630,11 @@ final class GraftScanBuilder(
     val derived = deriveFromSource(filters)
     pushed = (usable.map(_._1) ++ parts.map(_._1) ++ stats.map(_._1) ++
       notNullPart ++ derived).distinct
+    // EVERYTHING Spark offered, for row-group skipping: a conjunct the
+    // MANIFEST can't use (equality on an undeclared column) still prunes
+    // row groups via footer stats — per-file typed conversion declines
+    // whatever doesn't apply ([[ParquetRowGroupFilter]])
+    allPushed = filters.toSeq
     // EXACT CONSUMPTION of whole-conjunct partition filters: a top-level
     // `pk = v` / `pk IN (...)` is fully answered by path pruning when
     // EVERY file carries a path-borne partition value (a file's rows all
@@ -1152,7 +1168,8 @@ final class GraftScanBuilder(
     }
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
       extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes,
-      dynamicKeep, topNPush, limitPush, pushedSource = pushed.toSeq)
+      dynamicKeep, topNPush, limitPush,
+      pushedSource = if (rowGroupFilter) allPushed else Nil)
   }
 }
 
