@@ -132,17 +132,20 @@ class RowGroupFilterSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 3000L).map { i =>
       (i, if (rnd.nextInt(10) == 0) null else s"v${rnd.nextInt(100)}",
-        rnd.nextDouble() * 100 - 50)
+        rnd.nextDouble() * 100 - 50,
+        new java.sql.Timestamp(1700000000000L + i * 60000L))
     }
     val t = CowTable(spark, dir,
       TableConfig("t", Seq("id"), clusterByKey = true))
-    t.create(rows.toDF("id", "v", "x").repartitionByRange(3, $"id"))
+    t.create(rows.toDF("id", "v", "x", "ts").repartitionByRange(3, $"id"))
     val preds = Seq(
       $"id" >= 1200L && $"id" < 1300L,
       $"v" === "v42",
       $"x" > 0.0,
       $"id" === 77L || $"v" === "v7",
-      $"v".isNull && $"id" <= 500L)
+      $"v".isNull && $"id" <= 500L,
+      $"ts" >= new java.sql.Timestamp(1700000000000L + 2000L * 60000L),
+      $"ts" === new java.sql.Timestamp(1700000000000L + 123L * 60000L))
     for (p <- preds) {
       val cols = spark.read.format("graft").load(dir).filter(p)
         .collect().map(_.toString).sorted.toSeq
