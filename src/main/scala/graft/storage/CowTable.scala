@@ -1532,8 +1532,17 @@ final class CowTable private[storage] (
     val v = parent + 1
     // dataChange=true: a rollback logically changes table content (restored
     // rows must reach change-feed consumers) even though no data is copied.
+    // The copied manifest must NOT carry the TARGET's cdcDir — those are
+    // the target commit's own changes, and a feed read of v would re-emit
+    // them as the restore's (silently wrong rows). A CDF table instead
+    // materializes the restore DIFF (current snapshot vs restored snapshot
+    // by key; identical-row churn from intervening rewrites filters out),
+    // so the file-partition feed serves the rollback exactly; non-CDF
+    // tables keep None (the API file-diff branch still answers).
+    val cdc = replaceCdc(m, manifest(parent).files, m.files,
+      structFromJson(m.schemaJson), forVersion = v)
     commitManifest(m.copy(version = v, parent = parent, dataChange = true,
-      commitTimeMs = clockMs()))
+      commitTimeMs = clockMs(), cdcDir = cdc))
     v
   }
 
@@ -2530,7 +2539,8 @@ final class CowTable private[storage] (
     * O(replaced files), the standard CDF write amplification. Returns the
     * `_cdc` dir for the commit; None when the table doesn't feed. */
   private[graft] def replaceCdc(m: CommitManifest, scanned: Seq[FileEntry],
-      fresh: Seq[FileEntry], commitSchema: StructType): Option[String] = {
+      fresh: Seq[FileEntry], commitSchema: StructType,
+      forVersion: Int = -1): Option[String] = {
     if (!config.changeDataFeed || scanned.isEmpty) return None
     val mV = m.copy(schemaJson = commitSchema.json)
     val marker = "__graft_present"
@@ -2558,7 +2568,8 @@ final class CowTable private[storage] (
       .select(commitSchema.fields.toSeq.map(f =>
         col(s"__c.${f.name}").as(f.name)) :+
         col("__c._change_type").as("_change_type"): _*)
-    writeCdc(changes, m.version + 1, m.columnMapping)
+    writeCdc(changes, if (forVersion > 0) forVersion else m.version + 1,
+      m.columnMapping)
   }
 
   private def commitWithRebase(

@@ -38,32 +38,44 @@ class CdfDifferentialSpec extends SparkSpec {
       t.create((1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
         .repartitionByRange(4, $"id"))
       val live = scala.collection.mutable.Set[Long]((1L to 40L): _*)
+      // live KEY set per committed version (rollback restores from here;
+      // value-level state is checked by the feed comparison itself)
+      val states = scala.collection.mutable.ArrayBuffer[Set[Long]](
+        Set.empty, live.toSet) // index = version; v0 unused, v1 = create
       val sqlName = s"cdfdiff_$seed"
       spark.sql(s"DROP TABLE IF EXISTS $sqlName")
       spark.sql(s"CREATE TABLE $sqlName USING graft LOCATION '$dir'")
       try {
         (1 to 6).foreach { _ =>
-          rnd.nextInt(4) match {
+          val committed = rnd.nextInt(5) match {
             case 0 => // append new keys
               val ids = (nextId until nextId + 3 + rnd.nextInt(4)).toSeq
               nextId = ids.max + 1
               t.upsert(ids.map(i => (i, s"n$i")).toDF("id", "name"))
-              live ++= ids
+              live ++= ids; true
             case 1 => // row-level delete of scattered keys (DV + cdc)
               val ks = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(3))
               if (ks.nonEmpty) { t.delete(ks.toDF("id")); live --= ks }
+              ks.nonEmpty
             case 2 => // retention cut: metadata-only iff file-covered
               val sorted = live.toSeq.sorted
               if (sorted.size > 4) {
                 val cut = sorted(rnd.nextInt(sorted.size / 2))
                 spark.sql(s"DELETE FROM $sqlName WHERE id <= $cut")
                 live --= live.filter(_ <= cut)
-              }
+                true
+              } else false
             case 3 => // upsert existing keys (rewrite, materialized cdc)
               val ks = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(3))
               if (ks.nonEmpty)
                 t.upsert(ks.map(i => (i, s"upd$i")).toDF("id", "name"))
+              ks.nonEmpty
+            case 4 => // rollback: restore-diff materialization (CDF)
+              val tgt = 1 + rnd.nextInt(states.size - 1)
+              t.rollbackTo(tgt)
+              live.clear(); live ++= states(tgt); true
           }
+          if (committed) states += live.toSet
         }
         t.compact(smallBytes = 1L << 30) // reorg: both feeds must skip it
         val cur = t.currentVersion

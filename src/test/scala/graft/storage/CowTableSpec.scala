@@ -557,8 +557,11 @@ class CowTableSpec extends SparkSpec {
     val roll = t.readChangeFeed(4, v5)
       .select("id", "name", "_commit_version", "_change_type")
       .as[(Long, String, Int, String)].collect().toSet
-    // id 3 shows as unchanged-value churn: the compacted v4 file co-located
-    // it with the others (the documented file-granularity caveat)
+    // id 3 shows as unchanged-value churn: this table is NOT a CDF table
+    // (the file-diff branch answers, file-granularity caveat documented) —
+    // the compacted v4 file co-located id 3 with rewritten neighbors. A
+    // changeDataFeed table materializes the restore diff instead and
+    // filters the churn (see the CDF rollback test below)
     assert(roll == Set(
       (1L, "a", v5, "insert"),
       (2L, "B2", v5, "update_preimage"),
@@ -566,6 +569,36 @@ class CowTableSpec extends SparkSpec {
       (3L, "c", v5, "update_preimage"),
       (3L, "c", v5, "update_postimage"),
       (4L, "d", v5, "delete")), s"got $roll")
+  }
+
+  test("rollback on a CDF table materializes the restore diff — never the " +
+      "target commit's stale change rows") {
+    val dir = tmpDir("cow")
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("t", Seq("id"), changeDataFeed = true))
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")) // v1
+    t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "name")) // v2: cdc rows
+    assert(t.manifest(2).cdcDir.isDefined)
+    t.delete(Seq(Tuple1(3L)).toDF("id"))                    // v3: del 3
+    // REGRESSION: the v4 manifest is a copy of v2's — it must NOT carry
+    // v2's cdcDir (a feed read of v4 would re-emit v2's recorded rows as
+    // the restore's). The true diff from {1a,2B2,4d} back to v2's state
+    // {1a,2B2,3c,4d} is exactly "3 comes back" — which v2's stale change
+    // rows never mention; unchanged keys emit nothing (churn filtered).
+    val v4 = t.rollbackTo(2)
+    assert(t.manifest(v4).cdcDir != t.manifest(2).cdcDir,
+      "rollback must not inherit the target's cdcDir")
+    val roll = t.readChangeFeed(3, v4)
+      .select("id", "name", "_commit_version", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(roll == Set((3L, "c", v4, "insert")), s"got $roll")
+    // the DSv2 file-partition feed serves the same rows (it has no diff
+    // join — only the materialized dir makes the commit readable)
+    val dsv2 = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", v4.toString).load(dir + "/t")
+      .select("id", "name", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(dsv2 == Set((3L, "c", "insert")), s"got $dsv2")
   }
 
   test("maxRecordsPerFile caps data-file size on every write path") {
