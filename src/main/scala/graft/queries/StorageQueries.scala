@@ -2797,5 +2797,40 @@ object StorageQueries {
         """SELECT event_id, event_type, _change_type, _commit_version
           |FROM table_changes('lake.default.tcev', 2)
           |""".stripMargin)
+    },
+
+    // ROLLBACK CDF MATERIALIZATION (round 15): restoring a snapshot on a
+    // changeDataFeed table materializes the restore DIFF — the rolled-away
+    // deletes come back as inserts, rows untouched by the interval emit
+    // NOTHING (churn-filtered), and the commit must not inherit the
+    // target's stale change rows. The feed across (1,3] is then exactly
+    // "v2's deletes + their v3 resurrection", which DuckDB replays
+    // logically from the base slice.
+    Q("q215_rollback_cdf",
+      """WITH base AS (
+        |  SELECT event_id, event_type FROM events WHERE event_id <= 2000)
+        |SELECT event_id, event_type,
+        |       'delete' AS _change_type, CAST(2 AS INT) AS _commit_version
+        |FROM base WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, event_type,
+        |       'insert' AS _change_type, CAST(3 AS INT) AS _commit_version
+        |FROM base WHERE event_type = 'error'
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q215")
+      val ev = t(s, d, "events").select("event_id", "event_type")
+        .filter(col("event_id") <= 2000)
+      val tbl = CowTable.replace(s, root,
+        TableConfig("events_rb", Seq("event_id"), changeDataFeed = true),
+        ev)                                                        // v1
+      tbl.delete(ev.filter(col("event_type") === "error")
+        .select("event_id"))                                       // v2: cdc
+      val v3 = tbl.rollbackTo(1)
+      require(v3 == 3, s"rollback must be one commit, got v$v3")
+      require(tbl.manifest(3).cdcDir.isDefined,
+        "CDF rollback must materialize the restore diff")
+      tbl.readChangeFeed(1, 3)
+        .select(col("event_id"), col("event_type"),
+          col("_change_type"), col("_commit_version"))
     })
 }
