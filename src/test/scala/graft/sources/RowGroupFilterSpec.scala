@@ -88,6 +88,28 @@ class RowGroupFilterSpec extends SparkSpec {
     assert(s >= 1L && s < 4000L, s"string eq read $s")
   }
 
+  test("widening interplay: a narrower-era file declines the wide predicate") {
+    import org.apache.parquet.schema.MessageTypeParser.parseMessageType
+    val f32 = parseMessageType("message m { optional int32 n; }")
+    val f64 = parseMessageType("message m { optional int64 n; }")
+    // post-widen BIGINT predicate: the INT32-era file must DECLINE (parquet
+    // would throw on the type mismatch; pruning stays per-file optional),
+    // the INT64-era file converts
+    val pred = Seq(EqualTo("n", java.lang.Long.valueOf(5L)))
+    assert(ParquetRowGroupFilter.predicateFor(f32, pred).isEmpty)
+    assert(ParquetRowGroupFilter.predicateFor(f64, pred).isDefined)
+    // decimal ANNOTATION on the same physical type also declines an
+    // integer literal (an unscaled decimal int is not the long's value)
+    val fdec = parseMessageType(
+      "message m { optional int64 n (DECIMAL(12,2)); }")
+    assert(ParquetRowGroupFilter.predicateFor(fdec, pred).isEmpty)
+    // logical→physical name mapping routes the lookup
+    val fphys = parseMessageType("message m { optional int64 col_7x; }")
+    assert(ParquetRowGroupFilter.predicateFor(
+      fphys, pred, Map("n" -> "col_7x")).isDefined)
+    assert(ParquetRowGroupFilter.predicateFor(fphys, pred).isEmpty)
+  }
+
   test("floating-point corners: NaN and signed zero never mis-skip") {
     val dir = tmpDir("rgf") + "/fp"
     // one row group per tricky population, written as separate files then
