@@ -115,6 +115,39 @@ class TypeWideningSpec extends SparkSpec {
       .getLong(0) == 7L)
   }
 
+  test("change feed across a widen: both eras conform to the wide type") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.cf (id BIGINT, n INT) " +
+      "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true')")   // v1
+    sess.sql("INSERT INTO lake.default.cf VALUES (1, 10), (2, 20)") // v2
+    sess.sql("ALTER TABLE lake.default.cf ALTER COLUMN n TYPE BIGINT") // v3
+    sess.sql("INSERT INTO lake.default.cf VALUES (3, 4000000000)")  // v4
+    sess.sql("DELETE FROM lake.default.cf WHERE id = 1")            // v5
+    val got = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(lake + "/cf")
+      .select("id", "n", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSet
+    // the schema-bearing widen commit itself emits nothing (reorg); the
+    // INT-era inserts read as longs; the post-widen insert and the delete
+    // preimage ride normally
+    assert(got == Set(
+      (1L, 10L, "insert", 2), (2L, 20L, "insert", 2),
+      (3L, 4000000000L, "insert", 4),
+      (1L, 10L, "delete", 5)), got.toString)
+    // the API path agrees
+    val t = graft.storage.CowTable(spark, lake + "/cf",
+      graft.storage.TableConfig("cf", Seq("id"), changeDataFeed = true))
+    val api = t.readChangeFeed(0, t.currentVersion)
+      .select("id", "n", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(api == got, api.toString)
+  }
+
   test("non-lossless or stat-unsafe retypes are rejected loudly") {
     val lake = tmpDir("widen")
     val sess = lakeSession(lake)
