@@ -125,34 +125,47 @@ object Bench {
       }
     }.toMap
     val brackets = quietBrackets()
+    // remeasured: name -> (first timing, retiming, 1-min loadavg at retime)
     val remeasured =
-      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val times = names.filterNot(errors.contains).map { n =>
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        materialize(n)
-        (System.nanoTime() - t0) / 1e9
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    def pass(n: String): Double = {
+      val t0 = System.nanoTime()
+      materialize(n)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val timesMap = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.filterNot(errors.contains).foreach { n =>
+      try timesMap(n) = pass(n)
+      catch {
+        case e: Throwable => errors(n) = String.valueOf(e.getMessage)
       }
-      try {
-        val t = pass()
-        // timed >> its own warmup ⇒ something else was eating the machine
-        // during the timed pass; timed >> the committed quiet bracket ⇒
-        // contention even when the warmup was contended too (the r12 q100
-        // blind spot). Either way: re-measure once, report the minimum.
-        val contended = (t > 3 * warmups(n) && t > 1.0) ||
-          brackets.get(n).exists(b => t > 2 * b && t > 1.0)
-        val finalT =
-          if (contended) {
-            val t2 = pass()
-            remeasured(n) = (t, t2)
-            math.min(t, t2)
-          } else t
-        Some(n -> finalT)
-      } catch {
-        case e: Throwable =>
-          errors(n) = String.valueOf(e.getMessage); None
+    }
+    // timed >> its own warmup ⇒ something else was eating the machine
+    // during the timed pass; timed >> the committed quiet bracket ⇒
+    // contention even when the warmup was contended too (the r12 q100
+    // blind spot). Re-measure AFTER the suite drains, behind a fresh load
+    // gate — an inline remeasure re-times inside the SAME contention
+    // window and systematically confirms the artifact (r14 q132 7.1→19.6,
+    // r15 q143 4.6→11.0). Each retiming carries its loadavg stamp.
+    val contendedNames = timesMap.collect {
+      case (n, t) if (t > 3 * warmups(n) && t > 1.0) ||
+        brackets.get(n).exists(b => t > 2 * b && t > 1.0) => n
+    }.toSeq
+    if (contendedNames.nonEmpty) {
+      System.err.println(s"[bench] remeasuring ${contendedNames.size} " +
+        s"contended queries after drain: ${contendedNames.mkString(", ")}")
+      loadGate() // re-acquire: wait out whatever loaded the timed pass
+      contendedNames.foreach { n =>
+        val l1 = scala.util.Try(
+          loadavg().split("\\s+")(0).toDouble).getOrElse(-1.0)
+        try {
+          val t2 = pass(n)
+          remeasured(n) = (timesMap(n), t2, l1)
+          timesMap(n) = math.min(timesMap(n), t2)
+        } catch { case _: Throwable => () } // keep the original timing
       }
-    }.collect { case Some(kv) => kv }
+    }
+    val times = timesMap.toSeq
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -164,7 +177,7 @@ object Bench {
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val qs = jmap(times.map { case (k, v) => k -> v.toString })
     val ws = jmap(times.map { case (k, _) => k -> warmups(k).toString })
-    val rs = jmap(remeasured.map { case (k, (a, b)) => k -> s"[$a,$b]" })
+    val rs = jmap(remeasured.map { case (k, (a, b, l)) => k -> s"[$a,$b,$l]" })
     val errs = jmap(errors.map { case (k, v) => k -> jstr(v) })
     val total = times.map(_._2).sum
     val gcSec = (gcMillis() - gcStart) / 1e3
@@ -176,7 +189,8 @@ object Bench {
     if (remeasured.nonEmpty) System.err.println(
       s"[bench] REMEASURED (timed >3x warmup or >2x quiet bracket — " +
         "contention suspected): " +
-        remeasured.map { case (k, (a, b)) => f"$k $a%.2f->$b%.2f" }
+        remeasured.map { case (k, (a, b, l)) =>
+          f"$k $a%.2f->$b%.2f (load $l%.2f)" }
           .mkString(", "))
     spark.stop()
   }

@@ -148,20 +148,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val path =
           if (ref.contains("/")) ref
           else {
-            val (cat, name) = ref.split('.') match {
+            // a BARE name (the common Delta usage: table_changes('t', 2))
+            // resolves through the session's CURRENT catalog when that is
+            // a GraftCatalog — same resolution a plain `FROM t` gets
+            def notFound(): Nothing =
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "TABLE_OR_VIEW_NOT_FOUND",
+                messageParameters = Map("relationName" -> s"`$ref`"))
+            val (catOpt, name) = ref.split('.') match {
               case Array(c, ns, n) if ns.equalsIgnoreCase("default") =>
-                (c, n)
-              case Array(c, n) => (c, n)
+                (Some(c), n)
+              case Array(c, n) => (Some(c), n)
+              case Array(n) => (None, n)
               case _ =>
                 require(false, "table_changes", sig); sys.error("unreachable")
             }
-            scala.util.Try(
-              session.sessionState.catalogManager.catalog(cat)).toOption
-              .collect { case g: graft.sources.GraftCatalog => g }
-              .flatMap(_.tableRoot(name))
-              .getOrElse(throw new org.apache.spark.sql.AnalysisException(
-                errorClass = "TABLE_OR_VIEW_NOT_FOUND",
-                messageParameters = Map("relationName" -> s"`$ref`")))
+            val cat = catOpt match {
+              case Some(c) => scala.util.Try(
+                session.sessionState.catalogManager.catalog(c)).toOption
+                .collect { case g: graft.sources.GraftCatalog => g }
+              case None => Some(session.sessionState.catalogManager
+                .currentCatalog)
+                .collect { case g: graft.sources.GraftCatalog => g }
+            }
+            cat.flatMap(_.tableRoot(name)).getOrElse(notFound())
           }
         def bound(e: Expression, side: String)
             : (String, String) = e.dataType match {

@@ -321,6 +321,8 @@ final class GraftTable(
         .map(_.trim.toInt),
       maxRowsPerBatch = Option(options.get("maxRowsPerBatch"))
         .map(_.trim.toLong),
+      maxBytesPerBatch = Option(options.get("maxBytesPerBatch"))
+        .map(_.trim.toLong),
       readChangeFeed = cdfRead,
       endingVersion = Option(options.get("endingVersion"))
         .map(_.trim.toInt)
@@ -761,6 +763,15 @@ final class GraftScanBuilder(
             }
         case _ => return None
       }
+    // a partition whose files are ALL fully DV-deleted (liveRows sums to 0)
+    // still lists its files in the manifest (writeFoldedSidecar keeps them
+    // for time travel) — but a real scan emits NO group for it: neither
+    // `SELECT DISTINCT part` nor a grouped COUNT may surface the value.
+    // Drop dead groups before emitting; the GLOBAL (no group-by) row is
+    // unaffected and still always emitted (partial-COUNT contract).
+    val liveGroups =
+      if (agg.groupByExpressions.isEmpty) groups
+      else groups.filter { case (_, fs) => fs.map(_.liveRows).sum > 0 }
     if (groups.isEmpty) return None // zero files: the plain scan handles it
     def statsUsable(fs: Seq[FileEntry]): Boolean =
       fs.forall(e => e.dvPath.isEmpty &&
@@ -815,7 +826,7 @@ final class GraftScanBuilder(
       StructField(pcol, fullSchema(pcol).dataType, nullable = true)
     }
     val aggFields = scala.collection.mutable.ArrayBuffer.empty[StructField]
-    val rows = groups.map { case (gv, fs) =>
+    val rows = liveGroups.map { case (gv, fs) =>
       aggFields.clear()
       val values = scala.collection.mutable.ArrayBuffer.empty[Any]
       gv.foreach(values += _)

@@ -31,6 +31,13 @@ final case class GraftStreamOptions(
       * tighter of the two. Sizing-only: batch CONTENT semantics are
       * unchanged. None = unbounded. */
     maxRowsPerBatch: Option[Long] = None,
+    /** Admission control by BYTES: rows are the wrong unit for wide
+      * multimodal tables (one commit's rows can be 100× another's bytes at
+      * equal count) — this caps cumulative added-file bytes per batch from
+      * the per-file sizes the manifest already carries. Same progress
+      * guarantee and composition rules as [[maxRowsPerBatch]]: the
+      * tightest of all three caps wins. None = unbounded. */
+    maxBytesPerBatch: Option[Long] = None,
     /** Stream the CHANGE FEED instead of the row stream: append commits
       * emit their added rows as `insert`s, mutation commits emit their
       * materialized `_cdc` rows (I/U/D with preimage deletes). Requires
@@ -114,36 +121,59 @@ final class GraftMicroBatchStream(
       case Some(n) => math.min(current, from + n)
       case None => current
     }
-    val rowCapped = opts.maxRowsPerBatch match {
-      case None => capped
-      case Some(cap) =>
-        // walk forward accumulating each commit's ADDED-file rows (the
-        // emitted volume; 0 for non-dataChange reorgs); admit the first
-        // commit unconditionally. Any manifest trouble defers to batch
-        // planning, where the error message is actionable.
-        scala.util.Try {
-          var v = from
-          var acc = 0L
-          var stop = false
-          while (!stop && v < capped) {
-            val m = CowTable.manifestAt(root, v + 1)
-            val rows =
-              if (!m.dataChange) 0L
-              else {
-                val parentPaths: Set[String] =
-                  if (m.parent <= 0) Set.empty
-                  else CowTable.manifestAt(root, m.parent)
-                    .files.map(_.path).toSet
-                m.files.filterNot(e => parentPaths(e.path)).map(_.rows).sum
-              }
-            if (acc > 0L && acc + rows > cap) stop = true
-            else { acc += rows; v += 1 }
+    val volCapped =
+      if (opts.maxRowsPerBatch.isEmpty && opts.maxBytesPerBatch.isEmpty) capped
+      else {
+        // walk forward accumulating each commit's ADDED-file volume (rows
+        // and bytes; 0 for non-dataChange reorgs) from the memoized
+        // per-commit cache — manifests are immutable, so a long backlog
+        // costs O(backlog) parses ONCE, not per trigger. Admit the first
+        // volume-bearing commit unconditionally (progress guarantee); stop
+        // once EITHER cap would be exceeded.
+        var v = from
+        var accR = 0L
+        var accB = 0L
+        var stop = false
+        while (!stop && v < capped) {
+          commitVolume(v + 1) match {
+            case Some((rows, bytes)) =>
+              val over = opts.maxRowsPerBatch.exists(accR + rows > _) ||
+                opts.maxBytesPerBatch.exists(accB + bytes > _)
+              if ((accR > 0L || accB > 0L) && over) stop = true
+              else { accR += rows; accB += bytes; v += 1 }
+            case None =>
+              // THIS commit's manifest is unreadable: admit the readable
+              // prefix (or just this commit when nothing else is admitted,
+              // so batch planning raises its actionable error) — never
+              // silently wave the whole backlog past the cap.
+              if (v == from) v += 1
+              stop = true
           }
-          v
-        }.getOrElse(capped)
-    }
-    GraftOffset(math.max(from, rowCapped))
+        }
+        v
+      }
+    GraftOffset(math.max(from, volCapped))
   }
+
+  /** Memoized ADDED volume (rows, bytes) of commit `v` — computed once per
+    * stream instance (commit manifests are immutable); None when v's or its
+    * parent's manifest is unreadable (the error scope is PER COMMIT, so an
+    * unreadable commit never disables admission for the readable prefix). */
+  private val volumeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Option[(Long, Long)]]
+
+  private def commitVolume(v: Int): Option[(Long, Long)] =
+    volumeCache.getOrElseUpdate(v, scala.util.Try {
+      val m = CowTable.manifestAt(root, v)
+      if (!m.dataChange) (0L, 0L)
+      else {
+        val parentPaths: Set[String] =
+          if (m.parent <= 0) Set.empty
+          else CowTable.manifestAt(root, m.parent).files.map(_.path).toSet
+        val added = m.files.filterNot(e => parentPaths(e.path))
+        (added.map(_.rows).sum, added.map(_.bytes).sum)
+      }
+    }.toOption)
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")

@@ -1539,8 +1539,10 @@ final class CowTable private[storage] (
     // by key; identical-row churn from intervening rewrites filters out),
     // so the file-partition feed serves the rollback exactly; non-CDF
     // tables keep None (the API file-diff branch still answers).
-    val cdc = replaceCdc(m, manifest(parent).files, m.files,
-      structFromJson(m.schemaJson), forVersion = v)
+    val pm = manifest(parent)
+    val cdc = replaceCdc(m, pm.files, m.files,
+      structFromJson(m.schemaJson), forVersion = v,
+      scannedSchema = Some(structFromJson(pm.schemaJson)))
     commitManifest(m.copy(version = v, parent = parent, dataChange = true,
       commitTimeMs = clockMs(), cdcDir = cdc))
     v
@@ -2540,14 +2542,42 @@ final class CowTable private[storage] (
     * `_cdc` dir for the commit; None when the table doesn't feed. */
   private[graft] def replaceCdc(m: CommitManifest, scanned: Seq[FileEntry],
       fresh: Seq[FileEntry], commitSchema: StructType,
-      forVersion: Int = -1): Option[String] = {
+      forVersion: Int = -1,
+      scannedSchema: Option[StructType] = None): Option[String] = {
     if (!config.changeDataFeed || scanned.isEmpty) return None
     val mV = m.copy(schemaJson = commitSchema.json)
     val marker = "__graft_present"
     val a = readFiles(mV, fresh).withColumn(marker, lit(1)).alias("a")
-    val r = readFiles(mV, scanned).withColumn(marker, lit(1)).alias("r")
+    // the scanned side may come from a DIFFERENT schema era than the
+    // commit (a rollback across a metadata-only type widening: current
+    // INT64 files under the target's INT read-schema would fail at scan
+    // time) — read it under ITS era's schema, then cast to the commit
+    // schema so the diff compares like types. A column the scanned era
+    // never had reads as NULL (rollback across a column drop).
+    val r0 = scannedSchema match {
+      case None => readFiles(mV, scanned)
+      case Some(ss) =>
+        val raw = readFiles(m.copy(schemaJson = ss.json), scanned)
+        raw.select(commitSchema.fields.toSeq.map { f =>
+          if (ss.fieldNames.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+    val r = r0.withColumn(marker, lit(1)).alias("r")
     val cond = config.primaryKey.map(k => col(s"a.$k") <=> col(s"r.$k"))
       .reduce(_ && _)
+    // the full-outer diff is keyed: a DUPLICATE primary key on either side
+    // (plain INSERT INTO does not enforce uniqueness) would cross-product
+    // into spurious update pre/post rows. Detect (one agg over both sides)
+    // and decline materialization — the feed then fails LOUDLY as a
+    // rewrite instead of serving wrong change rows.
+    val kc = config.primaryKey.map(col)
+    val hasDup = a.select(kc: _*).withColumn("__side", lit("a"))
+      .unionAll(r.select(kc: _*).withColumn("__side", lit("r")))
+      .groupBy(col("__side") +: kc: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).head(1).nonEmpty
+    if (hasDup) return None
     val aPresent = col(s"a.$marker").isNotNull
     val rPresent = col(s"r.$marker").isNotNull
     def image(side: String, tpe: String) = struct(

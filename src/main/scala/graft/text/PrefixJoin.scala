@@ -61,30 +61,43 @@ object PrefixJoin {
       .withColumn("__L",
         col("n") - floor((col("n") * tNum + lit(tDen - 1)) / lit(tDen))
           .cast("long") + lit(1L))
-    val pre = toks.select(col("doc_id"), col("n"),
+    // Materialize the tokenize pipeline (explode + lower + DISTINCT + df
+    // join + sort-collect — two shuffles) exactly ONCE: everything below —
+    // the prefix table, both self-join sides, and both verification
+    // join-backs — derives from this cut. Without it the whole stage
+    // re-executes ~5× (guard action, a, b, ta-join, tb-join) — at corpus
+    // scale the tokenize pass dominates, so the cut is the scale fix, not
+    // a micro-optimization. Same discipline as TextDedup.nearDupPairs.
+    val toksM = TextDedup.checkpointed(toks)
+    val pre = toksM.select(col("doc_id"), col("n"),
       explode(slice(col("toks"), lit(1), col("__L").cast("int"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = try {
+      // LOUD guard on the hottest prefix token before the self-join
+      val worst = pre.groupBy("w").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket).orderBy(col("__n").desc).head(1)
+      require(worst.isEmpty,
+        s"PrefixJoin: prefix token ${worst.headOption.fold("")(_.toString)} " +
+          s"indexes more than maxBucket=$maxBucket documents — the prefix " +
+          "self-join would go quadratic on one reducer. Raise the threshold, " +
+          "dedup exact duplicates first, or raise maxBucket.")
 
-    // LOUD guard on the hottest prefix token before the self-join
-    val worst = pre.groupBy("w").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket).orderBy(col("__n").desc).head(1)
-    require(worst.isEmpty,
-      s"PrefixJoin: prefix token ${worst.headOption.fold("")(_.toString)} " +
-        s"indexes more than maxBucket=$maxBucket documents — the prefix " +
-        "self-join would go quadratic on one reducer. Raise the threshold, " +
-        "dedup exact duplicates first, or raise maxBucket.")
-
-    val a = pre.select(col("doc_id").as("id_a"), col("n").as("na"), col("w"))
-    val b = pre.select(col("doc_id").as("id_b"), col("n").as("nb"), col("w"))
-    val cands = a.join(b, Seq("w"))
-      .filter(col("id_a") < col("id_b") &&
-        col("nb") * tDen >= col("na") * tNum &&
-        col("na") * tDen >= col("nb") * tNum)
-      .select("id_a", "id_b").distinct()
+      val a = pre.select(col("doc_id").as("id_a"), col("n").as("na"), col("w"))
+      val b = pre.select(col("doc_id").as("id_b"), col("n").as("nb"), col("w"))
+      // candidate set materialized eagerly while `pre` is still cached —
+      // nothing downstream re-touches the prefix table
+      a.join(b, Seq("w"))
+        .filter(col("id_a") < col("id_b") &&
+          col("nb") * tDen >= col("na") * tNum &&
+          col("na") * tDen >= col("nb") * tNum)
+        .select("id_a", "id_b").distinct()
+        .localCheckpoint()
+    } finally pre.unpersist(blocking = false)
 
     cands
-      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+      .join(toksM.select(col("doc_id").as("id_a"), col("toks").as("ta"),
         col("n").as("na")), "id_a")
-      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+      .join(toksM.select(col("doc_id").as("id_b"), col("toks").as("tb"),
         col("n").as("nb")), "id_b")
       .withColumn("__i",
         size(array_intersect(col("ta"), col("tb"))).cast("long"))

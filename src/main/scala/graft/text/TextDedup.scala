@@ -55,7 +55,7 @@ object TextDedup {
     * (cluster mode — survives executor loss, where a lost
     * localCheckpoint partition kills the whole multi-round job),
     * `localCheckpoint()` otherwise (local/test: no HDFS round-trip). */
-  private def checkpointed(df: DataFrame): DataFrame =
+  private[text] def checkpointed(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()

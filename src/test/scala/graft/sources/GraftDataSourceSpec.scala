@@ -84,6 +84,28 @@ class GraftDataSourceSpec extends SparkSpec {
       Set(Some("A"), Some("B"), None))
   }
 
+  test("a fully DV-deleted partition vanishes from DISTINCT and grouped " +
+      "COUNT manifest answers") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionKey = Some("seg"), changeDataFeed = true,
+      deletionVectors = true))
+    t.create(Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "C"))
+      .toDF("id", "seg"))
+    // kill partition B entirely via deletion vectors: its files stay in
+    // the manifest (liveRows == 0) but a real scan has no B rows left
+    t.delete(Seq(3L, 4L).toDF("id"))
+    val df = spark.read.format("graft").load(dir + "/t")
+    val d = df.select("seg").distinct()
+    assert(d.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      d.queryExecution.executedPlan.toString) // still the manifest answer
+    assert(d.as[String].collect().toSet == Set("A", "C"))
+    val g = df.groupBy($"seg").count()
+    assert(g.queryExecution.executedPlan.toString.contains("manifest_agg_"))
+    assert(g.as[(String, Long)].collect().toSet ==
+      Set(("A", 2L), ("C", 1L))) // no ("B", 0) ghost group
+  }
+
   test("MIN/MAX of the leading key answer from footer stats; DV rejects") {
     val dir = tmpDir("dsv2")
     val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))

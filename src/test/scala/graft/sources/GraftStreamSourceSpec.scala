@@ -117,6 +117,49 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(dst2.currentVersion == 3, s"v=${dst2.currentVersion}")
   }
 
+  test("maxBytesPerBatch paces by BYTES under size skew; tighter cap wins") {
+    val dir = tmpDir("gstream")
+    val t = CowTable(spark, dir + "/src", TableConfig("t", Seq("id")))
+    // equal ROW counts, wildly unequal BYTES: v2 carries a fat payload
+    // (sha2-derived so parquet can't compress it away)
+    def fat(lo: Long, hi: Long) = (lo to hi).map(i => (i, s"name$i", i * 1.5))
+      .toDF("id", "name", "v")
+      .withColumn("name", concat((1 to 40).map(j =>
+        sha2(concat($"id".cast("string"), lit(j)), 256)): _*))
+    t.create(rows(1, 10))    // v1: 10 small rows
+    t.upsert(fat(11, 20))    // v2: 10 fat rows (~25 kB)
+    t.upsert(rows(21, 30))   // v3: 10 small rows
+    val root = java.nio.file.Paths.get(dir + "/src")
+    def addedBytes(v: Int): Long = {
+      val m = CowTable.manifestAt(root, v)
+      val pp = if (m.parent <= 0) Set.empty[String]
+        else CowTable.manifestAt(root, m.parent).files.map(_.path).toSet
+      m.files.filterNot(e => pp(e.path)).map(_.bytes).sum
+    }
+    val (b1, b2, b3) = (addedBytes(1), addedBytes(2), addedBytes(3))
+    assert(b2 > (b1 + b3) * 2, s"skew not realized: $b1 $b2 $b3")
+    // cap admits v1 alone (v1+v2 over), v2 alone via the progress
+    // guarantee, v3 alone ⇒ 3 sink epochs where a 30-row cap gives 1
+    val cap = (b1 + b3).toString
+    drain(dir + "/src", dir + "/dst", dir + "/ckpt",
+      Map("maxBytesPerBatch" -> cap))
+    assert(dstIds(dir + "/dst") == (1L to 30L).toSet)
+    val dst = CowTable(spark, dir + "/dst", TableConfig("dst", Seq("id")))
+    assert(dst.currentVersion == 3, s"v=${dst.currentVersion}")
+    // composition: a loose row cap does not relax the byte cap — the
+    // tightest of the caps decides the epoch boundary
+    drain(dir + "/src", dir + "/dst2", dir + "/ckpt2",
+      Map("maxBytesPerBatch" -> cap, "maxRowsPerBatch" -> "1000"))
+    val dst2 = CowTable(spark, dir + "/dst2", TableConfig("dst2", Seq("id")))
+    assert(dst2.currentVersion == 3, s"v=${dst2.currentVersion}")
+    assert(dstIds(dir + "/dst2") == (1L to 30L).toSet)
+    // ...and with no byte cap the same row budget coalesces everything
+    drain(dir + "/src", dir + "/dst3", dir + "/ckpt3",
+      Map("maxRowsPerBatch" -> "1000"))
+    val dst3 = CowTable(spark, dir + "/dst3", TableConfig("dst3", Seq("id")))
+    assert(dst3.currentVersion == 1, s"v=${dst3.currentVersion}")
+  }
+
   test("filters apply as residuals; batches read only each commit's adds") {
     val dir = tmpDir("gstream")
     val cfg = TableConfig("t", Seq("id"), partitionKey = Some("seg"))

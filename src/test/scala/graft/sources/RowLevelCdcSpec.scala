@@ -65,4 +65,39 @@ class RowLevelCdcSpec extends SparkSpec {
       .toSet
     assert(feed(lake + "/t", 1) == api)
   }
+
+  test("duplicate primary keys decline CDF materialization — the feed " +
+      "fails loudly instead of emitting cross-product change rows") {
+    val lake = tmpDir("rlcdc")
+    val sess = lakeSession(lake)
+    import sess.implicits._
+    // plain appends do not enforce pk uniqueness: id=2 lands twice in ONE
+    // file (coalesced CTAS), so the UPDATE's scanned side carries a dup key
+    Seq((1L, "a"), (2L, "b"), (2L, "B")).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("dupsrc")
+    sess.sql("CREATE TABLE lake.default.d TBLPROPERTIES (primaryKey 'id', " +
+      "changeDataFeed 'true') AS SELECT * FROM dupsrc")          // v1 + v2
+    sess.sql("UPDATE lake.default.d SET v = 'upd' WHERE id = 1") // v3
+    val t = CowTable(spark, lake + "/d", TableConfig("d", Seq("id"),
+      changeDataFeed = true))
+    // a keyed full-outer diff over a dup-key side would pair id=2's two
+    // rows cross-product — materialization declines instead
+    assert(t.manifest(3).cdcDir.isEmpty,
+      "dup-key commit must not materialize a (wrong) change feed")
+    // ...and the file-partition feed reports the rewrite loudly rather
+    // than serving fabricated update pre/post images
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "3").load(lake + "/d").collect()
+    }
+    assert(e.getMessage != null, e.toString)
+    // unique-key control on the same shape still materializes exactly
+    sess.sql("CREATE TABLE lake.default.u (id BIGINT, v STRING) " +
+      "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true')")
+    sess.sql("INSERT INTO lake.default.u VALUES (1,'a'), (2,'b')")
+    sess.sql("UPDATE lake.default.u SET v = 'upd' WHERE id = 1")
+    val u = CowTable(spark, lake + "/u", TableConfig("u", Seq("id"),
+      changeDataFeed = true))
+    assert(u.manifest(u.currentVersion).cdcDir.isDefined)
+  }
 }

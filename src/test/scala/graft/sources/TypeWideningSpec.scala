@@ -148,6 +148,31 @@ class TypeWideningSpec extends SparkSpec {
     assert(api == got, api.toString)
   }
 
+  test("rollback on a CDF table stays usable across a metadata-only widen") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.rb (id BIGINT, n INT) " +
+      "TBLPROPERTIES (primaryKey 'id', changeDataFeed 'true')")      // v1
+    sess.sql("INSERT INTO lake.default.rb VALUES (1, 10), (2, 20)")  // v2
+    sess.sql("ALTER TABLE lake.default.rb ALTER COLUMN n TYPE BIGINT") // v3
+    sess.sql("INSERT INTO lake.default.rb VALUES (3, 30)")           // v4
+    val t = graft.storage.CowTable(spark, lake + "/rb",
+      graft.storage.TableConfig("rb", Seq("id"), changeDataFeed = true))
+    // the restore diff must read the CURRENT (post-widen, INT64-physical)
+    // era under ITS schema, not the target's INT — pre-fix this threw at
+    // scan time, making rollback unusable on any widened CDF table
+    val v5 = t.rollbackTo(2)
+    assert(t.manifest(v5).cdcDir.isDefined, "restore diff not materialized")
+    val roll = t.readChangeFeed(4, v5)
+      .select("id", "n", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(roll == Set((3L, 30, "delete")), roll.toString)
+    // table content restored to the narrow era exactly
+    assert(sess.sql("SELECT id, n FROM lake.default.rb ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq ==
+      Seq(1L -> 10, 2L -> 20))
+  }
+
   test("non-lossless or stat-unsafe retypes are rejected loudly") {
     val lake = tmpDir("widen")
     val sess = lakeSession(lake)
