@@ -39,7 +39,7 @@ object KmvSketch {
     }
   }
 
-  private[functions] def mergeSorted(
+  private[graft] def mergeSorted(
       a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
     val out = new Array[Long](math.min(a.length + b.length, k))
     var i = 0; var j = 0; var n = 0
@@ -76,5 +76,28 @@ object KmvSketch {
   def kmvDistinct(hash48: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.udaf
     udaf(new Agg(k)).apply(hash48)
+  }
+
+  /** STATE-returning variant (sorted k-min hash array, nulls ignored) —
+    * what per-file NDV sketches persist in the manifest so scans can merge
+    * them per pruned file set (mergeability is the whole point: a KMV
+    * union is a merge-sort + cap, exact over any file subset). */
+  final class StateAgg(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+      if (h == null) buf else insert(buf, h.longValue(), k)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      mergeSorted(a, b, k)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  def kmvState(hash48: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.udaf
+    udaf(new StateAgg(k)).apply(hash48)
   }
 }

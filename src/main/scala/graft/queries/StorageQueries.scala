@@ -2832,5 +2832,107 @@ object StorageQueries {
       tbl.readChangeFeed(1, 3)
         .select(col("event_id"), col("event_type"),
           col("_change_type"), col("_commit_version"))
+    },
+
+    // PARTITION-SPEC EVOLUTION ON A TRANSFORM TABLE (round 16 — Iceberg
+    // REPLACE PARTITION FIELD, the day(ts)→hour(ts) shape a table takes as
+    // it grows hot; the reference's Iceberg path inherits this from the
+    // spec declared at /root/reference/src/iceberg/iceberg-initial-load
+    // .py:69). The evolution commit is metadata-only: old files keep their
+    // ts_day= layout, the post-evolution load lands under ts_hour= dirs,
+    // and a source-timestamp range predicate PRUNES BOTH ERAS — new files
+    // through the current transform, old files through the retired one
+    // (CommitManifest.priorSpecs replay). The generated ts_hour column is
+    // derived on read for pre-evolution rows (never null), which DuckDB
+    // replays as strftime over the source timestamp.
+    Q("q216_spec_evolution",
+      """SELECT event_id, event_type, value,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'
+        |""".stripMargin) { (s, d) =>
+      val root = tableDir("q216")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type", "value", "ts")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      val cut = lit("2024-01-05 00:00:00").cast("timestamp")
+      val t0 = CowTable(s, root, TableConfig("events_evo", Seq("event_id"),
+        partitionSpec = Some("day(ts)")))
+      t0.create(ev.filter(col("ts") < cut))            // old era: day dirs
+      val t1 = t0.alterPartitionSpec(Some("hour(ts)")) // metadata-only
+      require(!t1.manifest(2).dataChange &&
+        t1.manifest(2).priorSpecs == Seq("day(ts)"),
+        "evolution must be a metadata-only commit recording the prior spec")
+      t1.upsert(ev.filter(col("ts") >= cut))           // new era: hour dirs
+      val scan = s.read.format("graft").load(root)
+        .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      val plan = scan.queryExecution.executedPlan.toString
+      val fm = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan).getOrElse(
+        throw new IllegalStateException(s"no manifest scan in plan:\n$plan"))
+      require(fm.group(1).toInt < fm.group(2).toInt,
+        s"both-era pruning must drop files, got files=${fm.group(0)}")
+      require(plan.contains("priorEraFilters=1"),
+        s"retired-era pruning must engage:\n$plan")
+      scan.select("event_id", "event_type", "value", "ts_hour")
+    },
+
+    // FLOAT→DOUBLE TYPE WIDENING (round 16 — the one widening q213 left
+    // fenced): value-lossless (every float is exactly a double) but not
+    // stat-string-lossless, so the ALTER re-derives the float-era files'
+    // stat strings into double space (O(files) metadata — see
+    // TypeWideningSpec's boundary-exactness case). FLOAT-physical and
+    // DOUBLE-physical files then coexist under one DOUBLE column; both
+    // reader modes promote at scan time. Row-level output (no FP
+    // aggregation) keeps the DuckDB replay bit-exact: REAL↔DOUBLE casts
+    // are IEEE-defined on both engines.
+    Q("q217_float_widening",
+      """WITH oldera AS (
+        |  SELECT event_id AS id,
+        |         CAST(CAST(value AS REAL) AS DOUBLE) AS x
+        |  FROM events WHERE event_id <= 4000),
+        |newera AS (
+        |  SELECT event_id + 1000000 AS id, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE event_id <= 4000 AND event_id % 5 = 0)
+        |SELECT id, x
+        |FROM (SELECT * FROM oldera UNION ALL SELECT * FROM newera)
+        |WHERE x > 50.0
+        |""".stripMargin) { (s, d) =>
+      val lake = tableDir("q217")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      t(sess, d, "events").select("event_id", "value")
+        .filter(col("event_id") <= 4000)
+        .createOrReplaceTempView("ev_src")
+      sess.sql(
+        """CREATE TABLE lake.default.fw
+          |TBLPROPERTIES (primaryKey 'id', statsColumns 'x')
+          |AS SELECT event_id AS id, CAST(value AS FLOAT) AS x
+          |FROM ev_src
+          |""".stripMargin)                            // v1 + v2 (FLOAT era)
+      val tbl = CowTable(sess, lake + "/fw", TableConfig("fw", Seq("id")))
+      val before = tbl.manifest(tbl.currentVersion)
+      sess.sql("ALTER TABLE lake.default.fw ALTER COLUMN x TYPE DOUBLE")
+      val after = tbl.manifest(tbl.currentVersion)
+      require(after.version == before.version + 1 && !after.dataChange &&
+        after.files.map(_.path) == before.files.map(_.path),
+        "float widening must be exactly one metadata-only commit")
+      // re-derivation is observable: a float shortest-form stat string
+      // ("57.3") differs from the exact float's double print
+      // ("57.29999923706055") for virtually every non-integral value
+      require(after.files.zip(before.files).exists { case (a, b) =>
+        a.extra.get("x").flatMap(_.mx) != b.extra.get("x").flatMap(_.mx) },
+        "float-era stat strings must re-derive into double space")
+      sess.sql(
+        """INSERT INTO lake.default.fw
+          |SELECT event_id + 1000000, CAST(value AS DOUBLE)
+          |FROM ev_src WHERE event_id % 5 = 0
+          |""".stripMargin)                            // v4 (DOUBLE era)
+      sess.sql(
+        "SELECT id, x FROM lake.default.fw WHERE x > 50.0")
     })
 }

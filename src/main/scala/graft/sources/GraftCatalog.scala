@@ -232,10 +232,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .flatten.headOption
       .map(parseConstraints)
       .getOrElse(Nil)
+    val ndvOpt = Seq(Option(properties.get("ndvSketch")),
+      Option(properties.get(TableCatalog.OPTION_PREFIX + "ndvSketch")))
+      .flatten.headOption.exists(_.trim.toBoolean)
     val cfg = TableConfig(ident.name(), primaryKey, partitionKey,
       bloomIndex = bloom, statsColumns = statsCols, changeDataFeed = cdf,
       checkConstraints = constraints, deletionVectors = dv,
-      partitionSpec = partitionSpec)
+      partitionSpec = partitionSpec, ndvSketch = ndvOpt)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(Paths.get(_)).getOrElse(rootOf(
         LakeRegistry.Entry(ident.name(), ident.name(), primaryKey,
@@ -270,6 +273,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // entry may lag a property commit made by another session)
     var cfg = CowTable.configAt(t.root, e.config)
     var schema = CowTable.structFromJson(m.schemaJson)
+    // physical names of columns FLOAT→DOUBLE-widened by this ALTER: their
+    // per-file stat strings re-derive into double space before the commit
+    val floatWidened = scala.collection.mutable.Set.empty[String]
     // RENAME/DROP COLUMN: metadata-only commits through the column-mapping
     // API (physical file names never change — zero data rewritten; the
     // mapping entry or schema removal is the whole commit). Each applies
@@ -355,8 +361,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(widenable(f.dataType, to),
           s"graft: ALTER COLUMN $colName TYPE ${to.sql} is not a lossless " +
             s"metadata-only widening from ${f.dataType.sql} — supported: " +
-            "TINYINT→SMALLINT→INT→BIGINT and DECIMAL precision growth at " +
-            "the same scale")
+            "TINYINT→SMALLINT→INT→BIGINT, FLOAT→DOUBLE, and DECIMAL " +
+            "precision growth at the same scale")
+        // FLOAT→DOUBLE is value-lossless but NOT stat-string-lossless:
+        // float-era stats are shortest-form FLOAT decimals, and comparing
+        // them as-is against a post-widen double literal can mis-skip (the
+        // widened value (double)(float)0.1 ≠ the literal 0.1). Re-derive
+        // each affected file's stat strings at ALTER time (below) — the
+        // shortest float form round-trips to the exact float, whose double
+        // print is order-exact against any double literal.
+        if (f.dataType == org.apache.spark.sql.types.FloatType &&
+            to == org.apache.spark.sql.types.DoubleType)
+          floatWidened += m.physicalName(colName)
         // a declared DEFAULT refolds under the new type (the stored
         // EXISTS_DEFAULT literal is typed); every other metadata key
         // (comment etc.) is preserved as-is
@@ -414,7 +430,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // evolveMapping: an added column whose name collides with a dropped
     // predecessor's burned physical slot gets a FRESH physical name here —
     // old bytes can never resurrect under the new column
-    updated.commitAt(parent = cur, fresh = Nil, carryOver = m.files,
+    // FLOAT→DOUBLE stat re-derivation (metadata-only, O(files) driver):
+    // parse each float-era stat string back to its exact float, print the
+    // widened double. An unparseable string (corrupt/NaN-adjacent form)
+    // DROPS the stat — a missing stat only disables skipping, never
+    // mis-skips.
+    def widenStat(sv: String): Option[String] =
+      scala.util.Try(java.lang.Float.parseFloat(sv).toDouble.toString)
+        .toOption
+    val carried =
+      if (floatWidened.isEmpty) m.files
+      else m.files.map { fe =>
+        var out = fe
+        floatWidened.foreach { phys =>
+          out.extra.get(phys).foreach { r =>
+            val mn = r.mn.flatMap(widenStat)
+            val mx = r.mx.flatMap(widenStat)
+            out = out.copy(extra =
+              if (mn.isDefined == r.mn.isDefined &&
+                mx.isDefined == r.mx.isDefined)
+                out.extra.updated(phys, r.copy(mn = mn, mx = mx))
+              else out.extra - phys) // parse failure: drop the range
+          }
+          if (m.primaryKey.headOption.map(m.physicalName).contains(phys))
+            out = out.copy(minKey = out.minKey.flatMap(widenStat),
+              maxKey = out.maxKey.flatMap(widenStat))
+          if (m.primaryKey.lift(1).map(m.physicalName).contains(phys))
+            out = out.copy(minKey2 = out.minKey2.flatMap(widenStat),
+              maxKey2 = out.maxKey2.flatMap(widenStat))
+        }
+        out
+      }
+    updated.commitAt(parent = cur, fresh = Nil, carryOver = carried,
       schema = schema, dataChange = false,
       mappingOpt = Some(CowTable.evolveMapping(Some(m), schema)),
       statsColumnsOpt = if (statsTouched) Some(cfg.statsColumns) else None,
@@ -441,6 +488,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     (from, to) match {
       case (a: DecimalType, b: DecimalType) =>
         a.scale == b.scale && a.precision < b.precision
+      // FLOAT→DOUBLE: every float is exactly representable as a double;
+      // the stat-string hazard is handled by re-derivation at ALTER time
+      case (org.apache.spark.sql.types.FloatType,
+            org.apache.spark.sql.types.DoubleType) => true
       case (a, b) =>
         (for { ra <- rank(a); rb <- rank(b) } yield ra < rb).getOrElse(false)
     }
@@ -495,6 +546,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(parseConstraints).getOrElse(Nil))
     case "changeDataFeed" =>
       cfg.copy(changeDataFeed = value.exists(_.trim.toBoolean))
+    case "ndvSketch" =>
+      cfg.copy(ndvSketch = value.exists(_.trim.toBoolean))
     case "deletionVectors" =>
       cfg.copy(deletionVectors = value.exists(_.trim.toBoolean))
     case "statsColumns" => cfg.copy(statsColumns = value

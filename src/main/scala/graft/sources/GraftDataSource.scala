@@ -461,6 +461,12 @@ final class GraftScanBuilder(
   // (order-preserving transforms only). Pruning-only — the source filter
   // always stays residual.
   private var partRange: (Option[String], Option[String]) = (None, None)
+  // RETIRED-ERA pruning (partition-spec evolution): per retired transform,
+  // the same derived constraints keyed by ITS generated column's path name —
+  // old-era files prune under their own era's layout. Pruning-only.
+  private var priorPrunes
+      : Seq[(String, Option[Set[String]], Option[String], Option[String])] =
+    Nil
 
   private lazy val transform: Option[PartitionTransform] =
     m.partitionSpec.map(PartitionTransform.parse)
@@ -516,6 +522,45 @@ final class GraftScanBuilder(
     }
     filters.foreach(walk)
     used.toSeq
+  }
+
+  /** [[deriveFromSource]] replayed through a RETIRED transform (partition-
+    * spec evolution): an old-era file keeps pruning under its own era's
+    * path key. Returns (equality set, lo, hi) — all empty when the filters
+    * say nothing prunable about this transform. */
+  private def deriveForPrior(t: PartitionTransform, filters: Array[Filter])
+      : (Option[Set[String]], Option[String], Option[String]) = {
+    val src = t.source
+    var vals: Option[Set[String]] = None
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def tighten(l: Option[String], h: Option[String]): Unit = {
+      lo = (lo.toSeq ++ l).reduceOption((a, b) => if (a >= b) a else b)
+      hi = (hi.toSeq ++ h).reduceOption((a, b) => if (a <= b) a else b)
+    }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(`src`, v) if v != null =>
+        transformedPathValue(t, v).foreach(pv =>
+          vals = Some(vals.fold(Set(pv))(_ intersect Set(pv))))
+      case In(`src`, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+        val pvs = vs.toSeq.map(transformedPathValue(t, _))
+        if (pvs.forall(_.isDefined)) {
+          val set = pvs.flatten.toSet
+          vals = Some(vals.fold(set)(_ intersect set))
+        }
+      case GreaterThan(`src`, v) if v != null && t.orderPreserving =>
+        transformedPathValue(t, v).foreach(pv => tighten(Some(pv), None))
+      case GreaterThanOrEqual(`src`, v) if v != null && t.orderPreserving =>
+        transformedPathValue(t, v).foreach(pv => tighten(Some(pv), None))
+      case LessThan(`src`, v) if v != null && t.orderPreserving =>
+        transformedPathValue(t, v).foreach(pv => tighten(None, Some(pv)))
+      case LessThanOrEqual(`src`, v) if v != null && t.orderPreserving =>
+        transformedPathValue(t, v).foreach(pv => tighten(None, Some(pv)))
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    (vals, lo, hi)
   }
 
   /** Key-range bounds extracted from a filter (conjuncts flattened); each
@@ -630,6 +675,13 @@ final class GraftScanBuilder(
     // hidden partitioning: source-column predicates tighten partValues /
     // partRange through the transform (pruning-only, never consumed)
     val derived = deriveFromSource(filters)
+    priorPrunes = m.priorSpecs
+      .flatMap(sp => scala.util.Try(PartitionTransform.parse(sp)).toOption)
+      .flatMap { pt =>
+        val (vs, lo, hi) = deriveForPrior(pt, filters)
+        if (vs.isEmpty && lo.isEmpty && hi.isEmpty) None
+        else Some((pt.name, vs, lo, hi))
+      }
     pushed = (usable.map(_._1) ++ parts.map(_._1) ++ stats.map(_._1) ++
       notNullPart ++ derived).distinct
     // EVERYTHING Spark offered, for row-group skipping: a conjunct the
@@ -1180,7 +1232,8 @@ final class GraftScanBuilder(
     new GraftScan(root, m, required, bounds, partValues, columnar, streamOpts,
       extraBounds, consumedPartFilter, partNotNull, partRange, nullPrunes,
       dynamicKeep, topNPush, limitPush,
-      pushedSource = if (rowGroupFilter) allPushed else Nil)
+      pushedSource = if (rowGroupFilter) allPushed else Nil,
+      priorPrunes = priorPrunes)
   }
 }
 
@@ -1424,7 +1477,13 @@ final class GraftScan(
     /** Every pushed source filter, verbatim — fed to the columnar readers
       * for parquet ROW-GROUP skipping (per-file typed conversion,
       * pruning-only; see [[ParquetRowGroupFilter]]). */
-    pushedSource: Seq[Filter] = Nil)
+    pushedSource: Seq[Filter] = Nil,
+    /** Retired-era partition pruning (spec evolution): per retired
+      * transform, derived (equality set, lo, hi) on that era's path key.
+      * A file not of that era (no such path segment) is never touched. */
+    priorPrunes
+      : Seq[(String, Option[Set[String]], Option[String], Option[String])] =
+      Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1472,12 +1531,26 @@ final class GraftScan(
         }
       }
     }
+    // retired-era pruning: each old-era file carries ITS era's path key —
+    // replaying the source predicate through that era's transform prunes
+    // it exactly like current-era files (partition-spec evolution)
+    val partedP = priorPrunes.foldLeft(parted) {
+      case (fs, (name, vs, lo, hi)) => fs.filter { e =>
+        GraftScan.pathPartValue(Some(name), e) match {
+          case None => true // not this era
+          // constraints exist for this era ⇒ a null-source file can't match
+          case Some(GraftScan.NullPartitionName) => false
+          case Some(v) => vs.forall(_.contains(v)) &&
+            lo.forall(v >= _) && hi.forall(v <= _)
+        }
+      }
+    }
     // extra data-skipping stats: a file without stats for the column is
     // kept (conservative); overlap checks use the declared type's space.
     // FileEntry.extra is keyed by PHYSICAL name (rename-stable), filters
     // arrive logical — translate.
     val ranged2 =
-      extraBounds.foldLeft(parted) { case (fs, (c, num, lo, hi)) =>
+      extraBounds.foldLeft(partedP) { case (fs, (c, num, lo, hi)) =>
         fs.filter(e => e.extra.get(m.physicalName(c))
           .forall(r => CowTable.rangeOverlaps(r, lo, hi, num)))
       }
@@ -1630,15 +1703,31 @@ final class GraftScan(
       }
       m.statsColumns.filterNot(m.primaryKey.headOption.contains)
         .filter(required.fieldNames.contains).foreach { c =>
-          dtOf(c).filter(GraftScan.statDecodable).foreach { dt =>
-            val phys = m.physicalName(c)
+          val phys = m.physicalName(c)
+          // merged per-file KMV sketches ([[TableConfig.ndvSketch]]):
+          // exact over whatever file subset pruning kept — what gives
+          // CBO join-reorder-grade NDV on non-key columns. Independent of
+          // min/max decodability (a STRING column has a valid NDV even
+          // though its extrema never report — truncation-unsafe).
+          val ndv: Option[Long] =
+            if (kept.nonEmpty && kept.forall(_.ndv.contains(phys))) {
+              val merged = kept.map(_.ndv(phys).toArray)
+                .reduce(graft.functions.KmvSketch
+                  .mergeSorted(_, _, CowTable.NdvK))
+              Some(math.round(graft.functions.KmvSketch
+                .estimate(merged.toSeq, CowTable.NdvK)))
+            } else None
+          val dt = dtOf(c).filter(GraftScan.statDecodable)
+          if (dt.isDefined || ndv.isDefined)
             colStats.put(
               org.apache.spark.sql.connector.expressions.Expressions
                 .column(c),
-              mk(None, fold(_.extra.get(phys).flatMap(_.mn), dt, true),
-                fold(_.extra.get(phys).flatMap(_.mx), dt, false),
+              mk(ndv,
+                dt.flatMap(d => fold(_.extra.get(phys).flatMap(_.mn), d,
+                  isMin = true)),
+                dt.flatMap(d => fold(_.extra.get(phys).flatMap(_.mx), d,
+                  isMin = false)),
                 nullsOf(phys)))
-          }
         }
       m.partitionKey.filter(required.fieldNames.contains).foreach { pc =>
         val vals = kept.map(e => GraftScan.pathPartValue(m.partitionKey, e))
@@ -1672,6 +1761,8 @@ final class GraftScan(
       s" partitionFilterValues=${partValues.fold(0)(_.size)}" +
       s" statsColFilters=${extraBounds.size}" +
       s" nullFilters=${nullPrunes.size}" +
+      (if (priorPrunes.nonEmpty)
+        s" priorEraFilters=${priorPrunes.size}" else "") +
       topN.fold("")(t => s" pushedTopN=${t.col} " +
         s"${if (t.desc) "DESC" else "ASC"} LIMIT ${t.limit}") +
       pushedLimit.fold("")(l => s" pushedLimit=$l") +
@@ -1829,17 +1920,48 @@ final class GraftScan(
     // per-file position has no columnar constant-vector form).
     new GraftReaderFactory(columnar = columnar &&
       kept.forall(_.dvPath.isEmpty) &&
-      !required.fieldNames.contains(GraftTable.PosColumnName),
+      !required.fieldNames.contains(GraftTable.PosColumnName) &&
+      genFill.isEmpty, // per-row derived column has no constant-vector form
       required = required, mapping = m.columnMapping,
-      filters = pushedSource)
+      filters = pushedSource, genFill = genFill)
+
+  /** GENERATED-column backfill recipe (partition-spec evolution): built
+    * once per scan when the current transform's column is required and any
+    * kept file predates it (no path value). The transform expression is
+    * resolved/bound DRIVER-side (session-timezone exact) and shipped to
+    * the row readers; scans needing it degrade to row mode. */
+  private lazy val genFill: Option[GenFill] =
+    m.partitionSpec.flatMap { sp =>
+      val t = PartitionTransform.parse(sp)
+      val schema = CowTable.structFromJson(m.schemaJson)
+      if (!required.fieldNames.contains(t.name) ||
+        !schema.fieldNames.contains(t.source) ||
+        kept.forall(e => GraftScan.pathPartValue(m.partitionKey, e).isDefined))
+        None
+      else {
+        val srcPhys = m.physicalName(t.source)
+        val srcType = schema(t.source).dataType
+        val bound = org.apache.spark.sql.graftshim.ColumnBridge.bindToSchema(
+          org.apache.spark.sql.SparkSession.active,
+          StructType(Seq(StructField(srcPhys, srcType))),
+          t.applyTo(org.apache.spark.sql.functions.col(srcPhys)),
+          required(t.name).dataType)
+        Some(GenFill(m.physicalName(t.name), srcPhys, srcType, bound))
+      }
+    }
 }
 
 final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
     mapping: Map[String, String] = Map.empty,
-    /** Pushed source filters for parquet row-group skipping (columnar path
-      * only — the row reader's sequential DV position tracking needs every
-      * row). Pruning-only; all filters stay residual above the scan. */
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    /** Pushed source filters for parquet row-group skipping — BOTH reader
+      * modes (the row reader reconstructs exact global row positions from
+      * footer block metadata, so DV subtraction and `_pos` stay correct
+      * under skipping). Pruning-only; filters stay residual above the
+      * scan. */
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    /** Generated-partition-column backfill for pre-evolution files
+      * (row-mode only — the scan degrades when this is set). */
+    genFill: Option[GenFill] = None)
   extends PartitionReaderFactory {
 
   /** COLUMN MAPPING: files (data and `_cdc` alike) store PHYSICAL names,
@@ -1882,11 +2004,11 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
     case g: GraftGroupedPartition =>
       new GraftConcatReader(g.files.map(f => () =>
         new GraftPartitionReader(f, physRequired, g.partitionValues,
-          g.dv.get(f))
+          g.dv.get(f), genFill, filters = filters, nameMapping = mapping)
           : PartitionReader[org.apache.spark.sql.catalyst.InternalRow]))
     case gp: GraftInputPartition =>
       new GraftPartitionReader(gp.filePath, physRequired, gp.partitionValues,
-        gp.dv)
+        gp.dv, genFill, filters = filters, nameMapping = mapping)
   }
 }
 

@@ -35,32 +35,114 @@ final class GraftPartitionReader(
     partitionValues: Map[String, String],
     /** Deletion-vector ref (abs sidecar dir, root-relative file path):
       * marked positions are skipped while reading sequentially. */
-    dv: Option[(String, String)] = None)
+    dv: Option[(String, String)] = None,
+    /** GENERATED-partition-column backfill (partition-spec evolution): a
+      * file that predates the current transform carries neither the column
+      * physically nor in its path — derive it per row from the source
+      * column via the pre-bound expression (exact: the same Catalyst
+      * expression the write funnel computes). */
+    genFill: Option[GenFill] = None,
+    /** Pushed source filters for ROW-GROUP skipping (same conversion as the
+      * columnar path, [[ParquetRowGroupFilter]]). The row reader keeps DV
+      * positions and `_pos` EXACT under skipping by reading surviving
+      * groups through explicit file ranges with their original start row
+      * indexes — positions never drift. Pruning-only (filters stay
+      * residual above the scan). */
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    nameMapping: Map[String, String] = Map.empty,
+    /** Files below this size skip the filter evaluation — one small row
+      * group decodes for less than the planning costs (tests lower it). */
+    rowGroupFilterMinBytes: Long = 4L << 20)
   extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private val hPath = new org.apache.hadoop.fs.Path(filePath)
 
-  // file schema from the footer (cheap: footer only), for projection +
-  // converter resolution
-  private val fileSchema: MessageType = {
+  // file schema + row-group metadata from the footer (cheap: footer only),
+  // for projection, converter resolution, and row-group skipping
+  private val (fileSchema: MessageType,
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]) = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
+    try (r.getFooter.getFileMetaData.getSchema,
+      r.getFooter.getBlocks.asScala.toSeq)
+    finally r.close()
   }
+
+  /** Surviving CONTIGUOUS row-group runs under the pushed predicate:
+    * (first row index, byte range lo, byte range hi) per run — None when
+    * no predicate applies (zero-overhead original single-reader path).
+    * Block selection replays parquet's own stats-only row-group filter
+    * against the footer blocks; each run then reads via `withFileRange`
+    * (range [firstBlock.start, lastBlock.start + lastBlock.compressedSize)
+    * selects exactly the run's blocks by the midpoint rule), so global row
+    * positions reconstruct EXACTLY from the footer's per-block row counts
+    * — what keeps DV subtraction and `_pos` correct under skipping. */
+  private val groupRuns: Option[Vector[(Long, Long, Long)]] =
+    if (filters.isEmpty ||
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(filePath)) < rowGroupFilterMinBytes) None
+    else ParquetRowGroupFilter.predicateFor(fileSchema, filters, nameMapping)
+      .map { pred =>
+        val keep: Set[Int] = {
+          @annotation.nowarn("cat=deprecation")
+          val kept = org.apache.parquet.filter2.compat.RowGroupFilter
+            .filterRowGroups(
+              org.apache.parquet.filter2.compat.FilterCompat.get(pred),
+              blocks.asJava, fileSchema).asScala
+          kept.map(b => blocks.indexWhere(_ eq b)).toSet
+        }
+        val starts: Seq[Long] =
+          blocks.scanLeft(0L)(_ + _.getRowCount).dropRight(1)
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)]
+        var i = 0
+        while (i < blocks.size) {
+          if (keep(i)) {
+            var j = i
+            while (j + 1 < blocks.size && keep(j + 1)) j += 1
+            runs += ((starts(i), blocks(i).getStartingPos,
+              blocks(j).getStartingPos + blocks(j).getCompressedSize))
+            i = j + 1
+          } else i += 1
+        }
+        runs.toVector
+      }
 
   private val fileFields: Map[String, org.apache.parquet.schema.Type] =
     fileSchema.getFields.asScala.map(t => t.getName -> t).toMap
   private val inFile: Set[String] = fileFields.keySet
-  private val readCols: Seq[String] =
-    required.fields.toSeq.map(_.name)
+  // the backfill engages only when THIS file lacks the generated column
+  // everywhere (new-era files carry it in the path; pre-drop data columns
+  // of the same name are fenced at evolution time)
+  private val genActive: Option[GenFill] = genFill.filter(gf =>
+    required.fieldNames.contains(gf.genName) &&
+      !partitionValues.contains(gf.genName) && !inFile(gf.genName))
+  private val readCols: Seq[String] = {
+    val base = required.fields.toSeq.map(_.name)
       .filter(c => inFile(c) && !partitionValues.contains(c))
+    genActive match {
+      // the source column must decode even when the query didn't ask for
+      // it — appended LAST so the required columns' ordinals are unmoved
+      case Some(gf) if inFile(gf.srcPhys) && !base.contains(gf.srcPhys) =>
+        base :+ gf.srcPhys
+      case _ => base
+    }
+  }
 
-  private val reader: ParquetReader[Group] = {
+  private def mkReader(range: Option[(Long, Long)]): ParquetReader[Group] = {
     val requested = new MessageType("graft_projection",
       readCols.map(fileFields(_)).asJava)
     val c = new Configuration(conf)
     c.set(ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(c).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(c)
+    range.fold(b) { case (lo, hi) => b.withFileRange(lo, hi) }.build()
+  }
+
+  private var runIdx = 0
+  private var reader: ParquetReader[Group] = groupRuns match {
+    case None => mkReader(None)
+    case Some(rs) if rs.isEmpty => null // every group skipped: zero rows
+    case Some(rs) => mkReader(Some((rs(0)._2, rs(0)._3)))
   }
 
   /** Per-required-column extractor, fixed at open time. A requested `_file`
@@ -80,6 +162,21 @@ final class GraftPartitionReader(
           // running row position (parquet row index, DV-skipped rows still
           // counted) — the row-id half of the delta-based row-level path
           (_: Group) => java.lang.Long.valueOf(rowPos)
+        } else if (genActive.exists(_.genName == f.name)) {
+          val gf = genActive.get
+          if (!inFile(gf.srcPhys)) (_: Group) => null
+          else {
+            val sIdx = readCols.indexOf(gf.srcPhys)
+            val sConv = converter(fileFields(gf.srcPhys).asPrimitiveType(),
+              gf.srcType, gf.srcPhys)
+            val srcRow = new GenericInternalRow(1)
+            (g: Group) => {
+              srcRow.update(0,
+                if (g.getFieldRepetitionCount(sIdx) == 0) null
+                else sConv(g, sIdx))
+              gf.expr.eval(srcRow)
+            }
+          }
         } else {
           // file predates the column: its INITIAL DEFAULT when declared
           // (EXISTS_DEFAULT metadata — stored nulls in post-add files take
@@ -101,20 +198,40 @@ final class GraftPartitionReader(
     dv.fold(new java.util.HashSet[java.lang.Long]()) { case (dirAbs, rel) =>
       DvSidecar.positions(dirAbs, rel)
     }
-  private var rowPos: Long = -1L
+  private var rowPos: Long = groupRuns match {
+    case Some(rs) if rs.nonEmpty => rs(0)._1 - 1
+    case _ => -1L
+  }
+
+  /** Next group, advancing across surviving runs; `rowPos` tracks the
+    * GLOBAL parquet row index of the returned group throughout. */
+  private def readNext(): Group = {
+    if (reader == null) return null
+    var g = reader.read(); rowPos += 1
+    while (g == null && advanceRun()) { g = reader.read(); rowPos += 1 }
+    g
+  }
+
+  private def advanceRun(): Boolean = groupRuns match {
+    case Some(rs) if runIdx + 1 < rs.length =>
+      reader.close()
+      runIdx += 1
+      rowPos = rs(runIdx)._1 - 1
+      reader = mkReader(Some((rs(runIdx)._2, rs(runIdx)._3)))
+      true
+    case _ => false
+  }
 
   override def next(): Boolean = {
-    current = reader.read(); rowPos += 1
-    while (current != null && deleted.contains(rowPos)) {
-      current = reader.read(); rowPos += 1
-    }
+    current = readNext()
+    while (current != null && deleted.contains(rowPos)) current = readNext()
     current != null
   }
 
   override def get(): InternalRow =
     new GenericInternalRow(extractors.map(_(current)))
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 
   private def unsupported(name: String, pt: PrimitiveType, dt: DataType) =
     throw new UnsupportedOperationException(
@@ -207,3 +324,14 @@ object DvSidecar {
     out
   }
 }
+
+/** Serialized per-scan backfill recipe for the GENERATED partition column
+  * (partition-spec evolution): `expr` is resolved, RuntimeReplaceable-
+  * free, and BOUND to a one-column row of `srcType` (the transform source)
+  * — built driver-side via ColumnBridge.bindToSchema, evaluated per row
+  * executor-side. */
+final case class GenFill(
+    genName: String, srcPhys: String,
+    srcType: DataType,
+    expr: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends Serializable

@@ -41,6 +41,13 @@ final case class FileEntry(
       * manifest pushdown feed on these. Absent column ⇒ unknown ⇒ never
       * skipped / never pushed (pre-upgrade manifests degrade safely). */
     nulls: Map[String, Long] = Map.empty,
+    /** Per-column K-MINIMUM-VALUES distinct-count sketch state (PHYSICAL
+      * name → sorted k smallest 48-bit hashes, k = [[CowTable.NdvK]]) —
+      * written when [[TableConfig.ndvSketch]] is on. Mergeable across any
+      * file subset, so scans report join-reorder-grade NDV for the PRUNED
+      * file set with O(k) manifest bytes per column per file. Absent ⇒ no
+      * estimate (pre-upgrade manifests degrade safely). */
+    ndv: Map[String, Seq[Long]] = Map.empty,
     /** The comma-joined cluster-column signature this file was Z-ORDERED
       * under, set by [[CowTable.optimize]] on its output files and carried
       * verbatim while the file survives commits untouched. Lets OPTIMIZE
@@ -135,6 +142,8 @@ final case class CommitManifest(
       * names are the complete history). */
     usedPhysicalNames: Seq[String] = Nil,
     deletionVectors: Boolean = false,
+    /** Durable [[TableConfig.ndvSketch]] flag. */
+    ndvSketch: Boolean = false,
     /** Durable partition-transform spec ([[TableConfig.partitionSpec]]) —
       * absent on identity-partitioned and pre-upgrade manifests. When
       * present, [[partitionKey]] is the transform's GENERATED column. */
@@ -150,7 +159,15 @@ final case class CommitManifest(
       * ~1-entry delta per commit, not a 100k-entry snapshot. Absent ⇔ the
       * manifest is full (pre-upgrade manifests, checkpoints, v1). Readers
       * never see this field set — manifestAt folds before returning. */
-    deltaRemoved: Option[Seq[String]] = None) {
+    deltaRemoved: Option[Seq[String]] = None,
+    /** Canonical spec strings of RETIRED partition transforms (partition-
+      * spec evolution history, Iceberg REPLACE PARTITION FIELD): files
+      * written under an old transform keep its hive layout forever, and
+      * scans replay source predicates through EACH era's own transform
+      * against that era's path key — so pruning works on both sides of the
+      * evolution boundary. Monotone append (commitAt retires the parent's
+      * spec whenever the spec changes); absent on pre-upgrade manifests. */
+    priorSpecs: Seq[String] = Nil) {
 
   /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
   def tableConfig(name: String): TableConfig = TableConfig(
@@ -160,7 +177,7 @@ final case class CommitManifest(
     if (partitionSpec.isDefined) None else partitionKey,
     precombineKey, clusterByKey,
     maxRecordsPerFile, bloomIndex, statsColumns, changeDataFeed,
-    checkConstraints, deletionVectors, partitionSpec)
+    checkConstraints, deletionVectors, partitionSpec, ndvSketch)
 
   /** The name of `logical`'s column in data files (identity unless mapped). */
   def physicalName(logical: String): String =
@@ -1427,12 +1444,19 @@ final class CowTable private[storage] (
         // directly — row-exact, join-free. Columns conform to the feed
         // schema at toVersion (evolved-in columns null-fill).
         val cdc = spark.read.parquet(root.resolve(m.cdcDir.get).toString)
+        val cdfGen = mTo.partitionSpec.map(PartitionTransform.parse)
         val cols = schema.fields.toSeq.map { f =>
           val p = mTo.physicalName(f.name) // change files store physical names
           (if (cdc.columns.contains(p)) col(p).cast(f.dataType)
            // a change file predating the column fills its initial default —
-           // the same value a snapshot read of those rows reports
-           else ColumnDefaults.fillExpr(f)).as(f.name)
+           // the same value a snapshot read of those rows reports — except
+           // the GENERATED partition column, derivable from its source
+           else cdfGen match {
+             case Some(t) if f.name == t.name &&
+                 cdc.columns.contains(mTo.physicalName(t.source)) =>
+               t.applyTo(col(mTo.physicalName(t.source))).cast(f.dataType)
+             case _ => ColumnDefaults.fillExpr(f)
+           }).as(f.name)
         }
         Some(cdc.select(cols ++ Seq(
           lit(v).as("_commit_version"),
@@ -1500,23 +1524,84 @@ final class CowTable private[storage] (
     * path segment → carried untouched).
     *
     * Returns the handle to keep using — `this` is stale after the call. */
-  def alterPartitionKey(newKey: Option[String]): CowTable = {
+  def alterPartitionKey(newKey: Option[String]): CowTable =
+    alterPartitionSpec(newKey)
+
+  /** Full partition-spec evolution (Iceberg REPLACE PARTITION FIELD):
+    * `to` names an identity column, a transform spec (`hour(ts)`,
+    * `bucket(16,c)`, ...), or None to un-partition. Metadata-only — old
+    * files keep their layout forever (readable via per-era basePath
+    * inference), new writes adopt the new spec, and the retired transform
+    * is recorded in [[CommitManifest.priorSpecs]] so scans keep PRUNING
+    * old-era files by replaying source predicates through their own era's
+    * transform. The retired GENERATED column leaves the schema (it was
+    * path-borne, never stored bytes); the new one is derived on read for
+    * files that predate it.
+    *
+    * Returns the handle to keep using — `this` is stale after the call. */
+  def alterPartitionSpec(to: Option[String]): CowTable = {
     val parent = currentVersion
     require(parent > 0, s"table ${config.tableName} does not exist")
-    require(config.partitionSpec.isEmpty,
-      s"table ${config.tableName} is partitioned by the transform " +
-        s"${config.partitionSpec.get}; evolving a transform-partitioned " +
-        "layout is not supported (drop and recreate)")
     val m = manifest(parent)
-    val schema = structFromJson(m.schemaJson)
-    newKey.foreach { k =>
-      require(schema.fieldNames.contains(k),
-        s"partition column $k is not in the table schema")
+    val schema0 = structFromJson(m.schemaJson)
+    val oldT = config.partitionTransform
+    val (newKey, newT) = to match {
+      case Some(s) if s.contains("(") =>
+        (None, Some(PartitionTransform.parse(s)))
+      case other => (other, None)
     }
-    val evolved =
-      new CowTable(spark, rootDir, config.copy(partitionKey = newKey))
-        .withClock(clockMs)
-    evolved.commitAt(parent, Nil, m.files, schema, dataChange = false)
+    newKey.foreach { k =>
+      require(schema0.fieldNames.contains(k) && !oldT.exists(_.name == k),
+        s"partition column $k is not in the table schema (identity " +
+          "evolution targets a DATA column, not a generated one)")
+    }
+    newT.foreach { t =>
+      require(schema0.fieldNames.contains(t.source) &&
+        !oldT.exists(_.name == t.source),
+        s"partition transform ${t.spec}: source column '${t.source}' is " +
+          "not a data column of the table schema")
+      // the generated column's NAME keys hive path segments: two eras
+      // sharing a name with DIFFERENT semantics would make old-era path
+      // values unprunable-or-wrong under the new transform's replay
+      require(!oldT.exists(o => o.name == t.name && o.spec != t.spec),
+        s"partition transform ${t.spec} generates column '${t.name}', " +
+          s"which the retiring spec ${oldT.get.spec} also generated with " +
+          "different semantics — evolve through a different transform kind")
+      require(!m.priorSpecs.map(PartitionTransform.parse).exists(p =>
+        p.name == t.name && p.spec != t.spec),
+        s"partition transform ${t.spec} generates column '${t.name}', " +
+          "already used by a retired spec with different semantics")
+      // a DROPPED DATA column's physical slot may still hold bytes in old
+      // files — a generated column landing on that name would read them
+      require(schema0.fieldNames.contains(t.name) ||
+        !m.effectiveUsedPhysical.contains(t.name) ||
+        (m.priorSpecs ++ config.partitionSpec.toSeq).contains(t.spec),
+        s"generated column '${t.name}' collides with a physical slot " +
+          "burned by a dropped/renamed column — pick a different transform")
+    }
+    oldT.foreach { o =>
+      require(!liveCheckConstraints.exists(_.contains(o.name)),
+        s"cannot retire generated column ${o.name}: a CHECK constraint " +
+          "references it — drop the constraint first")
+    }
+    val dropped = oldT.map(_.name).toSet
+    val base = StructType(schema0.fields.filterNot(f => dropped(f.name)))
+    val schema1 = newT match {
+      case Some(t) if !base.fieldNames.contains(t.name) =>
+        StructType(base.fields :+ StructField(t.name,
+          PartitionTransform.outputType(t, schema0(t.source).dataType),
+          nullable = true))
+      case _ => base
+    }
+    val evolved = new CowTable(spark, rootDir,
+      config.copy(partitionKey = newKey,
+        partitionSpec = newT.map(_.spec))).withClock(clockMs)
+    // explicit mapping: the retiring generated column's name stays burned
+    // (effectiveUsedPhysical keeps it via the parent schema), and a
+    // RE-ADOPTED prior spec may legitimately reuse its own old name
+    evolved.commitAt(parent, Nil, m.files, schema1, dataChange = false,
+      mappingOpt = Some((m.columnMapping,
+        (m.effectiveUsedPhysical ++ newT.map(_.name)).distinct)))
     evolved
   }
 
@@ -2281,6 +2366,9 @@ final class CowTable private[storage] (
 
   private def readFiles(m: CommitManifest, files: Seq[FileEntry]): DataFrame = {
     val schema = structFromJson(m.schemaJson)
+    // the current generated partition column, derivable for old-era files
+    // that predate the spec (partition-spec evolution)
+    val genFill = m.partitionSpec.map(PartitionTransform.parse)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
@@ -2290,7 +2378,7 @@ final class CowTable private[storage] (
           val df = spark.read
             .option("basePath", root.resolve(base).toString)
             .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-          conform(df, schema, m.columnMapping)
+          conform(df, schema, m.columnMapping, genFill)
         }
       // DELETION-VECTOR files: subtract marked positions before conform.
       // Grouped by (version seg, dv sidecar) — one anti-join per sidecar
@@ -2313,7 +2401,7 @@ final class CowTable private[storage] (
             withPos("__rel") === dv("__dv_path") &&
               withPos("__pos") === dv("__dv_pos"),
             "left_anti")
-          conform(alive, schema, m.columnMapping)
+          conform(alive, schema, m.columnMapping, genFill)
         }
       (plainParts ++ dvParts).reduce(_.union(_))
     }
@@ -2354,10 +2442,17 @@ final class CowTable private[storage] (
                 raw("__pos") === dv("__dv_pos"), "left_anti")
         }
         val present = alive.columns.toSet
+        val genFill = m.partitionSpec.map(PartitionTransform.parse)
         alive.select(schema.fields.toSeq.map { f =>
           val p = m.columnMapping.getOrElse(f.name, f.name)
           (if (present(p)) col(p).cast(f.dataType)
-           else ColumnDefaults.fillExpr(f)).as(f.name) // initial defaults
+           else genFill match { // evolved-in generated column: derive it
+             case Some(t)
+               if f.name == t.name &&
+                 present(m.physicalName(t.source)) =>
+               t.applyTo(col(m.physicalName(t.source))).cast(f.dataType)
+             case _ => ColumnDefaults.fillExpr(f) // initial defaults
+           }).as(f.name)
         } ++ Seq(col("__rel"), col("__pos")): _*)
       }.reduce(_.union(_))
   }
@@ -2368,7 +2463,8 @@ final class CowTable private[storage] (
     * predates and physical slots of dropped predecessors vanish here —
     * inferred hive-partition types are cast back too). */
   private def conform(df: DataFrame, schema: StructType,
-      mapping: Map[String, String] = Map.empty): DataFrame = {
+      mapping: Map[String, String] = Map.empty,
+      genFill: Option[PartitionTransform] = None): DataFrame = {
     val present = df.columns.toSet
     // absence is PER VERSION GROUP (readFiles reads each writer-unique
     // version dir separately), so "file predates the column" — fill the
@@ -2377,7 +2473,19 @@ final class CowTable private[storage] (
     df.select(schema.fields.toSeq.map { f =>
       val p = mapping.getOrElse(f.name, f.name)
       (if (present(p)) col(p).cast(f.dataType)
-       else ColumnDefaults.fillExpr(f)).as(f.name)
+       // the CURRENT spec's GENERATED partition column, absent from an
+       // old-era file group (partition-spec evolution: the value lives in
+       // NEW files' paths only) — derive it from the source column, the
+       // same pure projection the write funnel computes. Exact by the
+       // generated-column invariant; never a null-fill.
+       else genFill match {
+         case Some(t)
+           if f.name == t.name &&
+             present(mapping.getOrElse(t.source, t.source)) =>
+           t.applyTo(col(mapping.getOrElse(t.source, t.source)))
+             .cast(f.dataType)
+         case _ => ColumnDefaults.fillExpr(f)
+       }).as(f.name)
     }: _*)
   }
 
@@ -2879,6 +2987,7 @@ final class CowTable private[storage] (
       bloomIndex = config.bloomIndex,
       changeDataFeed = config.changeDataFeed,
       deletionVectors = config.deletionVectors,
+      ndvSketch = config.ndvSketch,
       precombineKey = config.precombineKey,
       clusterByKey = config.clusterByKey,
       maxRecordsPerFile = config.maxRecordsPerFile,
@@ -2894,7 +3003,18 @@ final class CowTable private[storage] (
             config.checkConstraints).distinct),
       columnMapping = mapping,
       usedPhysicalNames = usedPhys,
-      partitionSpec = config.partitionSpec)
+      partitionSpec = config.partitionSpec,
+      // partition-spec evolution history: whenever this commit's spec
+      // differs from the parent's, the parent's is RETIRED (its files keep
+      // their layout; era-aware pruning replays predicates through it)
+      priorSpecs =
+        if (parent < 1) Nil
+        else {
+          val pm = manifest(parent)
+          (pm.priorSpecs ++
+            pm.partitionSpec.filterNot(config.partitionSpec.contains))
+            .distinct
+        })
     commitManifest(m)
     txn = None // the marker's one operation committed — see [[withTxn]]
     v
@@ -3021,7 +3141,7 @@ final class CowTable private[storage] (
     // (a commit touching hundreds of files would otherwise serialize
     // hundreds of file opens)
     import scala.collection.parallel.CollectionConverters._
-    Try(parquetFiles.par.map(footerStat(_, cols, extras)).seq.toSeq)
+    val es0 = Try(parquetFiles.par.map(footerStat(_, cols, extras)).seq.toSeq)
       .toOption match {
       // INT96-era timestamp keys (and other types parquet keeps no stats
       // for) come back stat-less from every footer — fall back to the
@@ -3031,6 +3151,47 @@ final class CowTable private[storage] (
         if es.exists(_.minKey.isDefined) || es.forall(_.rows == 0) => es
       case _ => scanStats(verDir)
     }
+    withNdvSketches(es0, schema, mapping)
+  }
+
+  /** Per-file NDV sketch enrichment ([[TableConfig.ndvSketch]]): ONE
+    * column-pruned pass over the fresh files, k-min hash states per
+    * stats column — the opt-in write cost that buys plan-time
+    * `distinctCount` on non-key columns. Declines silently on any
+    * failure (sketches are advisory; a write must never fail for them). */
+  private def ndvEnabled: Boolean = config.ndvSketch ||
+    (currentVersion > 0 && manifest(currentVersion).ndvSketch)
+
+  private def withNdvSketches(entries: Seq[FileEntry], schema: StructType,
+      mapping: Map[String, String]): Seq[FileEntry] = {
+    if (entries.isEmpty || !Try(ndvEnabled).getOrElse(false)) return entries
+    val cols = liveStatsColumns.flatMap(k => schema.find(_.name == k))
+      .map(f => mapping.getOrElse(f.name, f.name))
+    val nonEmpty = entries.filter(_.rows > 0)
+    if (cols.isEmpty || nonEmpty.isEmpty) return entries
+    Try {
+      val rootAbs = root.toString
+      val df0 = spark.read.parquet(
+        nonEmpty.map(e => root.resolve(e.path).toString): _*)
+      val present = cols.filter(df0.columns.contains) // path-borne cols skip
+      if (present.isEmpty) entries
+      else {
+        val rel = expr(s"substring(regexp_replace(_metadata.file_path, " +
+          s"'^file:', ''), ${rootAbs.length + 2})")
+        val aggs = present.map(p => graft.functions.KmvSketch.kmvState(
+          graft.text.TextFunctions.md5Hash48(col(p).cast("string")),
+          CowTable.NdvK).as(p))
+        val rowsOut = df0.select(rel.as("__rel") +: present.map(col): _*)
+          .groupBy("__rel").agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val byPath: Map[String, Map[String, Seq[Long]]] = rowsOut.map { r =>
+          r.getString(0) -> present.zipWithIndex.map { case (p, i) =>
+            p -> r.getSeq[Long](i + 1).toSeq
+          }.toMap
+        }.toMap
+        entries.map(e => byPath.get(e.path).fold(e)(m => e.copy(ndv = m)))
+      }
+    }.getOrElse(entries)
   }
 
   /** Footer stats for an EXPLICIT file list (the DSv2 write commit path:
@@ -3052,9 +3213,10 @@ final class CowTable private[storage] (
       val cols = statCols(schema)
       val extras = extraStatCols(schema, mapping)
       import scala.collection.parallel.CollectionConverters._
-      Try(files.par.map { case (p, _) =>
-        footerStat(root.resolve(p), cols, extras)
-      }.seq.toSeq).getOrElse(fallback)
+      withNdvSketches(
+        Try(files.par.map { case (p, _) =>
+          footerStat(root.resolve(p), cols, extras)
+        }.seq.toSeq).getOrElse(fallback), schema, mapping)
     }
   }
 
@@ -3467,6 +3629,11 @@ object CowTable {
   }
 
   /** Open a table directory (existing or about-to-be-created). */
+  /** KMV sketch size for [[TableConfig.ndvSketch]] — 64 minima give a
+    * ~1/sqrt(k-1) ≈ 13% relative NDV error, plenty for join reordering,
+    * at ~0.5 kB of manifest JSON per column per file. */
+  val NdvK = 64
+
   def apply(spark: SparkSession, root: String, config: TableConfig): CowTable =
     new CowTable(spark, root, config)
 

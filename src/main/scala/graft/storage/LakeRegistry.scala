@@ -44,14 +44,15 @@ object LakeRegistry {
       change_data_feed: Boolean = false,
       check_constraints: Seq[String] = Nil,
       deletion_vectors: Boolean = false,
-      partition_spec: Option[String] = None) {
+      partition_spec: Option[String] = None,
+      ndv_sketch: Boolean = false) {
     def config: TableConfig = TableConfig(table_name, primary_key,
       // partitionSpec owns the key (TableConfig normalizes) — a registry
       // entry written by a normalized config carries both, so drop the key
       if (partition_spec.isDefined) None else partition_key,
       precombine_key, cluster_by_key, max_records_per_file,
       bloom_index, stats_columns, change_data_feed, check_constraints,
-      deletion_vectors, partition_spec)
+      deletion_vectors, partition_spec, ndv_sketch)
   }
 
   private def legacyFile(lakeDir: String): Path =
@@ -89,7 +90,7 @@ object LakeRegistry {
       config.partitionKey, config.precombineKey, config.clusterByKey,
       config.maxRecordsPerFile, config.bloomIndex, config.statsColumns,
       config.changeDataFeed, config.checkConstraints,
-      config.deletionVectors, config.partitionSpec)
+      config.deletionVectors, config.partitionSpec, config.ndvSketch)
     Files.createDirectories(Paths.get(lakeDir))
     var attempts = 0
     while (true) {

@@ -98,6 +98,20 @@ object PartitionTransform {
     java.lang.Long.parseLong(hex, 16) % n
   }
 
+  /** The generated column's type — MUST agree with what [[expr]] produces
+    * (the write funnel derives the schema from the expression; spec
+    * evolution declares it up front for files that don't exist yet). */
+  def outputType(t: PartitionTransform,
+      srcType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = t.kind match {
+    case "day" => org.apache.spark.sql.types.DateType
+    case "month" | "hour" | "year" => org.apache.spark.sql.types.StringType
+    case "bucket" => org.apache.spark.sql.types.LongType
+    case "truncate" => org.apache.spark.sql.types.StringType
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition transform kind $other")
+  }
+
   private val NoParam = """(day|month|hour|year)\(([^,()]+)\)""".r
   private val WithParam = """(bucket|truncate)\((\d+),([^,()]+)\)""".r
 

@@ -101,7 +101,14 @@ final case class TableConfig(
       * derived hive dirs), and a bound per-row recompute inside the
       * STREAMING sink's writer (epoch write plans bypass optimizer
       * rules). */
-    partitionSpec: Option[String] = None) {
+    partitionSpec: Option[String] = None,
+    /** Per-file K-MINIMUM-VALUES NDV sketches over [[statsColumns]]
+      * ([[graft.functions.KmvSketch]], k = [[CowTable.NdvK]]): one extra
+      * column-pruned pass over each commit's FRESH files at write time, in
+      * exchange for join-reorder-grade distinct counts on non-key columns
+      * at plan time (CBO's `distinctCount`), merged exactly over whatever
+      * file subset pruning kept. Opt-in: the write-side pass is real IO. */
+    ndvSketch: Boolean = false) {
   require(primaryKey.nonEmpty, s"table $tableName needs >=1 primary key column")
   require(!deletionVectors || changeDataFeed,
     s"table $tableName: deletionVectors requires changeDataFeed " +

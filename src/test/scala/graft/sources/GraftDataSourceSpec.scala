@@ -259,6 +259,51 @@ class GraftDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("ndvSketch: per-file KMV sketches give CBO distinctCount on " +
+      "non-key statsColumns, merged over the PRUNED file set") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/nv", TableConfig("nv", Seq("id"),
+      statsColumns = Seq("grp"), ndvSketch = true))
+    // 4 files of 100 rows; grp has 40 true distincts, disjointly 10/file
+    t.create((1L to 400L).map(i => (i, s"g${(i - 1) / 10 % 40}"))
+      .toDF("id", "grp").repartitionByRange(4, $"id"))
+    val m = t.manifest(t.currentVersion)
+    assert(m.ndvSketch, "flag must be durable in the manifest")
+    assert(m.files.forall(_.ndv.contains("grp")),
+      s"every file needs a grp sketch: ${m.files.map(_.ndv.keySet)}")
+    assert(m.files.forall(_.ndv("grp").length <= CowTable.NdvK))
+    val df = spark.read.format("graft").load(dir + "/nv")
+    val prev = (spark.conf.getOption("spark.sql.cbo.enabled"),
+      spark.conf.getOption("spark.sql.cbo.planStats.enabled"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      def ndvOf(d: org.apache.spark.sql.DataFrame): BigInt =
+        d.queryExecution.optimizedPlan.stats.attributeStats
+          .collectFirst { case (a, s) if a.name == "grp" =>
+            s.distinctCount.get }.get
+      // 40 < k=64 ⇒ the merged sketch is EXHAUSTIVE: the estimate is exact
+      assert(ndvOf(df.select($"grp")) == BigInt(40), ndvOf(df.select($"grp")))
+      // pruning shrinks the estimate with the file set: one file's range
+      // holds 10 distincts — the merged-sketch NDV follows the PRUNED set
+      val pruned = df.filter($"id" <= 100L).select($"grp", $"id")
+      val prunedNdv = pruned.queryExecution.optimizedPlan.stats
+        .attributeStats.collectFirst { case (a, s) if a.name == "grp" =>
+          s.distinctCount }.flatten
+      assert(prunedNdv.exists(n => n >= 10 && n <= 20), s"got $prunedNdv")
+    } finally {
+      def restore(k: String, o: Option[String]) =
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.cbo.enabled", prev._1)
+      restore("spark.sql.cbo.planStats.enabled", prev._2)
+    }
+    // a table WITHOUT the flag writes no sketches (zero write overhead)
+    val t2 = CowTable(spark, dir + "/off", TableConfig("off", Seq("id"),
+      statsColumns = Seq("grp")))
+    t2.create((1L to 50L).map(i => (i, s"g$i")).toDF("id", "grp"))
+    assert(t2.manifest(1).files.forall(_.ndv.isEmpty))
+  }
+
   test("null-count stats: COUNT(col) pushes, IS [NOT] NULL prunes files") {
     val dir = tmpDir("dsv2")
     val t = CowTable(spark, dir + "/n", TableConfig("n", Seq("id"),

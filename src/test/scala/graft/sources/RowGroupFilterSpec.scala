@@ -177,4 +177,82 @@ class RowGroupFilterSpec extends SparkSpec {
       assert(cols == rowsMode, s"divergence for $p")
     }
   }
+
+  // ---- ROW-MODE row-group skipping (round 16) ----
+
+  private def rowModeIds(file: String, filters: Seq[Filter],
+      dv: Option[(String, String)] = None,
+      withPos: Boolean = false): Seq[(Long, Long)] = {
+    val base = Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))
+    val schema = org.apache.spark.sql.types.StructType(
+      if (withPos) base :+ org.apache.spark.sql.types.StructField(
+        GraftTable.PosColumnName, org.apache.spark.sql.types.LongType)
+      else base)
+    val r = new GraftPartitionReader(file, schema, Map.empty, dv = dv,
+      filters = filters, rowGroupFilterMinBytes = 0L)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (r.next()) {
+        val row = r.get()
+        out += ((row.getLong(0), if (withPos) row.getLong(1) else -1L))
+      }
+      out.toSeq
+    } finally r.close()
+  }
+
+  test("row mode skips groups like the columnar reader (stats level)") {
+    val dir = tmpDir("rgf") + "/rm"
+    val (file, groups) = multiGroupFile(dir)
+    assert(groups >= 4)
+    // row mode applies the STATS filter level; the vectorized reader may
+    // additionally dictionary-filter — so row mode reads a SUPERSET of the
+    // columnar survivors, and both must actually skip on selective
+    // predicates. Never fewer rows (that would be a wrong skip).
+    for ((fs, selective) <- Seq[(Seq[Filter], Boolean)](
+      (Seq(EqualTo("id", 2000L)), true),
+      (Seq(GreaterThanOrEqual("id", 3900L)), true),
+      (Seq(And(GreaterThan("id", 1000L), LessThan("id", 1200L))), true),
+      (Seq(GreaterThan("id", 99999L)), true),
+      (Nil, false))) {
+      val viaRows = rowModeIds(file, fs).map(_._1)
+      val viaCols = readCount(file, fs)
+      assert(viaRows.size.toLong >= viaCols,
+        s"row mode under-read for $fs: ${viaRows.size} < $viaCols")
+      if (selective)
+        assert(viaRows.size < 4000,
+          s"row mode skipped nothing for $fs (${viaRows.size} rows)")
+      else assert(viaRows.size == 4000)
+    }
+    // skipped groups don't shift positions: `_pos` is the GLOBAL parquet
+    // row index even when earlier groups were skipped (file is ids 1..4000
+    // in order, so pos == id - 1 exactly)
+    val posed = rowModeIds(file, Seq(GreaterThanOrEqual("id", 3000L)),
+      withPos = true)
+    assert(posed.nonEmpty && posed.forall { case (id, pos) => pos == id - 1 },
+      s"row positions drifted under skipping: ${posed.take(3)}")
+  }
+
+  test("row-group skipping composes with deletion vectors position-exactly") {
+    val dir = tmpDir("rgf") + "/dv"
+    val (file, groups) = multiGroupFile(dir)
+    assert(groups >= 4)
+    // hand-built sidecar: delete ids 1050..1060 (pos = id-1) by position
+    val rel = "data.parquet" // reader matches the sidecar rows' path field
+    val dvDir = tmpDir("rgf") + "/sidecar"
+    (1050L to 1060L).map(id => (rel, id - 1)).toDF("path", "pos")
+      .coalesce(1).write.parquet(dvDir)
+    val got = rowModeIds(file,
+      Seq(And(GreaterThanOrEqual("id", 1000L), LessThanOrEqual("id", 1100L))),
+      dv = Some((dvDir, rel))).map(_._1).toSet
+    // group skipping keeps whole surviving groups (superset of the range),
+    // but the DELETED positions must be exactly ids 1050..1060 — a single
+    // position drift under skipping would delete the wrong neighbors
+    assert((1000L to 1100L).toSet.subsetOf(got ++ (1050L to 1060L)))
+    assert((1050L to 1060L).forall(!got.contains(_)),
+      s"deleted ids resurfaced: ${got.filter(i => i >= 1050 && i <= 1060)}")
+    assert(got.contains(1049L) && got.contains(1061L),
+      "neighbors of the deleted range must survive (no position drift)")
+  }
 }

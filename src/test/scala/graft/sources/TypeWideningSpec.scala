@@ -187,15 +187,53 @@ class TypeWideningSpec extends SparkSpec {
     }
     rejected("ALTER TABLE lake.default.r ALTER COLUMN id TYPE INT")
     rejected("ALTER TABLE lake.default.r ALTER COLUMN n TYPE STRING")
-    // float→double promotes losslessly on READ but float-era stat strings
-    // are shortest-form decimals, not the promoted double values — a
-    // metadata-only widen could mis-skip; stays rejected
-    rejected("ALTER TABLE lake.default.r ALTER COLUMN x TYPE DOUBLE")
+    // narrowing double→float stays rejected; float→double is now a
+    // supported widening (stat strings re-derive — see the test below)
     rejected("ALTER TABLE lake.default.r ALTER COLUMN d TYPE FLOAT")
     rejected("ALTER TABLE lake.default.r ALTER COLUMN a TYPE DECIMAL(10,4)")
     rejected("ALTER TABLE lake.default.r ALTER COLUMN a TYPE DECIMAL(4,2)")
     // nothing committed by any rejected attempt
     val t = CowTable(spark, lake + "/r", TableConfig("r", Seq("id")))
     assert(t.currentVersion == 2)
+  }
+
+  test("FLOAT→DOUBLE widens metadata-only; float-era stats re-derive and " +
+      "stay exact at the boundary value") {
+    val lake = tmpDir("widen")
+    val sess = lakeSession(lake)
+    // x declared a stats column so per-file float ranges ride the manifest
+    sess.sql("CREATE TABLE lake.default.fd (id BIGINT, x FLOAT) " +
+      "TBLPROPERTIES (primaryKey 'id', statsColumns 'x')")
+    // one float-era file whose max is (float)0.1 — shortest-form stat "0.1"
+    sess.sql("INSERT INTO lake.default.fd VALUES (1, CAST(0.05 AS FLOAT))," +
+      " (2, CAST(0.1 AS FLOAT))")
+    sess.sql("ALTER TABLE lake.default.fd ALTER COLUMN x TYPE DOUBLE")
+    val t = CowTable(spark, lake + "/fd", TableConfig("fd", Seq("id")))
+    val m = t.manifest(t.currentVersion)
+    assert(!m.dataChange, "widen must be metadata-only")
+    assert(CowTable.structFromJson(m.schemaJson)("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // the stat string is the DOUBLE print of the exact float now — NOT the
+    // float-era shortest form "0.1" (which would mis-skip below)
+    val mxs = m.files.flatMap(_.extra.get("x")).flatMap(_.mx)
+    assert(mxs.contains(((0.1f).toDouble).toString),
+      s"stat not re-derived: $mxs")
+    // the mis-skip probe: (double)(float)0.1 ≈ 0.100000001490116 > 0.1 —
+    // a predicate strictly between must still FIND the row. Under stale
+    // float-era stats (max "0.1") the file would have been skipped.
+    val hit = sess.sql("SELECT id FROM lake.default.fd WHERE x > 0.1")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "boundary row lost — float-era stats mis-skipped after the widen")
+    // post-widen inserts mix eras; full scan unions FLOAT- and DOUBLE-
+    // physical files under one DoubleType column in both reader modes
+    sess.sql("INSERT INTO lake.default.fd VALUES (3, CAST(1e300 AS DOUBLE))")
+    val got = sess.sql("SELECT id, x FROM lake.default.fd ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == Seq(1L -> (0.05f).toDouble, 2L -> (0.1f).toDouble,
+      3L -> 1e300), got.mkString(", "))
+    val viaRows = spark.read.format("graft").option("columnar", "false")
+      .load(lake + "/fd").selectExpr("id", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    assert(viaRows == got)
   }
 }

@@ -77,4 +77,139 @@ class PartitionEvolutionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not in the table schema"))
   }
+
+  // ---- TRANSFORM-spec evolution (Iceberg REPLACE PARTITION FIELD) ----
+
+  private def tsRows(r: (Long, String, Double)*) =
+    r.toSeq.toDF("id", "ts_s", "v")
+      .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+
+  test("day(ts) -> hour(ts): metadata-only; schema swaps generated cols; " +
+      "mixed-era reads derive the new column exactly") {
+    val dir = tmpDir("evo")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionSpec = Some("day(ts)")))
+    t0.create(tsRows(
+      (1L, "2024-03-01 10:30:00", 1.0), (2L, "2024-03-02 23:10:00", 2.0)))
+    val t1 = t0.alterPartitionSpec(Some("hour(ts)"))           // v2
+    val m2 = t1.manifest(2)
+    assert(!m2.dataChange)
+    assert(m2.files == t0.manifest(1).files)                   // zero data
+    assert(m2.partitionSpec.contains("hour(ts)"))
+    assert(m2.priorSpecs == Seq("day(ts)"))
+    val schema = CowTable.structFromJson(m2.schemaJson)
+    assert(!schema.fieldNames.contains("ts_day"))              // retired
+    assert(schema.fieldNames.contains("ts_hour"))
+    // new write lands under ts_hour= dirs
+    t1.upsert(tsRows((3L, "2024-03-03 07:45:00", 3.0)))        // v3
+    val freshPaths = t1.manifest(3).files.map(_.path)
+      .filter(_.startsWith("v00003"))
+    assert(freshPaths.nonEmpty &&
+      freshPaths.forall(_.contains("ts_hour=2024-03-03-07")), freshPaths)
+    // API read: old-era rows DERIVE ts_hour from ts (never null)
+    assert(t1.read().selectExpr("id", "ts_hour").as[(Long, String)]
+      .collect().toSet == Set((1L, "2024-03-01-10"),
+        (2L, "2024-03-02-23"), (3L, "2024-03-03-07")))
+    // DSv2 read agrees (row-mode backfill for the pre-evolution files)
+    val dsv2 = spark.read.format("graft").load(dir + "/t")
+      .selectExpr("id", "ts_hour").as[(Long, String)].collect().toSet
+    assert(dsv2 == Set((1L, "2024-03-01-10"), (2L, "2024-03-02-23"),
+      (3L, "2024-03-03-07")))
+  }
+
+  test("pruning works on BOTH eras: source predicate replays through each " +
+      "era's own transform") {
+    val dir = tmpDir("evo")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionSpec = Some("day(ts)")))
+    t0.create(tsRows(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-02 11:00:00", 2.0),
+      (3L, "2024-03-03 12:00:00", 3.0)))
+    val t1 = t0.alterPartitionSpec(Some("hour(ts)"))
+    t1.upsert(tsRows(
+      (4L, "2024-03-04 08:00:00", 4.0), (5L, "2024-03-04 09:00:00", 5.0),
+      (6L, "2024-03-05 10:00:00", 6.0)))
+    val df = spark.read.format("graft").load(dir + "/t")
+    val total = t1.manifest(t1.currentVersion).files.size
+
+    // NEW-era point predicate: prunes new files by hour AND old files by
+    // day (2024-03-04 is not 03-01/02/03) — 1 file survives
+    val q1 = df.filter($"ts" === java.sql.Timestamp.valueOf(
+      "2024-03-04 08:00:00"))
+    val p1 = q1.queryExecution.executedPlan.toString
+    val m1 = """files=(\d+)/(\d+)""".r.findFirstMatchIn(p1).get
+    assert(m1.group(2).toInt == total)
+    assert(m1.group(1).toInt == 1, s"expected 1 file kept in:\n$p1")
+    assert(p1.contains("priorEraFilters=1"), p1)
+    assert(q1.select("id").as[Long].collect().toSeq == Seq(4L))
+
+    // OLD-era range predicate: prunes old files by day replay and new
+    // files by hour replay
+    val q2 = df.filter($"ts" <= java.sql.Timestamp.valueOf(
+      "2024-03-02 23:59:59"))
+    val m2r = """files=(\d+)/(\d+)""".r.findFirstMatchIn(
+      q2.queryExecution.executedPlan.toString).get
+    assert(m2r.group(1).toInt == 2, m2r.group(0)) // the 03-01 + 03-02 files
+    assert(q2.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("maintenance across the boundary: compact migrates old files to " +
+      "the new layout") {
+    val dir = tmpDir("evo")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionSpec = Some("day(ts)")))
+    t0.create(tsRows(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-01 11:00:00", 2.0)))
+    val t1 = t0.alterPartitionSpec(Some("hour(ts)"))
+    t1.upsert(tsRows((3L, "2024-03-02 05:00:00", 3.0)))
+    // compact is Exchange-free by design: old-era files (no current-key
+    // path segment) carry over UNTOUCHED, reads stay exact
+    t1.compact(smallBytes = 1L << 30)
+    assert(t1.read().selectExpr("id", "ts_hour").as[(Long, String)]
+      .collect().toSet == Set((1L, "2024-03-01-10"),
+        (2L, "2024-03-01-11"), (3L, "2024-03-02-05")))
+    // OPTIMIZE rewrites through the write funnel — it MIGRATES old-era
+    // files into the new layout (the era boundary heals under maintenance)
+    t1.optimize(full = true)
+    val after = t1.manifest(t1.currentVersion).files.map(_.path)
+    assert(after.forall(_.contains("ts_hour=")), after)
+    assert(after.forall(!_.contains("ts_day=")), after)
+    assert(t1.read().selectExpr("id", "ts_hour").as[(Long, String)]
+      .collect().toSet == Set((1L, "2024-03-01-10"),
+        (2L, "2024-03-01-11"), (3L, "2024-03-02-05")))
+  }
+
+  test("identity -> transform and transform -> identity evolve cleanly") {
+    val dir = tmpDir("evo")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionKey = Some("v")))
+    t0.create(tsRows((1L, "2024-03-01 10:00:00", 1.0)))
+    val t1 = t0.alterPartitionSpec(Some("day(ts)"))
+    t1.upsert(tsRows((2L, "2024-03-02 11:00:00", 2.0)))
+    assert(t1.manifest(t1.currentVersion).files.exists(
+      _.path.contains("ts_day=2024-03-02")))
+    // the identity column is a data column — still readable everywhere
+    assert(t1.read().select("id", "v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (2L, 2.0)))
+    val t2 = t1.alterPartitionSpec(Some("v"))
+    t2.upsert(tsRows((3L, "2024-03-03 12:00:00", 3.0)))
+    val m = t2.manifest(t2.currentVersion)
+    assert(m.partitionKey.contains("v") && m.partitionSpec.isEmpty)
+    assert(m.priorSpecs == Seq("day(ts)"))
+    assert(!CowTable.structFromJson(m.schemaJson).fieldNames
+      .contains("ts_day"))
+    assert(t2.read().select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
+  test("same-name different-semantics evolution is rejected loudly") {
+    val dir = tmpDir("evo")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionSpec = Some("bucket(8,v)")))
+    t0.create(tsRows((1L, "2024-03-01 10:00:00", 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      t0.alterPartitionSpec(Some("bucket(16,v)"))
+    }
+    assert(e.getMessage.contains("different semantics"), e.getMessage)
+  }
 }

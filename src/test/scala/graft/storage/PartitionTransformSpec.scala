@@ -200,14 +200,16 @@ class PartitionTransformSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
-  test("remaining fences: partition evolution, double key are loud") {
+  test("remaining fences: double key is loud; transform->identity evolves") {
     val dir = tmpDir("pt") + "/t"
     val t = CowTable(spark, dir,
       TableConfig("t", Seq("id"), partitionSpec = Some("day(ts)")))
     t.create(ev((1L, "2024-03-01 10:00:00", 1.0)))
-    val e3 = intercept[IllegalArgumentException](
-      t.alterPartitionKey(Some("v")))
-    assert(e3.getMessage.contains("transform"))
+    // transform-partitioned tables EVOLVE now (round-16 lift of the old
+    // fence — see PartitionEvolutionSpec for the full matrix)
+    val t1 = t.alterPartitionKey(Some("v"))
+    assert(t1.manifest(t1.currentVersion).partitionKey.contains("v"))
+    assert(t1.manifest(t1.currentVersion).priorSpecs == Seq("day(ts)"))
     intercept[IllegalArgumentException] {
       TableConfig("t", Seq("id"), partitionKey = Some("v"),
         partitionSpec = Some("day(ts)"))
