@@ -80,11 +80,30 @@ object RowGroupProbe {
     val kOff = best(keyRange(false))
     val pOn = best(payloadEq(true))
     val pOff = best(payloadEq(false))
+
+    // ROW-MODE twin (round 16): DV'd files / CDF drop partitions degrade
+    // to the row reader — the same group skipping must pay there too
+    def scanRow(rgf: Boolean) = spark.read.format("graft")
+      .option("rowGroupFilter", rgf.toString)
+      .option("columnar", "false").load(root)
+    def keyRangeRow(rgf: Boolean): Long =
+      scanRow(rgf).filter($"id" >= lo && $"id" < lo + 1000)
+        .agg(sum(length($"payload"))).head().getLong(0)
+    def payloadEqRow(rgf: Boolean): Long =
+      scanRow(rgf).filter($"payload" === needle).count()
+    require(keyRangeRow(true) == keyRange(false))
+    require(payloadEqRow(true) == payloadEq(false))
+    val rkOn = best(keyRangeRow(true))
+    val rkOff = best(keyRangeRow(false))
+    val rpOn = best(payloadEqRow(true))
+    val rpOff = best(payloadEqRow(false))
     println(
       s"""{"probe":"rowgroup","rows":$n,"files":${m.files.size},""" +
         s""""bytes":$bytes,"key_range_on_sec":$kOn,""" +
         s""""key_range_off_sec":$kOff,"payload_eq_on_sec":$pOn,""" +
-        s""""payload_eq_off_sec":$pOff}""")
+        s""""payload_eq_off_sec":$pOff,""" +
+        s""""row_key_range_on_sec":$rkOn,"row_key_range_off_sec":$rkOff,""" +
+        s""""row_payload_eq_on_sec":$rpOn,"row_payload_eq_off_sec":$rpOff}""")
     spark.stop()
   }
 }

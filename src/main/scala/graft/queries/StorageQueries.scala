@@ -2934,5 +2934,51 @@ object StorageQueries {
           |""".stripMargin)                            // v4 (DOUBLE era)
       sess.sql(
         "SELECT id, x FROM lake.default.fw WHERE x > 50.0")
+    },
+
+    // PER-FILE NDV SKETCHES, ORACLE-CHECKED (round 16): the `ndvSketch`
+    // table property writes K-minimum-values states per stats column per
+    // file; `$column_stats` merges them over the whole table — and because
+    // KMV unions are EXACT (merge-sort + cap) and the hash is the
+    // engine-standard replayable 48-bit md5, the merged-across-files
+    // estimate equals a GLOBAL single-pass sketch, which DuckDB replays
+    // bit-for-bit (an approximate statistic with an exact oracle — the
+    // same discipline as q72's kmv_distinct). Two commits prove the merge;
+    // n_chars exercises the estimator branch (ndv > k), lang/source the
+    // exhaustive-exact branch (ndv < k).
+    Q("q218_column_stats", {
+      def leg(c: String): String =
+        s"""SELECT '$c' AS col_name,
+           |  (WITH h AS (SELECT ('0x' || substr(md5(CAST($c AS VARCHAR)),
+           |                1, 12))::BIGINT AS h
+           |              FROM documents WHERE $c IS NOT NULL),
+           |   s AS (SELECT list_sort(list_distinct(list(h))) AS hs,
+           |           count(DISTINCT h) AS nd FROM h)
+           |   SELECT CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+           |     ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+           |          / CAST(hs[64] AS DOUBLE) END FROM s) AS ndv,
+           |  (SELECT count(*) - count($c) FROM documents) AS null_count
+           |""".stripMargin
+      Seq("lang", "n_chars", "source").map(leg)
+        .mkString("", "UNION ALL\n", "ORDER BY col_name\n")
+    }) { (s, d) =>
+      val lake = tableDir("q218")
+      CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
+      val docs = t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      val cfg = TableConfig("ds", Seq("doc_id"),
+        statsColumns = Seq("lang", "n_chars", "source"), ndvSketch = true)
+      val tbl = CowTable(s, lake + "/ds", cfg)
+      tbl.create(docs.filter(col("doc_id") % 2 === 1))   // sketch era 1
+      tbl.upsert(docs.filter(col("doc_id") % 2 === 0))   // sketch era 2
+      val m = tbl.manifest(tbl.currentVersion)
+      require(m.files.forall(e => Seq("lang", "n_chars", "source")
+        .forall(e.ndv.contains)), "every file needs every column's sketch")
+      graft.storage.LakeRegistry.register(lake, cfg, lake + "/ds")
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+      sess.sql("SELECT col_name, ndv, null_count FROM " +
+        "lake.default.`ds$column_stats` ORDER BY col_name")
     })
 }

@@ -1804,9 +1804,16 @@ final class GraftScan(
           "re-read from a retained version via " +
             "option(\"startingVersion\", ...)")
       override def planInputPartitions(): Array[InputPartition] = parts
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        // partition-spec evolution: feed files from RETIRED eras carry
+        // neither the current generated column nor its path value —
+        // derive per row (forces row mode across the feed batch)
+        val gf = GenFill.forScan(m, required, m.files,
+          force = m.priorSpecs.nonEmpty)
         new GraftReaderFactory(required,
-          columnar && !GraftCdf.needsRowMode(parts), m.columnMapping)
+          columnar && !GraftCdf.needsRowMode(parts) && gf.isEmpty,
+          m.columnMapping, genFill = gf)
+      }
     }
   }
 
@@ -1931,24 +1938,7 @@ final class GraftScan(
     * resolved/bound DRIVER-side (session-timezone exact) and shipped to
     * the row readers; scans needing it degrade to row mode. */
   private lazy val genFill: Option[GenFill] =
-    m.partitionSpec.flatMap { sp =>
-      val t = PartitionTransform.parse(sp)
-      val schema = CowTable.structFromJson(m.schemaJson)
-      if (!required.fieldNames.contains(t.name) ||
-        !schema.fieldNames.contains(t.source) ||
-        kept.forall(e => GraftScan.pathPartValue(m.partitionKey, e).isDefined))
-        None
-      else {
-        val srcPhys = m.physicalName(t.source)
-        val srcType = schema(t.source).dataType
-        val bound = org.apache.spark.sql.graftshim.ColumnBridge.bindToSchema(
-          org.apache.spark.sql.SparkSession.active,
-          StructType(Seq(StructField(srcPhys, srcType))),
-          t.applyTo(org.apache.spark.sql.functions.col(srcPhys)),
-          required(t.name).dataType)
-        Some(GenFill(m.physicalName(t.name), srcPhys, srcType, bound))
-      }
-    }
+    GenFill.forScan(m, required, kept)
 }
 
 final class GraftReaderFactory(required: StructType, columnar: Boolean = true,

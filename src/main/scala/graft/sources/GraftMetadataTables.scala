@@ -57,6 +57,18 @@ object GraftMetadataTables {
     StructField("bytes", LongType, nullable = false),
     StructField("avg_file_bytes", LongType, nullable = false)))
 
+  /** `$column_stats`: one row per declared stats column — the merged
+    * K-minimum-values NDV estimate ([[graft.storage.TableConfig.ndvSketch]];
+    * NULL when any file lacks a sketch) and the footer null-count sum
+    * (NULL when any file lacks one). The ndv DOUBLE is the RAW deterministic
+    * KMV estimate, replayable externally (an approximate statistic with an
+    * exact oracle — same discipline as the kmv_distinct SQL function). */
+  val ColumnStatsSchema: StructType = StructType(Seq(
+    StructField("col_name", StringType, nullable = false),
+    StructField("ndv", org.apache.spark.sql.types.DoubleType,
+      nullable = true),
+    StructField("null_count", LongType, nullable = true)))
+
   /** The metadata table for suffix `kind`, or None for an unknown suffix. */
   def table(warehouse: String, e: LakeRegistry.Entry, root: Path,
       kind: String): Option[Table] = kind match {
@@ -68,6 +80,9 @@ object GraftMetadataTables {
     case "partitions" => Some(new MetaTable(
       s"${e.table_name}$$partitions", PartitionsSchema,
       () => partitionRows(root)))
+    case "column_stats" => Some(new MetaTable(
+      s"${e.table_name}$$column_stats", ColumnStatsSchema,
+      () => columnStatsRows(root)))
     case "tags" => Some(new MetaTable(
       s"${e.table_name}$$tags", TagsSchema, () => tagRows(root)))
     case "detail" => Some(new MetaTable(
@@ -217,6 +232,28 @@ object GraftMetadataTables {
           bytes / fs.size
         )): InternalRow
       }.toArray
+  }
+
+  private def columnStatsRows(root: Path): Array[InternalRow] = {
+    val cur = CowTable.currentVersionAt(root)
+    if (cur == 0) return Array.empty
+    val m = CowTable.manifestAt(root, cur)
+    m.statsColumns.map { c =>
+      val phys = m.physicalName(c)
+      val ndv: Any =
+        if (m.files.nonEmpty && m.files.forall(_.ndv.contains(phys)))
+          graft.functions.KmvSketch.estimate(
+            m.files.map(_.ndv(phys).toArray)
+              .reduce(graft.functions.KmvSketch.mergeSorted(
+                _, _, CowTable.NdvK)).toSeq, CowTable.NdvK)
+        else null
+      val nulls: Any =
+        if (m.files.nonEmpty && m.files.forall(_.nulls.contains(phys)))
+          m.files.map(_.nulls(phys)).sum
+        else null
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(c), ndv, nulls)): InternalRow
+    }.toArray
   }
 
   /** Read-only driver-local table: rows materialize per scan (fresh

@@ -308,7 +308,20 @@ final class GraftMicroBatchStream(
           "table schema")
       m.columnMapping
     }
-    new GraftReaderFactory(required, columnar && !batchNeedsRowMode, mapping)
+    // GENERATED-column backfill for era-mixed tables (partition-spec
+    // evolution): commits that predate the current transform stream files
+    // without the column in file or path — derive it per row, same recipe
+    // as the batch scan (forces row mode for the stream)
+    val genFill: Option[GenFill] =
+      if (cur == 0) None
+      else {
+        val m = CowTable.manifestAt(root, cur)
+        GenFill.forScan(m, required, m.files,
+          force = m.priorSpecs.nonEmpty)
+      }
+    new GraftReaderFactory(required,
+      columnar && !batchNeedsRowMode && genFill.isEmpty, mapping,
+      genFill = genFill)
   }
 
   override def commit(end: Offset): Unit = () // engine-side checkpointing

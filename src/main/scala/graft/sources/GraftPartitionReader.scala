@@ -335,3 +335,36 @@ final case class GenFill(
     srcType: DataType,
     expr: org.apache.spark.sql.catalyst.expressions.Expression)
   extends Serializable
+
+object GenFill {
+  /** Backfill recipe for a scan of `files` under manifest `m`: Some only
+    * when the table has a partition transform, its generated column is
+    * required, and ANY scanned file predates the transform (no path-borne
+    * value). Resolution/binding happens DRIVER-side against the session's
+    * timezone (the same analysis the write funnel gets). */
+  def forScan(m: graft.storage.CommitManifest, required: StructType,
+      files: Seq[graft.storage.FileEntry],
+      /** Engage even when every listed file is pathed — change-feed ranges
+        * can read HISTORICAL files from retired eras that no longer appear
+        * in the current snapshot's list (the per-file reader still only
+        * derives where the column is truly absent). */
+      force: Boolean = false): Option[GenFill] =
+    m.partitionSpec.flatMap { sp =>
+      val t = graft.storage.PartitionTransform.parse(sp)
+      val schema = graft.storage.CowTable.structFromJson(m.schemaJson)
+      if (!required.fieldNames.contains(t.name) ||
+        !schema.fieldNames.contains(t.source) ||
+        (!force && files.forall(e =>
+          GraftScan.pathPartValue(m.partitionKey, e).isDefined))) None
+      else {
+        val srcPhys = m.physicalName(t.source)
+        val srcType = schema(t.source).dataType
+        val bound = org.apache.spark.sql.graftshim.ColumnBridge.bindToSchema(
+          org.apache.spark.sql.SparkSession.active,
+          StructType(Seq(StructField(srcPhys, srcType))),
+          t.applyTo(org.apache.spark.sql.functions.col(srcPhys)),
+          required(t.name).dataType)
+        Some(GenFill(m.physicalName(t.name), srcPhys, srcType, bound))
+      }
+    }
+}

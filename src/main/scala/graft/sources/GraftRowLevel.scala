@@ -210,14 +210,21 @@ final class GraftRowLevelScan(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // GENERATED-column backfill (partition-spec evolution): a row-level
+    // scan of pre-evolution files must read the DERIVED value — a MERGE
+    // condition on the generated column would otherwise see nulls (the
+    // written value self-heals via TransformRecompute either way)
+    val genFill: Option[GenFill] = GenFill.forScan(m, required, effectiveKept)
     // position-skipping and a requested `_pos` both need the row reader
     // (same degrades as GraftScan — the columnar path would silently
     // null-fill `_pos` as an absent file column)
     new GraftReaderFactory(required,
       columnar = effectiveKept.forall(_.dvPath.isEmpty) &&
-        !required.fieldNames.contains(GraftTable.PosColumnName),
-      mapping = m.columnMapping)
+        !required.fieldNames.contains(GraftTable.PosColumnName) &&
+        genFill.isEmpty,
+      mapping = m.columnMapping, genFill = genFill)
+  }
 }
 
 final class GraftRowLevelWriteBuilder(

@@ -2805,8 +2805,22 @@ final class CowTable private[storage] (
     * writer-unique `_cdc/` dir and return its root-relative path — called
     * just before the commit that will reference it, so a losing CAS leaves
     * only an unreferenced dir (same inertness argument as data files). */
-  private def writeCdc(changes: DataFrame, forVersion: Int,
+  private def writeCdc(changes0: DataFrame, forVersion: Int,
       mapping: Map[String, String] = Map.empty): Option[String] = {
+    // GENERATED-column invariant for CHANGE rows (hidden partitioning):
+    // change frames assembled from user batches carry the generated
+    // partition column null (the batch never had it — writeVersion computes
+    // it inside the data funnel, which change rows bypass). Recompute it
+    // unconditionally from each row's own source value — pure projection,
+    // idempotent, and preimages get THEIR era's value. Skipped when the
+    // frame's target schema doesn't carry the column (e.g. a restore diff
+    // into a pre-transform era).
+    val changes = config.partitionTransform match {
+      case Some(t) if changes0.columns.contains(t.name) &&
+          changes0.columns.contains(t.source) =>
+        changes0.withColumn(t.name, t.expr)
+      case _ => changes0
+    }
     val seg = f"_cdc/v$forVersion%05d-" + java.util.UUID.randomUUID
       .toString.replace("-", "").substring(0, 8)
     // change files store PHYSICAL column names, same as data files —

@@ -202,6 +202,107 @@ class PartitionEvolutionSpec extends SparkSpec {
       Set(1L, 2L, 3L))
   }
 
+  test("SQL row-level writes on an era-mixed table read DERIVED generated " +
+      "values (never nulls) and rewrite them correctly") {
+    val lake = tmpDir("evo")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.lake.warehouse", lake)
+    val t0 = CowTable(sess, lake + "/t", TableConfig("t", Seq("id"),
+      partitionSpec = Some("day(ts)")))
+    t0.create(tsRows(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-02 11:00:00", 2.0)))
+    val t1 = t0.alterPartitionSpec(Some("hour(ts)"))
+    graft.storage.LakeRegistry.register(lake, t1.config, "t")
+    t1.upsert(tsRows((3L, "2024-03-03 12:00:00", 3.0)))
+    // the UPDATE's row-level scan reads pre-evolution files — ts_hour must
+    // arrive DERIVED (the rewrite then recomputes it on write anyway)
+    sess.sql("UPDATE lake.default.t SET v = v + 10 WHERE id = 1")
+    val got = sess.sql(
+      "SELECT id, ts_hour, v FROM lake.default.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-03-01-10", 11.0), (2L, "2024-03-02-11", 2.0),
+      (3L, "2024-03-03-12", 3.0)), got.mkString(", "))
+    // a MERGE whose CONDITION references the generated column sees the
+    // derived value on old-era rows too
+    import sess.implicits._
+    Seq((2L, 99.0)).toDF("id", "nv").createOrReplaceTempView("src")
+    sess.sql("MERGE INTO lake.default.t t USING src s ON t.id = s.id " +
+      "AND t.ts_hour = '2024-03-02-11' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    assert(sess.sql("SELECT v FROM lake.default.t WHERE id = 2")
+      .head().getDouble(0) == 99.0)
+  }
+
+  test("change feed across the evolution boundary derives the generated " +
+      "column for retired-era commits") {
+    val dir = tmpDir("evo")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionSpec = Some("day(ts)"), changeDataFeed = true))
+    t0.create(tsRows((1L, "2024-03-01 10:00:00", 1.0)))       // v1: day era
+    val t1 = t0.alterPartitionSpec(Some("hour(ts)"))          // v2: evolve
+    t1.upsert(tsRows((2L, "2024-03-02 05:00:00", 2.0)))       // v3: hour era
+    // DSv2 feed: the v1 insert's file is a RETIRED-era data file — ts_hour
+    // must arrive DERIVED, not null
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir + "/t")
+      .select("id", "ts_hour", "_change_type", "_commit_version")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(feed == Set(
+      (1L, "2024-03-01-10", "insert", 1),
+      (2L, "2024-03-02-05", "insert", 3)), feed.toString)
+    // API feed agrees
+    val api = t1.readChangeFeed(0, t1.currentVersion)
+      .select("id", "ts_hour", "_change_type", "_commit_version")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(api == feed, api.toString)
+  }
+
+  test("property: era-mixed pruning never drops matching rows (random " +
+      "timestamp predicates over a random evolution cut)") {
+    val rnd = new scala.util.Random(42)
+    val dir = tmpDir("evo")
+    val n = 600
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val span = 10L * 24 * 3600 * 1000 // 10 days
+    val rows = (1L to n).map { i =>
+      (i, new java.sql.Timestamp(base + (rnd.nextDouble() * span).toLong),
+        i * 1.0)
+    }
+    import spark.implicits._
+    val df = rows.toDF("id", "ts", "v")
+    val cutMs = base + (span * (0.3 + rnd.nextDouble() * 0.4)).toLong
+    val cut = new java.sql.Timestamp(cutMs)
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionSpec = Some("day(ts)")))
+    t0.create(df.filter($"ts" < cut))
+    val t1 = t0.alterPartitionSpec(Some("hour(ts)"))
+    t1.upsert(df.filter($"ts" >= cut))
+    val scan = spark.read.format("graft").load(dir + "/t")
+    def expect(p: java.sql.Timestamp => Boolean): Set[Long] =
+      rows.filter(r => p(r._2)).map(_._1).toSet
+    (1 to 40).foreach { _ =>
+      val a = new java.sql.Timestamp(base + (rnd.nextDouble() * span).toLong)
+      val b = new java.sql.Timestamp(base + (rnd.nextDouble() * span).toLong)
+      val (lo, hi) = if (a.before(b)) (a, b) else (b, a)
+      val cases: Seq[(org.apache.spark.sql.Column,
+        java.sql.Timestamp => Boolean)] = Seq(
+        ($"ts" >= lo, ts => !ts.before(lo)),
+        ($"ts" < hi, ts => ts.before(hi)),
+        ($"ts" >= lo && $"ts" < hi, ts => !ts.before(lo) && ts.before(hi)),
+        ($"ts" === lo, ts => ts == lo))
+      cases.foreach { case (c, p) =>
+        val got = scan.filter(c).select("id").as[Long].collect().toSet
+        assert(got == expect(p),
+          s"era-mixed prune dropped/invented rows for $c: " +
+            s"missing=${expect(p) -- got} extra=${got -- expect(p)}")
+      }
+    }
+  }
+
   test("same-name different-semantics evolution is rejected loudly") {
     val dir = tmpDir("evo")
     val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
