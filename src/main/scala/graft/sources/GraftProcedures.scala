@@ -34,7 +34,8 @@ object GraftProcedures {
       "purge_vectors", "tag", "drop_tag", "generate_manifest",
       "create_release", "drop_release", "list_releases",
       "create_branch", "drop_branch", "fast_forward", "list_branches",
-      "vacuum_age", "create_view", "drop_view", "list_views", "validate")
+      "vacuum_age", "create_view", "drop_view", "list_views", "validate",
+      "compute_stats")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def open(tbl: String): CowTable =
@@ -82,6 +83,28 @@ object GraftProcedures {
         resultSchema = versionResult) { args =>
         Array[Any](open(str(args, 0))
           .purgeDeletionVectors(args.getInt(1)))
+      })
+      // CALL lake.compute_stats('t'): backfill per-file NDV sketches on an
+      // existing table (one column-pruned pass over just the lacking
+      // files, metadata-only commit) and durably flip ndvSketch so future
+      // writes maintain them — adopt CBO-grade distinctCount on a 100 TB
+      // table without rewriting a byte.
+      case "compute_stats" => Some(proc("compute_stats",
+        Seq(in("table", StringType)),
+        resultSchema = versionResult) { args =>
+        val name = str(args, 0)
+        val e = LakeRegistry.entries(warehouse)
+          .find(_.table_name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft: no table $name in $warehouse"))
+        val root = LakeRegistry.resolveRoot(warehouse, e)
+        val cfg = graft.storage.CowTable
+          .configAt(java.nio.file.Paths.get(root), e.config)
+          .copy(ndvSketch = true)
+        val t = CowTable(SparkSession.active, root, cfg)
+        val v = t.computeNdvSketches()
+        LakeRegistry.register(warehouse, cfg, e.root)
+        Array[Any](v)
       })
       case "vacuum" => Some(proc("vacuum",
         Seq(in("table", StringType),

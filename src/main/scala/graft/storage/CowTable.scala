@@ -3184,28 +3184,61 @@ final class CowTable private[storage] (
     val nonEmpty = entries.filter(_.rows > 0)
     if (cols.isEmpty || nonEmpty.isEmpty) return entries
     Try {
-      val rootAbs = root.toString
-      val df0 = spark.read.parquet(
-        nonEmpty.map(e => root.resolve(e.path).toString): _*)
-      val present = cols.filter(df0.columns.contains) // path-borne cols skip
-      if (present.isEmpty) entries
-      else {
-        val rel = expr(s"substring(regexp_replace(_metadata.file_path, " +
-          s"'^file:', ''), ${rootAbs.length + 2})")
-        val aggs = present.map(p => graft.functions.KmvSketch.kmvState(
-          graft.text.TextFunctions.md5Hash48(col(p).cast("string")),
-          CowTable.NdvK).as(p))
-        val rowsOut = df0.select(rel.as("__rel") +: present.map(col): _*)
-          .groupBy("__rel").agg(aggs.head, aggs.tail: _*)
-          .collect()
-        val byPath: Map[String, Map[String, Seq[Long]]] = rowsOut.map { r =>
-          r.getString(0) -> present.zipWithIndex.map { case (p, i) =>
-            p -> r.getSeq[Long](i + 1).toSeq
-          }.toMap
-        }.toMap
-        entries.map(e => byPath.get(e.path).fold(e)(m => e.copy(ndv = m)))
-      }
+      val byPath = ndvSketchesFor(nonEmpty, cols)
+      entries.map(e => byPath.get(e.path).fold(e)(m => e.copy(ndv = m)))
     }.getOrElse(entries)
+  }
+
+  /** The sketch pass itself: one column-pruned read of `files`, per-file
+    * k-min hash states per physical column. Sketches are over the files'
+    * RAW rows (deletion vectors not subtracted — an advisory NDV upper
+    * bound; purge/compaction refreshes them exactly). */
+  private def ndvSketchesFor(files: Seq[FileEntry], cols: Seq[String])
+      : Map[String, Map[String, Seq[Long]]] = {
+    val rootAbs = root.toString
+    val df0 = spark.read.parquet(
+      files.map(e => root.resolve(e.path).toString): _*)
+    val present = cols.filter(df0.columns.contains) // path-borne cols skip
+    if (present.isEmpty) return Map.empty
+    val rel = expr(s"substring(regexp_replace(_metadata.file_path, " +
+      s"'^file:', ''), ${rootAbs.length + 2})")
+    val aggs = present.map(p => graft.functions.KmvSketch.kmvState(
+      graft.text.TextFunctions.md5Hash48(col(p).cast("string")),
+      CowTable.NdvK).as(p))
+    df0.select(rel.as("__rel") +: present.map(col): _*)
+      .groupBy("__rel").agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        r.getString(0) -> present.zipWithIndex.map { case (p, i) =>
+          p -> r.getSeq[Long](i + 1).toSeq
+        }.toMap
+      }.toMap
+  }
+
+  /** BACKFILL NDV sketches on an EXISTING table (adopt
+    * [[TableConfig.ndvSketch]] without rewriting a byte): one
+    * column-pruned pass over JUST the files lacking a sketch, folded into
+    * a metadata-only commit. Loud-free no-op when nothing is missing.
+    * Subsequent writes maintain the sketches (the commit durably flips the
+    * manifest's ndvSketch flag via this handle's config). Returns the new
+    * current version. */
+  def computeNdvSketches(): Int = {
+    val parent = currentVersion
+    require(parent > 0, s"table ${config.tableName} does not exist")
+    val m = manifest(parent)
+    val schema = structFromJson(m.schemaJson)
+    val cols = m.statsColumns
+      .flatMap(c => schema.find(_.name == c))
+      .map(f => m.physicalName(f.name))
+    if (cols.isEmpty) return parent
+    val lacking = m.files.filter(e =>
+      e.rows > 0 && !cols.forall(e.ndv.contains))
+    if (lacking.isEmpty && m.ndvSketch == config.ndvSketch) return parent
+    val byPath =
+      if (lacking.isEmpty) Map.empty[String, Map[String, Seq[Long]]]
+      else ndvSketchesFor(lacking, cols)
+    val updated = m.files.map(e =>
+      byPath.get(e.path).fold(e)(mm => e.copy(ndv = e.ndv ++ mm)))
+    commitAt(parent, Nil, updated, schema, dataChange = false)
   }
 
   /** Footer stats for an EXPLICIT file list (the DSv2 write commit path:

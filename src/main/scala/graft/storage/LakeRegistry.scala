@@ -185,7 +185,7 @@ object LakeRegistry {
       e.table_name
     }
 
-  private def resolveRoot(lakeDir: String, e: Entry): String = {
+  private[graft] def resolveRoot(lakeDir: String, e: Entry): String = {
     val p = Paths.get(e.root)
     (if (p.isAbsolute) p else Paths.get(lakeDir).resolve(p)).toString
   }

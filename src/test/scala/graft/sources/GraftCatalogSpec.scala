@@ -406,6 +406,74 @@ class GraftCatalogSpec extends SparkSpec {
     assert(parts.forall(_._2 >= 1L))
   }
 
+  test("$column_stats merges per-file NDV sketches; NULL where evidence " +
+      "is missing") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("CREATE TABLE lake.default.cs (id BIGINT, g STRING, v BIGINT) " +
+      "USING graft TBLPROPERTIES (primaryKey 'id', statsColumns 'g,v', " +
+      "ndvSketch 'true')")
+    sess.sql("INSERT INTO lake.default.cs SELECT id, concat('g', id % 7), " +
+      "id % 200 FROM range(1000)")
+    sess.sql("INSERT INTO lake.default.cs SELECT id + 1000, " +
+      "concat('g', id % 7), id % 200 + 100 FROM range(1000)")
+    val rows = sess.sql("SELECT col_name, ndv, null_count FROM " +
+      "lake.default.`cs$column_stats` ORDER BY col_name")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("g", "v"))
+    // g: 7 distinct < k=64 ⇒ the merged sketch is exhaustive-EXACT
+    assert(rows(0)._2 == 7.0 && rows(0)._3 == 0L, rows(0).toString)
+    // v: 300 distinct > k ⇒ estimator branch, ±20% of truth
+    assert(rows(1)._2 > 240 && rows(1)._2 < 360, rows(1).toString)
+    // a table WITHOUT sketches reports NULL ndv (never a guess)
+    sess.sql("CREATE TABLE lake.default.ns (id BIGINT, g STRING) " +
+      "USING graft TBLPROPERTIES (primaryKey 'id', statsColumns 'g')")
+    sess.sql("INSERT INTO lake.default.ns VALUES (1, 'x')")
+    val ns = sess.sql(
+      "SELECT ndv FROM lake.default.`ns$column_stats`").collect()
+    assert(ns.length == 1 && ns(0).isNullAt(0))
+  }
+
+  test("CALL compute_stats backfills NDV sketches on an existing table; " +
+      "later writes maintain them") {
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    // created WITHOUT ndvSketch: two commits, zero sketches
+    sess.sql("CREATE TABLE lake.default.bf (id BIGINT, g STRING) " +
+      "USING graft TBLPROPERTIES (primaryKey 'id', statsColumns 'g')")
+    sess.sql("INSERT INTO lake.default.bf SELECT id, concat('g', id % 5) " +
+      "FROM range(500)")
+    sess.sql("INSERT INTO lake.default.bf SELECT id + 500, " +
+      "concat('g', id % 5 + 5) FROM range(500)")
+    assert(sess.sql("SELECT ndv FROM lake.default.`bf$column_stats`")
+      .head().isNullAt(0), "no sketches yet")
+    // backfill: one column-pruned pass over the lacking files, no rewrite
+    val t = graft.storage.CowTable(spark, lake + "/bf",
+      graft.storage.TableConfig("bf", Seq("id")))
+    val before = t.manifest(t.currentVersion).files.map(_.path)
+    sess.sql("CALL lake.compute_stats('bf')")
+    val m = t.manifest(t.currentVersion)
+    assert(!m.dataChange && m.files.map(_.path) == before,
+      "backfill must be metadata-only")
+    assert(m.ndvSketch, "flag must flip durably")
+    assert(m.files.forall(_.ndv.contains("g")))
+    assert(sess.sql("SELECT ndv FROM lake.default.`bf$column_stats`")
+      .head().getDouble(0) == 10.0) // 10 < k: exhaustive-exact
+    // a write AFTER the backfill keeps maintaining sketches
+    sess.sql("INSERT INTO lake.default.bf VALUES (9999, 'g99')")
+    val m2 = t.manifest(t.currentVersion)
+    assert(m2.files.forall(_.ndv.contains("g")),
+      "post-backfill writes must sketch their fresh files")
+    assert(sess.sql("SELECT ndv FROM lake.default.`bf$column_stats`")
+      .head().getDouble(0) == 11.0)
+    // idempotent: nothing lacking => no new commit
+    val vBefore = t.currentVersion
+    sess.sql("CALL lake.compute_stats('bf')")
+    assert(t.currentVersion == vBefore)
+  }
+
   test("CALL procedures: compact / optimize / vacuum / rollback via SQL") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
