@@ -164,7 +164,16 @@ final class GraftPartitionReader(
           (_: Group) => java.lang.Long.valueOf(rowPos)
         } else if (genActive.exists(_.genName == f.name)) {
           val gf = genActive.get
-          if (!inFile(gf.srcPhys)) (_: Group) => null
+          if (partitionValues.contains(gf.srcPhys)) {
+            // identity-on-source era (ts -> day(ts) evolution): the SOURCE
+            // itself is path-borne in old files — the generated value is a
+            // per-file CONSTANT of the transform over the parsed dir value
+            val srcRow = new GenericInternalRow(Array[Any](
+              GraftColumnarPartitionReader.parsePartitionValue(
+                partitionValues(gf.srcPhys), gf.srcType)))
+            val const = gf.expr.eval(srcRow)
+            (_: Group) => const
+          } else if (!inFile(gf.srcPhys)) (_: Group) => null
           else {
             val sIdx = readCols.indexOf(gf.srcPhys)
             val sConv = converter(fileFields(gf.srcPhys).asPrimitiveType(),

@@ -235,6 +235,29 @@ class PartitionEvolutionSpec extends SparkSpec {
       .head().getDouble(0) == 99.0)
   }
 
+  test("identity-on-source -> transform: old files' PATH-BORNE source " +
+      "still derives the generated column (Iceberg's classic ts->days)") {
+    val dir = tmpDir("evo")
+    // identity-partitioned BY THE TRANSFORM SOURCE itself: old files carry
+    // v only in the directory name, not in file bytes
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionKey = Some("v")))
+    t0.create(tsRows((1L, "2024-03-01 10:00:00", 7.0)))
+    val t1 = t0.alterPartitionSpec(Some("bucket(4,v)"))
+    t1.upsert(tsRows((2L, "2024-03-02 11:00:00", 8.0)))
+    val expected = Set(
+      (1L, graft.storage.PartitionTransform.bucketLocal("7.0", 4)),
+      (2L, graft.storage.PartitionTransform.bucketLocal("8.0", 4)))
+    // DSv2: the old file's v is path-borne — the generated bucket derives
+    // from the parsed dir constant, never null
+    val got = spark.read.format("graft").load(dir + "/t")
+      .select("id", "v_bucket").as[(Long, Long)].collect().toSet
+    assert(got == expected, got.toString)
+    // API read agrees
+    assert(t1.read().select("id", "v_bucket").as[(Long, Long)]
+      .collect().toSet == expected)
+  }
+
   test("change feed across the evolution boundary derives the generated " +
       "column for retired-era commits") {
     val dir = tmpDir("evo")
