@@ -825,6 +825,12 @@ final class GraftScanBuilder(
       if (agg.groupByExpressions.isEmpty) groups
       else groups.filter { case (_, fs) => fs.map(_.liveRows).sum > 0 }
     if (groups.isEmpty) return None // zero files: the plain scan handles it
+    // EVERY group dead (all files fully DV-deleted): the rows loop below
+    // never runs, so aggFields would stay empty and the reported schema
+    // (group column only) would miss the aggregate fields Spark consumes
+    // positionally — planning would fail instead of returning the empty
+    // result. Fall back to the plain scan, which yields it correctly.
+    if (agg.groupByExpressions.nonEmpty && liveGroups.isEmpty) return None
     def statsUsable(fs: Seq[FileEntry]): Boolean =
       fs.forall(e => e.dvPath.isEmpty &&
         e.minKey.isDefined && e.maxKey.isDefined &&
@@ -1807,11 +1813,12 @@ final class GraftScan(
       override def createReaderFactory(): PartitionReaderFactory = {
         // partition-spec evolution: feed files from RETIRED eras carry
         // neither the current generated column nor its path value —
-        // derive per row (forces row mode across the feed batch)
+        // the augmented columnar reader derives it per batch (and handles
+        // dropped files carrying their parent's deletion vector), so the
+        // feed keeps vectorized decode
         val gf = GenFill.forScan(m, required, m.files,
           force = m.priorSpecs.nonEmpty)
-        new GraftReaderFactory(required,
-          columnar && !GraftCdf.needsRowMode(parts) && gf.isEmpty,
+        new GraftReaderFactory(required, columnar,
           m.columnMapping, genFill = gf)
       }
     }
@@ -1920,15 +1927,13 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // deletion-vectored files need the position-skipping row reader; the
-    // vectorized path has no per-row skip, so a scan touching any DV'd
-    // file degrades to row mode (transient until purge/compaction). A
-    // requested `_pos` metadata column likewise forces row mode (a running
-    // per-file position has no columnar constant-vector form).
+    // deletion-vectored and pre-evolution files stay COLUMNAR via the
+    // augmented reader (batch compaction of surviving rows / per-batch
+    // generated-column fill). Only a requested `_pos` metadata column
+    // forces row mode (a running per-file position has no columnar
+    // constant-vector form, and row-level ops want rows anyway).
     new GraftReaderFactory(columnar = columnar &&
-      kept.forall(_.dvPath.isEmpty) &&
-      !required.fieldNames.contains(GraftTable.PosColumnName) &&
-      genFill.isEmpty, // per-row derived column has no constant-vector form
+      !required.fieldNames.contains(GraftTable.PosColumnName),
       required = required, mapping = m.columnMapping,
       filters = pushedSource, genFill = genFill)
 
@@ -1936,7 +1941,8 @@ final class GraftScan(
     * once per scan when the current transform's column is required and any
     * kept file predates it (no path value). The transform expression is
     * resolved/bound DRIVER-side (session-timezone exact) and shipped to
-    * the row readers; scans needing it degrade to row mode. */
+    * the readers; columnar scans derive it per batch via the augmented
+    * reader, row scans per row. */
   private lazy val genFill: Option[GenFill] =
     GenFill.forScan(m, required, kept)
 }
@@ -1949,8 +1955,9 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
       * under skipping). Pruning-only; filters stay residual above the
       * scan. */
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    /** Generated-partition-column backfill for pre-evolution files
-      * (row-mode only — the scan degrades when this is set). */
+    /** Generated-partition-column backfill for pre-evolution files —
+      * per-row in row mode, per-batch via [[GraftAugmentedColumnarReader]]
+      * in columnar mode. */
     genFill: Option[GenFill] = None)
   extends PartitionReaderFactory {
 
@@ -1969,24 +1976,28 @@ final class GraftReaderFactory(required: StructType, columnar: Boolean = true,
     * admitted shape) are always vectorizable. */
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
+  /** Plain vectorized reader for the common case; the augmented reader
+    * (batch compaction / per-batch generated-column fill) only where the
+    * FILE needs it — a DV'd file, or one whose path lacks the generated
+    * column (pre-evolution era). */
+  private def mkColumnar(path: String, pv: Map[String, String],
+      dv: Option[(String, String)]): PartitionReader[
+      org.apache.spark.sql.vectorized.ColumnarBatch] =
+    if (dv.isDefined || genFill.exists(gf => !pv.contains(gf.genName)))
+      new GraftAugmentedColumnarReader(path, physRequired, pv,
+        capacity = 4096, dv = dv, genFill = genFill, filters = filters,
+        nameMapping = mapping)
+    else
+      new GraftColumnarPartitionReader(path, physRequired, pv,
+        capacity = 4096, filters = filters, nameMapping = mapping)
+
   override def createColumnarReader(p: InputPartition): PartitionReader[
     org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
     case g: GraftGroupedPartition =>
       new GraftConcatReader(g.files.map(f => () =>
-        new GraftColumnarPartitionReader(f, physRequired, g.partitionValues,
-          capacity = 4096, filters = filters, nameMapping = mapping)
-          : PartitionReader[
-            org.apache.spark.sql.vectorized.ColumnarBatch]))
+        mkColumnar(f, g.partitionValues, g.dv.get(f))))
     case gp: GraftInputPartition =>
-      // DV subtraction has no columnar form — every planner that emits a
-      // DV'd partition degrades its scan to row mode; reaching here in
-      // columnar mode anyway must fail, never silently re-emit dead rows
-      if (gp.dv.isDefined) throw new IllegalStateException(
-        s"graft: deletion-vectored file ${gp.filePath} cannot be read " +
-          "columnar — the scan should have degraded to row mode")
-      new GraftColumnarPartitionReader(gp.filePath, physRequired,
-        gp.partitionValues, capacity = 4096, filters = filters,
-        nameMapping = mapping)
+      mkColumnar(gp.filePath, gp.partitionValues, gp.dv)
   }
 
   override def createReader(p: InputPartition): PartitionReader[

@@ -243,25 +243,15 @@ final class GraftMicroBatchStream(
       }
     }
 
-  /** Set per batch at PLANNING time, consumed by the factory built right
-    * after (Spark's micro-batch exec touches inputPartitions before
-    * readerFactory): a change-feed batch serving a dropped file with a
-    * deletion vector needs the position-skipping row reader. The factory
-    * itself also fails loudly on a DV'd partition in columnar mode, so an
-    * order inversion can never silently re-emit deleted rows. */
-  @volatile private var batchNeedsRowMode = false
-
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].version
     val e = end.asInstanceOf[GraftOffset].version
-    if (opts.readChangeFeed) {
-      val parts = GraftCdf.partitions(root, s, e, "graft stream",
+    if (opts.readChangeFeed)
+      GraftCdf.partitions(root, s, e, "graft stream",
         "restart the change-feed stream from a retained version via " +
           "option(\"startingVersion\", ...)")
-      batchNeedsRowMode = GraftCdf.needsRowMode(parts)
-      parts
-    } else addedFiles(s, e).map { case (_, entry) =>
+    else addedFiles(s, e).map { case (_, entry) =>
       GraftInputPartition(
         root.resolve(entry.path).toString,
         GraftScan.hivePathValues(entry.path))
@@ -310,8 +300,9 @@ final class GraftMicroBatchStream(
     }
     // GENERATED-column backfill for era-mixed tables (partition-spec
     // evolution): commits that predate the current transform stream files
-    // without the column in file or path — derive it per row, same recipe
-    // as the batch scan (forces row mode for the stream)
+    // without the column in file or path — the augmented columnar reader
+    // derives it per batch (and subtracts deletion vectors on dropped
+    // files), so the stream keeps vectorized decode
     val genFill: Option[GenFill] =
       if (cur == 0) None
       else {
@@ -319,8 +310,7 @@ final class GraftMicroBatchStream(
         GenFill.forScan(m, required, m.files,
           force = m.priorSpecs.nonEmpty)
       }
-    new GraftReaderFactory(required,
-      columnar && !batchNeedsRowMode && genFill.isEmpty, mapping,
+    new GraftReaderFactory(required, columnar, mapping,
       genFill = genFill)
   }
 
@@ -412,14 +402,4 @@ private[sources] object GraftCdf {
                 ("_change_type" -> "insert")))
       }
     }.toArray
-
-  /** True when any planned partition needs the position-skipping ROW
-    * reader (a dropped file carrying its parent's deletion vector) — the
-    * caller must then degrade the whole scan to row mode (Spark rejects
-    * mixed-mode partitions). */
-  def needsRowMode(parts: Array[InputPartition]): Boolean =
-    parts.exists {
-      case g: GraftInputPartition => g.dv.isDefined
-      case _ => false
-    }
 }

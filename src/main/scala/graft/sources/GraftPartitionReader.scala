@@ -81,32 +81,8 @@ final class GraftPartitionReader(
     if (filters.isEmpty ||
       java.nio.file.Files.size(
         java.nio.file.Paths.get(filePath)) < rowGroupFilterMinBytes) None
-    else ParquetRowGroupFilter.predicateFor(fileSchema, filters, nameMapping)
-      .map { pred =>
-        val keep: Set[Int] = {
-          @annotation.nowarn("cat=deprecation")
-          val kept = org.apache.parquet.filter2.compat.RowGroupFilter
-            .filterRowGroups(
-              org.apache.parquet.filter2.compat.FilterCompat.get(pred),
-              blocks.asJava, fileSchema).asScala
-          kept.map(b => blocks.indexWhere(_ eq b)).toSet
-        }
-        val starts: Seq[Long] =
-          blocks.scanLeft(0L)(_ + _.getRowCount).dropRight(1)
-        val runs = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long)]
-        var i = 0
-        while (i < blocks.size) {
-          if (keep(i)) {
-            var j = i
-            while (j + 1 < blocks.size && keep(j + 1)) j += 1
-            runs += ((starts(i), blocks(i).getStartingPos,
-              blocks(j).getStartingPos + blocks(j).getCompressedSize))
-            i = j + 1
-          } else i += 1
-        }
-        runs.toVector
-      }
+    else ParquetRowGroupFilter.survivingRuns(
+      fileSchema, blocks, filters, nameMapping)
 
   private val fileFields: Map[String, org.apache.parquet.schema.Type] =
     fileSchema.getFields.asScala.map(t => t.getName -> t).toMap

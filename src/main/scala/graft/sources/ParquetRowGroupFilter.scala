@@ -138,6 +138,47 @@ private[sources] object ParquetRowGroupFilter {
     filters.flatMap(f => convert(f)).reduceOption(FilterApi.and)
   }
 
+  /** Surviving CONTIGUOUS row-group runs under the pushed predicate:
+    * (first row index, byte range lo, byte range hi) per run — None when
+    * no predicate converts (caller reads the whole file). Block selection
+    * replays parquet's own stats-only row-group filter against the footer
+    * blocks; reading each run through an explicit byte range (the midpoint
+    * rule selects exactly the run's blocks) lets BOTH reader modes
+    * reconstruct global row positions EXACTLY from the footer's per-block
+    * row counts — what keeps DV subtraction and `_pos` correct under
+    * skipping. Shared by the row and columnar readers. */
+  def survivingRuns(fileSchema: MessageType,
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      filters: Seq[Filter], names: Map[String, String])
+      : Option[Vector[(Long, Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    predicateFor(fileSchema, filters, names).map { pred =>
+      val keep: Set[Int] = {
+        @annotation.nowarn("cat=deprecation")
+        val kept = org.apache.parquet.filter2.compat.RowGroupFilter
+          .filterRowGroups(
+            org.apache.parquet.filter2.compat.FilterCompat.get(pred),
+            blocks.asJava, fileSchema).asScala
+        kept.map(b => blocks.indexWhere(_ eq b)).toSet
+      }
+      val starts: Seq[Long] =
+        blocks.scanLeft(0L)(_ + _.getRowCount).dropRight(1)
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)]
+      var i = 0
+      while (i < blocks.size) {
+        if (keep(i)) {
+          var j = i
+          while (j + 1 < blocks.size && keep(j + 1)) j += 1
+          runs += ((starts(i), blocks(i).getStartingPos,
+            blocks(j).getStartingPos + blocks(j).getCompressedSize))
+          i = j + 1
+        } else i += 1
+      }
+      runs.toVector
+    }
+  }
+
   /** Typed comparison dispatch (parquet's builders are per-column-type). */
   private def cmp[T <: Comparable[T],
       C <: Operators.Column[T] with Operators.SupportsLtGt

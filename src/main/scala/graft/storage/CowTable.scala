@@ -167,7 +167,16 @@ final case class CommitManifest(
       * against that era's path key — so pruning works on both sides of the
       * evolution boundary. Monotone append (commitAt retires the parent's
       * spec whenever the spec changes); absent on pre-upgrade manifests. */
-    priorSpecs: Seq[String] = Nil) {
+    priorSpecs: Seq[String] = Nil,
+    /** PARQUET CHECKPOINT (Delta parquet-checkpoint analog): when present,
+      * [[files]] is empty in the stored JSON and the full [[FileEntry]]
+      * list lives as one parquet row per file at this `_manifests/`-
+      * relative path ([[ManifestCheckpoint]]) — cold planning on a
+      * 10⁵-file table reads a compressed columnar file instead of parsing
+      * a monolithic JSON array on the driver. Written only for FULL
+      * manifests past `graft.parquetCheckpointMinFiles`; readers never see
+      * it set ([[CowTable.manifestAt]] resolves before returning). */
+    filesParquet: Option[String] = None) {
 
   /** Reconstruct the behavioral [[TableConfig]] this manifest records. */
   def tableConfig(name: String): TableConfig = TableConfig(
@@ -1571,6 +1580,19 @@ final class CowTable private[storage] (
         p.name == t.name && p.spec != t.spec),
         s"partition transform ${t.spec} generates column '${t.name}', " +
           "already used by a retired spec with different semantics")
+      // a generated column may land on a name already IN the schema only
+      // when that name is itself the current/retired generated column
+      // being re-adopted — landing on a LIVE DATA column would silently
+      // overwrite it on every subsequent write, and old files' stored
+      // bytes would read as the generated column (GenFill skips in-file
+      // slots), corrupting data without a sound
+      val generatedNames: Set[String] = oldT.map(_.name).toSet ++
+        m.priorSpecs.map(s => PartitionTransform.parse(s).name)
+      require(!schema0.fieldNames.contains(t.name) ||
+        generatedNames.contains(t.name),
+        s"partition transform ${t.spec} generates column '${t.name}', " +
+          "which is a live DATA column of the table schema — pick a " +
+          "different transform name")
       // a DROPPED DATA column's physical slot may still hold bytes in old
       // files — a generated column landing on that name would read them
       require(schema0.fieldNames.contains(t.name) ||
@@ -1627,7 +1649,7 @@ final class CowTable private[storage] (
     val pm = manifest(parent)
     val cdc = replaceCdc(m, pm.files, m.files,
       structFromJson(m.schemaJson), forVersion = v,
-      scannedSchema = Some(structFromJson(pm.schemaJson)))
+      scannedManifest = Some(pm))
     commitManifest(m.copy(version = v, parent = parent, dataChange = true,
       commitTimeMs = clockMs(), cdcDir = cdc))
     v
@@ -2651,7 +2673,7 @@ final class CowTable private[storage] (
   private[graft] def replaceCdc(m: CommitManifest, scanned: Seq[FileEntry],
       fresh: Seq[FileEntry], commitSchema: StructType,
       forVersion: Int = -1,
-      scannedSchema: Option[StructType] = None): Option[String] = {
+      scannedManifest: Option[CommitManifest] = None): Option[String] = {
     if (!config.changeDataFeed || scanned.isEmpty) return None
     val mV = m.copy(schemaJson = commitSchema.json)
     val marker = "__graft_present"
@@ -2659,17 +2681,24 @@ final class CowTable private[storage] (
     // the scanned side may come from a DIFFERENT schema era than the
     // commit (a rollback across a metadata-only type widening: current
     // INT64 files under the target's INT read-schema would fail at scan
-    // time) — read it under ITS era's schema, then cast to the commit
-    // schema so the diff compares like types. A column the scanned era
-    // never had reads as NULL (rollback across a column drop).
-    val r0 = scannedSchema match {
+    // time) — read it under ITS era's manifest (own schema + own column
+    // mapping), then conform to the commit schema by PHYSICAL name:
+    // physical slots are rename-stable, so a restore across a column
+    // RENAME still diffs the renamed column's values (matching by logical
+    // name would null-fill them). Null-fill only when the physical slot
+    // is genuinely absent from the scanned era (rollback across an add).
+    val r0 = scannedManifest match {
       case None => readFiles(mV, scanned)
-      case Some(ss) =>
-        val raw = readFiles(m.copy(schemaJson = ss.json), scanned)
+      case Some(pm) =>
+        val ss = structFromJson(pm.schemaJson)
+        val raw = readFiles(pm, scanned)
+        val byPhys = ss.fieldNames.map(n => pm.physicalName(n) -> n).toMap
         raw.select(commitSchema.fields.toSeq.map { f =>
-          if (ss.fieldNames.contains(f.name))
-            col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          byPhys.get(mV.physicalName(f.name)) match {
+            case Some(srcLogical) =>
+              col(srcLogical).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }: _*)
     }
     val r = r0.withColumn(marker, lit(1)).alias("r")
@@ -3072,11 +3101,28 @@ final class CowTable private[storage] (
           if (adds.size + removed.size >= m.files.size) m
           else m.copy(files = adds, deltaRemoved = Some(removed))
       }
+    // PARQUET CHECKPOINT: a FULL manifest of a big table externalizes its
+    // file list as one parquet row per FileEntry (ManifestCheckpoint) —
+    // the uuid name keeps racing writers' sidecars distinct, and it is
+    // fully written BEFORE the CAS link below publishes the version that
+    // references it (appears complete or not at all). The CAS loser's
+    // sidecar is deleted on the spot.
+    val parquetMin = Try(spark.conf
+      .get("graft.parquetCheckpointMinFiles", "512").toInt).getOrElse(512)
+    val (jsonBody, sidecar) =
+      if (toWrite.deltaRemoved.isEmpty && toWrite.files.size >= parquetMin) {
+        val rel = f"v${m.version}%05d-" +
+          java.util.UUID.randomUUID + ManifestCheckpoint.Suffix
+        ManifestCheckpoint.write(manifestDir.resolve(rel), toWrite.files)
+        (toWrite.copy(files = Nil, filesParquet = Some(rel)), Some(rel))
+      } else (toWrite, None)
     val tmp = Files.createTempFile(manifestDir, f"_tmp_v${m.version}%05d", ".json")
-    Files.writeString(tmp, Serialization.write(toWrite))
+    Files.writeString(tmp, Serialization.write(jsonBody))
     try Files.createLink(vfile, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        sidecar.foreach(rel =>
+          Files.deleteIfExists(manifestDir.resolve(rel)))
         throw new ConcurrentWriteException(
           s"version ${m.version} of table ${config.tableName} was committed " +
             "by a concurrent writer; re-read the table and retry")
@@ -3226,9 +3272,21 @@ final class CowTable private[storage] (
     require(parent > 0, s"table ${config.tableName} does not exist")
     val m = manifest(parent)
     val schema = structFromJson(m.schemaJson)
+    // PATH-BORNE columns (the identity hive partition key and any current/
+    // retired generated partition column) carry no file bytes — the sketch
+    // pass can never produce them, so including them in the lacking test
+    // would make every CALL re-read all files and commit a fresh metadata
+    // version despite nothing changing (no fixpoint). Their NDV is exactly
+    // derivable from the manifest's distinct path values anyway.
+    val pathBorne: Set[String] =
+      (m.partitionKey.toSeq ++
+        (m.partitionSpec.toSeq ++ m.priorSpecs)
+          .map(s => PartitionTransform.parse(s).name))
+        .map(m.physicalName).toSet
     val cols = m.statsColumns
       .flatMap(c => schema.find(_.name == c))
       .map(f => m.physicalName(f.name))
+      .filterNot(pathBorne)
     if (cols.isEmpty) return parent
     val lacking = m.files.filter(e =>
       e.rows > 0 && !cols.forall(e.ndv.contains))
@@ -3532,7 +3590,15 @@ object CowTable {
       attrs.size())
     val hit = manifestCache.get(key)
     if (hit != null) return hit
-    val m0 = Serialization.read[CommitManifest](Files.readString(p))
+    val mj = Serialization.read[CommitManifest](Files.readString(p))
+    // parquet-checkpointed file list: resolve before any delta fold sees it
+    val m0 = mj.filesParquet match {
+      case None => mj
+      case Some(rel) => mj.copy(
+        files = ManifestCheckpoint.read(
+          root.resolve("_manifests").resolve(rel)),
+        filesParquet = None)
+    }
     val m = m0.deltaRemoved match {
       case None => m0
       case Some(removed) => // fold onto version-1 (chain checkpoint-bounded)

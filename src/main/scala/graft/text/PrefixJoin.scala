@@ -85,13 +85,16 @@ object PrefixJoin {
       val a = pre.select(col("doc_id").as("id_a"), col("n").as("na"), col("w"))
       val b = pre.select(col("doc_id").as("id_b"), col("n").as("nb"), col("w"))
       // candidate set materialized eagerly while `pre` is still cached —
-      // nothing downstream re-touches the prefix table
-      a.join(b, Seq("w"))
-        .filter(col("id_a") < col("id_b") &&
-          col("nb") * tDen >= col("na") * tNum &&
-          col("na") * tDen >= col("nb") * tNum)
-        .select("id_a", "id_b").distinct()
-        .localCheckpoint()
+      // nothing downstream re-touches the prefix table. Reliable checkpoint
+      // when a dir is configured (cluster mode: a lost localCheckpoint
+      // partition would kill the remaining verification joins), same
+      // discipline as toksM above.
+      TextDedup.checkpointed(
+        a.join(b, Seq("w"))
+          .filter(col("id_a") < col("id_b") &&
+            col("nb") * tDen >= col("na") * tNum &&
+            col("na") * tDen >= col("nb") * tNum)
+          .select("id_a", "id_b").distinct())
     } finally pre.unpersist(blocking = false)
 
     cands

@@ -641,6 +641,24 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(joined.count() == 100L)
   }
 
+  test("grouped manifest pushdown with EVERY group dead (all rows " +
+      "DV-deleted) falls back to the plain scan and returns empty") {
+    val dir = tmpDir("dsv2")
+    val t = CowTable(spark, dir + "/alldead", TableConfig("alldead",
+      Seq("id"), partitionKey = Some("cat"), changeDataFeed = true,
+      deletionVectors = true))
+    t.create((1L to 30L).map(i => (i, s"c${i % 3}")).toDF("id", "cat"))
+    t.delete((1L to 30L).toDF("id")) // every row of every group dead
+    val g = spark.read.format("graft").load(dir + "/alldead")
+      .groupBy($"cat").count()
+    // pushing would report a group-column-only scan schema (the agg
+    // fields are emitted per live group — zero here) and fail planning;
+    // the fallback plain scan yields the correct empty result
+    assert(g.collect().isEmpty)
+    assert(spark.read.format("graft").load(dir + "/alldead")
+      .select($"cat").distinct().collect().isEmpty)
+  }
+
   test("nested types are rejected loudly (flat schemas only)") {
     val dir = tmpDir("dsv2")
     CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))

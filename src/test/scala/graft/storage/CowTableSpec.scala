@@ -792,4 +792,48 @@ class CowTableSpec extends SparkSpec {
       t.shallowClone(dir + "/fork")
     }
   }
+
+  test("rollback across a column RENAME keeps renamed-column preimage " +
+      "values (physical-name match, never logical null-fill)") {
+    val dir = tmpDir("cow")
+    val t = CowTable(spark, dir + "/t",
+      TableConfig("t", Seq("id"), changeDataFeed = true))
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))        // v1
+    t.upsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"))       // v2
+    t.renameColumn("v", "payload")                             // v3 (meta)
+    // restore v1 across the rename: the diff must read the CURRENT era's
+    // `payload` bytes through the rename-stable physical slot — matching
+    // by logical name would null-fill every preimage value
+    val v4 = t.rollbackTo(1)
+    val roll = t.readChangeFeed(3, v4)
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(roll == Set(
+      (2L, "B2", "update_preimage"),
+      (2L, "b", "update_postimage"),
+      (3L, "c", "delete")), s"got $roll")
+  }
+
+  test("computeNdvSketches reaches its no-op fixpoint when a stats column " +
+      "is the path-borne partition key") {
+    val dir = tmpDir("cow")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionKey = Some("g"), statsColumns = Seq("g", "v")))
+    t0.create((1L to 60L).map(i => (i, s"g${i % 3}", i * 1.0))
+      .toDF("id", "g", "v"))
+    // adopt sketches via a backfill handle (the CALL compute_stats shape)
+    val t = CowTable(spark, dir + "/t", TableConfig("t", Seq("id"),
+      partitionKey = Some("g"), statsColumns = Seq("g", "v"),
+      ndvSketch = true))
+    val v1 = t.computeNdvSketches()
+    assert(v1 == 2, "backfill writes one metadata commit")
+    // the hive partition key carries NO file bytes — the backfill must
+    // exclude it from the lacking test, or every CALL re-reads all files
+    // and writes a new metadata commit forever
+    val v2 = t.computeNdvSketches()
+    assert(v2 == v1, s"backfill did not converge: $v1 -> $v2")
+    // the in-file stats column still got its sketch
+    assert(t.manifest(v1).files.filter(_.rows > 0)
+      .forall(_.ndv.contains("v")))
+  }
 }

@@ -150,7 +150,7 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.readVersion(2).count() == 24)
   }
 
-  test("DSv2 scan subtracts vectors (row mode forced)") {
+  test("DSv2 scan subtracts vectors (columnar, batch-compacted)") {
     val t = fresh()
     t.create(rows(1 to 60).repartition(3))
     t.delete(Seq(6L, 16L, 26L).toDF("id"))

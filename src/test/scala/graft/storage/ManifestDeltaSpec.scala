@@ -59,6 +59,53 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(t.manifest(10).deltaRemoved.isEmpty) // readers never see deltas
   }
 
+  test("parquet checkpoints: a big full manifest externalizes its file " +
+      "list; manifestAt round-trips bit-identically (incl. stats maps, DVs)") {
+    val dir = tmpDir("mdelta") + "/t"
+    spark.conf.set("graft.parquetCheckpointMinFiles", "2")
+    try {
+      val t = CowTable(spark, dir, TableConfig("t", Seq("id"),
+        statsColumns = Seq("name"), changeDataFeed = true,
+        deletionVectors = true, ndvSketch = true))
+      t.create(df(1L to 300L).repartition(4)) // v1: full + over threshold
+      val raw1 = rawJson(dir, 1)
+      assert(raw1.contains("filesParquet"),
+        s"v1 must externalize to parquet:\n$raw1")
+      assert(pathCount(raw1) <= 1, "file entries must leave the JSON")
+      val sidecars = Files.list(Paths.get(dir).resolve("_manifests"))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        sidecars.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally sidecars.close()
+      assert(names.exists(_.endsWith(".files.parquet")), names)
+      // round-trip: every stat field survives the parquet encoding
+      val m1 = t.manifest(1)
+      assert(m1.filesParquet.isEmpty, "readers never see the pointer")
+      assert(m1.files.size == 4)
+      assert(m1.files.forall(e => e.minKey.isDefined && e.maxKey.isDefined))
+      assert(m1.files.forall(_.extra.contains("name")))
+      assert(m1.files.forall(_.nulls.nonEmpty))
+      assert(m1.files.forall(_.ndv.nonEmpty))
+      // DV'd commit folds over the parquet checkpoint exactly
+      t.delete(Seq(7L, 8L).toDF("id"))
+      assert(t.read().count() == 298)
+      val m2 = t.manifest(2)
+      assert(m2.files.exists(_.dvPath.isDefined))
+      // a DV'd entry inside a LATER parquet checkpoint round-trips too
+      (3 to 8).foreach(v => t.upsert(df(Seq(v.toLong * 1000))))
+      assert(t.currentVersion == 8)
+      val raw8 = rawJson(dir, 8)
+      assert(raw8.contains("filesParquet"), "v8 checkpoint must be parquet")
+      val m8 = t.manifest(8)
+      assert(m8.files.exists(_.dvPath.isDefined))
+      assert(t.read().count() == 304)
+      assert(t.readVersion(1).count() == 300) // time travel across both
+      // scans, pruning, CDF keep working over the encoded history
+      assert(t.read().filter($"id" === 7L).count() == 0)
+      assert(t.readChangeFeed(1, 2).count() == 2)
+    } finally spark.conf.unset("graft.parquetCheckpointMinFiles")
+  }
+
   test("rollback, vacuum, and history work across delta manifests") {
     val dir = tmpDir("mdelta") + "/t"
     val t = CowTable(spark, dir, TableConfig("t", Seq("id")))

@@ -1,6 +1,7 @@
 package graft.storage
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class PartitionEvolutionSpec extends SparkSpec {
   import spark.implicits._
@@ -110,7 +111,8 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(t1.read().selectExpr("id", "ts_hour").as[(Long, String)]
       .collect().toSet == Set((1L, "2024-03-01-10"),
         (2L, "2024-03-02-23"), (3L, "2024-03-03-07")))
-    // DSv2 read agrees (row-mode backfill for the pre-evolution files)
+    // DSv2 read agrees (per-batch columnar backfill for the
+    // pre-evolution files)
     val dsv2 = spark.read.format("graft").load(dir + "/t")
       .selectExpr("id", "ts_hour").as[(Long, String)].collect().toSet
     assert(dsv2 == Set((1L, "2024-03-01-10"), (2L, "2024-03-02-23"),
@@ -335,5 +337,29 @@ class PartitionEvolutionSpec extends SparkSpec {
       t0.alterPartitionSpec(Some("bucket(16,v)"))
     }
     assert(e.getMessage.contains("different semantics"), e.getMessage)
+  }
+
+  test("a transform generating the name of a LIVE DATA column is rejected " +
+      "(silent-overwrite guard)") {
+    val dir = tmpDir("evo")
+    val t0 = CowTable(spark, dir + "/t", TableConfig("t", Seq("id")))
+    // ts_hour here is a plain user column — exactly the name hour(ts)
+    // would generate; accepting it would overwrite the user's values on
+    // every subsequent write and read old files' stored bytes as the
+    // generated column
+    t0.create(tsRows((1L, "2024-03-01 10:00:00", 1.0))
+      .withColumn("ts_hour", lit("user-data")))
+    val e = intercept[IllegalArgumentException] {
+      t0.alterPartitionSpec(Some("hour(ts)"))
+    }
+    assert(e.getMessage.contains("DATA column"), e.getMessage)
+    // re-adoption of a RETIRED generated column's own name stays legal
+    val a0 = CowTable(spark, dir + "/a", TableConfig("a", Seq("id"),
+      partitionSpec = Some("hour(ts)")))
+    a0.create(tsRows((1L, "2024-03-01 10:00:00", 1.0)))
+    val a1 = a0.alterPartitionSpec(Some("day(ts)"))
+    val a2 = a1.alterPartitionSpec(Some("hour(ts)")) // re-adopt
+    assert(a2.manifest(a2.currentVersion).partitionSpec
+      .contains("hour(ts)"))
   }
 }
