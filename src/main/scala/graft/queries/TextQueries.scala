@@ -762,6 +762,18 @@ object TextQueries {
         .select("doc_id", "n_bpe_tokens", "bin")
     },
 
+    // BPE VOCABULARY TRAINING (Sennrich '16 — the merge-LEARNING half of
+    // q124's fixed-vocab encode): 6 distributed merge rounds over the
+    // distinct-word table, deterministic tie-break (count DESC, pair ASC),
+    // leftmost-greedy application made relational via the parity rule
+    // ([[graft.text.BpeTrain]]). The oracle replays the ENTIRE training
+    // trajectory as unrolled CTEs — best pair AND merge application per
+    // round — the q140 k-means discipline.
+    Q("q219_bpe_train",
+      graft.text.BpeTrain.fitSql(rounds = 6)) { (s, d) =>
+      graft.text.BpeTrain.fit(docs(s, d), "text", rounds = 6)
+    },
+
     // BM25 TOP-K KEYWORD SEARCH: inverted-index scoring over the corpus —
     // rational-idf BM25 with integer nano-unit contributions so the score
     // is bit-exact and order-independent (see [[graft.text.Search]]).
