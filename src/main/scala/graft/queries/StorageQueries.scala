@@ -2026,11 +2026,13 @@ object StorageQueries {
     // "stored null" and "file predates the column" never conflate.
     // Oracle replays: old rows get the default, new rows their literals.
     Q("q195_column_default",
-      """SELECT c_custkey, c_name, 'standard' AS tier FROM customer
+      """SELECT c_custkey, c_name, 'standard' AS tier, 'silver' AS grade
+        |  FROM customer
         |UNION ALL SELECT 900001 AS c_custkey, 'x1' AS c_name,
-        |  'standard' AS tier
-        |UNION ALL SELECT 900002, 'x2', 'gold'
-        |UNION ALL SELECT 900003, 'x3', CAST(NULL AS VARCHAR)
+        |  'standard' AS tier, 'silver' AS grade
+        |UNION ALL SELECT 900002, 'x2', 'gold', 'silver'
+        |UNION ALL SELECT 900003, 'x3', CAST(NULL AS VARCHAR), 'silver'
+        |UNION ALL SELECT 900004, 'x4', 'standard', 'silver'
         |""".stripMargin) { (s, d) =>
       val lake = tableDir("q195")
       CowTable.deleteRecursively(java.nio.file.Paths.get(lake))
@@ -2051,7 +2053,14 @@ object StorageQueries {
         "VALUES (900001, 'x1')") // omitted column → default
       sess.sql("INSERT INTO lake.default.cust_def " +
         "VALUES (900002, 'x2', 'gold'), (900003, 'x3', NULL)")
-      sess.sql("SELECT c_custkey, c_name, tier FROM lake.default.cust_def")
+      // EXPRESSION-valued default: folds at ALTER time to its constant —
+      // every pre-add row (incl. the three inserts above) reads 'silver'
+      sess.sql("ALTER TABLE lake.default.cust_def ADD COLUMN grade " +
+        "STRING DEFAULT concat('si', lower('LVER'))")
+      sess.sql("INSERT INTO lake.default.cust_def (c_custkey, c_name) " +
+        "VALUES (900004, 'x4')") // both defaults resolve
+      sess.sql("SELECT c_custkey, c_name, tier, grade " +
+        "FROM lake.default.cust_def")
     },
 
     // NULL-COUNT statistics: per-file footer null counts ride the manifest

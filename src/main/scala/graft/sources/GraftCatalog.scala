@@ -325,12 +325,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // CowTable.addColumn). The default folds/validates HERE, loudly.
         val metadata = Option(add.defaultValue()).fold(
           org.apache.spark.sql.types.Metadata.empty) { dv =>
-          val sql = Option(dv.getSql).getOrElse(
-            throw new UnsupportedOperationException(
-              "graft: expression-only column DEFAULT is not supported — " +
-                "use a SQL literal expression"))
-          graft.storage.ColumnDefaults.metadataFor(
-            SparkSession.active, ident.name(), colName, add.dataType(), sql)
+          Option(dv.getSql) match {
+            case Some(sql) =>
+              graft.storage.ColumnDefaults.metadataFor(
+                SparkSession.active, ident.name(), colName,
+                add.dataType(), sql)
+            case None =>
+              // expression-valued default with no SQL text (connector-API
+              // shape): accept when it reduced to a V2 literal, fold it
+              // into the same metadata; anything else stays loud
+              val v2 = Option(dv.getValue).getOrElse(
+                throw new UnsupportedOperationException(
+                  "graft: non-constant expression column DEFAULT is not " +
+                    "supported — use a constant-foldable expression"))
+              graft.storage.ColumnDefaults.metadataForValue(
+                ident.name(), colName, add.dataType(), v2)
+          }
         }
         val fld0 = StructField(colName, add.dataType(), nullable = true,
           metadata)

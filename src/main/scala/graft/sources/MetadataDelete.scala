@@ -177,16 +177,17 @@ private[sources] object MetadataDelete {
           case None => Unknown
         }
       // the transform SOURCE column: a non-null partition value proves the
-      // source non-null per row; the null dir holds exactly the null rows
-      else transformOf(m).filter(_.source.equalsIgnoreCase(c)) match {
-        case Some(_) =>
-          GraftScan.pathPartValue(m.partitionKey, e) match {
-            case Some(GraftScan.NullPartitionName) => if (isNull) All else No
+      // source non-null per row; the null dir holds exactly the null rows.
+      // Era-aware: a retired era's path key answers for its own files.
+      else firstDecisive(erasOf(m).filter(_.source.equalsIgnoreCase(c))
+        .map { t =>
+          GraftScan.pathPartValue(Some(t.name), e) match {
+            case Some(GraftScan.NullPartitionName) =>
+              if (isNull) All else No
             case Some(_) => if (isNull) No else All
             case None => Unknown
           }
-        case None => Unknown
-      }
+        }: _*)
     if (byPath != Unknown) return byPath
     val phys = m.physicalName(field(schema, c).map(_.name).getOrElse(c))
     e.nulls.get(phys) match {
@@ -203,6 +204,15 @@ private[sources] object MetadataDelete {
   private def transformOf(m: CommitManifest): Option[PartitionTransform] =
     m.partitionSpec.flatMap(s =>
       scala.util.Try(PartitionTransform.parse(s)).toOption)
+
+  /** Every era's transform — the CURRENT spec plus RETIRED ones
+    * (partition-spec evolution). A file carries exactly ONE era's key in
+    * its path (the era it was written under), so per-file evaluation
+    * tries each era's own path key: a day(ts)-era file still proves a
+    * day-aligned retention cut after the table evolved to hour(ts). */
+  private def erasOf(m: CommitManifest): Seq[PartitionTransform] =
+    (m.partitionSpec.toSeq ++ m.priorSpecs).distinct
+      .flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
 
   /** The INCLUSIVE integer interval (micros or epoch-days, matching the
     * source column's stat space) a day/month/hour/year partition value
@@ -257,13 +267,20 @@ private[sources] object MetadataDelete {
     * boundaries — the day-aligned retention cut decides every file. For
     * non-interval transforms (bucket/truncate), equality can refute
     * (`No` when the transformed literal names another partition) but
-    * never prove `All`. */
+    * never prove `All`. RETIRED eras answer for their own files: each
+    * era's transform evaluates against that era's path key, so a delete
+    * aligned to an OLD era's boundaries stays metadata-only after the
+    * spec evolved. */
   private def transformEval(
       m: CommitManifest, schema: StructType, e: FileEntry, c: String,
-      op: String, v: Any): Tri = {
-    val t = transformOf(m).getOrElse(return Unknown)
+      op: String, v: Any): Tri =
+    firstDecisive(erasOf(m).map(eraEval(m, schema, e, c, op, v, _)): _*)
+
+  private def eraEval(
+      m: CommitManifest, schema: StructType, e: FileEntry, c: String,
+      op: String, v: Any, t: PartitionTransform): Tri = {
     if (!t.source.equalsIgnoreCase(c)) return Unknown
-    val pv = GraftScan.pathPartValue(m.partitionKey, e).getOrElse(
+    val pv = GraftScan.pathPartValue(Some(t.name), e).getOrElse(
       return Unknown)
     // the null dir holds exactly the source-null rows: no comparison matches
     if (pv == GraftScan.NullPartitionName) return No

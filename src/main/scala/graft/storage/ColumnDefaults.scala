@@ -34,9 +34,20 @@ private[graft] object ColumnDefaults {
     val alias = df.queryExecution.analyzed.expressions.collectFirst {
       case a: org.apache.spark.sql.catalyst.expressions.Alias => a
     }.get
-    require(alias.child.foldable && alias.child.deterministic,
-      s"table $table: DEFAULT for $name must be a constant literal " +
-        s"expression, got: $sql")
+    // constant-FOLDABLE is the bar, checked two ways: foldable as analyzed
+    // (literals, arithmetic over literals, current_date()/now() — query-
+    // constant, frozen at ALTER time into EXISTS_DEFAULT), or folded to a
+    // literal by the optimizer (ComputeCurrentTime + constant folding).
+    // Non-deterministic expressions (rand(), uuid()) stay LOUD — the
+    // optimizer never folds them and a per-row default is not a constant.
+    lazy val optimizedConstant: Boolean =
+      df.queryExecution.optimizedPlan.expressions.collectFirst {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      }.exists(_.foldable)
+    require(alias.child.deterministic &&
+        (alias.child.foldable || optimizedConstant),
+      s"table $table: DEFAULT for $name must be a constant-foldable " +
+        s"deterministic expression, got: $sql")
     val v = df.head().get(0)
     require(v != null,
       s"table $table: DEFAULT for $name evaluates to NULL — omit the " +
@@ -45,6 +56,32 @@ private[graft] object ColumnDefaults {
       org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
     new org.apache.spark.sql.types.MetadataBuilder()
       .putString(CurrentKey, sql)
+      .putString(ExistsKey, folded.sql)
+      .build()
+  }
+
+  /** [[metadataFor]] twin for an EXPRESSION-VALUED DSv2 default that
+    * carries no SQL text (the connector-API shape): accepted when it
+    * reduced to a V2 literal — folded here into the same metadata, the
+    * literal's rendering serving as both the current and the existence
+    * default. */
+  def metadataForValue(table: String, name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      v2: org.apache.spark.sql.connector.expressions.Literal[_])
+      : org.apache.spark.sql.types.Metadata = {
+    // a V2 literal's value is already in Catalyst INTERNAL form
+    val asDt = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        v2.value, v2.dataType), dt,
+      Some(java.util.TimeZone.getDefault.getID))
+    val v = asDt.eval(null)
+    require(v != null,
+      s"table $table: DEFAULT for $name evaluates to NULL — omit the " +
+        "default instead (absent columns already read NULL)")
+    val folded =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(CurrentKey, folded.sql)
       .putString(ExistsKey, folded.sql)
       .build()
   }

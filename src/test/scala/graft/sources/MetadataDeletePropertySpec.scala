@@ -135,6 +135,40 @@ class MetadataDeletePropertySpec extends SparkSpec {
     assert(acc >= 4, "partition-path predicates must accept")
   }
 
+  test("evolved day(ts) -> hour(ts) table: era-mixed files partition " +
+      "exactly; old-era-aligned cuts accept, straddling cuts decline") {
+    val dir = tmpDir("mdp") + "/t"
+    val t0 = CowTable(spark, dir, TableConfig("t", Seq("id"),
+      partitionSpec = Some("day(ts)")))
+    t0.create(rows(200)) // old era: ts_day=... paths
+    val t = t0.alterPartitionSpec(Some("hour(ts)"))
+    t.upsert(rows(500).filter(col("id") > 200)) // new era: ts_hour=... only
+    val m = t.manifest(t.currentVersion)
+    assert(m.priorSpecs == Seq("day(ts)"))
+    assert(m.files.exists(_.path.contains("ts_day=")) &&
+      m.files.exists(_.path.contains("ts_hour=")),
+      "fixture must be era-mixed")
+    // the full battery property holds over the mixed-era manifest
+    val (acc, _) = check(dir, t)
+    assert(acc >= 4, "aligned cuts must still accept on the evolved table")
+    val schema = CowTable.structFromJson(m.schemaJson)
+    // a DAY-aligned retention cut is hour-aligned too: BOTH eras decide
+    // their own files — the whole statement stays metadata-only
+    val dayCut = MetadataDelete.coveredFiles(m, schema,
+      IndexedSeq(LessThan("ts", ts("2024-02-03 00:00:00"))))
+    assert(dayCut.isDefined,
+      "day-aligned cut must stay metadata-only across the evolution")
+    assert(dayCut.get.exists(_.path.contains("ts_day=")) &&
+      dayCut.get.exists(_.path.contains("ts_hour=")),
+      s"cut must cover files of BOTH eras, got ${dayCut.get.map(_.path)}")
+    // an HOUR-aligned (not day-aligned) cut straddles old-era day files:
+    // those can be neither All nor No — the statement must DECLINE
+    val hourCut = MetadataDelete.coveredFiles(m, schema,
+      IndexedSeq(LessThan("ts", ts("2024-02-03 12:00:00"))))
+    assert(hourCut.isEmpty,
+      "an hour cut straddling a day-era file must decline to rewrite")
+  }
+
   test("key-clustered flat layout: every accepted predicate partitions " +
       "files exactly") {
     val dir = tmpDir("mdp") + "/t"

@@ -106,7 +106,7 @@ class ColumnDefaultsSpec extends SparkSpec {
     t.create(Seq((1L, "a")).toDF("id", "name"))
     val e1 = intercept[Exception](
       t.addColumn("x", IntegerType, Some("CAST(rand() * 10 AS INT)")))
-    assert(e1.getMessage.contains("constant literal"))
+    assert(e1.getMessage.contains("constant-foldable"))
     val e2 = intercept[Exception](
       t.addColumn("x", IntegerType, Some("NULL")))
     assert(e2.getMessage.contains("evaluates to NULL"))
@@ -115,5 +115,29 @@ class ColumnDefaultsSpec extends SparkSpec {
     intercept[Exception](
       t.addColumn("x", IntegerType, Some("'abc'"))) // ANSI cast failure
     assert(t.currentVersion == 1) // nothing committed by any failure
+  }
+
+  test("constant-FOLDABLE expression defaults: arithmetic folds; " +
+      "current_date() freezes at ALTER time") {
+    val dir = tmpDir("coldef") + "/t"
+    val t = CowTable(spark, dir, TableConfig("t", Seq("id")))
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // arithmetic over literals folds to its value
+    t.addColumn("score", IntegerType, Some("40 + CAST(2 AS INT)"))
+    assert(t.read().select("score").as[Int].collect().forall(_ == 42))
+    // current_date() is query-constant: accepted, and EXISTS_DEFAULT holds
+    // the FROZEN fold (a literal date), not the expression — pre-add rows
+    // keep reading the ALTER-day value forever
+    t.addColumn("ingested", org.apache.spark.sql.types.DateType,
+      Some("current_date()"))
+    val frozen = ColumnDefaults.existsSql(
+      CowTable.structFromJson(t.manifest(t.currentVersion).schemaJson)
+        .apply("ingested")).get
+    assert(frozen.contains("DATE '"), s"must freeze to a literal: $frozen")
+    val today = java.time.LocalDate.now()
+    assert(t.read().select("ingested")
+      .as[java.sql.Date].collect()
+      .forall(d => math.abs(java.time.temporal.ChronoUnit.DAYS.between(
+        d.toLocalDate, today)) <= 1)) // ALTER-day value (midnight-safe)
   }
 }
