@@ -674,9 +674,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     asView(ident, d)
   }
 
-  override def alterView(ident: Identifier, changes: ViewChange*): View =
-    throw new UnsupportedOperationException(
-      "graft: ALTER VIEW is not supported — CREATE OR REPLACE VIEW instead")
+  /** ALTER VIEW SET/UNSET TBLPROPERTIES (the two changes the DSv2
+    * ViewChange surface defines): fold into the stored definition and
+    * atomically replace the view file. Definition changes go through
+    * CREATE OR REPLACE VIEW as before. */
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    requireNs(ident.namespace())
+    val d0 = readViewDef(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        ident))
+    val props = changes.foldLeft(d0.properties) {
+      case (p, s: ViewChange.SetProperty) =>
+        require(s.property() != null && s.value() != null,
+          "graft: ALTER VIEW SET TBLPROPERTIES: null property/value")
+        p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft: unsupported ALTER VIEW change $other")
+    }
+    val d = d0.copy(properties = props)
+    GraftViews.replace(warehouse, ident.name(), d)
+    asView(ident, d)
+  }
 
   override def dropView(ident: Identifier): Boolean = {
     requireNs(ident.namespace())

@@ -59,6 +59,20 @@ private[graft] object GraftViews {
   def delete(warehouse: String, name: String): Boolean =
     Files.deleteIfExists(file(warehouse, name))
 
+  /** Atomic REPLACE of an existing view's definition (ALTER VIEW SET/
+    * UNSET TBLPROPERTIES): tmp + ATOMIC_MOVE — last-writer-wins, the same
+    * semantics Spark's session catalog gives concurrent ALTER VIEWs; the
+    * create-race CAS stays with [[create]] (replace requires existence). */
+  def replace(warehouse: String, name: String, d: ViewDef): Unit = {
+    require(Files.exists(file(warehouse, name)),
+      s"graft: no view '$name' in the lake")
+    val tmp = Files.createTempFile(dir(warehouse), "_tmp_view", ".json")
+    Files.writeString(tmp, org.json4s.jackson.Serialization.write(d))
+    Files.move(tmp, file(warehouse, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def list(warehouse: String): Seq[String] = {
     if (!Files.isDirectory(dir(warehouse))) return Nil
     scala.util.Using.resource(Files.list(dir(warehouse)))(

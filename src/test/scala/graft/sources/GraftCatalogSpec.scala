@@ -568,6 +568,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.listViews("default").isEmpty)
   }
 
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES persists through the catalog") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
+    val lake = tmpDir("cat")
+    val sess = lakeSession(lake)
+    sess.sql("SHOW TABLES IN lake.default") // force catalog plugin load
+    val cat = sess.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[GraftCatalog]
+    cat.createView(new ViewInfo(
+      Identifier.of(Array("default"), "av"), "SELECT 1 AS id", "lake",
+      Array("default"),
+      new org.apache.spark.sql.types.StructType().add("id", "int"),
+      Array("id"), Array.empty, Array.empty,
+      java.util.Collections.emptyMap()))
+    val id = Identifier.of(Array("default"), "av")
+    val v1 = cat.alterView(id,
+      ViewChange.setProperty("owner", "graft"),
+      ViewChange.setProperty("note", "tmp"))
+    assert(v1.properties().get("owner") == "graft")
+    // persisted on disk, not just the returned handle
+    assert(GraftViews.read(lake, "av").get.properties ==
+      Map("owner" -> "graft", "note" -> "tmp"))
+    val v2 = cat.alterView(id, ViewChange.removeProperty("note"))
+    assert(!v2.properties().containsKey("note"))
+    assert(GraftViews.read(lake, "av").get.properties ==
+      Map("owner" -> "graft"))
+    // the definition itself is untouched
+    assert(cat.loadView(id).query() == "SELECT 1 AS id")
+    // unknown view stays loud
+    intercept[Exception](cat.alterView(
+      Identifier.of(Array("default"), "nope"),
+      ViewChange.setProperty("a", "b")))
+  }
+
   test("CALL diff: snapshot reconciliation rows via SQL") {
     val lake = tmpDir("cat")
     val sess = lakeSession(lake)
