@@ -195,7 +195,26 @@ object ScaleProbe {
       val zIncrFiles =
         if (t.currentVersion == preZ) 0 else freshFiles(t.currentVersion)
 
+      // COLD manifestAt (round 17): evict the driver-side fold cache and
+      // time the first load of the CURRENT version — the per-session
+      // planning cost a fresh driver pays. Past
+      // graft.parquetCheckpointMinFiles the nearest full checkpoint is
+      // parquet-encoded (one row per FileEntry) instead of a monolithic
+      // JSON array; the x8/x32 scales cross that threshold.
+      val vCur = t.currentVersion
+      CowTable.evictManifestCache()
+      val (_, tColdManifest) = time { t.manifest(vCur) }
+      val (_, tWarmManifest) = time { t.manifest(vCur) }
+      val parquetCkpt = {
+        val md = new java.io.File(s"$root/li/_manifests")
+        md.isDirectory && md.listFiles().exists(
+          _.getName.endsWith(".files.parquet"))
+      }
+
       println(s"""{"probe":"$name","rows":$rows,"files":$nFiles,""" +
+        s""""cold_manifest_sec":${f"$tColdManifest%.4f"},""" +
+        s""""warm_manifest_sec":${f"$tWarmManifest%.4f"},""" +
+        s""""parquet_checkpoint":$parquetCkpt,""" +
         s""""create_sec":${f"$tCreate%.2f"},""" +
         s""""upsert_sec":${f"$tUpsert%.2f"},"upsert_files":$touched,""" +
         s""""delete_sec":${f"$tDelete%.2f"},""" +

@@ -2084,9 +2084,13 @@ object StorageQueries {
         statsColumns = Seq("c_acctbal")))
       tbl.create(t(s, d, "customer")
         .select("c_custkey", "c_name", "c_acctbal").repartition(4))
-      // synthetic un-priced rows (fresh keys → their own files, all-null)
+      // synthetic un-priced rows (fresh keys → their own files, all-null).
+      // The offset must clear ANY scale's key range (the sf1 stress pass
+      // replicates keys to ~9e8; an in-range offset would make the upsert
+      // REWRITE the base files and leave no no-null file to skip)
       tbl.upsert(t(s, d, "customer").filter(col("c_custkey") % 131 === 0)
-        .select((col("c_custkey") + 900000).as("c_custkey"), col("c_name"),
+        .select((col("c_custkey") + 1000000000000L).as("c_custkey"),
+          col("c_name"),
           lit(null).cast(tbl.read().schema("c_acctbal").dataType)
             .as("c_acctbal")))
       val df = s.read.format("graft").load(root)

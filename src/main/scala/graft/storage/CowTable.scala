@@ -3581,6 +3581,12 @@ object CowTable {
           : Boolean = size() > ManifestCacheMax
     })
 
+  /** Probe/test support: drop the driver-side folded-manifest cache so
+    * the next [[manifestAt]] measures a genuinely COLD load — the
+    * per-session planning cost a fresh driver pays (what the parquet
+    * checkpoint encoding exists to bound). */
+  private[graft] def evictManifestCache(): Unit = manifestCache.clear()
+
   private[graft] def manifestAt(root: Path, version: Int): CommitManifest = {
     val p = root.resolve("_manifests").resolve(f"v$version%05d.json")
     val attrs = Files.readAttributes(p,

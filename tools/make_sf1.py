@@ -35,7 +35,10 @@ def base10(table, col):
     b = 1
     while b <= mx:
         b *= 10
-    return b
+    # several queries synthesize "fresh" keys at key + 900000 (beyond any
+    # base-SF max); the replica shift must clear that headroom too, or the
+    # synthetic keys collide with a replica's range (q196 at shift 1e5)
+    return max(b, 10 ** 8)
 
 
 # one shift unit per key FAMILY (FK pairs share it)
