@@ -25,7 +25,7 @@ import org.json4s.jackson.Serialization
   * `nulls`, `ndv` — sparse, absent on most files) ride as compact
   * per-entry JSON, written with the exact serializer the JSON manifest
   * uses, so the round-trip is bit-identical by construction. */
-private[storage] object ManifestCheckpoint {
+private[graft] object ManifestCheckpoint {
 
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
